@@ -1,0 +1,344 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, Tables}
+
+/** Relational operator layer (SURVEY.md §2 Table B): the standard operator
+  * set expressed as declarative DataFrame plans so Catalyst handles pushdown,
+  * pruning, join selection and AQE. Every query carries a DuckDB oracle.
+  *
+  * Scale notes (100 TB design point):
+  *  - dims (region/nation/supplier/customer at low SF) are broadcast
+  *    explicitly where they'd stay under the broadcast threshold on a real
+  *    cluster; fact-fact joins are left to sort-merge + AQE.
+  *  - every aggregation is a partial (map-side combine) + final hash agg —
+  *    free with groupBy/agg.
+  *  - all outputs end in a deterministic ORDER BY so the driver's
+  *    hash-compare is stable.
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-style pricing summary — full-scan partial+final hash agg.
+    * Reference capability: aggregation engine absent in FINporter
+    * (SURVEY §2 Table B "Aggregation").
+    */
+  private val q01 = GraftQuery(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q02: projection + predicate pushdown — both reach the parquet scan
+    * (verified via explain: PushedFilters + pruned ReadSchema).
+    */
+  private val q02 = GraftQuery(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice * (1 - l_discount), 4) AS disc_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-07-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("disc_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q03: 3-way join (fact-fact sort-merge + broadcast dim) with agg —
+    * revenue by market segment. customer is the broadcast side.
+    */
+  private val q03 = GraftQuery(
+    "q03_segment_revenue",
+    """SELECT c_mktsegment,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q04: star join through supplier→nation→region (broadcast the dim chain),
+    * revenue rollup by region/nation.
+    */
+  private val q04 = GraftQuery(
+    "q04_region_nation_revenue",
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val dim = broadcast(
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select("s_suppkey", "n_name", "r_name"))
+    l.join(dim, l("l_suppkey") === dim("s_suppkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q05: left-semi join (EXISTS) — customers having at least one
+    * high-priority order.
+    */
+  private val q05 = GraftQuery(
+    "q05_semi_join",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).where(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q06: left-anti join (NOT EXISTS) — customers with no high-value order
+    * (complement of q05's semi join).
+    */
+  private val q06 = GraftQuery(
+    "q06_anti_join",
+    """SELECT c_custkey, c_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).where(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** q07: ranking window — top-3 orders per customer by totalprice
+    * (row_number, deterministic tie-break on orderkey).
+    */
+  private val q07 = GraftQuery(
+    "q07_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q08: analytic window with running frame — cumulative spend per customer
+    * over order date (rowsBetween unboundedPreceding..current).
+    */
+  private val q08 = GraftQuery(
+    "q08_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q09: lag/lead analytics — delta vs previous order of the same customer. */
+  private val q09 = GraftQuery(
+    "q09_lag_delta",
+    """SELECT o_custkey, o_orderkey,
+      |  round(o_totalprice -
+      |    coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS delta_prev
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") - coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2)
+          .as("delta_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q10: ROLLUP with grouping() — hierarchical totals. */
+  private val q10 = GraftQuery(
+    "q10_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping("l_returnflag").as("g_rf"),
+        grouping("l_linestatus").as("g_ls"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+  }
+
+  /** q11: CUBE over order status × priority. */
+  private val q11 = GraftQuery(
+    "q11_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  grouping(o_orderstatus) AS g_st, grouping(o_orderpriority) AS g_pr,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping("o_orderstatus").as("g_st"),
+        grouping("o_orderpriority").as("g_pr"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select("o_orderstatus", "o_orderpriority", "g_st", "g_pr", "n", "total")
+      .orderBy("g_st", "g_pr", "o_orderstatus", "o_orderpriority")
+  }
+
+  /** q12: exact distinct aggregation (expand+two-phase under the hood). */
+  private val q12 = GraftQuery(
+    "q12_distinct_agg",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q13: set operations — UNION / INTERSECT / EXCEPT keyed by custkey,
+    * tagged and stacked so a single result exercises all three.
+    */
+  private val q13 = GraftQuery(
+    "q13_set_ops",
+    """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'union' AS op, c_custkey FROM (SELECT * FROM building UNION SELECT * FROM rich)
+      |UNION ALL
+      |SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+      |UNION ALL
+      |SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+      |ORDER BY op, c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val building = c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.where(col("c_acctbal") > 5000).select("c_custkey")
+    val u = building.union(rich).distinct().select(lit("union").as("op"), col("c_custkey"))
+    val i = building.intersect(rich).select(lit("intersect").as("op"), col("c_custkey"))
+    val e = building.except(rich).select(lit("except").as("op"), col("c_custkey"))
+    u.unionByName(i).unionByName(e).orderBy("op", "c_custkey")
+  }
+
+  /** q14: global sort + limit (TakeOrderedAndProject — no full sort shuffle). */
+  private val q14 = GraftQuery(
+    "q14_top_n",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** q15: scalar function surface — string/date/math kernels, all
+    * codegen'd built-ins (SURVEY §2 Table B "Scalar fns").
+    */
+  private val q15 = GraftQuery(
+    "q15_scalar_funcs",
+    """SELECT o_orderkey,
+      |  upper(o_orderpriority) AS pri_upper,
+      |  substring(o_orderpriority, 1, 1) AS pri_code,
+      |  length(o_orderpriority) AS pri_len,
+      |  year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dy,
+      |  round(o_totalprice / 1000.0, 3) AS price_k,
+      |  round(sqrt(o_totalprice), 4) AS price_sqrt,
+      |  concat(o_orderstatus, '-', cast(year(o_orderdate) AS VARCHAR)) AS status_yr
+      |FROM orders
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .where(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderpriority")).as("pri_len"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        round(col("o_totalprice") / 1000.0, 3).as("price_k"),
+        round(sqrt(col("o_totalprice")), 4).as("price_sqrt"),
+        concat(col("o_orderstatus"), lit("-"), year(col("o_orderdate")).cast("string")).as("status_yr"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Seq[GraftQuery] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+}
