@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Point-in-time ("as-of") join, the lookup FINporter's MTransaction ×
+  * MSecurity semantics imply (SURVEY §2 Table B "theta/range & as-of").
+  *
+  * Spark-first design: rather than a non-equi range join (which plans as a
+  * cross product) we UNION the two sides tagged, sort once per key, and carry
+  * the most recent right-side payload forward with `last(_, ignoreNulls)`
+  * over an unbounded-preceding row frame. Cost at scale: ONE shuffle of
+  * (|L|+|R|) rows on the key — survives a 100× scale-up where the
+  * cross-product formulation explodes.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the latest right row with
+    * `right(rightTime) <= left(leftTime)` within the same `key` group
+    * (inclusive, ties resolve to the right row — DuckDB ASOF JOIN
+    * semantics). Right payload columns are emitted under their own names;
+    * left rows with no preceding right row get nulls (left-outer; filter
+    * for inner).
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // Tagged union: right rows sort before left rows at equal times so the
+    // window's `last` sees them (inclusive <=).
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(structType(right, rightPayload)))
+      .select(col(key).as("__k"), col("__t"), col("__side"),
+        struct(leftCols.map(col): _*).as("__row"), col("__payload"))
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(col(key).as("__k"), col("__t"), col("__side"),
+        lit(null).cast(structTypeOf(left)).as("__row"),
+        struct(rightPayload.map(col): _*).as("__payload"))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__row.$c").as(c)) ++
+          rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  private def structTypeOf(df: DataFrame) =
+    org.apache.spark.sql.types.StructType(df.schema.fields)
+
+  private def structType(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => df.schema(c)))
+}

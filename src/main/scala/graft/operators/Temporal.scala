@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, Tables}
+
+/** Temporal operators over the `events` table: as-of join, range join,
+  * tumbling/sliding/session time windows, and keyed dedup (SURVEY §2
+  * Table B "Joins: theta/range & as-of" and "Streaming" batch
+  * equivalents — the streaming variants live in graft.streaming).
+  *
+  * Timestamps are emitted as epoch milliseconds (BIGINT both engines) so
+  * the driver's hash compare is representation-independent.
+  */
+object Temporal {
+
+  /** q16: as-of join — each purchase matched to the user's most recent
+    * signup at-or-before it. Single-shuffle union+window plan (AsOfJoin).
+    */
+  private val q16 = GraftQuery(
+    "q16_asof_join",
+    """SELECT p.event_id, p.user_id,
+      |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(s.ts) AS signup_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+    AsOfJoin.asOf(purchases, signups, "user_id", "ts", "signup_ts", Seq("signup_ts"))
+      .where(col("signup_ts").isNotNull) // inner as-of
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ms"),
+        unix_millis(col("signup_ts")).as("signup_ms"))
+      .orderBy("event_id")
+  }
+
+  /** q17: range (non-equi) join — parts bucketed by size band. The band
+    * table is tiny and broadcast: plans as BroadcastNestedLoopJoin, which
+    * is exactly right at any scale for a constant-size build side.
+    */
+  private val q17 = GraftQuery(
+    "q17_range_join",
+    """SELECT b.label AS size_band, count(*) AS n_parts,
+      |  round(avg(p.p_retailprice), 4) AS avg_price
+      |FROM part p
+      |JOIN (VALUES (0, 9, 'small'), (10, 19, 'medium'), (20, 34, 'large'),
+      |             (35, 60, 'xlarge')) b(lo, hi, label)
+      |  ON p.p_size BETWEEN b.lo AND b.hi
+      |GROUP BY b.label
+      |ORDER BY size_band""".stripMargin) { (s, d) =>
+    val bands = s.createDataFrame(Seq(
+      (0, 9, "small"), (10, 19, "medium"), (20, 34, "large"), (35, 60, "xlarge")))
+      .toDF("lo", "hi", "label")
+    val p = Tables.part(s, d)
+    p.join(broadcast(bands), p("p_size").between(col("lo"), col("hi")))
+      .groupBy(col("label").as("size_band"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 4).as("avg_price"))
+      .orderBy("size_band")
+  }
+
+  /** q18: tumbling window aggregation (1 hour) — batch twin of the
+    * streaming `window()` group (graft.streaming.EventStreams).
+    */
+  private val q18 = GraftQuery(
+    "q18_tumbling_window",
+    """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  /** q19: sliding window (1 hour window, 15 minute slide) — each event
+    * lands in 4 overlapping windows.
+    */
+  private val q19 = GraftQuery(
+    "q19_sliding_window",
+    """SELECT epoch_ms(time_bucket(INTERVAL 15 MINUTES, ts)
+      |         - o.i * INTERVAL 15 MINUTES) AS window_start_ms,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events, (VALUES (0), (1), (2), (3)) o(i)
+      |GROUP BY 1
+      |ORDER BY window_start_ms""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start_ms")
+  }
+
+  /** q20: session window (10 minute gap) per user — batch `session_window`;
+    * oracle is the classic gaps-and-islands formulation.
+    */
+  private val q20 = GraftQuery(
+    "q20_session_window",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTES
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM numbered
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  /** q21: keyed dedup — first event per (user_id, event_type), the batch
+    * twin of streaming dropDuplicatesWithinWatermark.
+    */
+  private val q21 = GraftQuery(
+    "q21_keyed_dedup",
+    """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q16, q17, q18, q19, q20, q21)
+}
