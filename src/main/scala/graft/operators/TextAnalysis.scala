@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Text-analysis operators for the training-data pipeline surface:
+  * language ID (stopword heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting (polynomial
+  * rolling hash). All are pure codegen'd column expressions — no UDFs —
+  * so they pipeline inside a single WholeStageCodegen scan of `documents`.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "an", "of", "and", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "un")
+  private val stopEs = Seq("el", "los", "las", "y", "es", "un")
+
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** q26: heuristic language ID — stopword-hit counts per language over
+    * whitespace tokens, argmax with a fixed precedence for ties.
+    */
+  private val q26 = GraftQuery(
+    "q26_lang_id",
+    s"""SELECT doc_id, lang AS labeled_lang, en_hits, de_hits, fr_hits, es_hits,
+      |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+      |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+      |       WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS predicted_lang
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ${inList(stopEn)})) AS en_hits,
+      |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ${inList(stopDe)})) AS de_hits,
+      |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ${inList(stopFr)})) AS fr_hits,
+      |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ${inList(stopEs)})) AS es_hits
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def hits(xs: Seq[String], name: String) =
+      expr(s"size(filter(split(lower(text), '\\\\s+'), x -> x IN ${inList(xs)}))").as(name)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        hits(stopEn, "en_hits"), hits(stopDe, "de_hits"),
+        hits(stopFr, "fr_hits"), hits(stopEs, "es_hits"))
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+          col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** q27: quality scoring — length/stopword/token-shape ratios folded into
+    * a bounded [0,1] score.
+    */
+  private val q27 = GraftQuery(
+    "q27_quality_score",
+    s"""SELECT doc_id, n_tokens, n_chars2,
+      |  round(stop_ratio, 6) AS stop_ratio,
+      |  round(avg_token_len, 6) AS avg_token_len,
+      |  round(least(1.0, n_tokens / 200.0) * 0.4 + stop_ratio * 0.3
+      |        + least(1.0, avg_token_len / 8.0) * 0.3, 6) AS quality
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_chars2,
+      |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+      |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+      |        x -> x IN ${inList(stopEn)})) * 1.0
+      |      / len(string_split_regex(text, '\\s+')) AS stop_ratio,
+      |    length(replace(text, ' ', '')) * 1.0
+      |      / len(string_split_regex(text, '\\s+')) AS avg_token_len
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("n_chars2"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(split(lower(text), '\\\\s+'), x -> x IN ${inList(stopEn)}))") * lit(1.0)
+          / col("n_tokens"))
+      .withColumn("avg_token_len",
+        length(regexp_replace(col("text"), " ", "")) * lit(1.0) / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars2"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("avg_token_len"), 6).as("avg_token_len"),
+        round(least(lit(1.0), col("n_tokens") / 200.0) * 0.4 + col("stop_ratio") * 0.3
+          + least(lit(1.0), col("avg_token_len") / 8.0) * 0.3, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q28: token counting — whitespace tokens and a BPE-ish regex
+    * tokenization (letter runs / digit runs / single punctuation).
+    */
+  private val q28 = GraftQuery(
+    "q28_token_count",
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q29: document fingerprint — order-sensitive polynomial rolling hash
+    * over the raw characters, mod 1e9+7 (deterministic, engine-agnostic;
+    * reference capability A13/A14-adjacent content hashing).
+    */
+  private val q29 = GraftQuery(
+    "q29_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |                     i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("aggregate(sequence(1, length(text)), 0L, " +
+          "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)")
+          .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q26, q27, q28, q29)
+}
