@@ -25,7 +25,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = pd.to_numeric(s)
             except (ValueError, TypeError):
                 df[c] = s.astype(str)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # Sort on a float-rounded copy so low-order float bit differences between
+    # engines can't reorder rows and produce spurious cross-row mismatches.
+    key = df.copy()
+    for c in key.columns:
+        if pd.api.types.is_float_dtype(key[c]):
+            key[c] = key[c].round(6)
+    idx = key.sort_values(by=list(key.columns), kind="mergesort").index
+    df = df.loc[idx].reset_index(drop=True)
     return df
 
 def compare(name, spark_df, duck_df):

@@ -22,6 +22,11 @@ object AsOfJoin {
     * semantics). Right payload columns are emitted under their own names;
     * left rows with no preceding right row get nulls (left-outer; filter
     * for inner).
+    *
+    * SQL-join NULL semantics: null-key rows never match (they are dropped
+    * from the right side and pass through unmatched on the left). Ties
+    * among right rows at identical (key, time) resolve deterministically
+    * to the greatest payload (struct ordering).
     */
   def asOf(
       left: DataFrame,
@@ -40,12 +45,14 @@ object AsOfJoin {
       .select(col(key).as("__k"), col("__t"), col("__side"),
         struct(leftCols.map(col): _*).as("__row"), col("__payload"))
     val r = right
+      .where(col(key).isNotNull && col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(col(key).as("__k"), col("__t"), col("__side"),
         lit(null).cast(structTypeOf(left)).as("__row"),
         struct(rightPayload.map(col): _*).as("__payload"))
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
