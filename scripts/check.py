@@ -27,11 +27,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = s.astype(str)
     # Sort on a float-rounded copy so low-order float bit differences between
     # engines can't reorder rows and produce spurious cross-row mismatches.
+    # The unrounded float columns are appended as trailing tie-break keys so
+    # rows that tie on every rounded column still sort deterministically
+    # (a stable sort alone would keep engine-dependent input order).
     key = df.copy()
-    for c in key.columns:
+    tiebreak = []
+    for c in list(key.columns):
         if pd.api.types.is_float_dtype(key[c]):
+            key[f"__raw_{c}"] = key[c]
+            tiebreak.append(f"__raw_{c}")
             key[c] = key[c].round(6)
-    idx = key.sort_values(by=list(key.columns), kind="mergesort").index
+    idx = key.sort_values(by=list(df.columns) + tiebreak, kind="mergesort").index
     df = df.loc[idx].reset_index(drop=True)
     return df
 

@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * parquet-footer caching don't land in the first timed query — the timed
   * numbers then reflect steady-state plan execution, which is what the
   * 100 TB design point cares about.
+  *
+  * Timing action is a `noop`-format write, not count(): count() lets
+  * Catalyst prune unreferenced projections and eliminate final sorts, so
+  * projection-heavy queries would be timed as bare scans. The noop sink
+  * evaluates every output row/column and discards it.
+  *
+  * A query that throws is reported as -1 seconds (sentinel) so the driver
+  * can tell failures from fast runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,19 +29,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try evaluate(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { evaluate(fn(spark, sfDir)); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                 false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

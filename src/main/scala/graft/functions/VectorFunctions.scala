@@ -33,7 +33,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  /** Dimension mismatch → null (explicit policy, not silent truncation). */
+  /** Dimension mismatch → null; any null element → null (explicit policy,
+    * consistent with the dimension-mismatch case — never silently read a
+    * null slot as 0.0).
+    */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -41,6 +44,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
@@ -65,13 +69,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = (double) $a.getFloat($i);
          |    double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / $denom; }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
          |}
        """.stripMargin
     })

@@ -27,6 +27,12 @@ object AsOfJoin {
     * from the right side and pass through unmatched on the left). Ties
     * among right rows at identical (key, time) resolve deterministically
     * to the greatest payload (struct ordering).
+    *
+    * Constraint: every `rightPayload` column must have an ORDERABLE type
+    * (no MapType) — the tie-break window orders by the payload struct, so
+    * a non-orderable payload fails analysis. Callers with map-typed
+    * payloads should pre-serialize (e.g. `to_json`) or add a surrogate
+    * orderable tie-break column.
     */
   def asOf(
       left: DataFrame,

@@ -70,8 +70,10 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  /** q03: 3-way join (fact-fact sort-merge + broadcast dim) with agg —
-    * revenue by market segment. customer is the broadcast side.
+  /** q03: 3-way join with agg — revenue by market segment. No broadcast
+    * hint: customer is an SF-scaling table (150k·SF rows), so a hard-coded
+    * broadcast would OOM the driver at the 100 TB design point. AQE picks
+    * broadcast-vs-SMJ from runtime sizes instead.
     */
   private val q03 = GraftQuery(
     "q03_segment_revenue",
@@ -86,7 +88,7 @@ object Relational {
     val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
@@ -94,8 +96,11 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
-  /** q04: star join through supplier→nation→region (broadcast the dim chain),
-    * revenue rollup by region/nation.
+  /** q04: star join through supplier→nation→region, revenue rollup by
+    * region/nation. Only the constant-size dims (nation 25 rows, region 5)
+    * carry a broadcast hint; supplier scales with SF (10k·SF rows), so its
+    * join is left to AQE — at low SF it still broadcasts, at 100 TB it
+    * degrades gracefully to a shuffle join instead of OOMing the driver.
     */
   private val q04 = GraftQuery(
     "q04_region_nation_revenue",
@@ -111,10 +116,11 @@ object Relational {
     val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
-    val dim = broadcast(
-      sup.join(n, sup("s_nationkey") === n("n_nationkey"))
-        .join(r, n("n_regionkey") === r("r_regionkey"))
-        .select("s_suppkey", "n_name", "r_name"))
+    val geo = broadcast(
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name"))
+    val dim = sup.join(geo, sup("s_nationkey") === geo("n_nationkey"))
+      .select("s_suppkey", "n_name", "r_name")
     l.join(dim, l("l_suppkey") === dim("s_suppkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
