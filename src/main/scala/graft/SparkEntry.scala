@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every implemented operator query, in registration order. */
   val all: Seq[GraftQuery] =
     Relational.queries ++ Temporal.queries ++ Enrichment.queries ++
-      TextAnalysis.queries ++ Similarity.queries ++ EtlDecode.queries
+      TextAnalysis.queries ++ Similarity.queries ++ EtlDecode.queries ++
+      Export.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
