@@ -56,21 +56,29 @@ object DelimitedWriter {
     df.select(concat_ws(delimiter, cells: _*).as("line"))
   }
 
-  /** CSV/TSV export (A9). Quoting in Spark's writer is disabled — the
-    * cells are pre-rendered with the reference's escaping, which Spark's
-    * quote-doubling would corrupt.
+  /** CSV/TSV export (A9), distributed: whole rows are pre-rendered with
+    * the reference's escaping and written via the text sink (one file per
+    * partition, no header — Spark's CSV writer can't emit pre-escaped
+    * cells verbatim because its quoting kernel is quote-doubling, not
+    * backslash escaping). For reference-exact single-file bytes use
+    * [[delimitedBytes]].
     */
-  def writeDelimited(df: DataFrame, path: String, delimiter: String = ",",
-      header: Boolean = true): Unit =
-    renderCells(df, delimiter).write
-      .option("header", header)
-      .option("sep", delimiter)
-      .option("quote", "")
-      .option("escape", "")
-      .option("emptyValue", "")
-      .option("nullValue", "")
-      .mode("overwrite")
-      .csv(path)
+  def writeDelimited(df: DataFrame, path: String, delimiter: String = ","): Unit =
+    renderLines(df, delimiter).write.mode("overwrite").text(path)
+
+  /** Reference-exact export bytes: header, rows in order, trailing
+    * newline (FINporter.swift:60-67 + DelimitedEncoder.swift:39-43,
+    * 171-175). Driver-side — the reference's exports are single in-memory
+    * files; use [[writeDelimited]] at scale.
+    */
+  def delimitedBytes(df: DataFrame, delimiter: String = ",",
+      header: Boolean = true): String = {
+    val head =
+      if (header) df.columns.mkString("", delimiter, "\n") else ""
+    val rows = renderLines(df, delimiter).collect()
+      .map(_.getString(0)).mkString("", "\n", "\n")
+    head + (if (rows == "\n") "" else rows)
+  }
 
   /** JSON export (A10): JSONL via the native writer — the scalable form. */
   def writeJson(df: DataFrame, path: String): Unit =

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch temporal operators (q18-q21,
+  * graft.operators.Temporal) over a file-source stream of the `events`
+  * table — SURVEY §2 Table B "Streaming".
+  *
+  * Design: `readStream` on the parquet directory (file sources replay
+  * deterministically and scale to object-store listings), a watermark
+  * bounds state, and the same window/session/dedup transforms as the
+  * batch twins — so batch and streaming results agree on closed windows.
+  * All aggregations here are watermark-bounded, so state is evictable and
+  * the queries run indefinitely without unbounded memory at scale.
+  *
+  * `ts` in events.parquet is TIMESTAMP(NANOS); as in [[graft.Tables]],
+  * nanos are read as raw longs and floored to micros so the streaming and
+  * batch paths share one timestamp semantics.
+  */
+object EventStreams {
+
+  /** Streaming read of the events table (schema pinned from the batch
+    * read; file streams require an explicit schema).
+    *
+    * File-stream sources must point at a DIRECTORY (Spark's
+    * FileStreamSource injects a basePath for bare files and then rejects
+    * it). At scale `events` is a directory of parquet files already; the
+    * local testdata ships a single file, so that case is staged behind a
+    * symlink directory once per path.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = new java.io.File(s"$dir/events.parquet")
+    val streamPath =
+      if (!src.isFile) src.getPath
+      else {
+        val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_events_${Integer.toHexString(src.getAbsolutePath.hashCode)}")
+        staged.mkdirs()
+        val link = new java.io.File(staged, "events.parquet")
+        if (!link.exists())
+          java.nio.file.Files.createSymbolicLink(
+            link.toPath, src.toPath.toAbsolutePath)
+        staged.getPath
+      }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(streamPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event type (streaming q18). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/15-minute windows (streaming q19). */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("n"), col("sum_value"))
+
+  /** Per-user session windows with a 10-minute gap (streaming q20). */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n"), col("sum_value"))
+
+  /** Stateful keyed dedup bounded by the watermark (streaming q21):
+    * first event per (user_id, event_type) with state eviction once the
+    * watermark passes — the unbounded-state-safe form of dropDuplicates.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type", "event_id", "ts")
+
+  /** Run any of the above to completion over the existing files and
+    * return the collected result table (availableNow trigger + memory
+    * sink — the batch-parity harness used by the smoke tests).
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

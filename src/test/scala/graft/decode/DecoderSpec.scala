@@ -1,0 +1,55 @@
+package graft.decode
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.schema.{AllocRegistry, MTransaction}
+
+/** Decode + reject-routing contract over the committed fixture
+  * (FIXTURES.md §A5): 12 decodable rows, 4 poisoned rows, first-failing-
+  * field reasons, and a typed Dataset[MTransaction] materialization.
+  */
+class DecoderSpec extends SparkSuite {
+
+  private val spec = AllocRegistry.transaction
+  private lazy val result = Decoder.decode(
+    Decoder.readRaw(spark, "/root/repo/fixtures/mtransaction.csv", spec), spec)
+
+  test("good rows decode with typed columns") {
+    assert(result.good.count() == 12)
+    val schema = result.good.schema
+    assert(schema("txnShareCount").dataType.typeName == "double")
+    assert(schema("txnTransactedAt").dataType.typeName == "timestamp")
+  }
+
+  test("rejects carry first-failing-field reasons") {
+    val reasons = result.rejects.select("reason").collect().map(_.getString(0)).sorted
+    assert(reasons.toSeq == Seq("bad_date:txnTransactedAt",
+      "bad_double:txnShareCount", "missing:txnAccountID", "missing:txnAction"))
+  }
+
+  test("decode splits losslessly: good + rejects = raw") {
+    val raw = Decoder.readRaw(spark, "/root/repo/fixtures/mtransaction.csv", spec)
+    assert(result.good.count() + result.rejects.count() == raw.count())
+  }
+
+  test("good rows materialize as Dataset[MTransaction]") {
+    import spark.implicits._
+    val ds = result.good
+      .withColumn("txnTransactedAt_ms", unix_millis(col("txnTransactedAt")))
+      .drop("txnTransactedAt")
+      .as[MTransaction]
+    val rows = ds.collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.txnAccountID.nonEmpty))
+    assert(rows.exists(_.txnSecurityID.contains("VTI,X"))) // quoted cell survived
+  }
+
+  test("timestamp enrichment applies default time-of-day in the zone") {
+    // 2021-03-01 13:00 America/New_York == 2021-03-01T18:00:00Z
+    val ms = result.good
+      .where(col("txnAccountID") === "ACC-1" && col("txnAction") === "buy")
+      .select(unix_millis(col("txnTransactedAt"))).collect().head.getLong(0)
+    assert(ms == java.time.Instant.parse("2021-03-01T18:00:00Z").toEpochMilli)
+  }
+}

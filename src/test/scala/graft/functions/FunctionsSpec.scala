@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Golden tests for the regex capture-group helper (FIXTURES.md §A2,
+  * reference/Tests/Helpers/StringCaptureGroupTests.swift:23-66), txn-id
+  * synthesis (§A3, reference/Tests/Helpers/TxnIDGenTests.swift:24-29),
+  * line normalization (§A4,
+  * reference/Tests/Core/FINporterUtilsTests.swift:23-28), and the vector/
+  * render kernels.
+  */
+class FunctionsSpec extends SparkSuite {
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq("x").toDF("dummy").select(c.as("v")).collect().head.get(0)
+  }
+
+  private def groupsOf(s: String, pat: String, ci: Boolean = false): Any = {
+    import spark.implicits._
+    Seq(s).toDF("s")
+      .select(RegexFunctions.captureGroups(col("s"), pat, ci).as("g"))
+      .collect().head.get(0)
+  }
+
+  test("captureGroups extracts all groups of the first match") {
+    assert(groupsOf("Price: €19.00", "^Price: ([€$])(\\d\\d\\.\\d\\d)$")
+      == Seq("€", "19.00"))
+  }
+
+  test("captureGroups includes nested groups") {
+    assert(groupsOf("Price: €19.00", "^Price: (([€$])(\\d\\d\\.\\d\\d))$")
+      == Seq("€19.00", "€", "19.00"))
+  }
+
+  test("captureGroups returns null on no match") {
+    assert(groupsOf("Price: €19.00", "^Cost: ([€$])(\\d\\d\\.\\d\\d)$") == null)
+  }
+
+  test("captureGroups returns null on empty pattern or empty source no-match") {
+    assert(groupsOf("anything", "") == null)
+    assert(groupsOf("", "^Price: ([€$])(\\d\\d\\.\\d\\d)$") == null)
+  }
+
+  test("captureGroups supports case-insensitive matching") {
+    assert(groupsOf("PRICE: €19.00", "^price: ([€$])(\\d\\d\\.\\d\\d)$", ci = true)
+      == Seq("€", "19.00"))
+  }
+
+  test("captureGroups returns null on invalid pattern") {
+    assert(groupsOf("x", "(((") == null)
+  }
+
+  test("txn-id synthesis matches the reference golden A2021030100325") {
+    import spark.implicits._
+    val got = Seq(("A", "2021-03-01", 325)).toDF("prefix", "d", "no")
+      .select(concat(col("prefix"), date_format(col("d").cast("date"), "yyyyMMdd"),
+        lpad(col("no").cast("string"), 5, "0")).as("id"))
+      .collect().head.getString(0)
+    assert(got == "A2021030100325")
+  }
+
+  test("line-separator normalization folds CRLF and CR to LF") {
+    import spark.implicits._
+    val raw = "\"Positions\"\r\n\r\n\"Individual ...XXXX-1234\"\r\n"
+    val got = Seq(raw).toDF("s")
+      .select(TextFunctions.normalizeLineSeparators(col("s")).as("n"))
+      .collect().head.getString(0)
+    assert(got == "\"Positions\"\n\n\"Individual ...XXXX-1234\"\n")
+    assert(!got.contains("\r"))
+  }
+
+  private def cosOf(a: Seq[java.lang.Float], b: Seq[java.lang.Float]): Any = {
+    VectorFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row(a, b)), schema)
+    df.select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .collect().head.get(0)
+  }
+
+  private def f(x: Double): java.lang.Float = java.lang.Float.valueOf(x.toFloat)
+
+  test("cosine similarity of identical vectors is 1") {
+    val c = cosOf(Seq(f(1), f(2), f(3)), Seq(f(1), f(2), f(3)))
+    assert(math.abs(c.asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("cosine similarity of orthogonal vectors is 0") {
+    val c = cosOf(Seq(f(1), f(0)), Seq(f(0), f(1)))
+    assert(c.asInstanceOf[Double] == 0.0)
+  }
+
+  test("cosine similarity: dimension mismatch yields null") {
+    assert(cosOf(Seq(f(1), f(2)), Seq(f(1))) == null)
+  }
+
+  test("cosine similarity: null element yields null") {
+    assert(cosOf(Seq(f(1), null), Seq(f(1), f(2))) == null)
+  }
+
+  test("cosine similarity: zero vector yields null") {
+    assert(cosOf(Seq(f(0), f(0)), Seq(f(1), f(2))) == null)
+  }
+
+  test("double_plain renders reference goldens and extremes") {
+    DoublePlainString.register(spark)
+    import spark.implicits._
+    val got = Seq((0.01, -0.00033, 12345678.9)).toDF("a", "b", "c")
+      .select(DoublePlainString.plain(col("a")),
+        DoublePlainString.plain(col("b")),
+        DoublePlainString.plain(col("c")))
+      .collect().head
+    assert(got.getString(0) == "0.01")
+    assert(got.getString(1) == "-0.00033")
+    assert(got.getString(2) == "12345678.9")
+  }
+
+  test("modified-dietz single-flow closed form") {
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    val dietz = udaf(new ModifiedDietz(1000.0, 0.02),
+      Encoders.product[(Double, Double)])
+    val got = Seq((1L, 100.0, 0.5)).toDF("k", "cf", "w")
+      .groupBy("k").agg(dietz(col("cf"), col("w")).as("md"))
+      .collect().head.getDouble(1)
+    assert(math.abs(got - 0.02 * 100.0 / (1000.0 + 50.0)) < 1e-15)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+class AsOfJoinSpec extends SparkSuite {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private val leftSchema = StructType(Seq(
+    StructField("k", LongType), StructField("t", LongType),
+    StructField("payload", StringType)))
+  private val rightSchema = StructType(Seq(
+    StructField("k", LongType), StructField("rt", LongType),
+    StructField("price", DoubleType)))
+
+  test("asOf picks the latest right row at or before the left time") {
+    val l = df(leftSchema, Row(1L, 10L, "a"), Row(1L, 20L, "b"), Row(1L, 5L, "c"))
+    val r = df(rightSchema, Row(1L, 8L, 100.0), Row(1L, 15L, 200.0), Row(1L, 20L, 300.0))
+    val out = AsOfJoin.asOf(l, r, "k", "t", "rt", Seq("price"))
+      .collect().map(x => (x.getString(2), if (x.isNullAt(3)) null else x.getDouble(3))).toMap
+    assert(out("a") == 100.0) // t=10 -> rt=8
+    assert(out("b") == 300.0) // t=20 -> rt=20 (inclusive)
+    assert(out("c") == null)  // t=5 -> nothing at or before
+  }
+
+  test("null keys never match and pass through unmatched") {
+    val l = df(leftSchema, Row(null, 10L, "a"))
+    val r = df(rightSchema, Row(null, 5L, 50.0))
+    val out = AsOfJoin.asOf(l, r, "k", "t", "rt", Seq("price")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
+  test("keys without right rows stay left-outer") {
+    val l = df(leftSchema, Row(2L, 10L, "solo"))
+    val r = df(rightSchema, Row(1L, 5L, 50.0))
+    val out = AsOfJoin.asOf(l, r, "k", "t", "rt", Seq("price")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+}
