@@ -15,7 +15,8 @@ object SparkEntry {
   val all: Seq[GraftQuery] =
     Relational.queries ++ Temporal.queries ++ Enrichment.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ EtlDecode.queries ++
-      Export.queries ++ Extraction.queries ++ Portfolio.queries
+      Export.queries ++ Extraction.queries ++ Portfolio.queries ++
+      Media.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -8,47 +9,57 @@ import graft.functions.VectorFunctions
 
 /** Similarity-search and near-duplicate operators over the `embeddings` and
   * `documents` tables — the LLM-training-data-pipeline surface
-  * (SURVEY §2 Table B "LLM-pipeline ops").
+  * (SURVEY §2 Table B "LLM-pipeline ops"): IVF-blocked cosine top-k (q30),
+  * minhash-LSH candidate pairs (q31), simhash near-dup (q39), exact
+  * n-gram-Jaccard verification (q40), embedding-cosine near-dup (q41).
   *
   * Scale design (100 TB):
-  *  - q30 is the IVF pattern: an equi-join on a coarse partition id
+  *  - q30/q41 are the IVF pattern: an equi-join on a coarse partition id
   *    (`label` stands in for a k-means cell id) restricts the candidate set,
-  *    exact cosine ranks within the cell, a window takes top-k. The plan is
-  *    shuffle-on-label + per-cell comparisons — never an all-pairs cross
-  *    join of the table against itself. Cell skew at scale → re-cluster or
-  *    split hot cells (same remedy as IVF imbalance).
-  *  - q31 is minhash-LSH banding: signatures are a narrow one-pass map
-  *    (no shuffle), candidates come from an equi-join on band buckets. A
+  *    exact cosine ranks within the cell. Never an all-pairs cross join.
+  *    Cell skew at scale → re-cluster or split hot cells.
+  *  - q31/q39/q40 are banding LSH: signatures are a narrow one-pass map
+  *    (no shuffle); candidates come from equi-joins on band buckets. A
   *    pathologically hot bucket is exactly a giant duplicate cluster; at
   *    scale, cap bucket width or salt the band key before the join.
+  *  - q39's 8×8-bit banding GUARANTEES every pair within hamming ≤ 7 is
+  *    a candidate (pigeonhole), so the ≤ 4 output equals the all-pairs
+  *    result exactly — the oracle states the all-pairs form.
   *
   * The cosine kernel is the codegen'd Catalyst expression
   * [[graft.functions.CosineSimilarity]]; both engines accumulate dot and
   * norms left-to-right in double precision, so results are bit-identical
-  * and oracle hash-comparable.
+  * and oracle hash-comparable. All hashes are deterministic polynomial/
+  * affine arithmetic shared verbatim between the Spark plan and the
+  * DuckDB oracle.
   */
 object Similarity {
+
+  // ---- shared cosine SQL fragment (l2r double accumulation) ----
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a.embedding)+1),
+       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+       |    / (sqrt(list_reduce(list_transform(range(1, len($a.embedding)+1),
+       |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+       |     * sqrt(list_reduce(list_transform(range(1, len($b.embedding)+1),
+       |        i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
 
   /** q30: top-3 cosine neighbors per vector within its `label` cell
     * (IVF-style blocked ANN). Deterministic rank tie-break on neighbor id.
     */
   private val q30 = GraftQuery(
     "q30_cosine_topk",
-    """WITH sim AS (
-      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-      |    list_reduce(list_transform(range(1, len(a.embedding)+1),
-      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
-      |    / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
-      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
-      |     * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
-      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y))) AS cos
-      |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
-      |)
-      |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
-      |  SELECT vec_id, neighbor_id, cos,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
-      |  FROM sim) t
-      |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    s"""WITH sim AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a", "b")} AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sim) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
     val a = e.select(col("vec_id"), col("label"), col("embedding").as("emb_a"))
@@ -64,26 +75,21 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
-  /** MinHash parameters, shared verbatim by the Spark plan and the DuckDB
-    * oracle so signatures are bit-identical: k=12 permutations
+  // ---- shared minhash/shingle machinery ----
+
+  /** MinHash parameters, shared verbatim by the Spark plans and the DuckDB
+    * oracles so signatures are bit-identical: k=12 permutations
     * h_i(x) = (A(i)·x + B(i)) mod P over word-3-gram shingle hashes,
     * banded 4×3 (LSH threshold ≈ (1/4)^(1/3) ≈ 0.63 Jaccard).
     */
   private val P = 1000000007L
   private val NumHashes = 12
-  private val Rows = 3 // rows per band
-  private val NumBands = NumHashes / Rows
+  private val NumBands = 4 // of 3 rows each
   private val A: Seq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2654435761L) % P)
   private val B: Seq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2246822519L) % P)
 
-  private val q31Oracle: String = {
-    val sigExprs = (0 until NumHashes)
-      .map(i => s"list_min(list_transform(hs, h -> (${A(i)} * h + ${B(i)}) % $P))")
-      .mkString(",\n      ")
-    val bandSelects = (0 until NumBands)
-      .map(j => s"SELECT doc_id, sig, $j AS band, sig[${3 * j + 1}] AS h1, " +
-        s"sig[${3 * j + 2}] AS h2, sig[${3 * j + 3}] AS h3 FROM sig")
-      .mkString("\n  UNION ALL ")
+  /** Oracle CTEs: documents → word-3-gram shingles → polynomial hashes. */
+  private val shingleCtes: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
        |), sh AS (
@@ -92,15 +98,75 @@ object Similarity {
        |    ELSE [] END) AS shingles
        |  FROM toks
        |), hs AS (
-       |  SELECT doc_id, list_transform(shingles, sh2 ->
+       |  SELECT doc_id, shingles, list_transform(shingles, sh2 ->
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(range(1, length(sh2)+1), i -> CAST(ascii(sh2[i]) AS BIGINT))),
-       |      (acc, c) -> (acc * 31 + c) % $P)) AS hs
+       |      (acc, c) -> (acc * 31 + c) % $P)) AS hv
        |  FROM sh
-       |), sig AS (
-       |  SELECT doc_id, [$sigExprs] AS sig FROM hs
+       |)""".stripMargin
+
+  private val oracleSigList: String = (0 until NumHashes)
+    .map(i => s"list_min(list_transform(hv, h -> (${A(i)} * h + ${B(i)}) % $P))")
+    .mkString("[", ",\n      ", "]")
+
+  private def oracleMinhashBands(carry: String): String = (0 until NumBands)
+    .map(j => s"SELECT doc_id$carry, sig, $j AS band, sig[${3 * j + 1}] AS h1, " +
+      s"sig[${3 * j + 2}] AS h2, sig[${3 * j + 3}] AS h3 FROM sig")
+    .mkString("\n  UNION ALL ")
+
+  /** Spark side of the shared machinery: doc_id, shingles, hv. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+      .withColumn("shingles",
+        when(size(col("ts")) >= 3, array_distinct(expr(
+          "transform(sequence(1, size(ts) - 2), " +
+            "i -> concat_ws(' ', element_at(ts, i), element_at(ts, i+1), element_at(ts, i+2)))")))
+          .otherwise(expr("CAST(array() AS array<string>)")))
+      .withColumn("hv", expr(
+        s"transform(shingles, sh2 -> aggregate(sequence(1, length(sh2)), 0L, " +
+          s"(acc, i) -> (acc * 31 + ascii(substring(sh2, i, 1))) % $P))"))
+
+  /** doc_id [, shingles], sig (12 minhash components). */
+  private def minhashSigs(s: SparkSession, d: String, carryShingles: Boolean): DataFrame = {
+    val sigCols = (0 until NumHashes).map(i =>
+      expr(s"array_min(transform(hv, h -> (${A(i)} * h + ${B(i)}) % $P))"))
+    val keep = if (carryShingles) Seq(col("doc_id"), col("shingles")) else Seq(col("doc_id"))
+    shingleHashes(s, d).select(keep :+ array(sigCols: _*).as("sig"): _*)
+  }
+
+  /** Banded candidate self-join: each side exploded to (band, 3-row key). */
+  private def minhashCandidates(sigs: DataFrame, carry: Seq[String]): DataFrame = {
+    val bandStructs = (0 until NumBands).map(j =>
+      struct(lit(j).as("band"), expr(s"sig[${3 * j}]").as("h1"),
+        expr(s"sig[${3 * j + 1}]").as("h2"), expr(s"sig[${3 * j + 2}]").as("h3")))
+    val bands = sigs
+      .select(col("doc_id") +: col("sig") +: carry.map(col) :+
+        explode(array(bandStructs: _*)).as("b"): _*)
+      .select(col("doc_id") +: col("sig") +: carry.map(col) :+
+        col("b.band").as("band") :+ col("b.h1").as("h1") :+
+        col("b.h2").as("h2") :+ col("b.h3").as("h3"): _*)
+    val l = bands.select(col("doc_id").as("doc_a") +: col("sig").as("sa") +:
+      carry.map(c => col(c).as(s"${c}_a")) :+
+      col("band") :+ col("h1") :+ col("h2") :+ col("h3"): _*)
+    val r = bands.select(col("doc_id").as("doc_b") +: col("sig").as("sb") +:
+      carry.map(c => col(c).as(s"${c}_b")) :+
+      col("band").as("band_r") :+ col("h1").as("g1") :+
+      col("h2").as("g2") :+ col("h3").as("g3"): _*)
+    l.join(r, col("band") === col("band_r") && col("h1") === col("g1") &&
+      col("h2") === col("g2") && col("h3") === col("g3") &&
+      col("doc_a") < col("doc_b"))
+  }
+
+  /** q31: near-duplicate candidate pairs via minhash-LSH banding, with the
+    * signature-estimated Jaccard (≥ 9/12 kept).
+    */
+  private val q31 = GraftQuery(
+    "q31_minhash_neardup",
+    s"""$shingleCtes, sig AS (
+       |  SELECT doc_id, $oracleSigList AS sig FROM hs
        |), bands AS (
-       |  $bandSelects
+       |  ${oracleMinhashBands("")}
        |), pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
        |  FROM bands a JOIN bands b
@@ -112,43 +178,8 @@ object Similarity {
        |  round(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) / $NumHashes.0, 6) AS est_jaccard
        |FROM pairs
        |WHERE len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) >= 9
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  /** q31: near-duplicate candidate pairs via minhash-LSH over word-3-gram
-    * shingles, with the signature-estimated Jaccard (≥ 9/12 kept). The
-    * candidate join is an equi-join on (band, 3 minhash rows) — no
-    * all-pairs comparison anywhere in the plan.
-    */
-  private val q31 = GraftQuery("q31_minhash_neardup", q31Oracle) { (s, d) =>
-    val sigCols = (0 until NumHashes).map(i =>
-      expr(s"array_min(transform(hs, h -> (${A(i)} * h + ${B(i)}) % $P))"))
-    val bandStructs = (0 until NumBands).map(j =>
-      struct(lit(j).as("band"), expr(s"sig[${3 * j}]").as("h1"),
-        expr(s"sig[${3 * j + 1}]").as("h2"), expr(s"sig[${3 * j + 2}]").as("h3")))
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
-      .withColumn("shingles",
-        when(size(col("ts")) >= 3, array_distinct(expr(
-          "transform(sequence(1, size(ts) - 2), " +
-            "i -> concat_ws(' ', element_at(ts, i), element_at(ts, i+1), element_at(ts, i+2)))")))
-          .otherwise(expr("CAST(array() AS array<string>)")))
-      .withColumn("hs", expr(
-        s"transform(shingles, sh2 -> aggregate(sequence(1, length(sh2)), 0L, " +
-          s"(acc, i) -> (acc * 31 + ascii(substring(sh2, i, 1))) % $P))"))
-      .select(col("doc_id"), array(sigCols: _*).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band").as("band"),
-        col("b.h1").as("h1"), col("b.h2").as("h2"), col("b.h3").as("h3"))
-    val l = bands.select(col("doc_id").as("doc_a"), col("sig").as("sa"),
-      col("band"), col("h1"), col("h2"), col("h3"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("sig").as("sb"),
-      col("band").as("band_r"), col("h1").as("g1"), col("h2").as("g2"),
-      col("h3").as("g3"))
-    l.join(r, col("band") === col("band_r") && col("h1") === col("g1") &&
-        col("h2") === col("g2") && col("h3") === col("g3") &&
-        col("doc_a") < col("doc_b"))
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    minhashCandidates(minhashSigs(s, d, carryShingles = false), Nil)
       .withColumn("n_match",
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long"))
       .where(col("n_match") >= 9)
@@ -158,5 +189,129 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q30, q31)
+  // ---- simhash (q39) ----
+
+  private val SimBits = 64
+  private val SimBands = 8 // 8 bands × 8 bits: all pairs ≤ hamming 7 are candidates
+  private val HammingMax = 4
+
+  /** q39: simhash near-dup — 64-bit majority-of-bits signature over the
+    * shingle hashes, banded 8×8 for the candidate join. Banding is exact
+    * here (≤ 4 < 8 bands), so the oracle is the clean all-pairs form.
+    */
+  private val q39 = GraftQuery(
+    "q39_simhash_neardup",
+    s"""$shingleCtes, sh2 AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, ${SimBits - 1}),
+       |      b -> CASE WHEN 2*len(list_filter(hv, h -> (h >> b) & 1 = 1)) > len(hv)
+       |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)),
+       |    (a, x) -> a + x) AS simhash
+       |  FROM hs
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sims = shingleHashes(s, d).select(col("doc_id"), expr(
+      s"aggregate(transform(sequence(0, ${SimBits - 1}), " +
+        "b -> CASE WHEN 2*size(filter(hv, h -> (shiftright(h, b) & 1) = 1)) > size(hv) " +
+        "THEN shiftleft(1L, b) ELSE 0L END), 0L, (a, x) -> a + x)").as("simhash"))
+    val bandStructs = (0 until SimBands).map(j =>
+      struct(lit(j).as("band"),
+        expr(s"(shiftright(simhash, ${8 * j}) & 255)").as("bkey")))
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val l = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("band"), col("bkey"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("band").as("band_r"), col("bkey").as("bkey_r"))
+    l.join(r, col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+        col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- exact n-gram Jaccard verification (q40) ----
+
+  private val JaccardMin = 0.9
+
+  /** q40: exact word-3-gram Jaccard over the minhash-LSH candidates — the
+    * verify stage of near-dup dedup (estimate from q31, confirm exactly
+    * here). Oracle mirrors the banding, as candidate generation is part
+    * of the operator's semantics.
+    */
+  private val q40 = GraftQuery(
+    "q40_jaccard_neardup",
+    s"""$shingleCtes, sig AS (
+       |  SELECT doc_id, shingles, $oracleSigList AS sig FROM hs
+       |), bands AS (
+       |  ${oracleMinhashBands(", shingles")}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.shingles AS sha, b.shingles AS shb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sha, shb)) AS BIGINT) AS n_common,
+       |  round(len(list_intersect(sha, shb)) * 1.0
+       |        / len(list_distinct(list_concat(sha, shb))), 6) AS jaccard
+       |FROM pairs
+       |WHERE len(list_intersect(sha, shb)) * 1.0
+       |      / len(list_distinct(list_concat(sha, shb))) >= $JaccardMin
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    minhashCandidates(minhashSigs(s, d, carryShingles = true), Seq("shingles"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_common") /
+        size(array_union(col("shingles_a"), col("shingles_b"))).cast("double"), 6))
+      .where(col("n_common") / size(array_union(col("shingles_a"), col("shingles_b")))
+        .cast("double") >= JaccardMin)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- embedding-cosine near-dup (q41) ----
+
+  /** Fixture-calibrated demo threshold (the synthetic embeddings top out
+    * near 0.29 in-cell); a production near-dup pass would run at ~0.95+.
+    */
+  private val CosMin = 0.25
+
+  /** q41: embedding-cosine near-dup pairs within label cells — the
+    * IVF-blocked pair form of q30 (dedup by vector similarity rather than
+    * text shingles).
+    */
+  private val q41 = GraftQuery(
+    "q41_embedding_neardup",
+    s"""WITH sim AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosSql("a", "b")} AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+       |FROM sim WHERE cos >= $CosMin
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= CosMin)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41)
 }
