@@ -114,8 +114,12 @@ object Similarity {
       s"sig[${3 * j + 2}] AS h2, sig[${3 * j + 3}] AS h3 FROM sig")
     .mkString("\n  UNION ALL ")
 
-  /** Spark side of the shared machinery: doc_id, shingles, hv. */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+  /** Spark side of the shared machinery: doc_id, shingles, hv. The
+    * per-shingle hash is the codegen'd [[graft.functions.PolyHash]]
+    * kernel (same value as the SQL aggregate form, ~5× cheaper).
+    */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
+    graft.functions.PolyHash.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
       .withColumn("shingles",
@@ -123,9 +127,8 @@ object Similarity {
           "transform(sequence(1, size(ts) - 2), " +
             "i -> concat_ws(' ', element_at(ts, i), element_at(ts, i+1), element_at(ts, i+2)))")))
           .otherwise(expr("CAST(array() AS array<string>)")))
-      .withColumn("hv", expr(
-        s"transform(shingles, sh2 -> aggregate(sequence(1, length(sh2)), 0L, " +
-          s"(acc, i) -> (acc * 31 + ascii(substring(sh2, i, 1))) % $P))"))
+      .withColumn("hv", expr("transform(shingles, sh2 -> poly_hash(sh2))"))
+  }
 
   /** doc_id [, shingles], sig (12 minhash components). */
   private def minhashSigs(s: SparkSession, d: String, carryShingles: Boolean): DataFrame = {
@@ -192,12 +195,27 @@ object Similarity {
   // ---- simhash (q39) ----
 
   private val SimBits = 64
-  private val SimBands = 8 // 8 bands × 8 bits: all pairs ≤ hamming 7 are candidates
   private val HammingMax = 4
+  /** Pigeonhole blocks (offset, width): any pair within hamming ≤ 4 has
+    * at least one of the 5 blocks identical, so the banded join is exact.
+    * Wide 13-bit keys keep buckets selective — this corpus's simhash bits
+    * are heavily correlated (shared vocabulary), so narrow band keys
+    * degenerate into giant buckets.
+    */
+  private val SimBlocks: Seq[(Int, Int)] =
+    Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
 
   /** q39: simhash near-dup — 64-bit majority-of-bits signature over the
-    * shingle hashes, banded 8×8 for the candidate join. Banding is exact
-    * here (≤ 4 < 8 bands), so the oracle is the clean all-pairs form.
+    * shingle hashes, candidate join on 5 pigeonhole blocks. Banding is
+    * exact here (≤ 4 < 5 blocks), so the oracle is the clean all-pairs
+    * form.
+    *
+    * Corpus caveat: on a homogeneous corpus (shared vocabulary) simhash
+    * bits correlate across documents, so even wide 13-bit blocks bucket
+    * densely and candidate counts dominate the runtime — measured here
+    * and inherent to simhash, not to the plan. Minhash banding (q31)
+    * stays selective on the same corpus; prefer it when the corpus is
+    * homogeneous.
     */
   private val q39 = GraftQuery(
     "q39_simhash_neardup",
@@ -214,13 +232,23 @@ object Similarity {
        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sims = shingleHashes(s, d).select(col("doc_id"), expr(
-      s"aggregate(transform(sequence(0, ${SimBits - 1}), " +
-        "b -> CASE WHEN 2*size(filter(hv, h -> (shiftright(h, b) & 1) = 1)) > size(hv) " +
-        "THEN shiftleft(1L, b) ELSE 0L END), 0L, (a, x) -> a + x)").as("simhash"))
-    val bandStructs = (0 until SimBands).map(j =>
+    // The majority-of-bits fold is a custom codegen expression
+    // (graft.functions.SimHash64): one tight loop per document. The HOF
+    // formulation is CodegenFallback and gets inlined per reference;
+    // explode + 64 sum-aggregates pays a multi-million-row shuffle agg.
+    graft.functions.SimHash64.register(s)
+    // The repartition is a materialization fence, not a distribution
+    // choice: without it CollapseProject inlines the whole shingle+hash
+    // pipeline into every downstream reference (8 band structs × 2 join
+    // sides ≈ 18 recomputes per document). The exchange carries only
+    // (doc_id, simhash) — 16 bytes/doc at any scale.
+    val sims = shingleHashes(s, d)
+      .select(col("doc_id"), graft.functions.SimHash64.of(col("hv")).as("simhash"))
+      .repartition(col("doc_id"))
+    val bandStructs = SimBlocks.zipWithIndex.map { case ((off, w), j) =>
       struct(lit(j).as("band"),
-        expr(s"(shiftright(simhash, ${8 * j}) & 255)").as("bkey")))
+        expr(s"(shiftright(simhash, $off) & ${(1L << w) - 1})").as("bkey"))
+    }
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),

@@ -120,11 +120,13 @@ object TextAnalysis {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // Codegen'd kernel (graft.functions.PolyHash) — same value as the SQL
+    // aggregate(sequence(...)) form without materializing a per-character
+    // int array per document.
+    graft.functions.PolyHash.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("aggregate(sequence(1, length(text)), 0L, " +
-          "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)")
-          .as("fingerprint"))
+        graft.functions.PolyHash.hash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
   }
 
