@@ -37,6 +37,19 @@ class HandlersSpec extends SparkSuite {
     assert(r.output.contains("\"txnAction\":\"buy\""))
   }
 
+  test("TSV sources detect and transform end to end") {
+    val tsv = java.nio.file.Files.createTempFile("graft_txn", ".tsv")
+    val header = "txnAction\ttxnTransactedAt\ttxnAccountID\ttxnSecurityID" +
+      "\ttxnLotID\ttxnShareCount\ttxnSharePrice\trealizedGainShort\trealizedGainLong"
+    java.nio.file.Files.writeString(tsv, header +
+      "\nbuy\t2021-03-01\tACC-1\tBND\t\t100\t85.62\t\t" +
+      "\nsell\t2021-03-02\tACC-1\tBND\t\t-100\t86.00\t\t1.38\n")
+    assert(Handlers.handleDetect(spark, tsv.toString) == Seq("transaction: TSV"))
+    val r = Handlers.handleTransform(spark, tsv.toString)
+    assert(r.good.count() == 2 && r.rejects.count() == 0)
+    assert(r.output.contains("buy,2021-03-01T18:00:00Z,ACC-1,BND,,100.0,85.62,,"))
+  }
+
   test("handleTransform surfaces resolution errors") {
     val e = intercept[FinError] {
       Handlers.handleTransform(spark, txnCsv, importerId = Some("nope"))
