@@ -45,6 +45,24 @@ class DecoderSpec extends SparkSuite {
     assert(rows.exists(_.txnSecurityID.contains("VTI,X"))) // quoted cell survived
   }
 
+  test("optional typed fields decode to null without rejecting (holding)") {
+    val holdingSpec = AllocRegistry.holding
+    val tmp = java.nio.file.Files.createTempFile("graft_holding", ".csv")
+    java.nio.file.Files.writeString(tmp,
+      "holdingAccountID,holdingSecurityID,holdingLotID,shareCount,shareBasis,acquiredAt\n" +
+        "ACC-1,BND,,100,85.0,2020-06-30\n" + // full row
+        "ACC-1,SPY,L1,25,,\n" +              // optional double + date empty -> nulls
+        ",SPY,L1,25,,\n")                    // missing key -> reject
+    val res = Decoder.decode(
+      Decoder.readRaw(spark, tmp.toString, holdingSpec), holdingSpec)
+    assert(res.good.count() == 2)
+    assert(res.rejects.select("reason").collect().map(_.getString(0)).toSeq
+      == Seq("missing:holdingAccountID"))
+    val noDate = res.good.where(col("holdingSecurityID") === "SPY").collect().head
+    assert(noDate.isNullAt(noDate.fieldIndex("acquiredAt")))
+    assert(noDate.isNullAt(noDate.fieldIndex("shareBasis")))
+  }
+
   test("timestamp enrichment applies default time-of-day in the zone") {
     // 2021-03-01 13:00 America/New_York == 2021-03-01T18:00:00Z
     val ms = result.good

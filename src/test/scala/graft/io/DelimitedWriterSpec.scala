@@ -80,6 +80,18 @@ class DelimitedWriterSpec extends SparkSuite {
     assert(DelimitedWriter.delimitedBytes(df) == "bar,baz\n\"bl,ah\",b\\\"p\n")
   }
 
+  test("writeJson emits JSONL and jsonArrayString the array form") {
+    val s = StructType(Seq(StructField("bar", StringType), StructField("n", DoubleType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row("x", 1.5)), s)
+    assert(DelimitedWriter.jsonArrayString(df) == """[{"bar":"x","n":1.5}]""")
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString + "/out"
+    DelimitedWriter.writeJson(df.coalesce(1), dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).head
+    val content = new String(java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+    assert(content == """{"bar":"x","n":1.5}""" + "\n")
+  }
+
   test("writeDelimited writes rendered lines via the text sink") {
     val s = StructType(Seq(StructField("bar", StringType), StructField("baz", StringType)))
     val df = spark.createDataFrame(
