@@ -345,6 +345,31 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q42: explicit GROUPING SETS (distinct from rollup/cube: arbitrary
+    * set list) via the native Dataset groupingSets API.
+    */
+  private val q42 = GraftQuery(
+    "q42_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping("l_returnflag").as("g_rf"),
+        grouping("l_linestatus").as("g_ls"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+      q15, q42)
 }

@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   * nanos are read as raw longs and floored to micros so the streaming and
   * batch paths share one timestamp semantics.
   */
+final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
 object EventStreams {
 
   /** Streaming read of the events table (schema pinned from the batch
@@ -82,6 +84,29 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type", "event_id", "ts")
+
+  /** Per-user running totals via explicit keyed state — the custom-state
+    * surface (`KeyValueGroupedDataset.mapGroupsWithState`) for semantics
+    * the built-in windows can't express. State is one (count, sum) pair
+    * per user: bounded, mergeable, and evictable via timeouts in a
+    * production config (NoTimeout here since the smoke harness drains a
+    * finite file stream).
+    */
+  def userTotalsWithState(events: DataFrame): org.apache.spark.sql.Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotals](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var (n, sv) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; sv += r._2 }
+          state.update((n, sv))
+          UserTotals(uid, n, sv)
+      }
+  }
 
   /** Run any of the above to completion over the existing files and
     * return the collected result table (availableNow trigger + memory

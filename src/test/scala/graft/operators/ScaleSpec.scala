@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Proof points for the 100 TB scale mechanisms: salted skew joins
+  * (result-equivalence), bucketed co-located joins (no shuffle in the
+  * plan), and partition-pruned scans (PartitionFilters reach the scan).
+  */
+class ScaleSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = orders.join(customer, Seq("o_custkey"))
+    val salted = Scale.saltedJoin(orders, customer, "o_custkey", numSalts = 7)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("bucketed tables co-locate: the join plans without a shuffle") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    orders.write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    customer.write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+    val joined = spark.table("orders_bucketed")
+      .join(spark.table("customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(sum("o_totalprice"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("partitioned writes prune partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out).where(col("yr") === 1995)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("1995"),
+      s"partition filter missing from scan:\n$scan")
+    val all = spark.read.parquet(out).where(year(col("o_orderdate")) === 1995)
+    assert(pruned.count() == all.count() && pruned.count() > 0)
+  }
+}

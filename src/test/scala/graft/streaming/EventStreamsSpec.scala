@@ -41,6 +41,18 @@ class EventStreamsSpec extends SparkSuite {
     assert(s.subsetOf(b))
   }
 
+  test("mapGroupsWithState running totals match batch per-user counts") {
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.userTotalsWithState(EventStreams.readEvents(spark, dir)).toDF(),
+      "t_state", outputMode = "update")
+    val s = streamed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s.nonEmpty)
+    assert(s == b) // one availableNow batch -> final state equals batch counts
+  }
+
   test("watermarked dedup stream keeps one row per key within watermark") {
     val streamed = EventStreams.runToMemory(spark,
       EventStreams.dedupedEvents(EventStreams.readEvents(spark, dir)),
