@@ -341,5 +341,66 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41)
+  /** q43: exact dedup groups — hash-groupBy on the content fingerprint
+    * (the cheapest dedup tier: one shuffle on a 8-byte key). This corpus
+    * has no byte-identical documents, so every group has size 1 — the
+    * near-dup tiers (q31/q39/q40) exist precisely because exact matching
+    * stops there.
+    */
+  private val q43 = GraftQuery(
+    "q43_exact_dedup",
+    """SELECT
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |                     i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS keeper
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keeper""".stripMargin) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    Tables.documents(s, d)
+      .groupBy(graft.functions.PolyHash.hash(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy("keeper")
+  }
+
+  /** q44: brute-force cosine top-k — the exactness BASELINE for the ANN
+    * path (q30 is the scale variant). A bounded query batch is broadcast
+    * against the full corpus, so the plan is broadcast-nested-loop with a
+    * constant-size build side: correct at any corpus scale, linear in
+    * corpus size per query.
+    */
+  private val QueryBatch = 100
+  private val q44 = GraftQuery(
+    "q44_knn_bruteforce",
+    s"""WITH sim AS (
+       |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q", "c")} AS cos
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+       |  JOIN embeddings c ON q.vec_id <> c.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sim) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding").as("emb_q")))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_q"), col("emb_c")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41, q43, q44)
 }
