@@ -39,10 +39,14 @@ object Decoder {
       .schema(spec.rawSchema)
       .csv(path)
 
-  private def splitTod(defTimeOfDay: String): (Int, Int) = {
-    val Array(h, m) = defTimeOfDay.split(":").map(_.toInt)
-    (h, m)
-  }
+  private def splitTod(defTimeOfDay: String): (Int, Int) =
+    defTimeOfDay.split(":", -1) match {
+      case Array(h, m) if h.forall(_.isDigit) && m.forall(_.isDigit) &&
+          h.nonEmpty && m.nonEmpty && h.toInt <= 23 && m.toInt <= 59 =>
+        (h.toInt, m.toInt)
+      case _ => throw graft.detect.FinError.DecodingError(
+        s"invalid defTimeOfDay '$defTimeOfDay' (expected HH:mm)")
+    }
 
   /** First-failing-field reject reason, null for clean rows. */
   def reasonCol(spec: EntitySpec): Column = {

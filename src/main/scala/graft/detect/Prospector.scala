@@ -120,6 +120,12 @@ final class Prospector(val importers: Seq[Importer]) {
     * TransformHandler.swift:57-108): explicit importer id else exactly one
     * detected; explicit schema must be supported; else exactly one output
     * schema.
+    *
+    * Like the reference's getPair, the no-explicit-schema arm keys off the
+    * importer's DECLARED outputSchemas (TransformHandler.swift:99-105),
+    * and `MultipleDetectedSchemasMatch` / `NeedExplicitOutputSchema` are
+    * defined in the taxonomy but not thrown by this path — parity
+    * includes reproducing which cases the reference actually exercises.
     */
   @throws[FinError]
   def resolve(prefix: String,

@@ -21,11 +21,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PolyHashKernel {
   final val Mod = 1000000007L
+  /** Decodes UTF-8 code points directly off the UTF8String's bytes — no
+    * String/char[] copy per value (this runs per shingle on the dedup hot
+    * path). Matches `String.codePoints()` for well-formed UTF-8.
+    */
   def hash(s: UTF8String): Long = {
+    val n = s.numBytes()
     var acc = 0L
-    val it = s.toString.codePoints().iterator()
-    while (it.hasNext) {
-      acc = (acc * 31 + it.nextInt()) % Mod
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < n) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3F)
+        j += 1
+      }
+      acc = (acc * 31 + cp) % Mod
+      i += len
     }
     acc
   }

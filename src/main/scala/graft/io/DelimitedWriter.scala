@@ -75,9 +75,11 @@ object DelimitedWriter {
       header: Boolean = true): String = {
     val head =
       if (header) df.columns.mkString("", delimiter, "\n") else ""
-    val rows = renderLines(df, delimiter).collect()
-      .map(_.getString(0)).mkString("", "\n", "\n")
-    head + (if (rows == "\n") "" else rows)
+    val lines = renderLines(df, delimiter).collect().map(_.getString(0))
+    // emptiness is decided on the row COUNT, not the joined string — a
+    // single all-empty-cells row legitimately renders as "" and must
+    // still emit its line
+    head + (if (lines.isEmpty) "" else lines.mkString("", "\n", "\n"))
   }
 
   /** JSON export (A10): JSONL via the native writer — the scalable form. */

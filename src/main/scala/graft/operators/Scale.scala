@@ -21,9 +21,22 @@ object Scale {
     * tasks. Cost: `small` is replicated numSalts× — use for genuinely
     * small/dimension sides (the same constraint as a broadcast).
     */
+  /** Join types where replicating the small side is sound: each big row
+    * carries exactly one salt, so inner/left/semi/anti joins see the same
+    * match set as the unsalted join. Right/full outer are rejected — the
+    * small side's unmatched replicas would emit spurious null-extended
+    * rows (one per salt value).
+    */
+  private val SoundJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       numSalts: Int, joinType: String = "inner"): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
+    require(SoundJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got '$joinType' " +
+        "(right/full outer would emit spurious rows for replicated small-side keys)")
     val b = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(numSalts.toLong)).cast("int"))
     val s = small.withColumn("__salt",

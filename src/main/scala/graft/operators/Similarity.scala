@@ -138,12 +138,18 @@ object Similarity {
     shingleHashes(s, d).select(keep :+ array(sigCols: _*).as("sig"): _*)
   }
 
-  /** Banded candidate self-join: each side exploded to (band, 3-row key). */
+  /** Banded candidate self-join: each side exploded to (band, 3-row key).
+    * The input is fenced behind a repartition exchange so CollapseProject
+    * cannot inline the shingle+minhash pipeline into the 12 band-key
+    * references and both join sides (the q39 lesson; the exchange carries
+    * doc_id + 12 longs [+ shingles for the verify variant] per doc).
+    */
   private def minhashCandidates(sigs: DataFrame, carry: Seq[String]): DataFrame = {
+    val fenced = sigs.repartition(col("doc_id"))
     val bandStructs = (0 until NumBands).map(j =>
       struct(lit(j).as("band"), expr(s"sig[${3 * j}]").as("h1"),
         expr(s"sig[${3 * j + 1}]").as("h2"), expr(s"sig[${3 * j + 2}]").as("h3")))
-    val bands = sigs
+    val bands = fenced
       .select(col("doc_id") +: col("sig") +: carry.map(col) :+
         explode(array(bandStructs: _*)).as("b"): _*)
       .select(col("doc_id") +: col("sig") +: carry.map(col) :+
@@ -196,36 +202,50 @@ object Similarity {
 
   private val SimBits = 64
   private val HammingMax = 4
-  /** Pigeonhole blocks (offset, width): any pair within hamming ≤ 4 has
-    * at least one of the 5 blocks identical, so the banded join is exact.
-    * Wide 13-bit keys keep buckets selective — this corpus's simhash bits
-    * are heavily correlated (shared vocabulary), so narrow band keys
-    * degenerate into giant buckets.
+  /** Shingle hashes are mod-P values (< 2^30), so a simhash over them
+    * would leave bits 30..63 constant-zero and the upper pigeonhole
+    * blocks degenerate into all-pairs cross joins. Each feature is
+    * therefore expanded to 63 independent bits by packing three affine
+    * rehashes (21 bits each, top 21 of 30 to avoid low-bit correlation):
+    * h64 = (g1>>9) + (g2>>9)·2^21 + (g3>>9)·2^42, gi = (SAi·h + SBi) mod P.
+    * All values stay < 2^63, so the arithmetic is overflow-free in both
+    * engines; bit 63 is constant zero on both sides.
+    */
+  private val SA: Seq[Long] = (0 until 3).map(i => ((i + 14) * 2654435761L) % P)
+  private val SB: Seq[Long] = (0 until 3).map(i => ((i + 14) * 2246822519L) % P)
+  private def simExpandSql(h: String): String =
+    (0 until 3).map(i =>
+      s"(((${SA(i)} * $h + ${SB(i)}) % $P) >> 9) * ${1L << (21 * i)}L")
+      .mkString(" + ")
+  private def simExpandOracle(h: String): String =
+    (0 until 3).map(i =>
+      s"(((${SA(i)} * $h + ${SB(i)}) % $P) >> 9) * ${1L << (21 * i)}")
+      .mkString(" + ")
+
+  /** Pigeonhole blocks (offset, width) over the 63 meaningful bits: any
+    * pair within hamming ≤ 4 has at least one of the 5 blocks identical,
+    * so the banded join is exact and the oracle can state the clean
+    * all-pairs form.
     */
   private val SimBlocks: Seq[(Int, Int)] =
-    Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+    Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 11))
 
-  /** q39: simhash near-dup — 64-bit majority-of-bits signature over the
-    * shingle hashes, candidate join on 5 pigeonhole blocks. Banding is
-    * exact here (≤ 4 < 5 blocks), so the oracle is the clean all-pairs
-    * form.
-    *
-    * Corpus caveat: on a homogeneous corpus (shared vocabulary) simhash
-    * bits correlate across documents, so even wide 13-bit blocks bucket
-    * densely and candidate counts dominate the runtime — measured here
-    * and inherent to simhash, not to the plan. Minhash banding (q31)
-    * stays selective on the same corpus; prefer it when the corpus is
-    * homogeneous.
+  /** q39: simhash near-dup — majority-of-bits signature over the
+    * 63-bit-expanded shingle hashes, candidate join on 5 pigeonhole
+    * blocks. Banding is exact here (≤ 4 < 5 blocks), so the oracle is
+    * the clean all-pairs form.
     */
   private val q39 = GraftQuery(
     "q39_simhash_neardup",
-    s"""$shingleCtes, sh2 AS (
+    s"""$shingleCtes, h64 AS (
+       |  SELECT doc_id, list_transform(hv, h -> ${simExpandOracle("h")}) AS hv64 FROM hs
+       |), sh2 AS (
        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(0, ${SimBits - 1}),
-       |      b -> CASE WHEN 2*len(list_filter(hv, h -> (h >> b) & 1 = 1)) > len(hv)
+       |    list_transform(range(0, $SimBits),
+       |      b -> CASE WHEN 2*len(list_filter(hv64, h -> (h >> b) & 1 = 1)) > len(hv64)
        |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)),
        |    (a, x) -> a + x) AS simhash
-       |  FROM hs
+       |  FROM h64
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -239,11 +259,19 @@ object Similarity {
     graft.functions.SimHash64.register(s)
     // The repartition is a materialization fence, not a distribution
     // choice: without it CollapseProject inlines the whole shingle+hash
-    // pipeline into every downstream reference (8 band structs × 2 join
-    // sides ≈ 18 recomputes per document). The exchange carries only
+    // pipeline into every downstream reference (5 band structs × 2 join
+    // sides ≈ 12 recomputes per document). The exchange carries only
     // (doc_id, simhash) — 16 bytes/doc at any scale.
+    //
+    // coalesce(_, 0L) makes the column NON-NULLABLE, which matters twice:
+    // the join then infers no isnotnull(simhash) constraint (which would
+    // be pushed past the fence to the scan and re-evaluate the whole
+    // pipeline as a filter), and a null/empty text degenerates to
+    // simhash 0 exactly as the oracle's all-pairs form computes it.
     val sims = shingleHashes(s, d)
-      .select(col("doc_id"), graft.functions.SimHash64.of(col("hv")).as("simhash"))
+      .withColumn("hv64", expr(s"transform(hv, h -> ${simExpandSql("h")})"))
+      .select(col("doc_id"),
+        coalesce(graft.functions.SimHash64.of(col("hv64")), lit(0L)).as("simhash"))
       .repartition(col("doc_id"))
     val bandStructs = SimBlocks.zipWithIndex.map { case ((off, w), j) =>
       struct(lit(j).as("band"),

@@ -37,11 +37,17 @@ object EventStreams {
     val streamPath =
       if (!src.isFile) src.getPath
       else {
+        // staging dir keyed by the sanitized full path (not a 32-bit hash
+        // — distinct paths must never share a staging dir)
+        val slug = src.getAbsolutePath.replaceAll("[^A-Za-z0-9]+", "_")
         val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_events_${Integer.toHexString(src.getAbsolutePath.hashCode)}")
+          s"graft_events$slug")
         staged.mkdirs()
         val link = new java.io.File(staged, "events.parquet")
-        if (!link.exists())
+        // NOFOLLOW existence check: a dangling symlink must be replaced,
+        // not treated as present
+        if (!java.nio.file.Files.exists(link.toPath,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
           java.nio.file.Files.createSymbolicLink(
             link.toPath, src.toPath.toAbsolutePath)
         staged.getPath

@@ -63,6 +63,14 @@ class DecoderSpec extends SparkSuite {
     assert(noDate.isNullAt(noDate.fieldIndex("shareBasis")))
   }
 
+  test("invalid defTimeOfDay raises a typed decoding error") {
+    val raw = Decoder.readRaw(spark, "/root/repo/fixtures/mtransaction.csv", spec)
+    val e = intercept[graft.detect.FinError] {
+      Decoder.decode(raw, spec, defTimeOfDay = "1pm")
+    }
+    assert(e.message.contains("invalid defTimeOfDay '1pm'"))
+  }
+
   test("timestamp enrichment applies default time-of-day in the zone") {
     // 2021-03-01 13:00 America/New_York == 2021-03-01T18:00:00Z
     val ms = result.good

@@ -121,6 +121,19 @@ class FunctionsSpec extends SparkSuite {
     assert(got.getString(2) == "12345678.9")
   }
 
+  test("poly_hash matches the SQL aggregate formula including multi-byte chars") {
+    PolyHash.register(spark)
+    import spark.implicits._
+    val rows = Seq("hello world", "Priçe: €19.00", "", "naïve — test")
+      .toDF("s")
+      .select(PolyHash.hash(col("s")).as("kernel"),
+        expr("aggregate(sequence(1, length(s)), 0L, " +
+          "(acc, i) -> (acc * 31 + ascii(substring(s, i, 1))) % 1000000007)")
+          .as("sql"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("modified-dietz single-flow closed form") {
     import org.apache.spark.sql.Encoders
     import spark.implicits._

@@ -80,6 +80,15 @@ class DelimitedWriterSpec extends SparkSuite {
     assert(DelimitedWriter.delimitedBytes(df) == "bar,baz\n\"bl,ah\",b\\\"p\n")
   }
 
+  test("delimitedBytes keeps a single all-empty-cells row") {
+    val s = StructType(Seq(StructField("a", StringType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row(null)), s)
+    assert(DelimitedWriter.delimitedBytes(df) == "a\n\n")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), s)
+    assert(DelimitedWriter.delimitedBytes(empty) == "a\n")
+  }
+
   test("writeJson emits JSONL and jsonArrayString the array form") {
     val s = StructType(Seq(StructField("bar", StringType), StructField("n", DoubleType)))
     val df = spark.createDataFrame(java.util.Arrays.asList(Row("x", 1.5)), s)

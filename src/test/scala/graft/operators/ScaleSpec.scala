@@ -24,6 +24,14 @@ class ScaleSpec extends SparkSuite {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("saltedJoin rejects join types where replication is unsound") {
+    val df = spark.read.parquet(s"$dir/orders.parquet").select("o_custkey")
+    val e = intercept[IllegalArgumentException] {
+      Scale.saltedJoin(df, df, "o_custkey", 4, joinType = "right")
+    }
+    assert(e.getMessage.contains("right/full outer"))
+  }
+
   test("bucketed tables co-locate: the join plans without a shuffle") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
