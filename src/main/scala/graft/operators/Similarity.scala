@@ -430,5 +430,73 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41, q43, q44)
+  // ---- SRP-LSH bucketed ANN (q45) ----
+
+  private val SrpBits = 6
+  private val SrpC1 = 2654435761L
+  private val SrpC2 = 2246822519L
+  /** Deterministic signed pseudo-random hyperplane component w(k,j),
+    * computed identically in both engines from integer arithmetic (no
+    * stored plane matrix — the plane is a formula).
+    */
+  private def srpW(k: Int, j: String): String =
+    s"(($k*64 + $j) * $SrpC1 + $SrpC2) % $P - 500000003"
+
+  private def srpBucketSql(suffixL: String): String =
+    (0 until SrpBits).map { k =>
+      val dot = s"aggregate(sequence(1, size(embedding)), 0D, (acc, j) -> " +
+        s"acc + CAST(element_at(embedding, j) AS DOUBLE) * CAST(${srpW(k, "j")}$suffixL AS DOUBLE))"
+      s"(CASE WHEN $dot >= 0 THEN ${1 << k} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def srpBucketOracle: String =
+    (0 until SrpBits).map { k =>
+      val dot = s"list_reduce(list_transform(range(1, len(embedding)+1), " +
+        s"j -> CAST(embedding[j] AS DOUBLE) * CAST(${srpW(k, "j")} AS DOUBLE)), (x,y) -> x+y)"
+      s"(CASE WHEN $dot >= 0 THEN ${1 << k} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** q45: sign-random-projection LSH ANN — each vector hashed to a
+    * 6-bit bucket by the signs of 6 deterministic hyperplane dot
+    * products; candidates are bucket-mates (equi-join), exact cosine
+    * ranks top-3. The third ANN tier: q44 brute-force (exact baseline),
+    * q30 IVF cells (coarse partition), q45 SRP buckets (no partition
+    * column needed — the hash IS the partitioner, and at scale the
+    * bucket count grows with data by adding bits).
+    */
+  private val q45 = GraftQuery(
+    "q45_srp_lsh_ann",
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $srpBucketOracle AS bucket FROM embeddings
+       |), sim AS (
+       |  SELECT a.vec_id AS vec_id, bb.vec_id AS neighbor_id,
+       |    ${cosSql("a", "bb")} AS cos
+       |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sim) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    // fence: bucket is referenced by both join sides — without the
+    // exchange the 6 hyperplane dot products recompute per reference
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr(srpBucketSql("L")).as("bucket"))
+      .repartition(col("vec_id"))
+    val l = b.select(col("vec_id"), col("bucket"), col("embedding").as("emb_a"))
+    val r = b.select(col("vec_id").as("neighbor_id"), col("bucket").as("bucket_r"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    l.join(r, col("bucket") === col("bucket_r") && col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41, q43, q44, q45)
 }
