@@ -369,7 +369,31 @@ object Relational {
       .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
   }
 
+  /** q46: approximate distinct counting (HLL++). The sketch value itself
+    * is engine-specific, so the oracle checks the exact counts plus the
+    * accuracy CONTRACT: Spark's deterministic HLL estimate must land
+    * within 5% of exact (rsd=0.01 keeps typical error ~1%). At 100 TB
+    * this is the sub-linear-memory path where countDistinct's exact
+    * expand+dedup becomes the bottleneck.
+    */
+  private val q46 = GraftQuery(
+    "q46_approx_distinct",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+      |  TRUE AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct("l_partkey").as("n_parts_exact"),
+        approx_count_distinct("l_partkey", 0.01).as("appx"))
+      .select(col("l_returnflag"), col("n_parts_exact"),
+        (abs(col("appx") - col("n_parts_exact")) / col("n_parts_exact") < 0.05)
+          .as("within_5pct"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q15, q42)
+      q15, q42, q46)
 }
