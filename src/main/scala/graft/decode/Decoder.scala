@@ -41,8 +41,10 @@ object Decoder {
 
   private def splitTod(defTimeOfDay: String): (Int, Int) =
     defTimeOfDay.split(":", -1) match {
-      case Array(h, m) if h.forall(_.isDigit) && m.forall(_.isDigit) &&
-          h.nonEmpty && m.nonEmpty && h.toInt <= 23 && m.toInt <= 59 =>
+      case Array(h, m) if h.nonEmpty && m.nonEmpty &&
+          h.length <= 2 && m.length <= 2 &&
+          h.forall(_.isDigit) && m.forall(_.isDigit) &&
+          h.toInt <= 23 && m.toInt <= 59 =>
         (h.toInt, m.toInt)
       case _ => throw graft.detect.FinError.DecodingError(
         s"invalid defTimeOfDay '$defTimeOfDay' (expected HH:mm)")

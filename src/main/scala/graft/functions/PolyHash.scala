@@ -23,7 +23,10 @@ object PolyHashKernel {
   final val Mod = 1000000007L
   /** Decodes UTF-8 code points directly off the UTF8String's bytes — no
     * String/char[] copy per value (this runs per shingle on the dedup hot
-    * path). Matches `String.codePoints()` for well-formed UTF-8.
+    * path). Matches `String.codePoints()` for well-formed UTF-8; bytes
+    * that are not a valid lead (stray continuation bytes, 0xF8-0xFF)
+    * hash as U+FFFD, one per byte, like the charset decoder's
+    * replacement policy.
     */
   def hash(s: UTF8String): Long = {
     val n = s.numBytes()
@@ -36,7 +39,8 @@ object PolyHashKernel {
       if (b0 < 0x80) { cp = b0 }
       else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
       else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-      else { cp = b0 & 0x07; len = 4 }
+      else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
+      else { cp = 0xFFFD } // invalid lead byte → replacement char
       var j = 1
       while (j < len && i + j < n) {
         cp = (cp << 6) | (s.getByte(i + j) & 0x3F)

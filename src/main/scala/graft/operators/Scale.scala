@@ -29,7 +29,7 @@ object Scale {
     */
   private val SoundJoinTypes =
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-      "left_anti", "leftanti")
+      "semi", "left_anti", "leftanti", "anti")
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       numSalts: Int, joinType: String = "inner"): DataFrame = {

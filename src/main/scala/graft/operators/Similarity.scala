@@ -22,9 +22,9 @@ import graft.functions.VectorFunctions
   *    (no shuffle); candidates come from equi-joins on band buckets. A
   *    pathologically hot bucket is exactly a giant duplicate cluster; at
   *    scale, cap bucket width or salt the band key before the join.
-  *  - q39's 8×8-bit banding GUARANTEES every pair within hamming ≤ 7 is
-  *    a candidate (pigeonhole), so the ≤ 4 output equals the all-pairs
-  *    result exactly — the oracle states the all-pairs form.
+  *  - q39's 5-block pigeonhole banding GUARANTEES every pair within
+  *    hamming ≤ 4 is a candidate, so the banded output equals the
+  *    all-pairs result exactly — the oracle states the all-pairs form.
   *
   * The cosine kernel is the codegen'd Catalyst expression
   * [[graft.functions.CosineSimilarity]]; both engines accumulate dot and

@@ -37,15 +37,20 @@ object EventStreams {
     val streamPath =
       if (!src.isFile) src.getPath
       else {
-        // staging dir keyed by the sanitized full path (not a 32-bit hash
-        // — distinct paths must never share a staging dir)
-        val slug = src.getAbsolutePath.replaceAll("[^A-Za-z0-9]+", "_")
+        // staging dir keyed by a fixed-length digest of the full path:
+        // collision-free (unlike a 32-bit hash) and immune to filesystem
+        // filename-length limits (unlike embedding the path itself)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(src.getAbsolutePath.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
         val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_events$slug")
+          s"graft_events_$digest")
         staged.mkdirs()
         val link = new java.io.File(staged, "events.parquet")
-        // NOFOLLOW existence check: a dangling symlink must be replaced,
-        // not treated as present
+        // NOFOLLOW existence check so a pre-existing symlink (even one
+        // whose target was temporarily missing) is detected as present;
+        // its target path is invariant for this staging key, so keeping
+        // it is always correct
         if (!java.nio.file.Files.exists(link.toPath,
             java.nio.file.LinkOption.NOFOLLOW_LINKS))
           java.nio.file.Files.createSymbolicLink(
