@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Plan-shape regression tests: these lock in the scale properties the
+  * engine is designed around — filters/projections reaching the parquet
+  * scan, top-k short-circuits, and the absence of all-pairs cross joins
+  * in the candidate-generation operators. A change that silently degrades
+  * one of these plans fails here long before it fails at 100 TB.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"no pushed filters:\n$p")
+    assert(p.contains("LessThan(l_quantity"), s"no pushed filters:\n$p")
+    // pruning: the scan must not read columns the query never touches
+    assert(!p.contains("l_tax") && !p.contains("l_returnflag"),
+      s"column pruning lost:\n$p")
+  }
+
+  test("q14 plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q14_top_n")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort crept in:\n$p")
+  }
+
+  test("q07 short-circuits ranking with WindowGroupLimit") {
+    val p = plan("q07_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"no window group limit:\n$p")
+  }
+
+  test("candidate-generation operators never cross-join the full table") {
+    for (q <- Seq("q30_cosine_topk", "q31_minhash_neardup",
+        "q39_simhash_neardup", "q40_jaccard_neardup", "q41_embedding_neardup",
+        "q45_srp_lsh_ann")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+    }
+  }
+
+  test("q44 brute-force baseline broadcasts only the bounded query batch") {
+    val p = plan("q44_knn_bruteforce")
+    // BNLJ is expected here — the build side is the constant-size batch
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ baseline:\n$p")
+  }
+
+  test("aggregations are partial+final (map-side combine present)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"no partial aggregation:\n$p")
+  }
+}
