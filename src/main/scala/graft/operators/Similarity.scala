@@ -318,21 +318,24 @@ object Similarity {
        |)
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sha, shb)) AS BIGINT) AS n_common,
-       |  round(len(list_intersect(sha, shb)) * 1.0
-       |        / len(list_distinct(list_concat(sha, shb))), 6) AS jaccard
+       |  CAST(floor(CAST(len(list_intersect(sha, shb)) AS DOUBLE) * 1000000
+       |        / len(list_distinct(list_concat(sha, shb)))) AS BIGINT) AS jaccard_micro
        |FROM pairs
-       |WHERE len(list_intersect(sha, shb)) * 1.0
+       |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
        |      / len(list_distinct(list_concat(sha, shb))) >= $JaccardMin
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // jaccard emitted as floor(j·1e6) micro-units: small-integer ratios
+    // can land exactly on the round-half boundary where the engines'
+    // rounding modes differ (see q27); floor is engine-independent
     minhashCandidates(minhashSigs(s, d, carryShingles = true), Seq("shingles"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("n_common",
         size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("long"))
-      .withColumn("jaccard", round(col("n_common") /
-        size(array_union(col("shingles_a"), col("shingles_b"))).cast("double"), 6))
-      .where(col("n_common") / size(array_union(col("shingles_a"), col("shingles_b")))
-        .cast("double") >= JaccardMin)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .withColumn("jaccard_micro", floor(col("n_common").cast("double") * 1000000 /
+        size(array_union(col("shingles_a"), col("shingles_b")))).cast("long"))
+      .where(col("n_common").cast("double") /
+        size(array_union(col("shingles_a"), col("shingles_b"))) >= JaccardMin)
+      .select("doc_a", "doc_b", "n_common", "jaccard_micro")
       .orderBy("doc_a", "doc_b")
   }
 

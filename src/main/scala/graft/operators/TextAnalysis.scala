@@ -53,21 +53,28 @@ object TextAnalysis {
 
   /** q27: quality scoring — length/stopword/token-shape ratios folded into
     * a bounded [0,1] score.
+    *
+    * Derived ratios are emitted as floor(x·1e6) micro-unit integers, not
+    * round(x, 6): nice fractions land EXACTLY on the round-half boundary
+    * (e.g. quality 0.2534375), where Spark (HALF_UP on the shortest
+    * decimal repr) and DuckDB (rounding the binary double) legitimately
+    * disagree. floor of bit-identical doubles is engine-independent.
     */
   private val q27 = GraftQuery(
     "q27_quality_score",
     s"""SELECT doc_id, n_tokens, n_chars2,
-      |  round(stop_ratio, 6) AS stop_ratio,
-      |  round(avg_token_len, 6) AS avg_token_len,
-      |  round(least(1.0, n_tokens / 200.0) * 0.4 + stop_ratio * 0.3
-      |        + least(1.0, avg_token_len / 8.0) * 0.3, 6) AS quality
+      |  CAST(floor(stop_ratio * 1000000) AS BIGINT) AS stop_ratio_micro,
+      |  CAST(floor(avg_token_len * 1000000) AS BIGINT) AS avg_token_len_micro,
+      |  CAST(floor((least(CAST(1 AS DOUBLE), n_tokens / CAST(200 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+      |        + stop_ratio * CAST(0.3 AS DOUBLE)
+      |        + least(CAST(1 AS DOUBLE), avg_token_len / CAST(8 AS DOUBLE)) * CAST(0.3 AS DOUBLE)) * 1000000) AS BIGINT) AS quality_micro
       |FROM (
       |  SELECT doc_id, length(text) AS n_chars2,
       |    len(string_split_regex(text, '\\s+')) AS n_tokens,
-      |    len(list_filter(string_split_regex(lower(text), '\\s+'),
-      |        x -> x IN ${inList(stopEn)})) * 1.0
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+      |        x -> x IN ${inList(stopEn)})) AS DOUBLE)
       |      / len(string_split_regex(text, '\\s+')) AS stop_ratio,
-      |    length(replace(text, ' ', '')) * 1.0
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
       |      / len(string_split_regex(text, '\\s+')) AS avg_token_len
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -81,10 +88,11 @@ object TextAnalysis {
       .withColumn("avg_token_len",
         length(regexp_replace(col("text"), " ", "")) * lit(1.0) / col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("n_chars2"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(col("avg_token_len"), 6).as("avg_token_len"),
-        round(least(lit(1.0), col("n_tokens") / 200.0) * 0.4 + col("stop_ratio") * 0.3
-          + least(lit(1.0), col("avg_token_len") / 8.0) * 0.3, 6).as("quality"))
+        floor(col("stop_ratio") * 1000000).cast("long").as("stop_ratio_micro"),
+        floor(col("avg_token_len") * 1000000).cast("long").as("avg_token_len_micro"),
+        floor((least(lit(1.0), col("n_tokens") / 200.0) * 0.4 + col("stop_ratio") * 0.3
+          + least(lit(1.0), col("avg_token_len") / 8.0) * 0.3) * 1000000)
+          .cast("long").as("quality_micro"))
       .orderBy("doc_id")
   }
 
