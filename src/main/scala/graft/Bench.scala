@@ -16,10 +16,18 @@ import org.apache.spark.sql.SparkSession
   *
   * A query that throws is reported as -1 seconds (sentinel) so the driver
   * can tell failures from fast runs.
+  *
+  * Optional args are query names: `graft.Bench q08_running_sum q46_...`
+  * times only those (same warmup protocol) — used to bench a subset in a
+  * fresh JVM, isolating one query's cost from suite-level JVM crowding
+  * (code cache, JIT pressure from 46 queries' generated classes).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -33,10 +41,10 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try evaluate(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { evaluate(fn(spark, sfDir)); true }
                catch { case e: Throwable =>

@@ -130,38 +130,36 @@ object Similarity {
       .withColumn("hv", expr("transform(shingles, sh2 -> poly_hash(sh2))"))
   }
 
-  /** doc_id [, shingles], sig (12 minhash components). */
-  private def minhashSigs(s: SparkSession, d: String, carryShingles: Boolean): DataFrame = {
+  /** doc_id, sig (12 minhash components). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val sigCols = (0 until NumHashes).map(i =>
       expr(s"array_min(transform(hv, h -> (${A(i)} * h + ${B(i)}) % $P))"))
-    val keep = if (carryShingles) Seq(col("doc_id"), col("shingles")) else Seq(col("doc_id"))
-    shingleHashes(s, d).select(keep :+ array(sigCols: _*).as("sig"): _*)
+    shingleHashes(s, d).select(col("doc_id"), array(sigCols: _*).as("sig"))
   }
 
   /** Banded candidate self-join: each side exploded to (band, 3-row key).
     * The input is fenced behind a repartition exchange so CollapseProject
     * cannot inline the shingle+minhash pipeline into the 12 band-key
     * references and both join sides (the q39 lesson; the exchange carries
-    * doc_id + 12 longs [+ shingles for the verify variant] per doc).
+    * only doc_id + 12 longs per doc — payload columns like shingles are
+    * joined back AFTER candidate generation, never shipped through the
+    * 4× band explode).
     */
-  private def minhashCandidates(sigs: DataFrame, carry: Seq[String]): DataFrame = {
+  private def minhashCandidates(sigs: DataFrame): DataFrame = {
     val fenced = sigs.repartition(col("doc_id"))
     val bandStructs = (0 until NumBands).map(j =>
       struct(lit(j).as("band"), expr(s"sig[${3 * j}]").as("h1"),
         expr(s"sig[${3 * j + 1}]").as("h2"), expr(s"sig[${3 * j + 2}]").as("h3")))
     val bands = fenced
-      .select(col("doc_id") +: col("sig") +: carry.map(col) :+
-        explode(array(bandStructs: _*)).as("b"): _*)
-      .select(col("doc_id") +: col("sig") +: carry.map(col) :+
-        col("b.band").as("band") :+ col("b.h1").as("h1") :+
-        col("b.h2").as("h2") :+ col("b.h3").as("h3"): _*)
-    val l = bands.select(col("doc_id").as("doc_a") +: col("sig").as("sa") +:
-      carry.map(c => col(c).as(s"${c}_a")) :+
-      col("band") :+ col("h1") :+ col("h2") :+ col("h3"): _*)
-    val r = bands.select(col("doc_id").as("doc_b") +: col("sig").as("sb") +:
-      carry.map(c => col(c).as(s"${c}_b")) :+
-      col("band").as("band_r") :+ col("h1").as("g1") :+
-      col("h2").as("g2") :+ col("h3").as("g3"): _*)
+      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.h1").as("h1"),
+        col("b.h2").as("h2"), col("b.h3").as("h3"))
+    val l = bands.select(col("doc_id").as("doc_a"), col("sig").as("sa"),
+      col("band"), col("h1"), col("h2"), col("h3"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("sig").as("sb"),
+      col("band").as("band_r"), col("h1").as("g1"),
+      col("h2").as("g2"), col("h3").as("g3"))
     l.join(r, col("band") === col("band_r") && col("h1") === col("g1") &&
       col("h2") === col("g2") && col("h3") === col("g3") &&
       col("doc_a") < col("doc_b"))
@@ -188,7 +186,7 @@ object Similarity {
        |FROM pairs
        |WHERE len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) >= 9
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    minhashCandidates(minhashSigs(s, d, carryShingles = false), Nil)
+    minhashCandidates(minhashSigs(s, d))
       .withColumn("n_match",
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long"))
       .where(col("n_match") >= 9)
@@ -327,8 +325,22 @@ object Similarity {
     // jaccard emitted as floor(j·1e6) micro-units: small-integer ratios
     // can land exactly on the round-half boundary where the engines'
     // rounding modes differ (see q27); floor is engine-independent
-    minhashCandidates(minhashSigs(s, d, carryShingles = true), Seq("shingles"))
+    //
+    // Candidates are generated as BARE id pairs (signatures only) and the
+    // shingle arrays — the dominant payload, KBs/doc — are joined back
+    // once per side AFTER pair dedup. The earlier form carried the arrays
+    // through the 4× band explode on both join sides (8× replication
+    // through the exchange, measured 8.4s at sf0.1); the candidate set is
+    // orders of magnitude smaller than the banded input, so two id-keyed
+    // joins against the fenced shingle projection are strictly cheaper.
+    val pairs = minhashCandidates(minhashSigs(s, d))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    val sh = shingleHashes(s, d).select(col("doc_id"), col("shingles"))
+      .repartition(col("doc_id"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("shingles_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("shingles_b")), "doc_b")
       .withColumn("n_common",
         size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("long"))
       .withColumn("jaccard_micro", floor(col("n_common").cast("double") * 1000000 /
