@@ -25,6 +25,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}\n" +
+          s"[bench] known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
     val selected: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

@@ -396,8 +396,11 @@ object Relational {
       .agg(countDistinct("l_partkey").as("n_parts_exact"))
     val sketch = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct("l_partkey", 0.01).as("appx"))
-    exact.join(sketch, "l_returnflag")
-      .select(col("l_returnflag"), col("n_parts_exact"),
+    // null-safe key equality: GROUP BY emits a row for a NULL key in both
+    // engines, so the recombining join must not drop it (parquet schema is
+    // nullable even though the fixture never is)
+    exact.join(sketch, exact("l_returnflag") <=> sketch("l_returnflag"))
+      .select(exact("l_returnflag"), col("n_parts_exact"),
         (abs(col("appx") - col("n_parts_exact")) / col("n_parts_exact") < 0.05)
           .as("within_5pct"))
       .orderBy("l_returnflag")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -447,6 +447,13 @@ object Similarity {
 
   // ---- SRP-LSH bucketed ANN (q45) ----
 
+  /** Bucket-bit count for the REGISTERED q45 (fixed so the oracle hash is
+    * stable). At scale, bits is the tuning knob: buckets = 2^bits, and the
+    * within-bucket exact-cosine join is O(n²/2^bits) expected work — grow
+    * bits with the corpus (bits ≈ log2(n/targetBucketSize)) so bucket
+    * population stays bounded. [[srpBucket]] takes bits as a parameter;
+    * ScaleSpec asserts the bucket count actually grows with it.
+    */
   private val SrpBits = 6
   private val SrpC1 = 2654435761L
   private val SrpC2 = 2246822519L
@@ -457,12 +464,20 @@ object Similarity {
   private def srpW(k: Int, j: String): String =
     s"(($k*64 + $j) * $SrpC1 + $SrpC2) % $P - 500000003"
 
-  private def srpBucketSql(suffixL: String): String =
-    (0 until SrpBits).map { k =>
+  private def srpBucketSql(bits: Int, suffixL: String): String =
+    (0 until bits).map { k =>
       val dot = s"aggregate(sequence(1, size(embedding)), 0D, (acc, j) -> " +
         s"acc + CAST(element_at(embedding, j) AS DOUBLE) * CAST(${srpW(k, "j")}$suffixL AS DOUBLE))"
       s"(CASE WHEN $dot >= 0 THEN ${1 << k} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Parametric SRP bucket id over an `embedding` column: the sign bits of
+    * `bits` deterministic hyperplane dot products packed into an int.
+    */
+  def srpBucket(bits: Int): Column = {
+    require(bits >= 1 && bits <= 30, s"srp bits out of range: $bits")
+    expr(srpBucketSql(bits, "L"))
+  }
 
   private def srpBucketOracle: String =
     (0 until SrpBits).map { k =>
@@ -498,7 +513,7 @@ object Similarity {
     // exchange the 6 hyperplane dot products recompute per reference
     val b = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        expr(srpBucketSql("L")).as("bucket"))
+        srpBucket(SrpBits).as("bucket"))
       .repartition(col("vec_id"))
     val l = b.select(col("vec_id"), col("bucket"), col("embedding").as("emb_a"))
     val r = b.select(col("vec_id").as("neighbor_id"), col("bucket").as("bucket_r"),

@@ -36,10 +36,16 @@ object TextAnalysis {
       |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ${inList(stopEs)})) AS es_hits
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // tokenize ONCE: the 4 stopword filters reference the shared `toks`
+    // alias. split() is non-cheap and multi-referenced, so CollapseProject
+    // keeps the producer projection separate instead of inlining 4 copies
+    // (TextAnalysisPlanSpec pins this — one split per row, not four).
     def hits(xs: Seq[String], name: String) =
-      expr(s"size(filter(split(lower(text), '\\\\s+'), x -> x IN ${inList(xs)}))").as(name)
+      expr(s"size(filter(toks, x -> x IN ${inList(xs)}))").as(name)
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("labeled_lang"),
         hits(stopEn, "en_hits"), hits(stopDe, "de_hits"),
         hits(stopFr, "fr_hits"), hits(stopEs, "es_hits"))
       .withColumn("predicted_lang",
@@ -78,13 +84,16 @@ object TextAnalysis {
       |      / len(string_split_regex(text, '\\s+')) AS avg_token_len
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // one shared tokenization (lowercasing never changes whitespace, so
+    // size(toks) equals the oracle's len over the un-lowered text)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("text"),
         length(col("text")).as("n_chars2"),
-        size(split(col("text"), "\\s+")).as("n_tokens"))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(split(lower(text), '\\\\s+'), x -> x IN ${inList(stopEn)}))") * lit(1.0)
-          / col("n_tokens"))
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter(toks, x -> x IN ${inList(stopEn)}))").as("stop_hits"))
+      .withColumn("stop_ratio", col("stop_hits") * lit(1.0) / col("n_tokens"))
       .withColumn("avg_token_len",
         length(regexp_replace(col("text"), " ", "")) * lit(1.0) / col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("n_chars2"),

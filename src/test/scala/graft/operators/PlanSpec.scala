@@ -55,4 +55,19 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"no partial aggregation:\n$p")
   }
+
+  test("q26/q27 tokenize once — the split is not re-inlined per consumer") {
+    // the stopword filters share one `toks` projection; CollapseProject
+    // must not substitute 4 copies of split(lower(text)) back in
+    for (q <- Seq("q26_lang_id", "q27_quality_score")) {
+      val optimized = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      val nSplits = optimized.collect { case node =>
+        node.expressions.map(_.collect {
+          case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
+        }.size).sum
+      }.sum
+      assert(nSplits == 1, s"$q evaluates split() $nSplits times per row")
+    }
+  }
 }

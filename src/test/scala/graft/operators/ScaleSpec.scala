@@ -68,4 +68,15 @@ class ScaleSpec extends SparkSuite {
     val all = spark.read.parquet(out).where(year(col("o_orderdate")) === 1995)
     assert(pruned.count() == all.count() && pruned.count() > 0)
   }
+
+  test("SRP bucket count scales with the bits parameter") {
+    val e = graft.Tables.embeddings(spark, dir)
+    def buckets(bits: Int): Long =
+      e.select(Similarity.srpBucket(bits).as("b")).distinct().count()
+    val b4 = buckets(4)
+    val b8 = buckets(8)
+    assert(b4 <= 16 && b8 <= 256, s"bucket ids exceed 2^bits: $b4, $b8")
+    assert(b8 > b4,
+      s"adding hyperplane bits must split buckets further ($b4 -> $b8)")
+  }
 }
