@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+
+/** Oracle-gated streaming queries (q47-q49) — the correctness gate for the
+  * Structured Streaming surface (SURVEY §2 Table B "Streaming").
+  *
+  * The append-mode problem: a watermarked streaming aggregation only emits
+  * a window once the watermark passes its end, so over a finite file
+  * stream the raw streaming result is a strict PREFIX of the batch answer
+  * (the last windows stay open) and can never hash-match a batch oracle.
+  *
+  * The gate closes that gap with a FLUSH SENTINEL: the staged stream input
+  * is the original events table plus one synthetic event 30 days past the
+  * max real timestamp (user_id = -1, event_type = '__flush'). After the
+  * AvailableNow run drains, the final watermark sits 10 minutes behind the
+  * sentinel — far past every real window's end — so append mode emits
+  * EXACTLY the batch answer over the real events. The sentinel's own
+  * window/session never closes (the watermark never passes it), so it is
+  * never emitted and needs no filtering. The streaming result is then
+  * hash-compared by the driver against the SAME DuckDB oracle SQL as its
+  * batch twin — a full rows+schema+hash equivalence gate, not a smoke
+  * check.
+  *
+  * At scale this is exactly how a production replay/backfill closes its
+  * books: a terminal punctuation event (or watermark heartbeat) flushes
+  * the final windows; nothing here is test-only plumbing.
+  */
+object StreamingQueries {
+
+  private val FlushDelayNanos = 30L * 24 * 3600 * 1000000000L
+  private val memorySinkId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Stage `dir`/events.parquet (file or directory) plus the flush
+    * sentinel into a stream-source directory. Idempotent per input path —
+    * keyed by an MD5 digest of the absolute path, marked complete by a
+    * `_STAGED` file — so repeated runs (warmup + timed, Verify + Bench)
+    * reuse the same staging. The sentinel is deterministic: the max-ts row
+    * shifted 30 days forward with neutral key/value columns.
+    */
+  def stagedWithFlush(spark: SparkSession, dir: String): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = new java.io.File(s"$dir/events.parquet")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_events_flush_$digest")
+    val marker = new java.io.File(staged, "_STAGED")
+    if (!marker.exists()) {
+      staged.mkdirs()
+      val files =
+        if (src.isFile) Seq(src)
+        else src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      files.zipWithIndex.foreach { case (f, i) =>
+        val link = new java.io.File(staged, s"orig_$i.parquet")
+        if (!java.nio.file.Files.exists(link.toPath,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          java.nio.file.Files.createSymbolicLink(
+            link.toPath, f.toPath.toAbsolutePath)
+      }
+      // sentinel row: max-ts row pushed 30 days out; ts is raw nanos here
+      // (nanosAsLong), so arithmetic is plain long addition
+      val raw = spark.read.parquet(src.getPath)
+      val sentinel = raw.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + lit(FlushDelayNanos))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("__flush"))
+        .withColumn("value", lit(0.0))
+      val build = new java.io.File(staged, "_sentinel_build")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(build.getPath)
+      val part = build.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(staged, "sentinel.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      build.listFiles().foreach(_.delete())
+      build.delete()
+      marker.createNewFile()
+    }
+    staged.getPath
+  }
+
+  /** File-source stream over the staged dir with the same ns→µs timestamp
+    * semantics as the batch reads ([[graft.Tables.events]]).
+    */
+  private def readStaged(spark: SparkSession, dir: String, stagedDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(stagedDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a flush-gated streaming transform and return the emitted table. */
+  private def runGated(spark: SparkSession, dir: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val staged = stagedWithFlush(spark, dir)
+    val events = readStaged(spark, dir, staged)
+    EventStreams.runToMemory(spark, build(events),
+      s"stream_gate_${memorySinkId.incrementAndGet()}")
+  }
+
+  /** q47: streaming tumbling-window counts ≡ batch q18 on closed windows.
+    * Oracle is the batch formulation — the flush sentinel guarantees every
+    * real window is closed and emitted.
+    */
+  private val q47 = GraftQuery(
+    "q47_stream_tumbling",
+    """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin) { (s, d) =>
+    runGated(s, d)(EventStreams.tumblingCounts(_))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  /** q48: streaming session windows ≡ batch q20 on closed sessions. */
+  private val q48 = GraftQuery(
+    "q48_stream_session",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTES
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM numbered
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin) { (s, d) =>
+    runGated(s, d)(EventStreams.sessionCounts(_))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  /** q49: streaming watermarked dedup emits exactly one row per
+    * (user_id, event_type) key — the key universe must equal the batch
+    * distinct. No sentinel needed: dedup is a stateful filter, rows emit
+    * in the batch they arrive. The emitted row's (event_id, ts) is
+    * processing-order-dependent within a micro-batch, so the gate checks
+    * the deterministic projection: the key set itself.
+    */
+  private val q49 = GraftQuery(
+    "q49_stream_dedup_keys",
+    """SELECT user_id, event_type FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val streamed = EventStreams.runToMemory(s,
+      EventStreams.dedupedEvents(EventStreams.readEvents(s, d)),
+      s"stream_gate_${memorySinkId.incrementAndGet()}")
+    streamed.select("user_id", "event_type")
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q47, q48, q49)
+}

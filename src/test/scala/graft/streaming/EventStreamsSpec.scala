@@ -4,41 +4,58 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
 
-/** Streaming smoke tests: the structured-streaming twins run to completion
-  * over the sf0.001 events files (availableNow trigger) and agree with
-  * their batch formulations on closed windows.
-  *
-  * Append-mode caveat: windows newer than the final watermark stay in
-  * state and are not emitted, so the streaming result is a PREFIX of the
-  * batch result — the assertions check non-emptiness and containment,
-  * which is the correct batch/stream parity contract.
+/** Streaming correctness: with the flush sentinel staged
+  * ([[StreamingQueries.stagedWithFlush]]), every real window closes, so
+  * append-mode streaming output must EQUAL the batch twin — not just be a
+  * prefix of it. The registered q47-q49 put the same equivalence under the
+  * driver's DuckDB hash gate; these tests cover the sliding-window shape
+  * (no registered streaming query) and the custom-state path, and keep a
+  * fast in-JVM equality check for the window shapes.
   */
 class EventStreamsSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("tumbling-window stream matches batch on emitted windows") {
-    val streamed = EventStreams.runToMemory(spark,
-      EventStreams.tumblingCounts(EventStreams.readEvents(spark, dir)),
-      "t_tumbling")
-    val batch = graft.SparkEntry.queries("q18_tumbling_window")(spark, dir)
-    val s = streamed.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val b = batch.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(s.nonEmpty)
-    assert(s.subsetOf(b))
+  private def streamFlushed(build: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame, name: String) = {
+    val staged = StreamingQueries.stagedWithFlush(spark, dir)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema).parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventStreams.runToMemory(spark, build(events), name)
   }
 
-  test("session-window stream emits per-user sessions consistent with batch") {
-    val streamed = EventStreams.runToMemory(spark,
-      EventStreams.sessionCounts(EventStreams.readEvents(spark, dir)),
-      "t_session")
-    val batch = graft.SparkEntry.queries("q20_session_window")(spark, dir)
-    val s = streamed.select("user_id", "session_start_ms").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val b = batch.select("user_id", "session_start_ms").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("tumbling-window stream EQUALS batch on flushed input") {
+    val streamed = streamFlushed(EventStreams.tumblingCounts(_), "t_tumbling")
+    val batch = graft.SparkEntry.queries("q18_tumbling_window")(spark, dir)
+    val s = streamed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = batch.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(s.nonEmpty)
-    assert(s.subsetOf(b))
+    assert(s == b, s"stream/batch diverge: only-stream=${s -- b}, only-batch=${b -- s}")
+  }
+
+  test("sliding-window stream EQUALS batch on flushed input") {
+    val streamed = streamFlushed(EventStreams.slidingCounts(_), "t_sliding")
+    val batch = graft.SparkEntry.queries("q19_sliding_window")(spark, dir)
+    val s = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(s.nonEmpty)
+    assert(s == b, s"stream/batch diverge: only-stream=${s -- b}, only-batch=${b -- s}")
+  }
+
+  test("session-window stream EQUALS batch on flushed input") {
+    val streamed = streamFlushed(EventStreams.sessionCounts(_), "t_session")
+    val batch = graft.SparkEntry.queries("q20_session_window")(spark, dir)
+    val s = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(s.nonEmpty)
+    assert(s == b, s"stream/batch diverge: only-stream=${s -- b}, only-batch=${b -- s}")
   }
 
   test("mapGroupsWithState running totals match batch per-user counts") {
@@ -53,7 +70,7 @@ class EventStreamsSpec extends SparkSuite {
     assert(s == b) // one availableNow batch -> final state equals batch counts
   }
 
-  test("watermarked dedup stream keeps one row per key within watermark") {
+  test("watermarked dedup stream emits exactly one row per key") {
     val streamed = EventStreams.runToMemory(spark,
       EventStreams.dedupedEvents(EventStreams.readEvents(spark, dir)),
       "t_dedup")
@@ -61,7 +78,7 @@ class EventStreamsSpec extends SparkSuite {
     val keys = streamed.select(countDistinct(col("user_id"), col("event_type")))
       .collect().head.getLong(0)
     assert(n > 0)
-    assert(n >= keys) // at least one row per surviving key
+    assert(n == keys, s"dedup emitted duplicate keys: $n rows for $keys keys")
     val batchKeys = graft.SparkEntry.queries("q21_keyed_dedup")(spark, dir).count()
     assert(keys == batchKeys) // same key universe as the batch dedup
   }
