@@ -58,5 +58,58 @@ object EtlDecode {
       .orderBy("reason", "txnTransactedAt")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q32, q33)
+  // ---- remaining-entity decode coverage (q50, q51) ----
+  // The registry declares 7 entities; transaction is gated by q32/q33 and
+  // holding/asset by specs. These two queries put the other entities'
+  // cast paths (Bool, Dbl, DateCol enrichment) under the DuckDB gate too.
+
+  private val secSpec = AllocRegistry.security
+  private val SecurityFixture = "/root/repo/fixtures/msecurity.csv"
+
+  private val secTagged =
+    s"""WITH raw AS (SELECT * FROM ${Decoder.oracleRawCsv(secSpec, SecurityFixture)}),
+       |tagged AS (SELECT *, ${Decoder.oracleReasonSql(secSpec)} AS reason FROM raw)""".stripMargin
+
+  /** q50: MSecurity decode — optional double (sharePrice) and the
+    * date-enriched-to-UTC-timestamp path (updatedAt) on good rows.
+    */
+  private val q50 = GraftQuery(
+    "q50_decode_security",
+    s"""$secTagged
+       |SELECT ${Decoder.oracleDecodedSql(secSpec, Tod, Zone).mkString(",\n  ")}
+       |FROM tagged WHERE reason IS NULL
+       |ORDER BY securityID""".stripMargin) { (s, _) =>
+    Decoder.decode(Decoder.readRaw(s, SecurityFixture, secSpec), secSpec, Tod, Zone).good
+      .withColumn("updatedAt_ms", unix_millis(col("updatedAt")))
+      .drop("updatedAt")
+      .select("securityID", "assetID", "sharePrice", "updatedAt_ms", "trackerID")
+      .orderBy("securityID")
+  }
+
+  private val rejectEntities = Seq(
+    ("account", AllocRegistry.account, "/root/repo/fixtures/maccount.csv"),
+    ("allocation", AllocRegistry.allocation, "/root/repo/fixtures/mallocation.csv"),
+    ("security", secSpec, SecurityFixture),
+    ("strategy", AllocRegistry.strategy, "/root/repo/fixtures/mstrategy.csv"))
+
+  /** q51: reject matrix across the four remaining entities — every typed
+    * reject arm (bad_boolean, bad_double, bad_date, missing key) fires on
+    * at least one fixture row and both engines agree on the first-failing-
+    * field reason.
+    */
+  private val q51 = GraftQuery(
+    "q51_decode_reject_matrix",
+    rejectEntities.map { case (e, spec, path) =>
+      s"""SELECT '$e' AS entity, ${Decoder.oracleReasonSql(spec)} AS reason
+         |FROM ${Decoder.oracleRawCsv(spec, path)}""".stripMargin
+    }.mkString("SELECT entity, reason FROM (\n", "\nUNION ALL\n",
+      "\n) t WHERE reason IS NOT NULL ORDER BY entity, reason")) { (s, _) =>
+    rejectEntities.map { case (e, spec, path) =>
+      Decoder.decode(Decoder.readRaw(s, path, spec), spec, Tod, Zone).rejects
+        .select(lit(e).as("entity"), col("reason"))
+    }.reduce(_ unionByName _)
+      .orderBy("entity", "reason")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q32, q33, q50, q51)
 }

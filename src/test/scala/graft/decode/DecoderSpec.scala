@@ -3,7 +3,7 @@ package graft.decode
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.schema.{AllocRegistry, MTransaction}
+import graft.schema.{AllocRegistry, MAccount, MAllocation, MSecurity, MStrategy, MTransaction}
 
 /** Decode + reject-routing contract over the committed fixture
   * (FIXTURES.md §A5): 12 decodable rows, 4 poisoned rows, first-failing-
@@ -69,6 +69,64 @@ class DecoderSpec extends SparkSuite {
       Decoder.decode(raw, spec, defTimeOfDay = "1pm")
     }
     assert(e.message.contains("invalid defTimeOfDay '1pm'"))
+  }
+
+  test("account fixture decodes: boolean casts + Dataset[MAccount]") {
+    import spark.implicits._
+    val spec2 = AllocRegistry.account
+    val res = Decoder.decode(
+      Decoder.readRaw(spark, "/root/repo/fixtures/maccount.csv", spec2), spec2)
+    assert(res.good.count() == 3)
+    assert(res.rejects.select("reason").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("bad_boolean:isTaxable", "missing:accountID"))
+    val rows = res.good.as[MAccount].collect().sortBy(_.accountID)
+    assert(rows.map(_.isTaxable).toSeq == Seq(Some(true), Some(false), Some(true)))
+    assert(rows(1).canTrade.isEmpty) // empty optional boolean -> None, not reject
+    assert(rows(2).title.contains("Roth, IRA")) // quoted cell survived
+  }
+
+  test("allocation fixture decodes: percentage casts + Dataset[MAllocation]") {
+    import spark.implicits._
+    val spec2 = AllocRegistry.allocation
+    val res = Decoder.decode(
+      Decoder.readRaw(spark, "/root/repo/fixtures/mallocation.csv", spec2), spec2)
+    assert(res.good.count() == 3)
+    assert(res.rejects.select("reason").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("bad_double:targetPct", "missing:allocationAssetID"))
+    val rows = res.good.as[MAllocation].collect()
+    assert(rows.flatMap(_.targetPct).sorted.toSeq == Seq(0.4, 0.6))
+    assert(rows.count(_.targetPct.isEmpty) == 1) // empty optional pct -> None
+  }
+
+  test("security fixture decodes: price/date casts + Dataset[MSecurity]") {
+    import spark.implicits._
+    val spec2 = AllocRegistry.security
+    val res = Decoder.decode(
+      Decoder.readRaw(spark, "/root/repo/fixtures/msecurity.csv", spec2), spec2)
+    assert(res.good.count() == 3)
+    assert(res.rejects.select("reason").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("bad_date:updatedAt", "bad_double:sharePrice", "missing:securityID"))
+    val rows = res.good
+      .withColumn("updatedAt_ms", unix_millis(col("updatedAt")))
+      .drop("updatedAt")
+      .as[MSecurity].collect().sortBy(_.securityID)
+    // 2021-03-01 13:00 America/New_York == 2021-03-01T18:00:00Z
+    assert(rows.head.updatedAt_ms
+      .contains(java.time.Instant.parse("2021-03-01T18:00:00Z").toEpochMilli))
+    assert(rows.find(_.securityID == "VTI").exists(r =>
+      r.assetID.isEmpty && r.updatedAt_ms.isEmpty))
+  }
+
+  test("strategy fixture decodes: Dataset[MStrategy] + key reject") {
+    import spark.implicits._
+    val spec2 = AllocRegistry.strategy
+    val res = Decoder.decode(
+      Decoder.readRaw(spark, "/root/repo/fixtures/mstrategy.csv", spec2), spec2)
+    assert(res.good.count() == 2)
+    assert(res.rejects.select("reason").collect().map(_.getString(0)).toSeq
+      == Seq("missing:strategyID"))
+    val rows = res.good.as[MStrategy].collect().sortBy(_.strategyID)
+    assert(rows.map(_.title).toSeq == Seq(Some("60/40"), Some("All, Weather")))
   }
 
   test("timestamp enrichment applies default time-of-day in the zone") {
