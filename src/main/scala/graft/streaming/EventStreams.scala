@@ -119,6 +119,32 @@ object EventStreams {
       }
   }
 
+  /** Per-user value-milestone alerts via `flatMapGroupsWithState` — the
+    * zero-or-more-outputs custom-state surface (vs [[userTotalsWithState]]'s
+    * exactly-one). Emits one row per 1000-unit cumulative-value threshold a
+    * user crosses in the batch — between crossings a group emits NOTHING,
+    * which `mapGroupsWithState` cannot express. State per user is one
+    * running double: bounded and evictable by timeout in production.
+    */
+  def valueMilestones(events: DataFrame, step: Double = 1000.0): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Double]) =>
+          val before = state.getOption.getOrElse(0.0)
+          val after = before + rows.map(_._2).sum
+          state.update(after)
+          val firstMilestone = math.floor(before / step).toLong + 1
+          val lastMilestone = math.floor(after / step).toLong
+          (firstMilestone to lastMilestone).iterator.map(m => (uid, m))
+      }
+  }
+
   /** Run any of the above to completion over the existing files and
     * return the collected result table (availableNow trigger + memory
     * sink — the batch-parity harness used by the smoke tests).

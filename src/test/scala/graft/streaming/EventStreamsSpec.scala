@@ -70,6 +70,54 @@ class EventStreamsSpec extends SparkSuite {
     assert(s == b) // one availableNow batch -> final state equals batch counts
   }
 
+  test("late data behind the watermark is dropped from window aggregates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(s"2024-01-01 ${"%02d".format(h)}:${"%02d".format(m)}:00")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventStreams.tumblingCounts(
+        input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("t_late").outputMode("append")
+      .start()
+    // batch 1: two events in the 10:00 window + one at 12:00 that will
+    // advance the watermark to 11:50, closing the 10:00 window
+    input.addData((ts(10, 0), "a", 1.0), (ts(10, 30), "a", 1.0), (ts(12, 0), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the already-closed 10:00 window (must be
+    // dropped) plus a far-future flush so everything else closes
+    input.addData((ts(10, 5), "a", 1.0), (ts(23, 0), "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val w10 = spark.table("t_late")
+      .where(col("window_start_ms") === ts(10, 0).getTime)
+      .collect()
+    assert(w10.length == 1 && w10.head.getAs[Long]("n") == 2,
+      s"late event was not dropped: ${w10.mkString(", ")}")
+  }
+
+  test("flatMapGroupsWithState emits one row per crossed value milestone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.valueMilestones(
+        input.toDS().toDF("user_id", "value"), step = 100.0)
+      .toDF("user_id", "milestone")
+      .writeStream.format("memory").queryName("t_milestones")
+      .outputMode("append").start()
+    input.addData((1L, 60.0), (1L, 50.0), (2L, 30.0)) // u1 crosses 100
+    q.processAllAvailable()
+    input.addData((1L, 250.0), (2L, 60.0)) // u1 crosses 200 and 300; u2 nothing
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_milestones").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 1L), (1L, 2L), (1L, 3L)),
+      s"unexpected milestones: $rows")
+  }
+
   test("watermarked dedup stream emits exactly one row per key") {
     val streamed = EventStreams.runToMemory(spark,
       EventStreams.dedupedEvents(EventStreams.readEvents(spark, dir)),
