@@ -196,6 +196,108 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- near-dup cluster assignment (q52) ----
+
+  /** Connected components by min-label propagation (the Pregel-style CC
+    * GraphX uses): every vertex starts labeled with its own id, each round
+    * takes the min of its label and its neighbors' labels, until a round
+    * changes nothing. Rounds needed = graph diameter — for LSH duplicate
+    * clusters that is tiny (near-cliques), so the loop is a handful of
+    * shuffles on (id, label) pairs regardless of corpus size. The only
+    * driver-side action per round is a one-row aggregate for the
+    * convergence check (labels only decrease, so an unchanged label-sum
+    * means a fixpoint); no data is ever collected.
+    *
+    * @param vertices one `doc_id` column (all nodes, incl. singletons)
+    * @param edges    `doc_a`/`doc_b` undirected candidate pairs
+    * @return doc_id, cluster_id (= min doc_id in the component)
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // symmetrize in ONE pass over the (possibly expensive) edge pipeline:
+    // explode to both directions instead of a union of two scans
+    val sym = edges.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    // propagate only over nodes that HAVE edges: the candidate graph is
+    // sparse relative to the corpus (most documents are singletons), so
+    // the per-round shuffles move |connected nodes| rows, not |corpus|;
+    // singletons rejoin as their own cluster at the end
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").cast("long").as("cluster_id"))
+      .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(labels("cluster_id"),
+            coalesce(col("nbr_min"), labels("cluster_id"))).as("cluster_id"))
+        .persist()
+      val cur = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    vertices.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "cc_id"),
+        col("doc_id") === col("cc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id").cast("long")).as("cluster_id"))
+  }
+
+  private val minhashMatchSql =
+    s"len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) >= 9"
+
+  /** q52: duplicate-CLUSTER assignment — the stage after candidate
+    * generation that a dedup pipeline actually keys on: every document
+    * mapped to the min doc_id of its connected component in the
+    * minhash-candidate graph (singletons map to themselves), so "keep one
+    * per cluster" is a groupBy(cluster_id).min. The oracle computes the
+    * same fixpoint as a recursive transitive closure.
+    */
+  private val q52 = GraftQuery(
+    "q52_neardup_clusters",
+    s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, sig AS (
+       |  SELECT doc_id, $oracleSigList AS sig FROM hs
+       |), bands AS (
+       |  ${oracleMinhashBands("")}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+       |   AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE $minhashMatchSql
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs WHERE $minhashMatchSql
+       |), reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)
+       |SELECT d.doc_id, least(d.doc_id, coalesce(rm.m, d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN (SELECT u, min(v) AS m FROM reach GROUP BY u) rm
+       |  ON d.doc_id = rm.u
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val edges = minhashCandidates(minhashSigs(s, d))
+      .where(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) >= 9"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    connectedComponents(Tables.documents(s, d).select("doc_id"), edges)
+      .orderBy("doc_id")
+  }
+
   // ---- simhash (q39) ----
 
   private val SimBits = 64
@@ -528,5 +630,5 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41, q43, q44, q45)
+  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52)
 }

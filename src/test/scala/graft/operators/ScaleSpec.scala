@@ -69,6 +69,17 @@ class ScaleSpec extends SparkSuite {
     assert(pruned.count() == all.count() && pruned.count() > 0)
   }
 
+  test("connectedComponents merges chained pairs transitively") {
+    import spark.implicits._
+    // 2-3-4 is a path (diameter 2): label propagation must iterate, not
+    // just take one neighbor hop; 1 is a singleton; 5-6 a separate pair
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val cc = Similarity.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("SRP bucket count scales with the bits parameter") {
     val e = graft.Tables.embeddings(spark, dir)
     def buckets(bits: Int): Long =
