@@ -30,5 +30,37 @@ object Media {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q38)
+  /** q53: the resize/downsample step of the multimodal pipeline — each
+    * payload average-pooled into 4 equal windows of micro-unit mean code
+    * points via the codegen [[graft.functions.BytePool]] kernel (one pass
+    * per row; the SQL HOF form materializes an L-element list per row and
+    * runs interpreted). A real image resize swaps the kernel body; the
+    * plan — scan → narrow map → fixed-width vector — is the deployed
+    * shape.
+    */
+  private val Pools = 4
+  private val q53 = GraftQuery(
+    "q53_media_resize",
+    s"""SELECT doc_id,
+       |${(0 until Pools).map(w =>
+          s"  CAST(CAST(list_sum(list_transform(list_filter(range(1, length(text)+1), " +
+          s"i -> ((i-1)*$Pools)//length(text) = $w), i -> ascii(text[i]))) AS BIGINT) " +
+          s"* 1000000 // len(list_filter(range(1, length(text)+1), " +
+          s"i -> ((i-1)*$Pools)//length(text) = $w)) AS BIGINT) AS pool_$w")
+          .mkString(",\n")}
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.functions.BytePool.register(s)
+    // pool computed ONCE per row; the 4 extractions reference the shared
+    // alias (multi-referenced non-cheap producer, so CollapseProject keeps
+    // the projections separate — same shape PlanSpec pins for q26/q27)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.BytePool.pool(col("text"), Pools).as("pool"))
+      .select(col("doc_id") +: (0 until Pools).map(w =>
+        element_at(col("pool"), w + 1).as(s"pool_$w")): _*)
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q38, q53)
 }

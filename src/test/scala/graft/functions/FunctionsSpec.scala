@@ -134,6 +134,21 @@ class FunctionsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("byte_pool average-pools code points into equal windows") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // "abcd" into 2 windows: mean(97,98)=97.5, mean(99,100)=99.5
+    assert(BytePoolKernel.pool(UTF8String.fromString("abcd"), 2).toSeq
+      == Seq(97500000L, 99500000L))
+    // shorter than window count: trailing windows empty -> 0
+    assert(BytePoolKernel.pool(UTF8String.fromString("a"), 4).toSeq
+      == Seq(97000000L, 0L, 0L, 0L))
+    assert(BytePoolKernel.pool(UTF8String.fromString(""), 2).toSeq
+      == Seq(0L, 0L))
+    // multi-byte chars pool by code point, same as the SQL char indexing
+    assert(BytePoolKernel.pool(UTF8String.fromString("€€"), 2).toSeq
+      == Seq(8364000000L, 8364000000L))
+  }
+
   test("modified-dietz single-flow closed form") {
     import org.apache.spark.sql.Encoders
     import spark.implicits._
