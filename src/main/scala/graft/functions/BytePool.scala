@@ -78,8 +78,11 @@ object BytePool {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_pool",
-      exprs => BytePool(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "byte_pool(s, n) requires a foldable integer window count")
+        BytePool(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
+      },
       "built-in")
 
   def pool(c: Column, n: Int): Column = {

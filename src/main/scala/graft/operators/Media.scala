@@ -43,10 +43,13 @@ object Media {
     "q53_media_resize",
     s"""SELECT doc_id,
        |${(0 until Pools).map(w =>
-          s"  CAST(CAST(list_sum(list_transform(list_filter(range(1, length(text)+1), " +
+          // coalesce: an empty window (payload shorter than Pools chars)
+          // is NULL in DuckDB (list_sum of [] and x//0) but 0 in the
+          // kernel — pin both to 0
+          s"  coalesce(CAST(CAST(list_sum(list_transform(list_filter(range(1, length(text)+1), " +
           s"i -> ((i-1)*$Pools)//length(text) = $w), i -> ascii(text[i]))) AS BIGINT) " +
           s"* 1000000 // len(list_filter(range(1, length(text)+1), " +
-          s"i -> ((i-1)*$Pools)//length(text) = $w)) AS BIGINT) AS pool_$w")
+          s"i -> ((i-1)*$Pools)//length(text) = $w)) AS BIGINT), 0) AS pool_$w")
           .mkString(",\n")}
        |FROM documents
        |ORDER BY doc_id""".stripMargin) { (s, d) =>

@@ -85,6 +85,14 @@ object Similarity {
   private val P = 1000000007L
   private val NumHashes = 12
   private val NumBands = 4 // of 3 rows each
+  /** Signature-agreement floor for a candidate pair to count as a near-dup
+    * (9/12 ≈ 0.75 estimated Jaccard) — single source for q31's filter,
+    * q52's edge set, and both oracles.
+    */
+  private val MatchThreshold = 9
+  /** Spark-side predicate over the joined (sa, sb) signature pair. */
+  private val sigMatchPredicate =
+    s"size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) >= $MatchThreshold"
   private val A: Seq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2654435761L) % P)
   private val B: Seq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2246822519L) % P)
 
@@ -184,12 +192,12 @@ object Similarity {
        |  CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS BIGINT) AS n_match,
        |  round(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) / $NumHashes.0, 6) AS est_jaccard
        |FROM pairs
-       |WHERE len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) >= 9
+       |WHERE len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) >= $MatchThreshold
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     minhashCandidates(minhashSigs(s, d))
       .withColumn("n_match",
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long"))
-      .where(col("n_match") >= 9)
+      .where(col("n_match") >= MatchThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         round(col("n_match") / NumHashes.toDouble, 6).as("est_jaccard"))
       .distinct()
@@ -228,11 +236,14 @@ object Similarity {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").cast("long").as("cluster_id"))
       .persist()
+    // sum(…) over an empty frame is null: an edge-free graph is already
+    // converged (every vertex is a singleton), so normalize null → 0
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prev = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
@@ -250,15 +261,20 @@ object Similarity {
     }
     sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // truncate the iterative lineage and release the loop's cache: the
+    // checkpoint blocks are reclaimed by the context cleaner once the
+    // result is unreferenced, unlike a persist nothing ever unpersists
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
     vertices.select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "cc_id"),
+      .join(finalLabels.withColumnRenamed("doc_id", "cc_id"),
         col("doc_id") === col("cc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id").cast("long")).as("cluster_id"))
   }
 
   private val minhashMatchSql =
-    s"len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) >= 9"
+    s"len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) >= $MatchThreshold"
 
   /** q52: duplicate-CLUSTER assignment — the stage after candidate
     * generation that a dedup pipeline actually keys on: every document
@@ -292,7 +308,7 @@ object Similarity {
        |  ON d.doc_id = rm.u
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val edges = minhashCandidates(minhashSigs(s, d))
-      .where(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) >= 9"))
+      .where(expr(sigMatchPredicate))
       .select(col("doc_a"), col("doc_b")).distinct()
     connectedComponents(Tables.documents(s, d).select("doc_id"), edges)
       .orderBy("doc_id")

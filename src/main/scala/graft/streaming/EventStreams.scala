@@ -131,17 +131,20 @@ object EventStreams {
     import spark.implicits._
     events.select(col("user_id"), col("value")).as[(Long, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Double, (Long, Long)](
+      // state = (running total, highest milestone already emitted): the
+      // high-water mark makes emission exactly-once per (user, milestone)
+      // even if a negative correction drops the total below a previously
+      // crossed threshold and a later batch re-crosses it
+      .flatMapGroupsWithState[(Double, Long), (Long, Long)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Double)],
-         state: org.apache.spark.sql.streaming.GroupState[Double]) =>
-          val before = state.getOption.getOrElse(0.0)
+         state: org.apache.spark.sql.streaming.GroupState[(Double, Long)]) =>
+          val (before, emitted) = state.getOption.getOrElse((0.0, 0L))
           val after = before + rows.map(_._2).sum
-          state.update(after)
-          val firstMilestone = math.floor(before / step).toLong + 1
-          val lastMilestone = math.floor(after / step).toLong
-          (firstMilestone to lastMilestone).iterator.map(m => (uid, m))
+          val lastMilestone = math.max(math.floor(after / step).toLong, emitted)
+          state.update((after, lastMilestone))
+          ((emitted + 1) to lastMilestone).iterator.map(m => (uid, m))
       }
   }
 

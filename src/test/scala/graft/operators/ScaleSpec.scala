@@ -78,6 +78,11 @@ class ScaleSpec extends SparkSuite {
     val cc = Similarity.connectedComponents(vertices, edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L, 6L -> 5L))
+    // edge-free graph: every vertex is its own singleton cluster
+    val lonely = Similarity.connectedComponents(vertices,
+      edges.where(lit(false))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lonely == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
   }
 
   test("SRP bucket count scales with the bits parameter") {

@@ -111,10 +111,16 @@ class EventStreamsSpec extends SparkSuite {
     q.processAllAvailable()
     input.addData((1L, 250.0), (2L, 60.0)) // u1 crosses 200 and 300; u2 nothing
     q.processAllAvailable()
+    // correction dips u1 below 300, next batch re-crosses it: the
+    // high-water mark must suppress a duplicate milestone-3 emission
+    input.addData((1L, -50.0))
+    q.processAllAvailable()
+    input.addData((1L, 60.0))
+    q.processAllAvailable()
     q.stop()
     val rows = spark.table("t_milestones").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(rows == Set((1L, 1L), (1L, 2L), (1L, 3L)),
+      .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    assert(rows == List((1L, 1L), (1L, 2L), (1L, 3L)),
       s"unexpected milestones: $rows")
   }
 
