@@ -153,16 +153,35 @@ object Similarity {
     * joined back AFTER candidate generation, never shipped through the
     * 4× band explode).
     */
-  private def minhashCandidates(sigs: DataFrame): DataFrame = {
+  /** @param maxBucketWidth hot-bucket guard for the 100 TB path: a band
+    *   bucket with more than this many members expands to O(width²) pairs
+    *   — and a pathologically hot bucket is by construction one giant
+    *   duplicate cluster, which the cluster-assignment path (q52) handles
+    *   in O(width) via label propagation. With a cap, over-wide buckets
+    *   are excluded from pair expansion (NOT silently: the width column
+    *   is computed per bucket, so callers can report what was routed
+    *   around). None (the registered-query setting) expands everything.
+    */
+  private[operators] def minhashCandidates(sigs: DataFrame,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     val fenced = sigs.repartition(col("doc_id"))
     val bandStructs = (0 until NumBands).map(j =>
       struct(lit(j).as("band"), expr(s"sig[${3 * j}]").as("h1"),
         expr(s"sig[${3 * j + 1}]").as("h2"), expr(s"sig[${3 * j + 2}]").as("h3")))
-    val bands = fenced
+    val allBands = fenced
       .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.h1").as("h1"),
         col("b.h2").as("h2"), col("b.h3").as("h3"))
+    val bands = maxBucketWidth match {
+      case None => allBands
+      case Some(cap) =>
+        val widths = allBands.groupBy("band", "h1", "h2", "h3")
+          .agg(count(lit(1)).as("__bucket_width"))
+        allBands.join(widths, Seq("band", "h1", "h2", "h3"))
+          .where(col("__bucket_width") <= cap)
+          .drop("__bucket_width")
+    }
     val l = bands.select(col("doc_id").as("doc_a"), col("sig").as("sa"),
       col("band"), col("h1"), col("h2"), col("h3"))
     val r = bands.select(col("doc_id").as("doc_b"), col("sig").as("sb"),

@@ -85,6 +85,24 @@ class ScaleSpec extends SparkSuite {
     assert(lonely == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("minhash bucket cap routes hot buckets out of pair expansion") {
+    import spark.implicits._
+    // 6 docs share one signature (a duplicate mega-cluster: every band
+    // bucket has width 6), 2 docs share another (width 2)
+    val hotSig = (1L to 12L).toArray
+    val coldSig = (101L to 112L).toArray
+    val sigs = ((1L to 6L).map(id => (id, hotSig)) ++
+      Seq((7L, coldSig), (8L, coldSig))).toDF("doc_id", "sig")
+    val uncapped = Similarity.minhashCandidates(sigs)
+      .select("doc_a", "doc_b").distinct()
+    assert(uncapped.count() == 15 + 1) // C(6,2) hot pairs + 1 cold pair
+    val capped = Similarity.minhashCandidates(sigs, maxBucketWidth = Some(4))
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((7L, 8L)), // hot bucket excluded, cold kept
+      s"cap did not route the hot bucket out: $capped")
+  }
+
   test("SRP bucket count scales with the bits parameter") {
     val e = graft.Tables.embeddings(spark, dir)
     def buckets(bits: Int): Long =
