@@ -406,7 +406,39 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q54: quantiles — exact interpolated percentiles (both engines use
+    * linear interpolation between order statistics, identical double
+    * arithmetic; emitted as floor-micro ints per the ratio rule) plus the
+    * sketch CONTRACT: `approx_percentile` (Greenwald-Khanna, bounded
+    * memory) must land within 1% of exact. Same shape as q46: at 100 TB
+    * the exact form's per-group value buffer is the memory hazard and the
+    * sketch is the path that survives; the oracle pins exactness of the
+    * baseline and the accuracy bound of the sketch.
+    */
+  private val q54 = GraftQuery(
+    "q54_quantiles",
+    """SELECT l_returnflag,
+      |  CAST(floor(quantile_cont(l_extendedprice, 0.5) * 1000000) AS BIGINT) AS p50_micro,
+      |  CAST(floor(quantile_cont(l_extendedprice, 0.95) * 1000000) AS BIGINT) AS p95_micro,
+      |  TRUE AS approx_within_1pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+      .select(col("l_returnflag"),
+        floor(col("p50") * 1000000).cast("long").as("p50_micro"),
+        floor(col("p95") * 1000000).cast("long").as("p95_micro"),
+        (abs(col("ap50") - col("p50")) / col("p50") < 0.01 &&
+          abs(col("ap95") - col("p95")) / col("p95") < 0.01)
+          .as("approx_within_1pct"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q15, q42, q46)
+      q15, q42, q46, q54)
 }
