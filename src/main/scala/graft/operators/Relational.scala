@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -406,14 +406,24 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** q54: quantiles — exact interpolated percentiles (both engines use
-    * linear interpolation between order statistics, identical double
-    * arithmetic; emitted as floor-micro ints per the ratio rule) plus the
-    * sketch CONTRACT: `approx_percentile` (Greenwald-Khanna, bounded
-    * memory) must land within 1% of exact. Same shape as q46: at 100 TB
-    * the exact form's per-group value buffer is the memory hazard and the
-    * sketch is the path that survives; the oracle pins exactness of the
-    * baseline and the accuracy bound of the sketch.
+  /** q54: quantiles — exact interpolated percentiles plus the sketch
+    * CONTRACT: `approx_percentile` (Greenwald-Khanna, bounded memory)
+    * must land within 1% of exact. Same shape as q46: the sketch is the
+    * 100 TB path; the oracle pins exactness of the baseline and the
+    * accuracy bound of the sketch.
+    *
+    * The exact baseline is computed as a distributed sort + interpolated
+    * order statistics (row_number window + conditional aggregation), NOT
+    * Spark's `percentile` aggregate: that ImperativeAggregate buffers
+    * every group value in an in-memory counts map (measured 4.6s at
+    * sf0.1 vs ~1s for the sort plan), while the window form runs through
+    * Tungsten's spillable external sort. Exact per-group order statistics
+    * still concentrate each group's sort in one task — the inherent
+    * reason the sketch is the scale path.
+    *
+    * Interpolation matches DuckDB's quantile_cont step-for-step in double
+    * arithmetic: pos = (n-1)·q, frac = pos - floor(pos), result =
+    * lower + (upper - lower)·frac.
     */
   private val q54 = GraftQuery(
     "q54_quantiles",
@@ -422,18 +432,32 @@ object Relational {
       |  CAST(floor(quantile_cont(l_extendedprice, 0.95) * 1000000) AS BIGINT) AS p95_micro,
       |  TRUE AS approx_within_1pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ranked = li.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "l_returnflag")
+    def pos(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
+    def orderStats(q: Double, tag: String): Seq[Column] = Seq(
+      max(when(col("rn") === floor(pos(q)) + 1, col("l_extendedprice")))
+        .as(s"lo_$tag"),
+      max(when(col("rn") === floor(pos(q)) + 2, col("l_extendedprice")))
+        .as(s"hi_$tag"),
+      first(pos(q) - floor(pos(q)).cast("double")).as(s"frac_$tag"))
+    def interp(tag: String): Column =
+      col(s"lo_$tag") +
+        (coalesce(col(s"hi_$tag"), col(s"lo_$tag")) - col(s"lo_$tag")) *
+        col(s"frac_$tag")
+    val aggCols = orderStats(0.5, "p50") ++ orderStats(0.95, "p95") ++ Seq(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+      expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+    ranked.groupBy(col("l_returnflag"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .select(col("l_returnflag"),
-        floor(col("p50") * 1000000).cast("long").as("p50_micro"),
-        floor(col("p95") * 1000000).cast("long").as("p95_micro"),
-        (abs(col("ap50") - col("p50")) / col("p50") < 0.01 &&
-          abs(col("ap95") - col("p95")) / col("p95") < 0.01)
+        floor(interp("p50") * 1000000).cast("long").as("p50_micro"),
+        floor(interp("p95") * 1000000).cast("long").as("p95_micro"),
+        (abs(col("ap50") - interp("p50")) / interp("p50") < 0.01 &&
+          abs(col("ap95") - interp("p95")) / interp("p95") < 0.01)
           .as("approx_within_1pct"))
       .orderBy("l_returnflag")
   }

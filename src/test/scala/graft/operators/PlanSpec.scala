@@ -56,18 +56,23 @@ class PlanSpec extends SparkSuite {
       s"no partial aggregation:\n$p")
   }
 
-  test("q26/q27 tokenize once — the split is not re-inlined per consumer") {
-    // the stopword filters share one `toks` projection; CollapseProject
-    // must not substitute 4 copies of split(lower(text)) back in
+  test("shared expensive projections are not re-inlined per consumer") {
+    // q26/q27's stopword filters share one `toks` split; q53's four
+    // window extractions share one byte_pool array — CollapseProject must
+    // not substitute per-reference copies back in
+    def countExpr(q: String, pred: PartialFunction[
+        org.apache.spark.sql.catalyst.expressions.Expression, Unit]): Int =
+      graft.SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+        .collect { case node =>
+          node.expressions.map(_.collect(pred).size).sum
+        }.sum
     for (q <- Seq("q26_lang_id", "q27_quality_score")) {
-      val optimized = graft.SparkEntry.queries(q)(spark, dir)
-        .queryExecution.optimizedPlan
-      val nSplits = optimized.collect { case node =>
-        node.expressions.map(_.collect {
-          case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
-        }.size).sum
-      }.sum
-      assert(nSplits == 1, s"$q evaluates split() $nSplits times per row")
+      val n = countExpr(q,
+        { case _: org.apache.spark.sql.catalyst.expressions.StringSplit => () })
+      assert(n == 1, s"$q evaluates split() $n times per row")
     }
+    val nPool = countExpr("q53_media_resize",
+      { case _: graft.functions.BytePool => () })
+    assert(nPool == 1, s"q53 evaluates byte_pool $nPool times per row")
   }
 }
