@@ -119,6 +119,32 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * clicks within `maxGap` after it (click attribution). The watermark is
+    * applied BEFORE the type split so both join branches share the source
+    * watermark, and the two-sided time bound lets Spark evict join state
+    * once the watermark passes — bounded state on an infinite stream.
+    * Inner-join matches emit in the batch both rows arrive in; the
+    * watermark only governs eviction.
+    */
+  def attributedClicks(events: DataFrame, maxGap: String = "6 hours",
+      watermark: String = "10 minutes"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    val views = wm.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val clicks = wm.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        unix_millis(col("v_ts")).as("view_ts_ms"),
+        unix_millis(col("c_ts")).as("click_ts_ms"))
+  }
+
   /** Per-user value-milestone alerts via `flatMapGroupsWithState` — the
     * zero-or-more-outputs custom-state surface (vs [[userTotalsWithState]]'s
     * exactly-one). Emits one row per 1000-unit cumulative-value threshold a

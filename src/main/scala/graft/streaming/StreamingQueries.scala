@@ -159,5 +159,24 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q47, q48, q49)
+  /** q55: stream-stream interval join (click attribution) ≡ the batch
+    * interval join. Inner matches emit in the arrival batch, so no flush
+    * sentinel is needed — the watermark + two-sided time bound exist to
+    * keep join state evictable on an unbounded stream.
+    */
+  private val q55 = GraftQuery(
+    "q55_stream_interval_join",
+    """SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  epoch_ms(v.ts) AS view_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+      |FROM events v JOIN events c ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOURS
+      |ORDER BY user_id, view_id, click_id""".stripMargin) { (s, d) =>
+    val streamed = EventStreams.runToMemory(s,
+      EventStreams.attributedClicks(EventStreams.readEvents(s, d)),
+      s"stream_gate_${memorySinkId.incrementAndGet()}")
+    streamed.orderBy("user_id", "view_id", "click_id")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55)
 }
