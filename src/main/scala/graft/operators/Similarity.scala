@@ -15,7 +15,8 @@ import graft.functions.VectorFunctions
   *
   * Scale design (100 TB):
   *  - q30/q41 are the IVF pattern: an equi-join on a coarse partition id
-  *    (`label` stands in for a k-means cell id) restricts the candidate set,
+  *    restricts the candidate set (q56 trains the actual k-means cells;
+  *    `label` remains q30/q41's pre-assigned stand-in for oracle stability),
   *    exact cosine ranks within the cell. Never an all-pairs cross join.
   *    Cell skew at scale → re-cluster or split hot cells.
   *  - q31/q39/q40 are banding LSH: signatures are a narrow one-pass map
@@ -331,6 +332,105 @@ object Similarity {
       .select(col("doc_a"), col("doc_b")).distinct()
     connectedComponents(Tables.documents(s, d).select("doc_id"), edges)
       .orderBy("doc_id")
+  }
+
+  // ---- IVF k-means training (q56) ----
+
+  private val KmK = 4
+  private val KmDim = 64
+
+  /** Squared L2 between a float embedding and a double centroid, summed
+    * left-to-right in dimension order (bit-identical to the oracle's
+    * list_reduce; adding to the 0.0 seed is exact).
+    */
+  private val kmDistSql =
+    "aggregate(zip_with(embedding, cen, (x, y) -> " +
+      "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
+
+  /** Nearest-centroid assignment; ties break to the lowest cell id.
+    * Distances are bit-identical across engines (shared arithmetic over
+    * bit-identical centroids), so assignments match exactly.
+    */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("d", expr(kmDistSql))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Centroid recompute with ORDER-PINNED sums: each (cell, dim) collects
+    * its member values sorted by vec_id and folds them left-to-right, so
+    * the mean is bit-identical to the oracle's `list(v ORDER BY vec_id)`
+    * fold — no dependence on shuffle order, hence no float divergence and
+    * no assignment flips at cell boundaries.
+    */
+  private def kmRecompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), col("vec_id"), posexplode(col("embedding")).as(Seq("j", "v")))
+      .groupBy(col("cell"), col("j"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vals"))
+      .select(col("cell"), col("j"),
+        (expr("aggregate(vals, 0D, (acc, s) -> acc + CAST(s.v AS DOUBLE))")
+          / size(col("vals"))).as("mean_j"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("j"), col("mean_j")))).as("ms"))
+      .select(col("cell"), expr("transform(ms, s -> s.mean_j)").as("cen"))
+
+  private def kmOracleDist(emb: String, cen: String): String =
+    s"list_reduce(list_transform(range(1, $KmDim+1), j -> " +
+      s"(CAST($emb[j] AS DOUBLE) - $cen[j]) * (CAST($emb[j] AS DOUBLE) - $cen[j])), (x,y) -> x+y)"
+
+  private def kmOracleAssign(cents: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN $cents c) t
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  private def kmOracleRecompute(asg: String, out: String): String =
+    s"""${out}_dims AS (
+       |  SELECT cell, j,
+       |    list_reduce(list(CAST(embedding[j] AS DOUBLE) ORDER BY vec_id), (x,y) -> x+y)
+       |      / count(*) AS mean_j
+       |  FROM $asg CROSS JOIN range(1, $KmDim+1) t(j)
+       |  GROUP BY cell, j
+       |), $out AS (
+       |  SELECT cell, list(mean_j ORDER BY j) AS cen FROM ${out}_dims GROUP BY cell
+       |)""".stripMargin
+
+  /** q56: TRAIN the IVF index — 2 deterministic Lloyd iterations of
+    * k-means (k=4) seeded with the first k vectors, emitting every
+    * vector's trained cell. This replaces q30/q41's "label stands in for
+    * a cell id" with the actual coarse quantizer: assignment is a
+    * broadcast-k cross join (linear scan, the at-scale path), recompute
+    * is a (cell, dim) aggregation. Production trains on a sample and
+    * assigns the full corpus; the fixed 2-iteration count keeps the whole
+    * computation one deterministic lazy plan — no driver convergence
+    * loop, no nondeterministic init.
+    */
+  private val q56 = GraftQuery(
+    "q56_ivf_kmeans",
+    s"""WITH c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
+       |  FROM embeddings WHERE vec_id < $KmK
+       |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
+       |${kmOracleAssign("c1", "a2")}
+       |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val c0 = e.where(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
+    val a1 = kmAssign(e, c0)
+    val c1 = kmRecompute(a1)
+    kmAssign(e, c1)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
   }
 
   // ---- simhash (q39) ----
@@ -665,5 +765,5 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52)
+  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56)
 }
