@@ -88,19 +88,89 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between an ArrayType(FloatType) vector and an
+  * ArrayType(DoubleType) centroid, accumulated left-to-right in dimension
+  * order — bit-identical to the oracle's list_reduce fold, codegen'd like
+  * [[CosineSimilarity]] (the k-means assignment path evaluates this N·k
+  * times per Lloyd iteration; a HOF form would run interpreted).
+  */
+case class L2DistanceSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"l2_dist_sq requires (array<float>, array<double>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val dxy = a.getFloat(i).toDouble - b.getDouble(i)
+      acc += dxy * dxy; i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val dxy = ctx.freshName("dxy")
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $dxy = (double) $a.getFloat($i) - $b.getDouble($i);
+         |    $acc += $dxy * $dxy;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Register `cosine_sim(a, b)` for SQL/expr use on a session. Idempotent;
     * queries that need the expression call this first, then refer to it via
     * `expr("cosine_sim(...)")` (Spark 4's Column API no longer exposes a
     * public Expression→Column constructor).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_dist_sq", exprs => L2DistanceSq(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column-API form, valid on any session where [[register]] has run. */
   def cosineSim(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.{call_function}
     call_function("cosine_sim", a, b)
+  }
+
+  /** Squared L2 (float vector vs double centroid), post-[[register]]. */
+  def l2DistSq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("l2_dist_sq", a, b)
   }
 }

@@ -433,10 +433,11 @@ object Relational {
       |  TRUE AS approx_within_1pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
-    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    // n via a second window over the SAME partitioning — reuses the
+    // ranking window's shuffle instead of scanning lineitem again
     val ranked = li.withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), "l_returnflag")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
     def pos(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
     def orderStats(q: Double, tag: String): Seq[Column] = Seq(
       max(when(col("rn") === floor(pos(q)) + 1, col("l_extendedprice")))

@@ -339,26 +339,23 @@ object Similarity {
   private val KmK = 4
   private val KmDim = 64
 
-  /** Squared L2 between a float embedding and a double centroid, summed
-    * left-to-right in dimension order (bit-identical to the oracle's
-    * list_reduce; adding to the 0.0 seed is exact).
-    */
-  private val kmDistSql =
-    "aggregate(zip_with(embedding, cen, (x, y) -> " +
-      "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
-
   /** Nearest-centroid assignment; ties break to the lowest cell id.
-    * Distances are bit-identical across engines (shared arithmetic over
-    * bit-identical centroids), so assignments match exactly.
+    * Distances come from the codegen [[graft.functions.L2DistanceSq]]
+    * kernel (left-to-right accumulation, bit-identical to the oracle's
+    * list_reduce over bit-identical centroids), and the argmin is a
+    * `min_by` hash aggregate — partial aggregation reduces the k
+    * candidate rows per vector map-side, so the exchange carries ~one row
+    * per vector instead of shuffling the k-times-amplified cross join the
+    * way a row_number window would.
     */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
-      .withColumn("d", expr(kmDistSql))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-  }
+      .withColumn("d", VectorFunctions.l2DistSq(col("embedding"), col("cen")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("embedding"), col("cell")),
+        struct(col("d"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cell").as("cell"))
 
   /** Centroid recompute with ORDER-PINNED sums: each (cell, dim) collects
     * its member values sorted by vec_id and folds them left-to-right, so
@@ -422,6 +419,7 @@ object Similarity {
        |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
        |${kmOracleAssign("c1", "a2")}
        |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val c0 = e.where(col("vec_id") < KmK)
       .select(col("vec_id").cast("int").as("cell"),

@@ -172,8 +172,14 @@ object StreamingQueries {
       | AND v.event_type = 'view' AND c.event_type = 'click'
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOURS
       |ORDER BY user_id, view_id, click_id""".stripMargin) { (s, d) =>
+    // gate runs with a watermark covering the dataset's span: join state
+    // is then never evicted mid-replay, so equality with the batch oracle
+    // holds even if the file source splits the replay into multiple
+    // micro-batches (with the production 10-minute delay, a view's state
+    // could be dropped between batches before a later in-window click).
     val streamed = EventStreams.runToMemory(s,
-      EventStreams.attributedClicks(EventStreams.readEvents(s, d)),
+      EventStreams.attributedClicks(EventStreams.readEvents(s, d),
+        watermark = "30 days"),
       s"stream_gate_${memorySinkId.incrementAndGet()}")
     streamed.orderBy("user_id", "view_id", "click_id")
   }
