@@ -56,6 +56,24 @@ class PlanSpec extends SparkSuite {
       s"no partial aggregation:\n$p")
   }
 
+  test("q54 derives both percentile paths from one lineitem scan and one hash shuffle") {
+    val p = plan("q54_quantiles")
+    val tree = p.split("\n\n").head
+    val scans = tree.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"q54 scans lineitem $scans times:\n$tree")
+    // ranking window, count window, and the group-by all reuse ONE
+    // hashpartitioning(l_returnflag) exchange; the only other shuffle is
+    // the final orderBy's range partitioning
+    val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
+    assert(exchanges <= 2, s"q54 shuffles $exchanges times:\n$tree")
+  }
+
+  test("q56 assigns centroids via aggregation, not a per-vector ranking window") {
+    val p = plan("q56_ivf_kmeans")
+    val tree = p.split("\n\n").head
+    assert(!tree.contains("Window"), s"q56 argmin fell back to a window:\n$tree")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
