@@ -82,4 +82,16 @@ object PolyHash {
     import org.apache.spark.sql.functions.call_function
     call_function("poly_hash", c)
   }
+
+  /** DuckDB twin of the kernel, for oracle SQL: the same left-to-right
+    * `(acc * 31 + byte) % 1e9+7` fold the codegen expression computes.
+    * Shared by every oracle that fingerprints text (q29, q57) so the
+    * constant can never drift between the plan and the oracle.
+    */
+  def oracleSql(textExpr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length($textExpr) + 1),
+       |                     i -> CAST(ascii($textExpr[i]) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.PolyHash
+
+/** Training-data pipeline COMPOSITION operators — the end-to-end shapes a
+  * corpus-preparation job runs at 100 TB, built from the primitives the
+  * other modules prove in isolation (quality stats from TextAnalysis,
+  * fingerprint dedup from Similarity, deterministic hashing shared with
+  * the oracle). No reference analog (openalloc/FINporter stops at per-row
+  * transforms); these are the Table-B "beyond the reference" surface.
+  *
+  * Scale design notes, per query:
+  *   - q57: filter is evaluated in the scan stage (pushed predicate on a
+  *     derived column is still a narrow pre-shuffle filter), then exactly
+  *     two shuffles — one on the 8-byte fingerprint (payload is a 4-field
+  *     struct, never the text), one partial+final agg on (lang, source).
+  *   - q58: sampling/split is a pure per-row hash — zero shuffles except
+  *     the final presentation sort. At 100 TB this is a map-only job.
+  *   - q59: packing is per-shard sequential, so parallelism = shard
+  *     count (pick shards ≈ executor cores at scale); waste is bounded
+  *     by one partial chunk per shard. The window shuffle partitions by
+  *     shard, never a global sort.
+  */
+object Pipeline {
+
+  /** LCG step shared (as literal arithmetic) with the DuckDB oracle —
+    * deterministic, engine-agnostic bucketing. Both engines compute the
+    * same BIGINT value for non-negative ids well below 2^33 (the fixture
+    * ids are dense small ints; a production deployment over 64-bit ids
+    * would swap in a full-width mix like splitmix64 behind the same
+    * bucketing contract).
+    */
+  private def lcg(id: Column, mulA: Long, addC: Long): Column =
+    pmod(id * mulA + addC, lit(2147483648L))
+  private def lcgSql(idExpr: String, mulA: Long, addC: Long): String =
+    s"(($idExpr * $mulA + $addC) % 2147483648)"
+
+  private val SampleA = 1103515245L
+  private val SampleC = 12345L
+  private val SplitA = 22695477L
+  private val SplitC = 1L
+  private val MinTokens = 24
+  private val ChunkTokens = 512
+  private val PackShards = 8
+
+  /** q57: the canonical corpus-cleaning pipeline as ONE distributed plan —
+    * token-count quality gate → exact dedup on the text fingerprint
+    * (keeper = lowest doc_id) → per-(lang, source) corpus stats with a
+    * dropped-duplicate audit column. The fingerprint shuffle carries a
+    * 4-field struct per row, not the text; the stats shuffle is
+    * partial+final on a 100-value key space.
+    */
+  private val q57 = GraftQuery(
+    "q57_corpus_pipeline",
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang, source,
+      |    len(string_split_regex(text, '\\s+')) AS ws_tokens,
+      |    ${PolyHash.oracleSql("text")} AS fingerprint
+      |  FROM documents),
+      |kept AS (SELECT * FROM scored WHERE ws_tokens >= $MinTokens),
+      |groups AS (
+      |  SELECT fingerprint,
+      |    arg_min(lang, doc_id) AS lang,
+      |    arg_min(source, doc_id) AS source,
+      |    arg_min(ws_tokens, doc_id) AS ws_tokens,
+      |    count(*) AS members
+      |  FROM kept GROUP BY 1)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(members - 1) AS BIGINT) AS dropped_dupes
+      |FROM groups GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        PolyHash.hash(col("text")).as("fingerprint"))
+    val kept = scored.where(col("ws_tokens") >= MinTokens)
+    val groups = kept.groupBy("fingerprint").agg(
+      min_by(struct(col("doc_id"), col("lang"), col("source"),
+        col("ws_tokens")), col("doc_id")).as("keep"),
+      count(lit(1)).as("members"))
+    groups
+      .groupBy(col("keep.lang").as("lang"), col("keep.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep.ws_tokens")).as("total_tokens"),
+        sum(col("members") - 1).as("dropped_dupes"))
+      .orderBy("lang", "source")
+  }
+
+  /** q58: deterministic stratified sampling + train/val/test split. Two
+    * independent LCG hashes of doc_id drive (a) a per-language sampling
+    * rate in per-mille (downsample the over-represented language, keep
+    * more of the rest) and (b) the 80/10/10 split. Pure map-side row
+    * logic — reproducible across engines, runs, and cluster sizes, which
+    * is the property a training-data split actually needs (a rand()
+    * sample is none of those).
+    */
+  private val q58 = GraftQuery(
+    "q58_stratified_split",
+    s"""SELECT doc_id, lang,
+      |  CASE WHEN ${lcgSql("doc_id", SplitA, SplitC)} % 100 < 80 THEN 'train'
+      |       WHEN ${lcgSql("doc_id", SplitA, SplitC)} % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |WHERE ${lcgSql("doc_id", SampleA, SampleC)} % 1000 <
+      |  CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 400 ELSE 600 END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sampleBucket = lcg(col("doc_id"), SampleA, SampleC) % 1000
+    val splitBucket = lcg(col("doc_id"), SplitA, SplitC) % 100
+    val rate = when(col("lang") === "en", 200)
+      .when(col("lang") === "zh", 400).otherwise(600)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(splitBucket < 80, "train").when(splitBucket < 90, "val")
+          .otherwise("test").as("split"))
+      .where(sampleBucket < rate)
+      .orderBy("doc_id")
+  }
+
+  /** q59: token-budget sequence packing, concatenate-and-chunk style:
+    * documents are hash-sharded, each shard lays its docs end-to-end in
+    * doc_id order, and every [[ChunkTokens]]-token span becomes one
+    * training sequence (docs may straddle a boundary — the standard
+    * LM-pretraining packing). Emits each doc's chunk id and offset. The
+    * running sum is per-shard, so the sort is shard-local and the whole
+    * job scales with shard count, not corpus size.
+    */
+  private val q59 = GraftQuery(
+    "q59_sequence_packing",
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    ${lcgSql("doc_id", SampleA, SampleC)} % $PackShards AS shard,
+      |    len(string_split_regex(text, '\\s+')) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM toks)
+      |SELECT doc_id, shard, n_tokens,
+      |  cum_before // $ChunkTokens AS chunk_id,
+      |  cum_before % $ChunkTokens AS chunk_offset
+      |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lcg(col("doc_id"), SampleA, SampleC) % PackShards).as("shard"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $ChunkTokens").as("chunk_id"),
+        (col("cum_before") % ChunkTokens).as("chunk_offset"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q57, q58, q59)
+}

@@ -129,12 +129,8 @@ object TextAnalysis {
     */
   private val q29 = GraftQuery(
     "q29_fingerprint",
-    """SELECT doc_id,
-      |  list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(range(1, length(text) + 1),
-      |                     i -> CAST(ascii(text[i]) AS BIGINT))),
-      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    s"""SELECT doc_id,
+      |  ${graft.functions.PolyHash.oracleSql("text")} AS fingerprint
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     // Codegen'd kernel (graft.functions.PolyHash) — same value as the SQL

@@ -74,6 +74,21 @@ class PlanSpec extends SparkSuite {
     assert(!tree.contains("Window"), s"q56 argmin fell back to a window:\n$tree")
   }
 
+  test("q58 sampling and split are map-only row logic") {
+    val tree = plan("q58_stratified_split").split("\n\n").head
+    // the only shuffle is the presentation sort's range partitioning
+    val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
+    assert(exchanges == 1, s"q58 shuffles $exchanges times:\n$tree")
+  }
+
+  test("q57 pipeline runs in exactly two hash shuffles plus the final sort") {
+    val tree = plan("q57_corpus_pipeline").split("\n\n").head
+    val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
+    assert(exchanges <= 3, s"q57 shuffles $exchanges times:\n$tree")
+    assert(tree.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"q57 scans documents more than once:\n$tree")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
