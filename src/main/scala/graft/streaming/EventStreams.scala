@@ -145,6 +145,31 @@ object EventStreams {
         unix_millis(col("c_ts")).as("click_ts_ms"))
   }
 
+  /** Stream-static enrichment join: purchase events joined to the static
+    * customer dimension (broadcast — it is a dim-table lookup, not stream
+    * state), then watermark-bounded tumbling revenue per market segment.
+    * The stream-static join is STATELESS per micro-batch: only the
+    * downstream aggregation holds state, and the watermark bounds it, so
+    * the operator runs indefinitely at scale while the dimension rides
+    * along as a broadcast that AQE would re-plan to shuffle if it grew.
+    *
+    * The event-type filter keeps `keepTypes` (not just purchases) so a
+    * flush-sentinel row ('__flush') can reach the watermark operator and
+    * close the final windows; non-purchase rows die at the inner join
+    * (sentinel user_id = -1 matches no customer) before touching state.
+    */
+  def segmentRevenue(events: DataFrame, customers: DataFrame,
+      watermark: String = "10 minutes",
+      keepTypes: Seq[String] = Seq("purchase", "__flush")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .where(col("event_type").isin(keepTypes: _*))
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") + 1 === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("c_mktsegment").as("mktsegment"), col("n"), col("sum_value"))
+
   /** Per-user value-milestone alerts via `flatMapGroupsWithState` — the
     * zero-or-more-outputs custom-state surface (vs [[userTotalsWithState]]'s
     * exactly-one). Emits one row per 1000-unit cumulative-value threshold a

@@ -184,5 +184,24 @@ object StreamingQueries {
     streamed.orderBy("user_id", "view_id", "click_id")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55)
+  /** q60: stream-static broadcast enrichment ≡ the batch join+agg. The
+    * static side is the customer dimension (the fixture embeds the
+    * user→customer key as user_id + 1 = c_custkey); the flush sentinel
+    * closes the final tumbling windows as in q47.
+    */
+  private val q60 = GraftQuery(
+    "q60_stream_static_enrich",
+    """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, e.ts)) AS window_start_ms,
+      |  c.c_mktsegment AS mktsegment, count(*) AS n,
+      |  round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+      |WHERE e.event_type = 'purchase'
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, mktsegment""".stripMargin) { (s, d) =>
+    runGated(s, d)(
+      EventStreams.segmentRevenue(_, graft.Tables.customer(s, d)))
+      .orderBy("window_start_ms", "mktsegment")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55, q60)
 }
