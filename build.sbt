@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 60 queries' generated codegen classes overflow the default 240 MB
+  // code cache; once it fills, the JIT stops compiling and hot loops run
+  // interpreted — measured: the full bench suite drops 82s → 56s with
+  // this alone (q56's in-suite 14.7s → 1.3s). Any long-lived production
+  // Spark driver sizes this the same way.
+  "-XX:ReservedCodeCacheSize=1g",
 )
