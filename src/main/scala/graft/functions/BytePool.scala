@@ -74,16 +74,17 @@ case class BytePool(child: Expression, windows: Int) extends UnaryExpression {
 }
 
 object BytePool {
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "byte_pool(s, n) requires a foldable integer window count")
+      BytePool(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
+    }
+
   /** Register `byte_pool(s, n)` (n must be a foldable int literal). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "byte_pool",
-      exprs => {
-        require(exprs.length == 2 && exprs(1).foldable,
-          "byte_pool(s, n) requires a foldable integer window count")
-        BytePool(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
-      },
-      "built-in")
+      "byte_pool", builder, "built-in")
 
   def pool(c: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.{call_function, lit}

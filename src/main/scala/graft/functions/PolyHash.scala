@@ -74,9 +74,12 @@ object PolyHash {
   /** Register `poly_hash(s)` for SQL/expr use (usable inside higher-order
     * function lambdas, where the Column API can't reach).
     */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => PolyHash(exprs.head)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+      "poly_hash", builder, "built-in")
 
   def hash(c: Column): Column = {
     import org.apache.spark.sql.functions.call_function

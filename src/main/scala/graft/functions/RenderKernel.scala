@@ -52,9 +52,12 @@ object DoublePlainString {
   /** Register `double_plain(x)`; Column form via call_function (Spark 4
     * exposes no public Expression→Column constructor).
     */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => DoublePlainString(exprs.head)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_plain", exprs => DoublePlainString(exprs.head), "built-in")
+      "double_plain", builder, "built-in")
 
   def plain(c: Column): Column = {
     import org.apache.spark.sql.functions.call_function

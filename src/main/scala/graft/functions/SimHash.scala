@@ -68,9 +68,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => SimHash64(exprs.head)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", builder, "built-in")
 
   def of(c: Column): Column = {
     import org.apache.spark.sql.functions.call_function

@@ -155,11 +155,16 @@ object VectorFunctions {
     * `expr("cosine_sim(...)")` (Spark 4's Column API no longer exposes a
     * public Expression→Column constructor).
     */
+  private[graft] val cosineBuilder: Seq[Expression] => Expression =
+    exprs => CosineSimilarity(exprs(0), exprs(1))
+  private[graft] val l2Builder: Seq[Expression] => Expression =
+    exprs => L2DistanceSq(exprs(0), exprs(1))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_dist_sq", exprs => L2DistanceSq(exprs(0), exprs(1)), "built-in")
+      "l2_dist_sq", l2Builder, "built-in")
   }
 
   /** Column-API form, valid on any session where [[register]] has run. */

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions` entry point must make every graft function
+  * SQL-callable on a session that never touched the per-module
+  * `register()` calls — this is how a cluster deployment gets the
+  * function surface.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-extensions-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions()(_))
+    .getOrCreate()
+
+  test("extension-injected functions are callable from bare SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs,
+        |  l2_dist_sq(array(CAST(3.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE))) AS l2,
+        |  poly_hash('ab') AS ph,
+        |  simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) IS NOT NULL AS sh,
+        |  double_plain(CAST(0.5 AS DOUBLE)) AS dp,
+        |  size(byte_pool('abcdefgh', 2)) AS bp
+        |""".stripMargin).head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getDouble(1) == 4.0)
+    // 'a'=97, 'b'=98: (0*31+97)*31+98 = 3105
+    assert(row.getLong(2) == (97L * 31 + 98))
+    assert(row.getBoolean(3))
+    assert(row.getString(4) == "0.5")
+    assert(row.getInt(5) == 2)
+  }
+
+  test("every declared function is present in the session catalog") {
+    for ((name, _, _) <- GraftExtensions.functions)
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name missing from catalog")
+  }
+}
