@@ -78,7 +78,10 @@ object BytePool {
     exprs => {
       require(exprs.length == 2 && exprs(1).foldable,
         "byte_pool(s, n) requires a foldable integer window count")
-      BytePool(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
+      val n = exprs(1).eval(null)
+      require(n != null && n.isInstanceOf[Number],
+        "byte_pool(s, n) requires a non-null integer window count")
+      BytePool(exprs.head, n.asInstanceOf[Number].intValue())
     }
 
   /** Register `byte_pool(s, n)` (n must be a foldable int literal). */

@@ -75,7 +75,10 @@ object PolyHash {
     * function lambdas, where the Column API can't reach).
     */
   private[graft] val builder: Seq[Expression] => Expression =
-    exprs => PolyHash(exprs.head)
+    exprs => {
+      require(exprs.length == 1, "poly_hash(s) takes exactly 1 argument")
+      PolyHash(exprs.head)
+    }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -53,7 +53,10 @@ object DoublePlainString {
     * exposes no public Expression→Column constructor).
     */
   private[graft] val builder: Seq[Expression] => Expression =
-    exprs => DoublePlainString(exprs.head)
+    exprs => {
+      require(exprs.length == 1, "double_plain(x) takes exactly 1 argument")
+      DoublePlainString(exprs.head)
+    }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

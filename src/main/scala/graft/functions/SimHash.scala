@@ -69,7 +69,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   private[graft] val builder: Seq[Expression] => Expression =
-    exprs => SimHash64(exprs.head)
+    exprs => {
+      require(exprs.length == 1, "simhash64(features) takes exactly 1 argument")
+      SimHash64(exprs.head)
+    }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -156,9 +156,15 @@ object VectorFunctions {
     * public Expression→Column constructor).
     */
   private[graft] val cosineBuilder: Seq[Expression] => Expression =
-    exprs => CosineSimilarity(exprs(0), exprs(1))
+    exprs => {
+      require(exprs.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
+      CosineSimilarity(exprs(0), exprs(1))
+    }
   private[graft] val l2Builder: Seq[Expression] => Expression =
-    exprs => L2DistanceSq(exprs(0), exprs(1))
+    exprs => {
+      require(exprs.length == 2, "l2_dist_sq(v, c) takes exactly 2 arguments")
+      L2DistanceSq(exprs(0), exprs(1))
+    }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -188,6 +188,16 @@ object StreamingQueries {
     * static side is the customer dimension (the fixture embeds the
     * user→customer key as user_id + 1 = c_custkey); the flush sentinel
     * closes the final tumbling windows as in q47.
+    *
+    * Unlike q55, the gate keeps the production 10-minute watermark: a
+    * WIDE watermark here would leave the final real windows open forever
+    * (final wm = sentinel ts − watermark = max real ts when the delays
+    * match, which never passes the last window's end). The sentinel
+    * design instead relies on the staged replay draining in one
+    * AvailableNow batch (a handful of files, far under
+    * maxFilesPerTrigger), so the watermark only advances after every
+    * real event is already in state — the q55 mid-replay-eviction hazard
+    * cannot arise for a windowed aggregation gated this way.
     */
   private val q60 = GraftQuery(
     "q60_stream_static_enrich",

@@ -10,14 +10,32 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-extensions-spec")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions()(_))
-    .getOrCreate()
+  /** Built with the default session cleared first: getOrCreate would
+    * otherwise return another suite's session (all suites share one
+    * forked JVM) and silently DROP withExtensions — the spec would then
+    * pass via that session's register()-ed temp functions instead of
+    * testing the extensions path. The previous default is restored so
+    * suites running after this one are unaffected.
+    */
+  private lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions()(_))
+      .getOrCreate()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    s
+  }
 
   test("extension-injected functions are callable from bare SQL") {
     val row = spark.sql(
@@ -37,6 +55,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getBoolean(3))
     assert(row.getString(4) == "0.5")
     assert(row.getInt(5) == 2)
+  }
+
+  test("wrong arity is rejected at analysis, not silently truncated") {
+    // poly_hash used to take exprs.head and silently drop extra args
+    val e = intercept[Exception](spark.sql("SELECT poly_hash('a', 'b')"))
+    assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))"))
+    assert(e2.getMessage.contains("exactly 2 arguments"), e2.getMessage)
   }
 
   test("every declared function is present in the session catalog") {

@@ -65,7 +65,8 @@ class PlanSpec extends SparkSuite {
     // hashpartitioning(l_returnflag) exchange; the only other shuffle is
     // the final orderBy's range partitioning
     val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
-    assert(exchanges <= 2, s"q54 shuffles $exchanges times:\n$tree")
+    assert(exchanges == 2, s"q54 shuffles $exchanges times (want one hash + " +
+      s"the orderBy range):\n$tree")
   }
 
   test("q56 assigns centroids via aggregation, not a per-vector ranking window") {
@@ -84,7 +85,8 @@ class PlanSpec extends SparkSuite {
   test("q57 pipeline runs in exactly two hash shuffles plus the final sort") {
     val tree = plan("q57_corpus_pipeline").split("\n\n").head
     val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
-    assert(exchanges <= 3, s"q57 shuffles $exchanges times:\n$tree")
+    assert(exchanges == 3, s"q57 shuffles $exchanges times (want fingerprint " +
+      s"hash + stats hash + presentation range):\n$tree")
     assert(tree.linesIterator.count(_.contains("Scan parquet")) == 1,
       s"q57 scans documents more than once:\n$tree")
   }
