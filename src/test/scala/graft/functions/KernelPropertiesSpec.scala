@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based randomized properties for the codegen kernels: each kernel
+  * is checked against an independent straight-Scala reference model over
+  * seeded random inputs (deterministic, so failures reproduce). These
+  * guard the hand-rolled UTF-8/bit-twiddling paths the golden tests can't
+  * cover exhaustively.
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(0xC0FFEE)
+
+  /** Random well-formed string mixing 1-4 byte UTF-8 code points. */
+  private def randomString(maxLen: Int): String = {
+    val n = rng.nextInt(maxLen + 1)
+    val sb = new java.lang.StringBuilder
+    (0 until n).foreach { _ =>
+      val cp = rng.nextInt(4) match {
+        case 0 => 1 + rng.nextInt(0x7F)                 // ASCII
+        case 1 => 0x80 + rng.nextInt(0x800 - 0x80)      // 2-byte
+        case 2 =>                                        // 3-byte, no surrogates
+          val c = 0x800 + rng.nextInt(0x10000 - 0x800)
+          if (c >= 0xD800 && c <= 0xDFFF) 0xE000 + (c - 0xD800) else c
+        case _ => 0x10000 + rng.nextInt(0x10FFFF - 0x10000) // 4-byte
+      }
+      sb.appendCodePoint(cp)
+    }
+    sb.toString
+  }
+
+  private def codePoints(s: String): Array[Int] =
+    s.codePoints().toArray
+
+  test("poly_hash equals the code-point fold model on random unicode strings") {
+    (1 to 300).foreach { _ =>
+      val s = randomString(64)
+      val expected = codePoints(s).foldLeft(0L)((acc, cp) =>
+        (acc * 31 + cp) % PolyHashKernel.Mod)
+      assert(PolyHashKernel.hash(UTF8String.fromString(s)) == expected, s"for: $s")
+    }
+  }
+
+  test("simhash64 is permutation-invariant and identity on singletons") {
+    (1 to 200).foreach { _ =>
+      val xs = Array.fill(1 + rng.nextInt(20))(rng.nextLong())
+      val shuffled = rng.shuffle(xs.toSeq).toArray
+      val a = SimHashKernel.hash64(new GenericArrayData(xs))
+      val b = SimHashKernel.hash64(new GenericArrayData(shuffled))
+      assert(a == b, s"permutation changed simhash for ${xs.toSeq}")
+      val h = rng.nextLong()
+      assert(SimHashKernel.hash64(new GenericArrayData(Array(h))) == h)
+    }
+  }
+
+  test("byte_pool equals the window-partition model on random strings") {
+    (1 to 200).foreach { _ =>
+      val s = randomString(48)
+      val n = 1 + rng.nextInt(8)
+      val cps = codePoints(s)
+      val total = cps.length
+      val model = Array.tabulate(n) { w =>
+        val member = cps.zipWithIndex.collect {
+          case (cp, k) if total > 0 && (k.toLong * n) / total == w => cp.toLong
+        }
+        if (member.nonEmpty) member.sum * 1000000L / member.length else 0L
+      }
+      val got = BytePoolKernel.pool(UTF8String.fromString(s), n)
+      assert(got.toSeq == model.toSeq, s"for: '$s' n=$n")
+    }
+  }
+
+  private def floats(n: Int): Array[Float] =
+    Array.fill(n)(rng.nextFloat() * 2 - 1)
+
+  test("l2_dist_sq equals the left-to-right fold model") {
+    (1 to 200).foreach { _ =>
+      val n = 1 + rng.nextInt(16)
+      val v = floats(n)
+      val c = Array.fill(n)(rng.nextDouble() * 2 - 1)
+      val expected = v.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y) * (x.toDouble - y)
+      }
+      val got = L2DistanceSq(
+        Literal.create(v, ArrayType(FloatType)),
+        Literal.create(c, ArrayType(DoubleType))).eval(null)
+      // bit-exact: both sides accumulate in the same dimension order
+      assert(got == expected, s"for ${v.toSeq} vs ${c.toSeq}")
+    }
+  }
+
+  test("cosine_sim is symmetric and 1.0 on any vector paired with itself") {
+    (1 to 200).foreach { _ =>
+      val n = 1 + rng.nextInt(16)
+      val a = floats(n)
+      val b = floats(n)
+      def cos(x: Array[Float], y: Array[Float]): Any = CosineSimilarity(
+        Literal.create(x, ArrayType(FloatType)),
+        Literal.create(y, ArrayType(FloatType))).eval(null)
+      assert(cos(a, b) == cos(b, a), "asymmetric")
+      val self = cos(a, a)
+      if (self != null) // null for the zero vector
+        assert(math.abs(self.asInstanceOf[Double] - 1.0) < 1e-6)
+    }
+  }
+}
