@@ -463,7 +463,71 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q61: TPC-H Q13-shaped outer-join distribution — customers (including
+    * the order-less) bucketed by how many orders they placed. The LEFT
+    * join ships both sides hash-partitioned on custkey (no broadcast hint:
+    * customer scales with SF), and both aggregations are partial+final.
+    */
+  private val q61 = GraftQuery(
+    "q61_outer_join_dist",
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1) t
+      |GROUP BY c_count ORDER BY c_count""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy("c_count")
+  }
+
+  /** q62: pivot with PINNED value list — one partial+final aggregation
+    * with map-side CASE routing; no distinct-values pre-scan (the
+    * two-arg `pivot` overload would run one, an extra full pass at
+    * 100 TB). Sums run over exact decimals so both engines fold
+    * identically; the single terminal cast back to double is
+    * deterministic.
+    */
+  private val q62 = GraftQuery(
+    "q62_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q63: unpivot/melt — four measure columns to (measure, value) rows.
+    * Plans as a narrow Expand (4 output rows per input row, no shuffle
+    * except the presentation sort); the filter is pushed to the scan.
+    */
+  private val q63 = GraftQuery(
+    "q63_unpivot",
+    """SELECT * FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 100)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).where(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q15, q42, q46, q54)
+      q15, q42, q46, q54, q61, q62, q63)
 }

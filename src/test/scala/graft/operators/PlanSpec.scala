@@ -91,6 +91,16 @@ class PlanSpec extends SparkSuite {
       s"q57 scans documents more than once:\n$tree")
   }
 
+  test("q63 unpivot plans as a narrow Expand with the filter pushed to the scan") {
+    val p = plan("q63_unpivot")
+    val tree = p.split("\n\n").head
+    assert(tree.contains("Expand"), s"no Expand node:\n$tree")
+    assert(p.contains("LessThan(l_orderkey"), s"filter not pushed:\n$p")
+    val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
+    assert(exchanges == 1, s"q63 shuffles $exchanges times (want only the " +
+      s"presentation sort):\n$tree")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
