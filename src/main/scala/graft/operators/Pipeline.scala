@@ -79,7 +79,13 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), "\\s+")).as("ws_tokens"),
         PolyHash.hash(col("text")).as("fingerprint"))
+    // free pipeline observability: CollectMetrics rides the existing pass
+    // (no extra scan/action); a monitoring harness reads them off the
+    // QueryExecution after any action (PipelineObserveSpec asserts them)
     val kept = scored.where(col("ws_tokens") >= MinTokens)
+      .observe("q57_gate",
+        count(lit(1)).as("kept_docs"),
+        sum(col("ws_tokens")).as("kept_tokens"))
     val groups = kept.groupBy("fingerprint").agg(
       min_by(struct(col("doc_id"), col("lang"), col("source"),
         col("ws_tokens")), col("doc_id")).as("keep"),
