@@ -46,13 +46,20 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("simhash64 is permutation-invariant and identity on singletons") {
+  test("simhash64 equals the bit-majority model, permutation-invariant") {
+    def model(xs: Array[Long]): Long =
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        val ones = xs.count(h => ((h >>> b) & 1L) == 1L)
+        // strict majority: a tie (even n, ones == n/2) leaves the bit 0
+        if (2 * ones > xs.length) acc | (1L << b) else acc
+      }
     (1 to 200).foreach { _ =>
       val xs = Array.fill(1 + rng.nextInt(20))(rng.nextLong())
-      val shuffled = rng.shuffle(xs.toSeq).toArray
       val a = SimHashKernel.hash64(new GenericArrayData(xs))
-      val b = SimHashKernel.hash64(new GenericArrayData(shuffled))
-      assert(a == b, s"permutation changed simhash for ${xs.toSeq}")
+      assert(a == model(xs), s"model mismatch for ${xs.toSeq}")
+      val shuffled = rng.shuffle(xs.toSeq).toArray
+      assert(a == SimHashKernel.hash64(new GenericArrayData(shuffled)),
+        s"permutation changed simhash for ${xs.toSeq}")
       val h = rng.nextLong()
       assert(SimHashKernel.hash64(new GenericArrayData(Array(h))) == h)
     }

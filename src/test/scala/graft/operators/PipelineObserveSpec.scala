@@ -20,8 +20,8 @@ class PipelineObserveSpec extends SparkSuite {
       .where(size(split(col("text"), "\\s+")) >= 24)
       .agg(count(lit(1)), sum(size(split(col("text"), "\\s+"))))
       .head
+    assert(metrics.getLong(0) > 0, "gate kept nothing — fixture drifted?")
     assert(metrics.getLong(0) == expected.getLong(0), "kept_docs")
     assert(metrics.getLong(1) == expected.getLong(1), "kept_tokens")
-    assert(metrics.getLong(0) > 0, "gate kept nothing — fixture drifted?")
   }
 }
