@@ -69,6 +69,40 @@ class ScaleSpec extends SparkSuite {
     assert(pruned.count() == all.count() && pruned.count() > 0)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // one mega-key (80k rows) among uniform keys; thresholds scaled down
+    // so the test fixture trips the same OptimizeSkewedJoin rule a 100 TB
+    // run relies on (defaults: 256 MB threshold, 5x median factor)
+    val confs = Map(
+      // the suite default of 2 shuffle partitions makes skew undetectable
+      // (the "median" of two sizes is the larger one)
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (1 to 100000).map(i => (if (i <= 80000) 7L else i.toLong % 97, i))
+        .toDF("k", "v")
+      val right = (0 to 96).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+      // no keyed operator downstream of the join: a required hash
+      // distribution above it would (correctly) veto the skew split
+      val joined = left.join(right, "k")
+      assert(joined.count() == 100000)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not trigger:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("connectedComponents merges chained pairs transitively") {
     import spark.implicits._
     // 2-3-4 is a path (diameter 2): label propagation must iterate, not
