@@ -51,9 +51,19 @@ class PlanSpec extends SparkSuite {
   }
 
   test("aggregations are partial+final (map-side combine present)") {
-    val p = plan("q01_pricing_summary")
-    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
-      s"no partial aggregation:\n$p")
+    for (q <- Seq("q01_pricing_summary", "q62_pivot")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+        s"$q has no partial aggregation:\n$p")
+    }
+  }
+
+  test("q61 outer join keeps order-less customers and aggregates partially") {
+    val tree = plan("q61_outer_join_dist").split("\n\n").head
+    assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),
+      s"outer join lost:\n$tree")
+    assert(tree.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"both aggregations should be partial+final:\n$tree")
   }
 
   test("q54 derives both percentile paths from one lineitem scan and one hash shuffle") {
