@@ -166,5 +166,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q57, q58, q59)
+  private val ChunkWidth = 64
+  private val ChunkStride = 32
+
+  /** q64: overlapping token-window chunking — every document split into
+    * [[ChunkWidth]]-token windows advancing by [[ChunkStride]] (50%
+    * overlap), the standard retrieval / pretraining chunker. A narrow
+    * explode (≤ ceil(n/stride) rows per doc, no shuffle except the
+    * presentation sort); the last window is short rather than padded,
+    * and an empty document still yields its one (empty) chunk so no
+    * doc_id disappears from the corpus.
+    */
+  private val q64 = GraftQuery(
+    "q64_doc_chunking",
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+      |    len(string_split_regex(text, '\\s+')) AS n
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(0, greatest(CAST(ceil(n / $ChunkStride.0) AS BIGINT), 1))) AS chunk_ix
+      |  FROM toks)
+      |SELECT doc_id, chunk_ix,
+      |  array_to_string(t[chunk_ix*$ChunkStride+1 : chunk_ix*$ChunkStride+$ChunkWidth], ' ') AS chunk_text,
+      |  len(t[chunk_ix*$ChunkStride+1 : chunk_ix*$ChunkStride+$ChunkWidth]) AS n_chunk_tokens
+      |FROM chunks
+      |ORDER BY doc_id, chunk_ix""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+    val win = slice(col("t"),
+      (col("chunk_ix") * ChunkStride + 1).cast("int"), lit(ChunkWidth))
+    toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L),
+          greatest(ceil(col("n") / ChunkStride.toDouble) - 1, lit(0L))))
+          .as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"),
+        array_join(win, " ").as("chunk_text"),
+        size(win).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_ix")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64)
 }
