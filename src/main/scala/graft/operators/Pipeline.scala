@@ -172,10 +172,12 @@ object Pipeline {
   /** q64: overlapping token-window chunking — every document split into
     * [[ChunkWidth]]-token windows advancing by [[ChunkStride]] (50%
     * overlap), the standard retrieval / pretraining chunker. A narrow
-    * explode (≤ ceil(n/stride) rows per doc, no shuffle except the
-    * presentation sort); the last window is short rather than padded,
-    * and an empty document still yields its one (empty) chunk so no
-    * doc_id disappears from the corpus.
+    * explode (ceil(max(n − width, 0)/stride) + 1 rows per doc — the +1
+    * being the first window, with no window starting past the tokens the
+    * previous one already fully covered), no shuffle except the
+    * presentation sort; the last window is short rather than padded, and
+    * an empty document still yields its one (empty) chunk so no doc_id
+    * disappears from the corpus.
     */
   private val q64 = GraftQuery(
     "q64_doc_chunking",
@@ -185,7 +187,7 @@ object Pipeline {
       |  FROM documents),
       |chunks AS (
       |  SELECT doc_id, t,
-      |    unnest(range(0, greatest(CAST(ceil(n / $ChunkStride.0) AS BIGINT), 1))) AS chunk_ix
+      |    unnest(range(0, CAST(ceil(greatest(n - $ChunkWidth, 0) / $ChunkStride.0) AS BIGINT) + 1)) AS chunk_ix
       |  FROM toks)
       |SELECT doc_id, chunk_ix,
       |  array_to_string(t[chunk_ix*$ChunkStride+1 : chunk_ix*$ChunkStride+$ChunkWidth], ' ') AS chunk_text,
@@ -200,7 +202,7 @@ object Pipeline {
     toks
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0L),
-          greatest(ceil(col("n") / ChunkStride.toDouble) - 1, lit(0L))))
+          ceil(greatest(col("n") - ChunkWidth, lit(0)) / ChunkStride.toDouble)))
           .as("chunk_ix"))
       .select(col("doc_id"), col("chunk_ix"),
         array_join(win, " ").as("chunk_text"),
