@@ -111,6 +111,14 @@ class PlanSpec extends SparkSuite {
       s"presentation sort):\n$tree")
   }
 
+  test("q64 chunking is a narrow explode with no data shuffle") {
+    val tree = plan("q64_doc_chunking").split("\n\n").head
+    assert(tree.contains("Generate"), s"no explode:\n$tree")
+    val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
+    assert(exchanges == 1, s"q64 shuffles $exchanges times (want only the " +
+      s"presentation sort):\n$tree")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
