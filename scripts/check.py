@@ -51,6 +51,18 @@ def compare(name, spark_df, duck_df):
         return problems
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
+        # The driver hashes stringified values, so int64 3 vs float64 3.0
+        # ("3" vs "3.0") fails its strict hash even though the numbers are
+        # equal. DuckDB silently widens HUGEINT (e.g. window sums over
+        # BIGINT) to float64 in .df() — catch that class here instead of
+        # coercing it away (this exact gap hid the q59 r5 failure).
+        if pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+            which = "spark" if pd.api.types.is_float_dtype(a) else "duck"
+            problems.append(
+                f"col {c}: int/float dtype mismatch ({which} side is float: "
+                f"spark={a.dtype} duck={b.dtype}) — WOULD FAIL strict hash "
+                f"(HUGEINT? CAST the oracle expression to BIGINT)")
+            continue
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             a = pd.to_numeric(a, errors="coerce").astype(float)
             b = pd.to_numeric(b, errors="coerce").astype(float)

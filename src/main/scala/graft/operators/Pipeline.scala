@@ -145,8 +145,8 @@ object Pipeline {
       |  FROM documents),
       |packed AS (
       |  SELECT doc_id, shard, n_tokens,
-      |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |    coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
       |  FROM toks)
       |SELECT doc_id, shard, n_tokens,
       |  cum_before // $ChunkTokens AS chunk_id,
