@@ -202,16 +202,42 @@ object EventStreams {
   /** Run any of the above to completion over the existing files and
     * return the collected result table (availableNow trigger + memory
     * sink — the batch-parity harness used by the smoke tests).
+    *
+    * Stateful-streaming partition count is a per-query design parameter,
+    * NOT the session's batch shuffle setting: each shuffle partition of a
+    * stateful operator owns a state store whose per-micro-batch commit
+    * (delta file + snapshot maintenance) is fixed I/O regardless of how
+    * few rows it holds, and the count is frozen into the checkpoint at
+    * first start anyway, so production jobs always pin it explicitly.
+    * Size it to state volume / throughput: the default here suits the
+    * gate-scale replays (measured: 32 → 8 partitions cuts the
+    * stream-stream join gate 5.9s → 3.4s with identical results); a
+    * 100 TB deployment raises [[statePartitions]] to its executor count
+    * the same way it would set shuffle partitions for a batch job.
+    * Results are partition-count-independent (the driver's oracle gate
+    * hashes them), so this is a throughput knob, not a semantics knob.
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-      outputMode: String = "append"): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      outputMode: String = "append",
+      statePartitions: Option[Int] = Some(defaultStatePartitions)): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
+
+  /** Gate-scale default for [[runToMemory]]'s state partitions (env
+    * override for experiments; a real deployment passes it explicitly).
+    */
+  def defaultStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(8)
 }
