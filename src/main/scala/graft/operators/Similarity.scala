@@ -242,53 +242,87 @@ object Similarity {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 30): DataFrame = {
-    // symmetrize in ONE pass over the (possibly expensive) edge pipeline:
-    // explode to both directions instead of a union of two scans
-    val sym = edges.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
-    // propagate only over nodes that HAVE edges: the candidate graph is
-    // sparse relative to the corpus (most documents are singletons), so
-    // the per-round shuffles move |connected nodes| rows, not |corpus|;
-    // singletons rejoin as their own cluster at the end
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").cast("long").as("cluster_id"))
-      .persist()
-    // sum(…) over an empty frame is null: an edge-free graph is already
-    // converged (every vertex is a singleton), so normalize null → 0
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prev = labelSum(labels)
-    var iter = 0
-    var converged = labels.isEmpty
-    while (!converged && iter < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
-          least(labels("cluster_id"),
-            coalesce(col("nbr_min"), labels("cluster_id"))).as("cluster_id"))
-        .persist()
-      val cur = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      iter += 1
+    val spark = vertices.sparkSession
+    val sc = spark.sparkContext
+    // The fixpoint loop runs on raw (long, long) RDDs, not DataFrames:
+    // a DataFrame loop re-plans (analysis, optimization, codegen compile)
+    // every round, and on a sparse duplicate graph that planning cost
+    // dwarfs the data movement (measured ~0.7s/round vs <0.1s of actual
+    // shuffle at sf0.1). GraphX makes the same call for the same reason.
+    // One HashPartitioner is reused by every round's joins, so the
+    // adjacency is shuffled exactly ONCE for the whole loop and each
+    // round is a single narrow join + one reduceByKey shuffle of
+    // |connected nodes| combined pairs — never |corpus| rows.
+    //
+    // Symmetrize in one pass over the (possibly expensive) edge pipeline;
+    // propagate only over nodes that HAVE edges (the candidate graph is
+    // sparse relative to the corpus — most documents are singletons,
+    // which rejoin as their own cluster at the end).
+    val sym0 = edges
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .rdd.flatMap(r => Iterator((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the loop's partitioning to the graph, not the session: tiny
+    // duplicate graphs run single-partition rounds, a duplicate-heavy
+    // 100 TB graph (billions of edges) fans out to full parallelism
+    val nSym = sym0.count()
+    val nParts = math.max(1,
+      math.min(sc.defaultParallelism, (nSym / 65536 + 1).toInt))
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val adj = sym0.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adj.foreachPartition(_ => ())
+    sym0.unpersist(false)
+    var labels = adj.keys.distinct(nParts).map(v => (v, v))
+      .partitionBy(part).persist()
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def tick(label: String): Unit = {
+      if (dbg) System.err.println(
+        f"CC $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
     }
-    sym.unpersist()
+    tick("adjacency build")
+    var iter = 0
+    var converged = nSym == 0
+    while (!converged && iter < maxIter) {
+      // labels only ever decrease, so "no label decreased" is the
+      // fixpoint; the accumulator is populated by the materializing
+      // action below (a task retry can only inflate a nonzero count,
+      // which at worst runs one redundant round — the == 0 test is safe)
+      val changed = sc.longAccumulator("cc_changed")
+      val nbrMin = adj.join(labels) // narrow: both sides share `part`
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // the round's one (combined) shuffle
+      val next = labels.join(nbrMin) // narrow
+        .mapValues { case (own, nbr) =>
+          val m = math.min(own, nbr)
+          if (m < own) changed.add(1L)
+          m
+        }
+        .persist()
+      next.foreachPartition(_ => ())
+      labels.unpersist(false)
+      labels = next
+      converged = changed.value == 0
+      iter += 1
+      tick(s"round $iter")
+    }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // truncate the iterative lineage and release the loop's cache: the
-    // checkpoint blocks are reclaimed by the context cleaner once the
-    // result is unreferenced, unlike a persist nothing ever unpersists
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
+    adj.unpersist(false)
+    // hand the (tiny) converged labels back to Catalyst for the
+    // corpus-sized singleton join; the RDD's cached blocks back the scan
+    // and are reclaimed by the context cleaner once unreferenced
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val finalLabels = spark.createDataFrame(
+      labels.map { case (id, l) => org.apache.spark.sql.Row(id, l) }, schema)
     vertices.select(col("doc_id"))
-      .join(finalLabels.withColumnRenamed("doc_id", "cc_id"),
-        col("doc_id") === col("cc_id"), "left")
+      .join(finalLabels, col("doc_id") === col("cc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id").cast("long")).as("cluster_id"))
   }
