@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.queries ++ Temporal.queries ++ Enrichment.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ EtlDecode.queries ++
       Export.queries ++ Extraction.queries ++ Portfolio.queries ++
-      Media.queries ++ Pipeline.queries ++
+      Media.queries ++ Pipeline.queries ++ CorpusStats.queries ++
       graft.streaming.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.PolyHash
+
+/** Corpus-level statistics and audit operators a training-data pipeline
+  * runs before a corpus ships — cross-split contamination (q65),
+  * heavy-hitter n-grams (q66), TF-IDF salient terms (q67), and
+  * per-cluster embedding-space statistics (q68). No reference analog
+  * (openalloc/FINporter stops at per-row transforms); these extend the
+  * Table-B "beyond the reference" surface alongside operators/Pipeline.
+  *
+  * Scale design notes, per query:
+  *   - q65: the contamination join runs on the 8-byte poly-hash of each
+  *     8-gram in BOTH engines (never the gram string), so the shuffle
+  *     carries (hash, doc_id, split) triples; grams are deduped per doc
+  *     before the join. A pathologically hot gram (boilerplate) widens
+  *     one bucket — at 100 TB cap per-gram fanout or drop top-df grams
+  *     first (they are by definition not identifying).
+  *   - q66: distinct-per-doc explode → partial+final count on the gram,
+  *     then TakeOrderedAndProject (top-k never sorts the full corpus).
+  *   - q67: two hash aggregations (doc-term, then term), a broadcast of
+  *     the 1-row corpus count, and a per-doc window — ranking is the
+  *     deterministic integer order (tf desc, df asc, term asc), so no
+  *     float comparison decides a row's survival; the float score is
+  *     output-only.
+  *   - q68: dim-wise centroid via posexplode + partial-aggregated
+  *     (label, dim) sums — 64× row expansion of narrow rows, the
+  *     standard Spark vector-aggregate shape. Per-vector norms are one
+  *     l2r fold per row. Dispersion avoids joining centroids back to
+  *     vectors entirely (parallel-axis theorem: E|v−c|² = E|v|² − |c|²),
+  *     so the whole query is two aggregation passes and a 10-row join.
+  */
+object CorpusStats {
+
+  private val GramN = 8
+  private val TestBucketFloor = 90
+  private val TrainBucketCeil = 80
+
+  /** doc_id, split bucket, distinct word-`n`-grams of lower(text). */
+  private def docGrams(s: org.apache.spark.sql.SparkSession, d: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val joined = (0 until n).map(j => s"element_at(ts, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (Pipeline.lcg(col("doc_id"), Pipeline.SplitA, Pipeline.SplitC) % 100)
+          .as("sb"),
+        split(lower(col("text")), "\\s+").as("ts"))
+      .select(col("doc_id"), col("sb"),
+        explode(when(size(col("ts")) >= n,
+          array_distinct(expr(
+            s"transform(sequence(1, size(ts) - ${n - 1}), i -> $joined)")))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
+  }
+
+  private def oracleGrams(n: Int): String = {
+    val joined = (0 until n).map(j => if (j == 0) "ts[i]" else s"ts[i+$j]")
+      .mkString("||' '||")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    (${Pipeline.lcgSql("doc_id", Pipeline.SplitA, Pipeline.SplitC)}) % 100 AS sb,
+       |    string_split_regex(lower(text), '\\s+') AS ts
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, sb, unnest(list_distinct(CASE WHEN len(ts) >= $n
+       |    THEN list_transform(range(1, len(ts) - ${n - 2}), i -> $joined)
+       |    ELSE [] END)) AS g
+       |  FROM toks)""".stripMargin
+  }
+
+  /** q65: train→test contamination audit — for every test-split document,
+    * how many of its distinct word-8-grams also occur in any train-split
+    * document, and how many train documents share at least one. The
+    * decontamination pass every pretraining corpus runs against its eval
+    * sets; 8-grams are the standard unit (long enough to be identifying,
+    * short enough to survive light paraphrase). The split is q58's, from
+    * the same LCG constants.
+    */
+  private val q65 = GraftQuery(
+    "q65_split_contamination",
+    s"""WITH ${oracleGrams(GramN)},
+       |hashed AS (
+       |  SELECT doc_id, sb, ${PolyHash.oracleSql("g")} AS h FROM grams)
+       |SELECT te.doc_id AS doc_id,
+       |  count(DISTINCT te.h) AS n_shared_grams,
+       |  count(DISTINCT tr.doc_id) AS n_train_docs
+       |FROM hashed te JOIN hashed tr ON te.h = tr.h
+       |WHERE te.sb >= $TestBucketFloor AND tr.sb < $TrainBucketCeil
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val hashed = docGrams(s, d, GramN)
+      .select(col("doc_id"), col("sb"), PolyHash.hash(col("g")).as("h"))
+    val te = hashed.where(col("sb") >= TestBucketFloor)
+      .select(col("doc_id"), col("h"))
+    val tr = hashed.where(col("sb") < TrainBucketCeil)
+      .select(col("doc_id").as("train_doc_id"), col("h").as("h_tr"))
+    te.join(tr, col("h") === col("h_tr"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_shared_grams"),
+        count_distinct(col("train_doc_id")).as("n_train_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** q66: heavy-hitter bigrams by document frequency — the corpus-stat
+    * that surfaces boilerplate (headers, license blurbs) for removal.
+    * Distinct-per-doc so a gram spammed inside one document counts once.
+    */
+  private val q66 = GraftQuery(
+    "q66_ngram_heavyhitters",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 2
+      |    THEN list_transform(range(1, len(ts)), i -> ts[i]||' '||ts[i+1])
+      |    ELSE [] END)) AS g
+      |  FROM toks)
+      |SELECT g AS gram, count(*) AS df
+      |FROM grams GROUP BY g ORDER BY df DESC, gram LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+      .select(explode(when(size(col("ts")) >= 2,
+        array_distinct(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))")))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(20)
+  }
+
+  /** q67: top-3 TF-IDF terms per document. Survival of a row is decided
+    * by the all-integer order (tf desc, df asc, term asc) — the float
+    * score is computed only for output, with both engines evaluating the
+    * identical double expression (explicit casts: DuckDB bare numeric
+    * literals are DECIMAL and would change the arithmetic).
+    */
+  private val q67 = GraftQuery(
+    "q67_tfidf_top_terms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rnk
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+      |SELECT doc_id, term, tf, df,
+      |  round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS score
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")),
+          6).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val EmbDim = 64
+
+  /** q68: per-label embedding-space statistics — cluster size, centroid
+    * norm, and within-cluster dispersion (mean squared distance to the
+    * centroid, via E|v−c|² = E|v|² − |c|², so no centroid-to-vector
+    * join). The sanity dashboard for an embedding table feeding the ANN
+    * tiers (q30/q44/q45): a collapsed cluster shows dispersion ≈ 0, a
+    * meaningless one shows centroid_norm ≈ 0.
+    */
+  private val q68 = GraftQuery(
+    "q68_embedding_centroids",
+    s"""WITH dims AS (
+       |  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, range(1, ${EmbDim + 1}) t(i)),
+       |cent AS (
+       |  SELECT label, pos, sum(v) / count(*) AS m FROM dims GROUP BY 1, 2),
+       |cnorm AS (
+       |  SELECT label, sum(m * m) AS sum_m2 FROM cent GROUP BY 1),
+       |norms AS (
+       |  SELECT label,
+       |    list_reduce(list_transform(range(1, ${EmbDim + 1}),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) AS vn2
+       |  FROM embeddings),
+       |vstats AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       |    avg(vn2) AS avg_vn2
+       |  FROM norms GROUP BY 1)
+       |SELECT c.label AS label, v.n_vectors,
+       |  round(sqrt(c.sum_m2), 6) AS centroid_norm,
+       |  round(v.avg_vn2 - c.sum_m2, 6) AS dispersion
+       |FROM cnorm c JOIN vstats v ON c.label = v.label
+       |ORDER BY label""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cnorm = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
+      .groupBy("label").agg(sum(col("m") * col("m")).as("sum_m2"))
+    val vstats = e
+      .select(col("label"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("vn2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"), avg(col("vn2")).as("avg_vn2"))
+    cnorm.join(vstats, "label")
+      .select(col("label"), col("n_vectors"),
+        round(sqrt(col("sum_m2")), 6).as("centroid_norm"),
+        round(col("avg_vn2") - col("sum_m2"), 6).as("dispersion"))
+      .orderBy("label")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q65, q66, q67, q68)
+}

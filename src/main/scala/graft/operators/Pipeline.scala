@@ -35,15 +35,18 @@ object Pipeline {
     * would swap in a full-width mix like splitmix64 behind the same
     * bucketing contract).
     */
-  private def lcg(id: Column, mulA: Long, addC: Long): Column =
+  private[operators] def lcg(id: Column, mulA: Long, addC: Long): Column =
     pmod(id * mulA + addC, lit(2147483648L))
-  private def lcgSql(idExpr: String, mulA: Long, addC: Long): String =
+  private[operators] def lcgSql(idExpr: String, mulA: Long, addC: Long): String =
     s"(($idExpr * $mulA + $addC) % 2147483648)"
 
   private val SampleA = 1103515245L
   private val SampleC = 12345L
-  private val SplitA = 22695477L
-  private val SplitC = 1L
+  // split constants are shared with the contamination check (q65,
+  // operators/CorpusStats.scala): the split being audited must be the
+  // split that q58 produces, from one source of truth
+  private[operators] val SplitA = 22695477L
+  private[operators] val SplitC = 1L
   private val MinTokens = 24
   private val ChunkTokens = 512
   private val PackShards = 8
