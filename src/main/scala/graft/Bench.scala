@@ -59,10 +59,23 @@ object Bench {
                  false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Centisecond precision, trailing zeros stripped, short sf label: the
+    // driver captures only the last ~2000 chars of stdout (followed by
+    // sbt's "[success] ..." line), so with 68 queries a full-precision
+    // line overflows the window and the round's bench goes unparsed
+    // (BENCH_r05/r06 "parsed": null). Keep this line under ~1900 chars.
+    def fmt(v: Double): String = {
+      val s = "%.2f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail window")
+    println(line)
     spark.stop()
   }
 }
