@@ -143,5 +143,97 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q26, q27, q28, q29)
+  /** q69: repetition signals (Gopher-style corpus-quality heuristics) —
+    * per document, the fraction of tokens taken by the single most
+    * frequent unigram and the fraction of bigram occurrences that are
+    * repeats. High values flag machine-generated / boilerplate text for
+    * removal before training. Ratios are emitted as floor micro-units via
+    * integer division (`max_c * 1e6 div n_tok`): k/n ratios of small
+    * integers land exactly on round-half boundaries where the engines'
+    * rounding disagrees, while integer division is engine-independent.
+    *
+    * Scale shape: two explode→(doc_id, gram) hash aggregations and a
+    * doc_id join — partial aggregation absorbs the per-doc repetition
+    * before the shuffle, so shuffle volume is distinct grams, not tokens.
+    */
+  private val q69 = GraftQuery(
+    "q69_repetition_stats",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |ustat AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_c,
+      |                 CAST(sum(c) AS BIGINT) AS n_tok FROM uni GROUP BY 1),
+      |tl AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+      |       FROM documents),
+      |big AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+      |          THEN list_transform(range(1, len(ts)), i -> ts[i]||' '||ts[i+1])
+      |          ELSE [] END) AS bg FROM tl),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+      |                 CAST(count(*) AS BIGINT) AS n_bg_distinct FROM bgc GROUP BY 1)
+      |SELECT u.doc_id AS doc_id, n_tok,
+      |  max_c * 1000000 // n_tok AS top_unigram_micro,
+      |  (n_bg - n_bg_distinct) * 1000000 // n_bg AS dup_bigram_micro
+      |FROM ustat u JOIN bstat b ON u.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+    val uni = toks
+      .select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("max_c"), sum("c").as("n_tok"))
+    val big = toks
+      .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+        expr("transform(sequence(1, size(ts) - 1), " +
+          "i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bg"), count(lit(1)).as("n_bg_distinct"))
+    uni.join(big, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        expr("max_c * 1000000L div n_tok").as("top_unigram_micro"),
+        expr("(n_bg - n_bg_distinct) * 1000000L div n_bg").as("dup_bigram_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** q70: corpus unigram-LM quality score — mean token log-probability
+    * under the corpus's own unigram distribution (the cheap stand-in for
+    * a perplexity filter: documents full of corpus-rare tokens score
+    * low). Math.log and DuckDB's ln are bit-identical on every vocab
+    * probability at both gate SFs (verified empirically), and the
+    * shuffle-order-dependent mean is rounded to 6 decimals like every
+    * aggregate average in this engine.
+    *
+    * Scale shape: the vocab frequency table is tiny relative to the
+    * corpus (Heaps' law) — broadcast it and the 1-row total, so scoring
+    * is a map-side join + one doc_id aggregation; no all-token shuffle.
+    */
+  private val q70 = GraftQuery(
+    "q70_lm_score",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+      |SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  round(avg(ln(CAST(f.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 6) AS lm_score
+      |FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(log(col("c").cast("double") / col("n").cast("double"))), 6)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q26, q27, q28, q29, q69, q70)
 }

@@ -58,6 +58,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q70 scores tokens via broadcast joins, never a token shuffle join") {
+    val p = plan("q70_lm_score")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"token-level shuffle join crept in:\n$p")
+  }
+
+  test("q69 aggregates grams partial+final before the doc_id join") {
+    val p = plan("q69_repetition_stats")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"q69 lost map-side combine on the gram counts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q69 plans a cartesian:\n$p")
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),
