@@ -65,7 +65,9 @@ object Bench {
     // line overflows the window and the round's bench goes unparsed
     // (BENCH_r05/r06 "parsed": null). Keep this line under ~1900 chars.
     def fmt(v: Double): String = {
-      val s = "%.2f".format(v)
+      // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
+      // "0,46" and the driver's JSON parse would fail
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -172,10 +172,12 @@ object TextAnalysis {
       |bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
       |bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
       |                 CAST(count(*) AS BIGINT) AS n_bg_distinct FROM bgc GROUP BY 1)
-      |SELECT u.doc_id AS doc_id, n_tok,
+      |SELECT d.doc_id AS doc_id, coalesce(n_tok, 0) AS n_tok,
       |  max_c * 1000000 // n_tok AS top_unigram_micro,
       |  (n_bg - n_bg_distinct) * 1000000 // n_bg AS dup_bigram_micro
-      |FROM ustat u JOIN bstat b ON u.doc_id = b.doc_id
+      |FROM documents d
+      |LEFT JOIN ustat u ON d.doc_id = u.doc_id
+      |LEFT JOIN bstat b ON d.doc_id = b.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
@@ -192,47 +194,94 @@ object TextAnalysis {
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bg"), count(lit(1)).as("n_bg_distinct"))
-    uni.join(big, "doc_id")
-      .select(col("doc_id"), col("n_tok"),
+    // LEFT joins from the corpus itself: a document with < 2 tokens has
+    // no bigram rows, and a NULL-text document no token rows at all —
+    // an inner join would silently drop exactly the degenerate documents
+    // a quality audit most needs to see. They surface with n_tok = 0 /
+    // NULL ratios instead (null inputs propagate through `div` without
+    // tripping ANSI divide-by-zero — n_tok/n_bg are never 0 when present).
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         expr("max_c * 1000000L div n_tok").as("top_unigram_micro"),
         expr("(n_bg - n_bg_distinct) * 1000000L div n_bg").as("dup_bigram_micro"))
       .orderBy("doc_id")
   }
 
-  /** q70: corpus unigram-LM quality score — mean token log-probability
-    * under the corpus's own unigram distribution (the cheap stand-in for
-    * a perplexity filter: documents full of corpus-rare tokens score
-    * low). Math.log and DuckDB's ln are bit-identical on every vocab
-    * probability at both gate SFs (verified empirically), and the
-    * shuffle-order-dependent mean is rounded to 6 decimals like every
-    * aggregate average in this engine.
+  /** Registered q70's rare-token floor: corpus tokens with count below
+    * this score as if their count were exactly this (shared with the
+    * oracle SQL). At 100 TB the floor is the knob that bounds the vocab.
+    */
+  private[operators] val LmMinCount = 2L
+
+  /** q70's operator body, parameterized for tests: mean token
+    * log-probability per document under the corpus's own unigram
+    * distribution, with a rare-token FLOOR — tokens whose corpus count is
+    * below `minCount` score as if their count were `minCount`.
     *
-    * Scale shape: the vocab frequency table is tiny relative to the
-    * corpus (Heaps' law) — broadcast it and the 1-row total, so scoring
-    * is a map-side join + one doc_id aggregation; no all-token shuffle.
+    * The floor is what makes the vocab join scale-safe: a raw web-scale
+    * vocabulary is 1e8-1e9 entries (Heaps' law counts typos, numbers, and
+    * URLs), past any broadcast threshold — but the FLOORED vocab is
+    * bounded by totalTokens/minCount (every kept entry owns ≥ minCount
+    * occurrences), and rare tokens resolve through the left join's miss
+    * path to the smoothed floor probability, which barely moves the
+    * score (rare tokens are precisely where a count-based LM estimate is
+    * noise anyway). No join-strategy hint: AQE broadcasts the floored
+    * vocab while it fits and falls back to a shuffle join when it
+    * doesn't — both plans are correct, so neither is pinned.
+    *
+    * Determinism: scoring aggregates per-(doc, tok) COUNTS first (the
+    * join probes distinct tokens per doc, not token instances), then
+    * folds c_dt·ln(p) in sorted-token order — `sort_array` here,
+    * `list(... ORDER BY tok)` in the oracle — so the per-doc sum is
+    * bit-identical across engines AND across shuffle orders; the final
+    * round(…, 6) is cosmetic rather than flake-masking.
+    */
+  private[operators] def lmScore(docs: org.apache.spark.sql.DataFrame,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    val dtok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c_dt"))
+    val kept = dtok.groupBy("tok").agg(sum("c_dt").as("c"))
+      .where(col("c") >= minCount)
+    val tot = dtok.agg(sum("c_dt").as("n"))
+    dtok.join(kept, Seq("tok"), "left")
+      .crossJoin(broadcast(tot)) // a 1-row aggregate: bounded at any scale
+      .withColumn("term", col("c_dt") *
+        log(coalesce(col("c"), lit(minCount)).cast("double") / col("n").cast("double")))
+      .groupBy("doc_id")
+      .agg(sum("c_dt").as("n_tok"),
+        sort_array(collect_list(struct(col("tok"), col("term")))).as("ts"))
+      .select(col("doc_id"), col("n_tok"),
+        round(expr("aggregate(ts, 0D, (acc, s) -> acc + s.term)")
+          / col("n_tok").cast("double"), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** q70: corpus unigram-LM quality score (the cheap stand-in for a
+    * perplexity filter: documents full of corpus-rare tokens score low).
+    * See [[lmScore]] for the rare-token floor and the order-pinned fold.
     */
   private val q70 = GraftQuery(
     "q70_lm_score",
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
       |  FROM documents),
-      |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
-      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
-      |SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-      |  round(avg(ln(CAST(f.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 6) AS lm_score
-      |FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
-      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val tot = toks.agg(count(lit(1)).as("n"))
-    toks.join(broadcast(freq), "tok")
-      .crossJoin(broadcast(tot))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        round(avg(log(col("c").cast("double") / col("n").cast("double"))), 6)
-          .as("lm_score"))
-      .orderBy("doc_id")
+      |dtok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c_dt
+      |         FROM toks GROUP BY 1, 2),
+      |kept AS (SELECT tok, CAST(sum(c_dt) AS BIGINT) AS c FROM dtok
+      |         GROUP BY 1 HAVING CAST(sum(c_dt) AS BIGINT) >= $LmMinCount),
+      |tot AS (SELECT CAST(sum(c_dt) AS BIGINT) AS n FROM dtok),
+      |scored AS (
+      |  SELECT d.doc_id AS doc_id, d.tok AS tok, d.c_dt AS c_dt,
+      |    d.c_dt * ln(CAST(coalesce(k.c, $LmMinCount) AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS term
+      |  FROM dtok d LEFT JOIN kept k ON d.tok = k.tok CROSS JOIN tot)
+      |SELECT doc_id, CAST(sum(c_dt) AS BIGINT) AS n_tok,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY tok)),
+      |      (x, y) -> x + y) / CAST(sum(c_dt) AS DOUBLE), 6) AS lm_score
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    lmScore(Tables.documents(s, d), LmMinCount)
   }
 
   val queries: Seq[GraftQuery] = Seq(q26, q27, q28, q29, q69, q70)

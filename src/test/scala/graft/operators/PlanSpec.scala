@@ -58,11 +58,17 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q70 scores tokens via broadcast joins, never a token shuffle join") {
+  test("q70 probes distinct (doc, tok) counts, never a cartesian or raw-token join") {
+    // deliberately NOT pinned to a join strategy: the floored vocab is
+    // bounded (≤ totalTokens/minCount entries), and AQE legitimately
+    // picks broadcast at small SF and a shuffle join past the threshold —
+    // pinning BroadcastHashJoin here is what entrenched the r7 OOM shape
     val p = plan("q70_lm_score")
-    assert(p.contains("BroadcastHashJoin"), s"vocab join is not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"token-level shuffle join crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q70 plans a cartesian:\n$p")
+    // the vocab join's probe side must be the aggregated (doc, tok)
+    // counts, not exploded token instances: partial+final aggs upstream
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"q70 lost the pre-join (doc, tok) aggregation:\n$p")
   }
 
   test("q69 aggregates grams partial+final before the doc_id join") {
