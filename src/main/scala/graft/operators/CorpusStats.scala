@@ -18,8 +18,10 @@ import graft.functions.PolyHash
   *     8-gram in BOTH engines (never the gram string), so the shuffle
   *     carries (hash, doc_id, split) triples; grams are deduped per doc
   *     before the join. A pathologically hot gram (boilerplate) widens
-  *     one bucket — at 100 TB cap per-gram fanout or drop top-df grams
-  *     first (they are by definition not identifying).
+  *     one bucket — [[contaminationPairs]]'s `maxGramDf` guard drops
+  *     grams above a document-frequency cap BEFORE the join (they are by
+  *     definition not identifying), the same routing the minhash path
+  *     uses for hot band buckets (Similarity.minhashCandidates).
   *   - q66: distinct-per-doc explode → partial+final count on the gram,
   *     then TakeOrderedAndProject (top-k never sorts the full corpus).
   *   - q67: two hash aggregations (doc-term, then term), a broadcast of
@@ -72,6 +74,38 @@ object CorpusStats {
        |  FROM toks)""".stripMargin
   }
 
+  /** Test×train gram-hash join with an optional hot-gram guard — the
+    * executable form of the q65 scale note above.
+    *
+    * @param hashed (doc_id, sb, h) rows: one per (document, distinct gram
+    *   hash), sb the document's 0-99 split bucket
+    * @param maxGramDf hot-gram guard for the 100 TB path: one boilerplate
+    *   gram (license text, nav chrome) shared by d documents expands
+    *   d_te × d_tr join rows, and real crawls have millions-wide df on
+    *   such grams. With a cap, grams whose document frequency exceeds it
+    *   are dropped before the join (NOT silently: the df column is
+    *   computed per gram, so callers can report what was routed around —
+    *   a gram in millions of documents identifies boilerplate, not
+    *   contamination). None (the registered-query setting) joins all.
+    */
+  private[operators] def contaminationPairs(
+      hashed: org.apache.spark.sql.DataFrame,
+      maxGramDf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val guarded = maxGramDf match {
+      case None => hashed
+      case Some(cap) =>
+        val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("__gram_df"))
+        hashed.join(dfreq, Seq("h"))
+          .where(col("__gram_df") <= cap)
+          .drop("__gram_df")
+    }
+    val te = guarded.where(col("sb") >= TestBucketFloor)
+      .select(col("doc_id"), col("h"))
+    val tr = guarded.where(col("sb") < TrainBucketCeil)
+      .select(col("doc_id").as("train_doc_id"), col("h").as("h_tr"))
+    te.join(tr, col("h") === col("h_tr"))
+  }
+
   /** q65: train→test contamination audit — for every test-split document,
     * how many of its distinct word-8-grams also occur in any train-split
     * document, and how many train documents share at least one. The
@@ -94,11 +128,7 @@ object CorpusStats {
     PolyHash.register(s)
     val hashed = docGrams(s, d, GramN)
       .select(col("doc_id"), col("sb"), PolyHash.hash(col("g")).as("h"))
-    val te = hashed.where(col("sb") >= TestBucketFloor)
-      .select(col("doc_id"), col("h"))
-    val tr = hashed.where(col("sb") < TrainBucketCeil)
-      .select(col("doc_id").as("train_doc_id"), col("h").as("h_tr"))
-    te.join(tr, col("h") === col("h_tr"))
+    contaminationPairs(hashed)
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("h")).as("n_shared_grams"),
         count_distinct(col("train_doc_id")).as("n_train_docs"))

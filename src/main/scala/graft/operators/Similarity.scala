@@ -161,19 +161,28 @@ object Similarity {
     *   in O(width) via label propagation. With a cap, over-wide buckets
     *   are excluded from pair expansion (NOT silently: the width column
     *   is computed per bucket, so callers can report what was routed
-    *   around). None (the registered-query setting) expands everything.
+    *   around, and [[minhashHotBucketEdges]] re-attaches the routed
+    *   buckets' members as O(width) star edges so clustering is
+    *   unchanged). None (the registered-query setting) expands everything.
     */
-  private[operators] def minhashCandidates(sigs: DataFrame,
-      maxBucketWidth: Option[Int] = None): DataFrame = {
+  /** Fenced (doc_id, sig, band, h1, h2, h3) band explode shared by the
+    * pair-expansion and hot-bucket-star paths.
+    */
+  private def bandedSigs(sigs: DataFrame): DataFrame = {
     val fenced = sigs.repartition(col("doc_id"))
     val bandStructs = (0 until NumBands).map(j =>
       struct(lit(j).as("band"), expr(s"sig[${3 * j}]").as("h1"),
         expr(s"sig[${3 * j + 1}]").as("h2"), expr(s"sig[${3 * j + 2}]").as("h3")))
-    val allBands = fenced
+    fenced
       .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("sig"),
         col("b.band").as("band"), col("b.h1").as("h1"),
         col("b.h2").as("h2"), col("b.h3").as("h3"))
+  }
+
+  private[operators] def minhashCandidates(sigs: DataFrame,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val allBands = bandedSigs(sigs)
     val bands = maxBucketWidth match {
       case None => allBands
       case Some(cap) =>
@@ -191,6 +200,30 @@ object Similarity {
     l.join(r, col("band") === col("band_r") && col("h1") === col("g1") &&
       col("h2") === col("g2") && col("h3") === col("g3") &&
       col("doc_a") < col("doc_b"))
+  }
+
+  /** Companion to [[minhashCandidates]]'s `maxBucketWidth` cap: the
+    * O(width) handling for the buckets the cap routes OUT of pair
+    * expansion. A pathologically over-wide band bucket is by construction
+    * one giant duplicate cluster, so instead of its C(width, 2) pairs it
+    * contributes width − 1 STAR edges (bucket-min doc_id → each other
+    * member) — the connected components those induce are identical to the
+    * clique's, at linear instead of quadratic cost. Union these with the
+    * capped candidate pairs before [[connectedComponents]] and the cap
+    * changes cluster assignment not at all, only the join fanout
+    * (ScaleSpec proves the composition end-to-end).
+    */
+  private[operators] def minhashHotBucketEdges(sigs: DataFrame,
+      maxBucketWidth: Int): DataFrame = {
+    val bands = bandedSigs(sigs).select("doc_id", "band", "h1", "h2", "h3")
+    val hot = bands.groupBy("band", "h1", "h2", "h3")
+      .agg(count(lit(1)).as("__bucket_width"), min("doc_id").as("hub"))
+      .where(col("__bucket_width") > maxBucketWidth)
+      .select("band", "h1", "h2", "h3", "hub")
+    bands.join(hot, Seq("band", "h1", "h2", "h3"))
+      .where(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** q31: near-duplicate candidate pairs via minhash-LSH banding, with the

@@ -137,6 +137,48 @@ class ScaleSpec extends SparkSuite {
       s"cap did not route the hot bucket out: $capped")
   }
 
+  test("bucket cap + star edges + CC still one cluster for a giant clique") {
+    import spark.implicits._
+    // same fixture as the routing test: a 6-doc duplicate mega-cluster
+    // (every band bucket width 6) and a 2-doc cold pair; cap=4 routes the
+    // hot bucket out of O(width²) pair expansion, and the O(width) star
+    // edges must hand its members to connectedComponents intact
+    val hotSig = (1L to 12L).toArray
+    val coldSig = (101L to 112L).toArray
+    val sigs = ((1L to 6L).map(id => (id, hotSig)) ++
+      Seq((7L, coldSig), (8L, coldSig))).toDF("doc_id", "sig")
+    val cap = 4
+    val pairs = Similarity.minhashCandidates(sigs, maxBucketWidth = Some(cap))
+      .select("doc_a", "doc_b").distinct()
+    val stars = Similarity.minhashHotBucketEdges(sigs, maxBucketWidth = cap)
+    assert(stars.count() == 5, "star edges are width−1, not C(width,2)")
+    val vertices = (1L to 8L).toDF("doc_id")
+    val cc = Similarity.connectedComponents(vertices, pairs.union(stars))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 7L, 8L -> 7L),
+      s"capped clique did not stay one cluster: $cc")
+  }
+
+  test("contamination maxGramDf cap drops boilerplate grams before the join") {
+    import spark.implicits._
+    // one boilerplate gram hash (999) in all 10 docs — 5 train (sb 10),
+    // 5 test (sb 95) — plus one identifying gram (1) shared by exactly
+    // one test/train pair; uncapped the hot gram alone expands 5×5 pairs
+    val hashed = ((1L to 10L).map(id =>
+        (id, if (id <= 5) 10 else 95, 999L)) ++
+      Seq((1L, 10, 1L), (6L, 95, 1L)))
+      .toDF("doc_id", "sb", "h")
+    val uncapped = CorpusStats.contaminationPairs(hashed)
+    assert(uncapped.count() == 5 * 5 + 1, "uncapped fanout should be d_te×d_tr")
+    val capped = CorpusStats.contaminationPairs(hashed, maxGramDf = Some(5L))
+      .select("doc_id", "train_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // gram 999 has df=10 > 5 → routed out; the identifying pair survives
+    assert(capped == Set((6L, 1L)),
+      s"cap did not drop the boilerplate gram: $capped")
+  }
+
   test("SRP bucket count scales with the bits parameter") {
     val e = graft.Tables.embeddings(spark, dir)
     def buckets(bits: Int): Long =
