@@ -498,6 +498,136 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- composed IVF search: train → assign → top-k (q71, q72) ----
+
+  /** The trained coarse quantizer + assignments — the c0 → assign →
+    * recompute → assign pipeline q56 gates, reused by the composed search
+    * queries. Returns (centroids, assignments).
+    *
+    * Both outputs are PERSISTED: an index is a materialized artifact, not
+    * a recomputed view — the search self-join references the assignments
+    * on both sides, and without materialization each side re-runs the
+    * whole training pipeline (the collect_list-backed recompute
+    * aggregations don't canonicalize equal across the analyzer's
+    * self-join dedup, so ReuseExchange never kicks in — measured: 6
+    * parquet scans and two full Lloyd pipelines in one q71 plan). The
+    * cache is the local[n] stand-in for what a 100 TB deployment does
+    * explicitly: write the trained centroids + assignments to storage
+    * once, then serve every probe from the materialized index.
+    */
+  private def kmTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val c0 = e.where(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c1 = kmRecompute(kmAssign(e, c0)).persist(lvl)
+    (c1, kmAssign(e, c1).persist(lvl))
+  }
+
+  private val kmOracleTrain: String =
+    s"""c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
+       |  FROM embeddings WHERE vec_id < $KmK
+       |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
+       |${kmOracleAssign("c1", "a2")}""".stripMargin
+
+  /** Shared top-3-per-vector ranking over a (vec_id, cell, emb) self/probe
+    * join — the exact-rerank stage of every IVF tier.
+    */
+  private def rankTop3(joined: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** q71: the assembled IVF-ANN machine — train the coarse quantizer
+    * (q56's exact pipeline), assign every vector to its TRAINED cell, and
+    * search top-3 by exact cosine within that cell, all as one lazy plan.
+    * q30 keeps the pre-assigned `label` stand-in for continuity; this is
+    * the production shape, where the cells come from the data. The
+    * trained index is materialized once ([[kmTrained]]) and both join
+    * sides scan it, and the candidate join stays an equi-join on the
+    * cell id — never all-pairs.
+    */
+  private val q71 = GraftQuery(
+    "q71_ivf_search",
+    s"""WITH $kmOracleTrain, sim AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a", "b")} AS cos
+       |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sim) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (_, a2) = kmTrained(s, d)
+    val a = a2.select(col("vec_id"), col("cell"), col("embedding").as("emb_a"))
+    val b = a2.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("embedding").as("emb_b"))
+    rankTop3(a.join(b,
+      col("cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id")))
+  }
+
+  /** Probe count for q72 — the standard IVF recall lever: single-probe
+    * search misses true neighbors that sit just across a cell boundary;
+    * probing the p nearest cells recovers them at ≤ p× the candidate set.
+    */
+  private val ProbeP = 2
+
+  /** q72: multi-probe IVF search — each query vector probes its
+    * [[ProbeP]] nearest TRAINED cells (not just its own), then exact
+    * cosine reranks the union of those cells' members. Probe selection is
+    * an aggregation, not a window: the per-vector k candidate cells
+    * collapse map-side into one sorted k-array (partial aggregation), so
+    * the probe shuffle carries ~one row per vector — the same shape
+    * [[kmAssign]] uses for argmin. Candidates then come from one
+    * equi-join of (vector, probe_cell) against the assignments.
+    */
+  private val q72 = GraftQuery(
+    "q72_ivf_multiprobe",
+    s"""WITH $kmOracleTrain, probes AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c1 c) t
+       |  WHERE rn <= $ProbeP
+       |), sim AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("p", "b")} AS cos
+       |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sim) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = e.crossJoin(broadcast(c1))
+      .withColumn("d", VectorFunctions.l2DistSq(col("embedding"), col("cen")))
+      .groupBy("vec_id")
+      .agg(min_by(col("embedding"), struct(col("d"), col("cell"))).as("emb_a"),
+        slice(sort_array(collect_list(struct(col("d"), col("cell")))), 1, ProbeP)
+          .as("near"))
+      .select(col("vec_id"), col("emb_a"),
+        explode(expr("transform(near, s -> s.cell)")).as("probe_cell"))
+    val cand = a2.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("embedding").as("emb_b"))
+    rankTop3(probes.join(cand,
+      col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id")))
+  }
+
   // ---- simhash (q39) ----
 
   private val SimBits = 64
@@ -830,5 +960,6 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56)
+  val queries: Seq[GraftQuery] =
+    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72)
 }

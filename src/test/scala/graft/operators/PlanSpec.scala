@@ -50,6 +50,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ baseline:\n$p")
   }
 
+  test("composed IVF search serves probes from the materialized index, never all-pairs") {
+    for (q <- Seq("q71_ivf_search", "q72_ivf_multiprobe")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // the trained index is a materialized artifact: both the probe and
+      // candidate sides must read the cached assignments, not re-run the
+      // Lloyd training pipeline per join side
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$q re-trains instead of reading the materialized index:\n$p")
+    }
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     for (q <- Seq("q01_pricing_summary", "q62_pivot")) {
       val p = plan(q)
