@@ -126,20 +126,47 @@ object EventStreams {
     * once the watermark passes — bounded state on an infinite stream.
     * Inner-join matches emit in the batch both rows arrive in; the
     * watermark only governs eviction.
+    *
+    * With `joinType = "leftOuter"` the eviction point itself becomes an
+    * emission: a view whose state the watermark retires WITHOUT ever
+    * matching a click is emitted once with a NULL click side — the
+    * "views that never converted" stream, which only exists because
+    * state eviction proves no future click can match. Inner joins never
+    * touch that code path.
+    *
+    * `flushType` is the outer-gate analog of [[segmentRevenue]]'s
+    * keepTypes: a watermark operator only sees rows that survive the
+    * filters Catalyst pushes BELOW it, so for a flush sentinel to advance
+    * the watermark it must pass BOTH branches' event-type filters (the
+    * self-join has two watermark nodes and the global watermark is their
+    * min — one stuck side stalls eviction and the final null rows never
+    * flush). The sentinel's self-match is killed in the JOIN CONDITION by
+    * `view_id =!= click_id` (event ids are globally unique, so real pairs
+    * always satisfy it): an inequality across BOTH sides is the one
+    * predicate shape neither pushdown nor equivalence-constraint
+    * inference can move below a watermark node. The sentinel view itself
+    * is never emitted — the watermark never passes its own window, the
+    * same invariant every flush-gated query relies on.
     */
   def attributedClicks(events: DataFrame, maxGap: String = "6 hours",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", joinType: String = "inner",
+      flushType: Option[String] = None): DataFrame = {
     val wm = events.withWatermark("ts", watermark)
-    val views = wm.where(col("event_type") === "view")
+    def keep(t: String) = flushType
+      .map(f => col("event_type").isin(t, f))
+      .getOrElse(col("event_type") === t)
+    val views = wm.where(keep("view"))
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))
-    val clicks = wm.where(col("event_type") === "click")
+    val clicks = wm.where(keep("click"))
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
+    val guard = if (flushType.isDefined) col("view_id") =!= col("click_id")
+      else lit(true)
     views.join(clicks,
       col("v_user") === col("c_user") &&
         col("c_ts") >= col("v_ts") &&
-        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $maxGap"))
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $maxGap") && guard, joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
         unix_millis(col("v_ts")).as("view_ts_ms"),
         unix_millis(col("c_ts")).as("click_ts_ms"))

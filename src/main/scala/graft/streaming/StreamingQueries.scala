@@ -184,6 +184,42 @@ object StreamingQueries {
     streamed.orderBy("user_id", "view_id", "click_id")
   }
 
+  /** q73: stream-stream LEFT OUTER interval join ≡ the batch left-outer
+    * interval join — the state-EVICTION emission semantics the inner gate
+    * (q55) never exercises: a view with no click in its 6-hour window is
+    * emitted with a NULL click side exactly when the watermark proves no
+    * future click can match it.
+    *
+    * Gate mechanics: the flush sentinel pushes the final watermark ~30
+    * days past every real view, so every unmatched view's state is
+    * retired and its null row emitted in the run's no-data batch. The
+    * sentinel must be KEPT through both branches' type filters
+    * (`flushType` — see [[EventStreams.attributedClicks]]: the pushed
+    * filters otherwise starve both watermark operators of it, pinning
+    * the global watermark to max-real-ts − delay and stranding the last
+    * 6 hours of unmatched views, which is exactly how this gate failed
+    * first). Unlike q55 this keeps the production 10-minute watermark —
+    * a 30-day delay would leave the watermark BEHIND the real views at
+    * end-of-stream and the null rows would never flush. The q55
+    * mid-replay-eviction hazard doesn't bite for the same reason as q60:
+    * the staged replay drains in one AvailableNow batch, so the
+    * watermark only advances after every real event is already in join
+    * state.
+    */
+  private val q73 = GraftQuery(
+    "q73_stream_outer_join",
+    """SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  epoch_ms(v.ts) AS view_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOURS
+      |ORDER BY user_id, view_id, click_id""".stripMargin) { (s, d) =>
+    runGated(s, d)(
+      EventStreams.attributedClicks(_, joinType = "leftOuter",
+        flushType = Some("__flush")))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   /** q60: stream-static broadcast enrichment ≡ the batch join+agg. The
     * static side is the customer dimension (the fixture embeds the
     * user→customer key as user_id + 1 = c_custkey); the flush sentinel
@@ -213,5 +249,5 @@ object StreamingQueries {
       .orderBy("window_start_ms", "mktsegment")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55, q60)
+  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55, q60, q73)
 }
