@@ -213,5 +213,35 @@ object Pipeline {
       .orderBy("doc_id", "chunk_ix")
   }
 
+  /** The kept documents q57 aggregates over — same token gate, same
+    * fingerprint dedup (keeper = lowest doc_id), but carrying the full
+    * rows instead of collapsing to stats.
+    */
+  def cleanedCorpus(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    val keepCols = struct(col("doc_id") +: docs.columns.filter(_ != "doc_id")
+      .map(col).toSeq: _*)
+    docs
+      .where(size(split(col("text"), "\\s+")) >= MinTokens)
+      .groupBy(PolyHash.hash(col("text")).as("fingerprint"))
+      .agg(min_by(keepCols, col("doc_id")).as("keep"))
+      .select("keep.*")
+  }
+
+  /** Materialize the cleaned corpus — the terminal stage q57 stops short
+    * of: gate → dedup → WRITE, partitioned by (lang, source) so every
+    * downstream consumer (per-language tokenizer runs, source-scoped
+    * audits) reads only the partitions it needs. Partition pruning at the
+    * read side is the point of the layout: a (lang, source) predicate
+    * must reach the scan as a PartitionFilter, never a data filter —
+    * PipelineWriteSpec asserts exactly that on the read-back. The
+    * partition key space is ~languages × sources (bounded, ~100 values),
+    * so files stay large at 100 TB rather than degenerating into a
+    * small-file explosion the way a high-cardinality key would.
+    */
+  def writeCleanCorpus(docs: org.apache.spark.sql.DataFrame, outDir: String): Unit =
+    cleanedCorpus(docs).write.mode("overwrite")
+      .partitionBy("lang", "source").parquet(outDir)
+
   val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64)
 }
