@@ -64,17 +64,24 @@ object Bench {
     // sbt's "[success] ..." line), so with 68 queries a full-precision
     // line overflows the window and the round's bench goes unparsed
     // (BENCH_r05/r06 "parsed": null). Keep this line under ~1900 chars.
-    def fmt(v: Double): String = {
+    def fmt(v: Double, decimals: Int): String = {
       // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
       // "0,46" and the driver's JSON parse would fail
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val s = s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    def render(decimals: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    }
+    // centiseconds while the line fits the driver's ~2000-char stdout
+    // tail window, deciseconds once the query count pushes past it —
+    // a coarser but parsed line beats a precise truncated one
+    val line = Iterator(2, 1).map(render).find(_.length <= 1900)
+      .getOrElse(render(1))
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail window")
     println(line)

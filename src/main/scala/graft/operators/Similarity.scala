@@ -580,6 +580,10 @@ object Similarity {
   /** Probe count for q72 — the standard IVF recall lever: single-probe
     * search misses true neighbors that sit just across a cell boundary;
     * probing the p nearest cells recovers them at ≤ p× the candidate set.
+    * Candidate work is ~p·n²/k total, so the cell count k is the paired
+    * throughput knob: production sizes k ≈ √n to keep cells bounded
+    * (this fixture's k=4 is oracle-calibration-small, which is why the
+    * rerank — not the probe selection — dominates its local cost).
     */
   private val ProbeP = 2
 
