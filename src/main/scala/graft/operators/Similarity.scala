@@ -498,6 +498,59 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q76: the dedup MANIFEST — the stage that makes q52's clusters
+    * actionable: one row per kept document (the cluster's min doc_id),
+    * with its member/dropped counts and the keeper's own metadata. This
+    * is what a dedup pass actually ships: downstream jobs join the
+    * manifest to drop non-keepers; the audit columns say how much was
+    * removed and from where. Composition: candidates (q31's banded join)
+    * → signature-verified edges → connected components (q52) → one
+    * groupBy(cluster_id) + a doc_id equi-join for keeper metadata.
+    */
+  private val q76 = GraftQuery(
+    "q76_dedup_manifest",
+    s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, sig AS (
+       |  SELECT doc_id, $oracleSigList AS sig FROM hs
+       |), bands AS (
+       |  ${oracleMinhashBands("")}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+       |   AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE $minhashMatchSql
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs WHERE $minhashMatchSql
+       |), reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), cl AS (
+       |  SELECT d.doc_id, least(d.doc_id, coalesce(rm.m, d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN (SELECT u, min(v) AS m FROM reach GROUP BY u) rm
+       |    ON d.doc_id = rm.u
+       |)
+       |SELECT c.cluster_id AS keeper_doc_id, k.lang AS lang, k.source AS source,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+       |FROM cl c JOIN documents k ON c.cluster_id = k.doc_id
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, d) =>
+    val edges = minhashCandidates(minhashSigs(s, d))
+      .where(expr(sigMatchPredicate))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val docs = Tables.documents(s, d)
+    connectedComponents(docs.select("doc_id"), edges)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        col("cluster_id") === col("doc_id"))
+      .select(col("cluster_id").as("keeper_doc_id"), col("lang"), col("source"),
+        col("n_members"), col("n_dropped"))
+      .orderBy("keeper_doc_id")
+  }
+
   // ---- composed IVF search: train → assign → top-k (q71, q72) ----
 
   /** The trained coarse quantizer + assignments — the c0 → assign →
@@ -965,5 +1018,5 @@ object Similarity {
   }
 
   val queries: Seq[GraftQuery] =
-    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72)
+    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76)
 }

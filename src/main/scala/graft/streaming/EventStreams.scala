@@ -199,28 +199,40 @@ object EventStreams {
 
   /** Per-user value-milestone alerts via `flatMapGroupsWithState` — the
     * zero-or-more-outputs custom-state surface (vs [[userTotalsWithState]]'s
-    * exactly-one). Emits one row per 1000-unit cumulative-value threshold a
+    * exactly-one). Emits one row per `stepCents` of cumulative value a
     * user crosses in the batch — between crossings a group emits NOTHING,
     * which `mapGroupsWithState` cannot express. State per user is one
-    * running double: bounded and evictable by timeout in production.
+    * running long: bounded and evictable by timeout in production.
+    *
+    * Accumulation is in INTEGER CENTS (`round(value·100)` — exact for
+    * 2-decimal money values, and a binary double can never land exactly
+    * on the .5 rounding boundary from one), so the running total — and
+    * therefore which milestones fire — is independent of row order,
+    * micro-batch boundaries, and float summation error: the property
+    * that lets q75 hash-gate this operator against a batch oracle. A
+    * double running sum would flake exactly at the floor boundaries the
+    * milestones are defined by.
     */
-  def valueMilestones(events: DataFrame, step: Double = 1000.0): org.apache.spark.sql.Dataset[(Long, Long)] = {
+  def valueMilestones(events: DataFrame,
+      stepCents: Long = 100000L): org.apache.spark.sql.Dataset[(Long, Long)] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[(Long, Double)]
+    events.select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long)]
       .groupByKey(_._1)
       // state = (running total, highest milestone already emitted): the
       // high-water mark makes emission exactly-once per (user, milestone)
       // even if a negative correction drops the total below a previously
       // crossed threshold and a later batch re-crosses it
-      .flatMapGroupsWithState[(Double, Long), (Long, Long)](
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Double)],
-         state: org.apache.spark.sql.streaming.GroupState[(Double, Long)]) =>
-          val (before, emitted) = state.getOption.getOrElse((0.0, 0L))
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          val (before, emitted) = state.getOption.getOrElse((0L, 0L))
           val after = before + rows.map(_._2).sum
-          val lastMilestone = math.max(math.floor(after / step).toLong, emitted)
+          val lastMilestone = math.max(after / stepCents, emitted)
           state.update((after, lastMilestone))
           ((emitted + 1) to lastMilestone).iterator.map(m => (uid, m))
       }

@@ -140,6 +140,51 @@ object StreamingQueries {
       .orderBy("user_id", "session_start_ms")
   }
 
+  /** q74: streaming sliding windows ≡ batch q19 — the last unclosed
+    * batch/stream twin (q47 tumbling, q48 session). The flush sentinel
+    * closes every real window; its own 4 overlapping windows all end
+    * after the final watermark (earliest end = its 15-min bucket + 15min
+    * > sentinel − 10min), so none is ever emitted — the q47 invariant,
+    * per-slide.
+    */
+  private val q74 = GraftQuery(
+    "q74_stream_sliding",
+    """SELECT epoch_ms(time_bucket(INTERVAL 15 MINUTES, ts)
+      |         - o.i * INTERVAL 15 MINUTES) AS window_start_ms,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events, (VALUES (0), (1), (2), (3)) o(i)
+      |GROUP BY 1
+      |ORDER BY window_start_ms""".stripMargin) { (s, d) =>
+    runGated(s, d)(EventStreams.slidingCounts(_))
+      .orderBy("window_start_ms")
+  }
+
+  /** q75: custom-state milestones (`flatMapGroupsWithState`) ≡ the batch
+    * closed form — every (user, milestone) pair for each full `stepCents`
+    * of cumulative value. Integer-cents state makes the emitted set
+    * independent of row order and micro-batch boundaries (see
+    * [[EventStreams.valueMilestones]]), and the high-water mark makes it
+    * exactly-once — so the stream output equals the batch formula
+    * regardless of how the replay batches. No sentinel: state uses
+    * NoTimeout, emission happens in the crossing batch.
+    */
+  private val q75 = GraftQuery(
+    "q75_state_milestones",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1)
+      |SELECT user_id,
+      |  CAST(unnest(range(1, cents // 100000 + 1)) AS BIGINT) AS milestone
+      |FROM per_user
+      |ORDER BY user_id, milestone""".stripMargin) { (s, d) =>
+    val streamed = EventStreams.runToMemory(s,
+      EventStreams.valueMilestones(EventStreams.readEvents(s, d))
+        .toDF("user_id", "milestone"),
+      s"stream_gate_${memorySinkId.incrementAndGet()}")
+    streamed.orderBy("user_id", "milestone")
+  }
+
   /** q49: streaming watermarked dedup emits exactly one row per
     * (user_id, event_type) key — the key universe must equal the batch
     * distinct. No sentinel needed: dedup is a stateful filter, rows emit
@@ -249,5 +294,5 @@ object StreamingQueries {
       .orderBy("window_start_ms", "mktsegment")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55, q60, q73)
+  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55, q60, q73, q74, q75)
 }

@@ -103,7 +103,7 @@ class EventStreamsSpec extends SparkSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
     val q = EventStreams.valueMilestones(
-        input.toDS().toDF("user_id", "value"), step = 100.0)
+        input.toDS().toDF("user_id", "value"), stepCents = 10000L)
       .toDF("user_id", "milestone")
       .writeStream.format("memory").queryName("t_milestones")
       .outputMode("append").start()
