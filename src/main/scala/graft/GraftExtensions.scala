@@ -42,5 +42,8 @@ object GraftExtensions {
       graft.functions.DoublePlainString.builder),
     ("byte_pool", "byte_pool(payload, n) - average-pool a string payload's bytes into n windows",
       graft.functions.BytePool.builder),
+    ("graft_bloom_might_contain",
+      "graft_bloom_might_contain(filter, key) - probe a long key against a serialized bloom filter literal",
+      graft.functions.BloomFilterFunctions.builder),
   )
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** `graft_bloom_might_contain(filterBytes, key)` — membership probe of a
+  * long key against a serialized [[org.apache.spark.util.sketch.BloomFilter]]
+  * carried as a foldable binary literal.
+  *
+  * This is the map-side half of the bloom-pruned anti/semi join
+  * (operators/CorpusStats q77): a blocklist too large to broadcast as a
+  * hash relation (10⁹ fingerprints ≈ tens of GB as a join build side)
+  * still fits as a bloom (~1.2 GB at 1% fpp), so the 100 TB probe side is
+  * filtered BEFORE its shuffle and only might-contain candidates reach
+  * the exact confirming join. No false negatives, so the composed
+  * bloom→confirm result is exactly the anti/semi join — the filter only
+  * prunes, it never decides.
+  *
+  * The filter deserializes once per task from the literal (transient
+  * lazy), and the codegen path calls straight into the deserialized
+  * filter — no per-row deserialization, no UDF dispatch.
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_might_contain requires a binary filter, got ${left.dataType.simpleString}")
+    else if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_bloom_might_contain requires a foldable (literal) filter")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_might_contain requires a bigint key, got ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val filter: BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  /** Codegen entry point — reads are lock-free on the deserialized bit
+    * array, so one shared filter instance serves all of a task's rows.
+    */
+  def test(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    filter.mightContainLong(r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", this, classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, (_, rv) => s"$ref.test($rv)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomFilterFunctions {
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2,
+        "graft_bloom_might_contain(filter, key) takes exactly 2 arguments")
+      BloomMightContain(exprs.head, exprs(1))
+    }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain", builder, "built-in")
+
+  /** Column-API probe, valid on any session where [[register]] has run. */
+  def mightContain(filterBytes: Column, key: Column): Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("graft_bloom_might_contain", filterBytes, key)
+  }
+
+  /** Serialize a built filter for embedding as a binary literal. */
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+}

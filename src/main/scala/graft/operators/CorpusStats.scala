@@ -256,5 +256,79 @@ object CorpusStats {
       .orderBy("label")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q65, q66, q67, q68)
+  /** The bloom-pruned decontamination plan behind q77, parameterized so
+    * tests can prove the result is INDEPENDENT of the filter's false-
+    * positive rate (the bloom prunes, the exact join decides).
+    *
+    * The 100 TB shape this encodes: the blocklist (every distinct 8-gram
+    * hash of the held-out split) is far too large to broadcast as a hash
+    * join build side at web scale (10⁹ grams ≈ tens of GB), but fits as
+    * a bloom filter (~1.2 GB at 1% fpp). The filter is built with ONE
+    * pass over the blocklist (`stat.bloomFilter` aggregates per-partition
+    * filters, no collect of keys), broadcast as an expression literal,
+    * and applied map-side to the train-side gram stream BEFORE its
+    * shuffle — so the exact confirming semi-join receives only
+    * true hits + fpp·|train grams| rows instead of the full corpus.
+    * Bloom filters have no false negatives, so kept/dropped is exactly
+    * the anti/semi-join answer at any fpp.
+    */
+  private[operators] def bloomDecontaminate(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      fpp: Double): org.apache.spark.sql.DataFrame = {
+    PolyHash.register(s)
+    graft.functions.BloomFilterFunctions.register(s)
+    val hashed = docGrams(s, d, GramN)
+      .select(col("doc_id"), col("sb"), PolyHash.hash(col("g")).as("h"))
+    val blocklist = hashed.where(col("sb") >= TestBucketFloor)
+      .select("h").distinct()
+    val bf = blocklist.stat.bloomFilter("h",
+      math.max(blocklist.count(), 1L), fpp)
+    val bytes = graft.functions.BloomFilterFunctions.serialize(bf)
+    val contaminated = hashed.where(col("sb") < TrainBucketCeil)
+      .select(col("doc_id"), col("h"))
+      .where(graft.functions.BloomFilterFunctions.mightContain(lit(bytes), col("h")))
+      .join(blocklist, Seq("h"), "left_semi")
+      .select(col("doc_id").as("contaminated_doc_id")).distinct()
+    val roster = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .where(Pipeline.lcg(col("doc_id"), Pipeline.SplitA, Pipeline.SplitC) % 100
+        < TrainBucketCeil)
+    roster
+      .join(contaminated, col("doc_id") === col("contaminated_doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        count(col("contaminated_doc_id")).as("n_dropped"),
+        (count(lit(1)) - count(col("contaminated_doc_id"))).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** q77: bloom-pruned train-split decontamination manifest — per source,
+    * how many train documents survive after dropping every document that
+    * shares ≥1 distinct word-8-gram with the held-out split (q65's
+    * contamination criterion turned into the corpus-prep action). The
+    * registered fpp is 3%; correctness does not depend on it (see
+    * [[bloomDecontaminate]] — the oracle is the plain semi-join).
+    */
+  private val q77 = GraftQuery(
+    "q77_bloom_decontaminate",
+    s"""WITH ${oracleGrams(GramN)},
+       |hashed AS (
+       |  SELECT doc_id, sb, ${PolyHash.oracleSql("g")} AS h FROM grams),
+       |blocklist AS (SELECT DISTINCT h FROM hashed WHERE sb >= $TestBucketFloor),
+       |hit AS (
+       |  SELECT DISTINCT doc_id FROM hashed
+       |  WHERE sb < $TrainBucketCeil AND h IN (SELECT h FROM blocklist)),
+       |roster AS (
+       |  SELECT doc_id, source FROM documents
+       |  WHERE (${Pipeline.lcgSql("doc_id", Pipeline.SplitA, Pipeline.SplitC)}) % 100
+       |    < $TrainBucketCeil)
+       |SELECT r.source AS source, CAST(count(*) AS BIGINT) AS n_train,
+       |  CAST(count(hit.doc_id) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - count(hit.doc_id) AS BIGINT) AS n_kept
+       |FROM roster r LEFT JOIN hit ON r.doc_id = hit.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    bloomDecontaminate(s, d, fpp = 0.03)
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q65, q66, q67, q68, q77)
 }

@@ -149,6 +149,42 @@ class FunctionsSpec extends SparkSuite {
       == Seq(8364000000L, 8364000000L))
   }
 
+  test("bloom might-contain: no false negatives, bounded false positives") {
+    import spark.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(100, 0.03)
+    (0L until 100L).foreach(bf.putLong)
+    val bytes = BloomFilterFunctions.serialize(bf)
+    BloomFilterFunctions.register(spark)
+    val probe = (0L until 2000L).toDF("k")
+      .select(col("k"),
+        BloomFilterFunctions.mightContain(lit(bytes), col("k")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives — every inserted key must probe true
+    assert((0L until 100L).forall(probe(_)), "bloom false negative")
+    // false positives are the design tradeoff, but must stay near fpp
+    val fps = (100L until 2000L).count(probe(_))
+    assert(fps < 200, s"false-positive rate off the rails: $fps/1900")
+  }
+
+  test("bloom might-contain is null-safe and rejects bad input types") {
+    import spark.implicits._
+    BloomFilterFunctions.register(spark)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.03)
+    bf.putLong(7L)
+    val bytes = BloomFilterFunctions.serialize(bf)
+    val got = Seq(Some(7L), None).toDF("k")
+      .select(BloomFilterFunctions.mightContain(lit(bytes), col("k")).as("hit"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(got.toSeq == Seq(true, null))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s")
+        .select(BloomFilterFunctions.mightContain(lit("notbinary"), lit(1L)))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"))
+  }
+
   test("modified-dietz single-flow closed form") {
     import org.apache.spark.sql.Encoders
     import spark.implicits._

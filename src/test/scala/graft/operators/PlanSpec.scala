@@ -90,6 +90,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"q69 plans a cartesian:\n$p")
   }
 
+  test("q77 probes the bloom filter map-side, before the confirming semi-join") {
+    val p = plan("q77_bloom_decontaminate")
+    val tree = p.split("\n\n").head
+    assert(!p.contains("CartesianProduct"), s"q77 plans a cartesian:\n$p")
+    // the bloom probe must be a Filter on the train gram stream — pruning
+    // happens before the shuffle, so the semi-join sees candidates only
+    assert(p.contains("graft_bloom_might_contain"),
+      s"bloom probe vanished from the plan:\n$p")
+    assert(tree.contains("LeftSemi"),
+      s"the exact confirming semi-join is gone — the bloom alone must " +
+        s"never decide membership:\n$tree")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Condition") && l.contains("graft_bloom_might_contain")),
+      s"bloom probe is not a Filter condition:\n$p")
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),

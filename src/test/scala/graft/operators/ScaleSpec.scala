@@ -179,6 +179,20 @@ class ScaleSpec extends SparkSuite {
       s"cap did not drop the boilerplate gram: $capped")
   }
 
+  test("bloom decontamination result is independent of the filter's fpp") {
+    // the bloom prunes, the exact semi-join decides: a near-useless
+    // filter (fpp 0.5, most grams pass as candidates) and a near-perfect
+    // one (fpp 1e-6) must produce identical manifests
+    def rows(fpp: Double): Seq[(String, Long, Long, Long)] =
+      CorpusStats.bloomDecontaminate(spark, dir, fpp).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sloppy = rows(0.5)
+    val tight = rows(1e-6)
+    assert(sloppy == tight,
+      s"fpp changed the decontamination answer:\n$sloppy\nvs\n$tight")
+    assert(sloppy.map(_._2).sum > 0, "empty train roster — test has no signal")
+  }
+
   test("SRP bucket count scales with the bits parameter") {
     val e = graft.Tables.embeddings(spark, dir)
     def buckets(bits: Int): Long =
