@@ -42,6 +42,9 @@ object GraftExtensions {
       graft.functions.DoublePlainString.builder),
     ("byte_pool", "byte_pool(payload, n) - average-pool a string payload's bytes into n windows",
       graft.functions.BytePool.builder),
+    ("int8_quant_stats",
+      "int8_quant_stats(v) - [qscale, rmse, max_abs_err, rel_err] of symmetric int8 quantization",
+      graft.functions.VectorFunctions.int8QuantBuilder),
     ("graft_bloom_might_contain",
       "graft_bloom_might_contain(filter, key) - probe a long key against a serialized bloom filter literal",
       graft.functions.BloomFilterFunctions.builder),

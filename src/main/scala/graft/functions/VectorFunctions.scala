@@ -149,6 +149,85 @@ case class L2DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared kernel for [[Int8QuantStats]] — eval and codegen call the same
+  * two-pass loop so the value is defined once. Pass 1 finds the max
+  * absolute component; pass 2 accumulates reconstruction error of the
+  * symmetric int8 quantization (q = clamp(floor(x/s + 0.5), ±127),
+  * s = max|x|/127) plus the vector's own norm, all left-to-right in
+  * dimension order — bit-identical to the oracle's list_reduce folds.
+  */
+object Int8QuantKernel {
+  def stats(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = math.abs(a.getFloat(i).toDouble)
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = mx / 127.0
+    val ss = if (scale == 0.0) 1.0 else scale
+    var err2 = 0.0; var maxae = 0.0; var vn2 = 0.0
+    i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      var q = math.floor(x / ss + 0.5)
+      if (q < -127.0) q = -127.0
+      if (q > 127.0) q = 127.0
+      val e = x - q * ss
+      err2 += e * e
+      val ae = math.abs(e)
+      if (ae > maxae) maxae = ae
+      vn2 += x * x
+      i += 1
+    }
+    val rmse = if (n == 0) 0.0 else math.sqrt(err2 / n)
+    val rel = if (vn2 == 0.0) 0.0 else math.sqrt(err2) / math.sqrt(vn2)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(scale, rmse, maxae, rel))
+  }
+}
+
+/** `int8_quant_stats(v)` → [qscale, rmse, max_abs_err, rel_err] — the
+  * reconstruction-error audit of symmetric per-vector int8 quantization.
+  *
+  * The 100 TB role: embeddings dominate an LLM corpus's ANN storage and
+  * shuffle volume; int8 cuts both 4× (float32 → one byte per dim plus one
+  * scale per vector), which is the difference between an index that fits
+  * executor memory and one that spills. Serving quantized vectors is only
+  * safe if the reconstruction error is measured and gated — this kernel
+  * is that gate, one codegen pass per row, no boxing, no HOF interpreter
+  * (Spark's higher-order `aggregate`/`transform` are CodegenFallback).
+  */
+case class Int8QuantStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"int8_quant_stats requires array<float>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Int8QuantKernel.stats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.Int8QuantKernel.stats($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register `cosine_sim(a, b)` for SQL/expr use on a session. Idempotent;
     * queries that need the expression call this first, then refer to it via
@@ -165,12 +244,19 @@ object VectorFunctions {
       require(exprs.length == 2, "l2_dist_sq(v, c) takes exactly 2 arguments")
       L2DistanceSq(exprs(0), exprs(1))
     }
+  private[graft] val int8QuantBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 1, "int8_quant_stats(v) takes exactly 1 argument")
+      Int8QuantStats(exprs.head)
+    }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_dist_sq", l2Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_quant_stats", int8QuantBuilder, "built-in")
   }
 
   /** Column-API form, valid on any session where [[register]] has run. */
@@ -183,5 +269,11 @@ object VectorFunctions {
   def l2DistSq(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.{call_function}
     call_function("l2_dist_sq", a, b)
+  }
+
+  /** Int8 quantization audit vector, post-[[register]]. */
+  def int8QuantStats(v: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("int8_quant_stats", v)
   }
 }

@@ -1017,6 +1017,61 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** q78: per-vector int8 quantization audit — the scale, RMSE, max
+    * absolute error, and relative error of symmetric int8 quantization
+    * (q = clamp(floor(x/s + 0.5), ±127), s = max|x|/127) for every
+    * embedding. Quantization is the 4× storage/shuffle lever for the ANN
+    * tiers (q30/q44/q45/q71); this audit is what makes serving quantized
+    * vectors safe — a pipeline gates on rel_err before swapping the
+    * float32 index out. One codegen kernel pass per row
+    * ([[graft.functions.Int8QuantKernel]]), map-only until the output sort.
+    */
+  private val q78 = GraftQuery(
+    "q78_embedding_quantize",
+    """WITH s1 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s2 AS (
+      |  SELECT vec_id, v,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+      |      (a,b) -> greatest(a,b)) AS mx
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT vec_id, v, mx / 127.0 AS scale,
+      |    CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS ss
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(v, x -> x - least(greatest(floor(x / ss + 0.5), -127.0), 127.0) * ss) AS errs,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x*x)),
+      |      (a,b) -> a+b) AS vn2
+      |  FROM s3),
+      |s5 AS (
+      |  SELECT vec_id, scale,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(errs, e -> e*e)),
+      |      (a,b) -> a+b) AS err2,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(errs, e -> abs(e))),
+      |      (a,b) -> greatest(a,b)) AS maxae,
+      |    vn2, len(errs) AS n
+      |  FROM s4)
+      |SELECT vec_id, round(scale, 6) AS qscale, round(sqrt(err2 / n), 6) AS rmse,
+      |  round(maxae, 6) AS max_abs_err,
+      |  round(CASE WHEN vn2 = 0 THEN 0.0 ELSE sqrt(err2)/sqrt(vn2) END, 6) AS rel_err
+      |FROM s5 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    // stats computed ONCE per row; the 4 extractions reference the shared
+    // alias (multi-referenced non-cheap producer stays un-inlined — the
+    // q53/q26 CollapseProject shape PlanSpec pins)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorFunctions.int8QuantStats(col("embedding")).as("qs"))
+      .select(col("vec_id"),
+        round(element_at(col("qs"), 1), 6).as("qscale"),
+        round(element_at(col("qs"), 2), 6).as("rmse"),
+        round(element_at(col("qs"), 3), 6).as("max_abs_err"),
+        round(element_at(col("qs"), 4), 6).as("rel_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76)
+    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78)
 }

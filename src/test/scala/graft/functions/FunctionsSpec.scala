@@ -185,6 +185,26 @@ class FunctionsSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("binary"))
   }
 
+  test("int8 quant stats: error bound, zero-vector guard, null element") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    def statsOf(v: Seq[java.lang.Float]): Seq[Double] = {
+      val r = Seq(Tuple1(v)).toDF("v")
+        .select(VectorFunctions.int8QuantStats(col("v")).as("s"))
+        .collect().head
+      if (r.isNullAt(0)) null else r.getSeq[Double](0)
+    }
+    val s = statsOf(Seq(1.0f, -0.5f, 0.0f))
+    val scale = 1.0 / 127.0
+    assert(math.abs(s(0) - scale) < 1e-15, s"scale off: ${s(0)}")
+    // symmetric quantization without clipping bounds per-dim error by s/2
+    assert(s(2) <= scale / 2 + 1e-12, s"max_abs_err exceeds s/2: ${s(2)}")
+    assert(s(1) > 0 && s(3) > 0, "rmse/rel_err should be nonzero here")
+    // zero vector quantizes exactly: everything 0, no NaN from 0/0
+    assert(statsOf(Seq(0.0f, 0.0f)) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(statsOf(Seq(1.0f, null, 0.0f)) == null)
+  }
+
   test("modified-dietz single-flow closed form") {
     import org.apache.spark.sql.Encoders
     import spark.implicits._

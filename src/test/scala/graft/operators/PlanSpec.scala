@@ -106,6 +106,15 @@ class PlanSpec extends SparkSuite {
       s"bloom probe is not a Filter condition:\n$p")
   }
 
+  test("q78 quantization audit is map-only up to the output sort") {
+    val p = plan("q78_embedding_quantize")
+    val tree = p.split("\n\n").head
+    val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
+    assert(exchanges == 1,
+      s"q78 should shuffle once (the orderBy range), got $exchanges:\n$tree")
+    assert(!tree.contains("Join"), s"q78 needs no join:\n$tree")
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),
