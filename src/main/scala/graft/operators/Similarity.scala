@@ -1072,6 +1072,84 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q79: measured recall@3 of the SRP-LSH tier against brute-force
+    * ground truth, per query vector — the quality dial that makes the
+    * ANN tiering an engineering decision instead of a hope. Ground truth
+    * is q44's bounded-batch exact top-3; the approximate side is q45's
+    * bucketed search restricted to the same batch. Both ranks break ties
+    * identically (cos desc, neighbor_id), so recall is deterministic and
+    * oracle-gateable. At scale this runs on a sampled query batch — the
+    * standard recall-regression probe after any re-bucketing (more SRP
+    * bits, re-trained IVF cells) — at the cost of one brute-force pass
+    * over the SAMPLE, never the corpus.
+    *
+    * Reading the number: this fixture's embeddings are near-isotropic
+    * random vectors, so with 6 SRP bits each query sees ~1.6% of the
+    * corpus as candidates and measured recall@3 is accordingly low
+    * (~0.04) — the honest statement that random data has no locality
+    * for LSH to exploit. On real embedding manifolds (which cluster),
+    * the same audit is what justifies the bucketed tier; either way the
+    * decision is now measured, not assumed.
+    */
+  private val q79 = GraftQuery(
+    "q79_ann_recall",
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $srpBucketOracle AS bucket FROM embeddings
+       |), tsim AS (
+       |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q", "c")} AS cos
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+       |  JOIN embeddings c ON q.vec_id <> c.vec_id
+       |), truth AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM tsim) t WHERE rank <= 3
+       |), asim AS (
+       |  SELECT a.vec_id AS vec_id, bb.vec_id AS neighbor_id,
+       |    ${cosSql("a", "bb")} AS cos
+       |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+       |  WHERE a.vec_id < $QueryBatch
+       |), approx AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM asim) t WHERE rank <= 3
+       |)
+       |SELECT t.vec_id AS vec_id, CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       |  round(CAST(count(ap.neighbor_id) AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS recall_at_3
+       |FROM truth t LEFT JOIN approx ap
+       |  ON t.vec_id = ap.vec_id AND t.neighbor_id = ap.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    // ground truth: exact top-3 for the bounded query batch (q44's BNLJ
+    // shape — constant-size broadcast build side)
+    val qb = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding").as("emb_a")))
+    val all = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
+    val truth = rankTop3(qb.join(all, col("vec_id") =!= col("neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"))
+    // approximate side: q45's SRP buckets, probe side restricted to the
+    // same batch (same fence: bucket referenced by both join sides)
+    val b = e.select(col("vec_id"), col("embedding"),
+        srpBucket(SrpBits).as("bucket"))
+      .repartition(col("vec_id"))
+    val l = b.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("bucket"), col("embedding").as("emb_a"))
+    val r = b.select(col("vec_id").as("neighbor_id"),
+      col("bucket").as("bucket_r"), col("embedding").as("emb_b"))
+    val approx = rankTop3(l.join(r,
+        col("bucket") === col("bucket_r") && col("vec_id") =!= col("neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("vec_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0), 6).as("recall_at_3"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78)
+    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79)
 }
