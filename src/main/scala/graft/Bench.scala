@@ -72,19 +72,27 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def render(decimals: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }
-        .mkString("{", ",", "}")
+    def render(decimals: Int, shortKeys: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (shortKeys) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + fmt(v, decimals)
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
     }
-    // centiseconds while the line fits the driver's ~2000-char stdout
-    // tail window, deciseconds once the query count pushes past it —
-    // a coarser but parsed line beats a precise truncated one
-    val line = Iterator(2, 1).map(render).find(_.length <= 1900)
-      .getOrElse(render(1))
+    // The driver keeps only the last ~2000 chars of stdout, so the line
+    // must fit that window WITH headroom for anything logged after it.
+    // Degrade gracefully as the query count grows: centi→deci seconds
+    // with full names, then the qNN short keys (names stay recoverable —
+    // every query id is unique by number) — a coarser or abbreviated
+    // line beats a precise truncated one the driver can't parse.
+    val line = Iterator((2, false), (1, false), (2, true), (1, true))
+      .map { case (d, s) => render(d, s) }.find(_.length <= 1900)
+      .getOrElse(render(1, shortKeys = true))
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail window")
+    // stop BEFORE printing: shutdown log lines on stdout would otherwise
+    // land after the JSON and eat the driver's tail window from the front
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
-    spark.stop()
   }
 }

@@ -294,5 +294,52 @@ object StreamingQueries {
       .orderBy("window_start_ms", "mktsegment")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55, q60, q73, q74, q75)
+  /** Denylist membership floor for q80 — users with more total events than
+    * this are treated as the offline-flagged bot/abuse cohort.
+    */
+  private val DenyThreshold = 80L
+
+  /** q80: ingestion-time decontamination — the streaming twin of q77's
+    * bloom-pruned anti-join. An offline job computes a denylist (here:
+    * users above [[DenyThreshold]] total events, the bot-volume
+    * heuristic); the replayed stream drops every denylisted user's events
+    * BEFORE the windowed aggregation sees them.
+    *
+    * The scale mechanics: the bloom literal rides into the streaming plan
+    * and filters map-side, so rows that definitely aren't denylisted
+    * (the overwhelming majority at 100 TB/day) never touch join state;
+    * only might-contain candidates take the stream-static LEFT ANTI join
+    * against the denylist table, which confirms exactly (no false
+    * negatives → no good row lost, no denied row kept). The union of the
+    * two branches re-converges before the tumbling aggregation, so the
+    * emitted windows are exactly the batch answer over clean events —
+    * which is precisely what the oracle asserts via the flush gate.
+    */
+  private val q80 = GraftQuery(
+    "q80_stream_bloom_filter",
+    s"""WITH deny AS (
+       |  SELECT user_id FROM events GROUP BY 1 HAVING count(*) > $DenyThreshold)
+       |SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+       |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       |FROM events
+       |WHERE user_id NOT IN (SELECT user_id FROM deny)
+       |GROUP BY 1, 2
+       |ORDER BY window_start_ms, event_type""".stripMargin) { (s, d) =>
+    graft.functions.BloomFilterFunctions.register(s)
+    val deny = graft.Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > DenyThreshold)
+      .select("user_id")
+    val bytes = graft.functions.BloomFilterFunctions.serialize(
+      deny.stat.bloomFilter("user_id", math.max(deny.count(), 1L), 0.03))
+    runGated(s, d) { ev =>
+      val mc = graft.functions.BloomFilterFunctions
+        .mightContain(lit(bytes), col("user_id"))
+      val clean = ev.where(!mc)
+      val cand = ev.where(mc).join(deny, Seq("user_id"), "left_anti")
+      EventStreams.tumblingCounts(clean.unionByName(cand))
+    }.orderBy("window_start_ms", "event_type")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80)
 }
