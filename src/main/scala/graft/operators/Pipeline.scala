@@ -243,5 +243,50 @@ object Pipeline {
     cleanedCorpus(docs).write.mode("overwrite")
       .partitionBy("lang", "source").parquet(outDir)
 
-  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64)
+  /** q81: mixture balancing — downsample every source to (approximately)
+    * the smallest source's size by deterministic per-document sampling,
+    * and emit the mixing manifest (per-source corpus size, applied rate
+    * in ppm, kept count). This is the data-mixing step of a pretraining
+    * pipeline: source weights become per-source keep rates, rates ride a
+    * broadcast of ~#sources rows, and the corpus itself is filtered
+    * MAP-SIDE — the 100 TB side is never shuffled, never materialized,
+    * and the sample is reproducible row-by-row (LCG on doc_id, the q58
+    * constants) rather than an RNG draw. Rates are exact integer
+    * arithmetic (ppm floor), so both engines decide every document
+    * identically.
+    */
+  private val q81 = GraftQuery(
+    "q81_mixture_balance",
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |m AS (SELECT min(n_docs) AS m FROM counts),
+       |rates AS (
+       |  SELECT source, n_docs, (m.m * 1000000) // n_docs AS rate_ppm
+       |  FROM counts, m),
+       |kept AS (
+       |  SELECT d.source, count(*) AS n_kept
+       |  FROM documents d JOIN rates r ON d.source = r.source
+       |  WHERE (${lcgSql("d.doc_id", SampleA, SampleC)}) % 1000000 < r.rate_ppm
+       |  GROUP BY 1)
+       |SELECT r.source AS source, CAST(r.n_docs AS BIGINT) AS n_docs,
+       |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM rates r LEFT JOIN kept k ON r.source = k.source
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val m = counts.agg(min(col("n_docs")).as("m"))
+    val rates = counts.crossJoin(broadcast(m))
+      .withColumn("rate_ppm", expr("m * 1000000 DIV n_docs"))
+      .select("source", "n_docs", "rate_ppm")
+    val kept = docs.join(broadcast(rates), "source")
+      .where(lcg(col("doc_id"), SampleA, SampleC) % 1000000 < col("rate_ppm"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    rates.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64, q81)
 }

@@ -115,6 +115,26 @@ class PlanSpec extends SparkSuite {
     assert(!tree.contains("Join"), s"q78 needs no join:\n$tree")
   }
 
+  test("q79 recall audit: BNLJ only for the bounded truth batch, SRP side equi-joins") {
+    val p = plan("q79_ann_recall")
+    assert(!p.contains("CartesianProduct"), s"q79 plans a cartesian:\n$p")
+    // exactly one BNLJ — the constant-size brute-force truth batch; the
+    // approximate side must stay a bucket equi-join
+    val tree = p.split("\n\n").head
+    assert(tree.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"q79 should BNLJ only the truth batch:\n$tree")
+  }
+
+  test("q81 mixture balance broadcasts rates and filters the corpus map-side") {
+    val p = plan("q81_mixture_balance")
+    assert(!p.contains("CartesianProduct"), s"q81 plans a cartesian:\n$p")
+    // every join input that matters is ~#sources rows: the corpus side
+    // must never be shuffled for a sort-merge join
+    assert(!p.contains("SortMergeJoin"),
+      s"q81 shuffles the corpus for a join — rates should broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rates join lost broadcast:\n$p")
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),
