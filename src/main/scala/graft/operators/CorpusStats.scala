@@ -279,8 +279,13 @@ object CorpusStats {
     graft.functions.BloomFilterFunctions.register(s)
     val hashed = docGrams(s, d, GramN)
       .select(col("doc_id"), col("sb"), PolyHash.hash(col("g")).as("h"))
+    // the blocklist is an offline artifact (count → bloom build → exact
+    // confirm all read it); persist is the local stand-in for writing it
+    // to storage once — without it each consumer re-grams the held-out
+    // corpus from scratch
     val blocklist = hashed.where(col("sb") >= TestBucketFloor)
       .select("h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf = blocklist.stat.bloomFilter("h",
       math.max(blocklist.count(), 1L), fpp)
     val bytes = graft.functions.BloomFilterFunctions.serialize(bf)

@@ -274,7 +274,11 @@ object Pipeline {
        |FROM rates r LEFT JOIN kept k ON r.source = k.source
        |ORDER BY 1""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // persist: counts backs m, rates, and the final manifest — tiny
+    // (~#sources rows) but derived from a full corpus scan, so each
+    // uncached reuse would re-run that scan
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = counts.agg(min(col("n_docs")).as("m"))
     val rates = counts.crossJoin(broadcast(m))
       .withColumn("rate_ppm", expr("m * 1000000 DIV n_docs"))

@@ -326,10 +326,15 @@ object StreamingQueries {
        |GROUP BY 1, 2
        |ORDER BY window_start_ms, event_type""".stripMargin) { (s, d) =>
     graft.functions.BloomFilterFunctions.register(s)
+    // persist: the stream-static join re-executes the static side every
+    // micro-batch — uncached, each batch would re-aggregate the events
+    // table to rebuild a 9-row denylist (plus the count + bloom-build
+    // passes before the stream starts)
     val deny = graft.Tables.events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .where(col("n") > DenyThreshold)
       .select("user_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bytes = graft.functions.BloomFilterFunctions.serialize(
       deny.stat.bloomFilter("user_id", math.max(deny.count(), 1L), 0.03))
     runGated(s, d) { ev =>
