@@ -578,6 +578,20 @@ object Similarity {
     (c1, kmAssign(e, c1).persist(lvl))
   }
 
+  /** Materialize the trained IVF index to storage, partitioned by cell —
+    * the production form of [[kmTrained]]'s persist. A probe that knows
+    * its target cells (from the centroid table, which is k rows and ships
+    * everywhere) then reads ONLY those cells' files: partition pruning is
+    * what makes serving an IVF index from 100 TB of vectors an
+    * O(cells-probed) read, not a corpus scan. ScaleSpec asserts the
+    * pruned read-back.
+    */
+  def writeIvfIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    VectorFunctions.register(s)
+    val (_, a2) = kmTrained(s, d)
+    a2.write.mode("overwrite").partitionBy("cell").parquet(outDir)
+  }
+
   private val kmOracleTrain: String =
     s"""c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,

@@ -193,6 +193,32 @@ class ScaleSpec extends SparkSuite {
     assert(sloppy.map(_._2).sum > 0, "empty train roster — test has no signal")
   }
 
+  test("written IVF index serves a single-cell probe via partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    Similarity.writeIvfIndex(spark, dir, out)
+    val index = spark.read.parquet(out)
+    assert(index.count() > 0 && index.columns.toSet == Set("vec_id", "embedding", "cell"))
+    val cell = index.select("cell").orderBy("cell").limit(1)
+      .collect().head.getInt(0)
+    val probe = index.where(col("cell") === cell)
+    val scan = probe.queryExecution.executedPlan.toString
+    val partFilters = scan
+      .replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(scan.contains("PartitionFilters: [") && partFilters.contains("cell"),
+      s"cell predicate did not prune partitions:\n$scan")
+    // the pruned cell is a complete, searchable shard: every member's
+    // top-1 neighbor within the cell exists and is not itself
+    graft.functions.VectorFunctions.register(spark)
+    val l = probe.select(col("vec_id"), col("embedding").as("emb_a"))
+    val r = probe.select(col("vec_id").as("nid"), col("embedding").as("emb_b"))
+    val top1 = l.join(r, col("vec_id") =!= col("nid"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), col("nid"))).as("best"))
+    assert(top1.count() == probe.count(), "a cell member has no in-cell neighbor")
+  }
+
   test("SRP bucket count scales with the bits parameter") {
     val e = graft.Tables.embeddings(spark, dir)
     def buckets(bits: Int): Long =
