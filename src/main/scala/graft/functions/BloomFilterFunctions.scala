@@ -71,6 +71,53 @@ case class BloomMightContain(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bloom_probe(handleId, key)` — the broadcast-handle form of
+  * [[BloomMightContain]], and the one the registered queries use.
+  *
+  * The literal form embeds the serialized filter in the LogicalPlan; at
+  * the 10⁹-key design point that is a ~1.2 GB blob copied on every plan
+  * transformation, serialized into every task binary, and rendered into
+  * every explain string — unusable. This form keeps the filter OUT of
+  * the plan: the expression carries only a [[Broadcast]] handle (bytes
+  * on the wire: an id), executors fetch the filter blocks once via
+  * torrent broadcast, and the plan literal is one integer. This is the
+  * same shape Spark's own runtime bloom-filter join pruning uses.
+  *
+  * Column-API plumbing: Spark 4 exposes no public Expression→Column
+  * constructor, so the broadcast handle rides a session-registry id —
+  * `mightContainBroadcast` stores the handle in [[handles]], emits
+  * `graft_bloom_probe(lit(id), key)`, and the registered builder swaps
+  * the id back for the handle at analysis time.
+  */
+case class BloomMightContainBc(
+    bc: org.apache.spark.broadcast.Broadcast[BloomFilter],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_probe requires a bigint key, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def prettyName: String = "graft_bloom_probe"
+
+  def test(v: Long): Boolean = bc.value.mightContainLong(v)
+
+  override def nullSafeEval(input: Any): Any =
+    bc.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomBc", this, classOf[BloomMightContainBc].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.test($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BloomFilterFunctions {
   private[graft] val builder: Seq[Expression] => Expression =
     exprs => {
@@ -79,14 +126,49 @@ object BloomFilterFunctions {
       BloomMightContain(exprs.head, exprs(1))
     }
 
-  def register(spark: SparkSession): Unit =
+  /** Live broadcast handles, keyed by the id embedded in the plan. Entries
+    * are one small JVM object per built filter and live for the session
+    * (like the broadcast itself); queries build O(1) filters each.
+    */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.broadcast.Broadcast[BloomFilter]]()
+  private val nextHandle = new java.util.concurrent.atomic.AtomicInteger()
+
+  private[graft] val bcBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2,
+        "graft_bloom_probe(handleId, key) takes exactly 2 arguments")
+      val id = exprs.head.eval(null) match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_probe handle id must be an int literal, got $other")
+      }
+      val bc = handles.get(id)
+      require(bc != null, s"graft_bloom_probe: no broadcast filter with handle $id")
+      BloomMightContainBc(bc, exprs(1))
+    }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe", bcBuilder, "built-in")
+  }
 
-  /** Column-API probe, valid on any session where [[register]] has run. */
+  /** Column-API probe via binary literal — fine for small filters and
+    * SQL-text use; prefer [[mightContainBroadcast]] on the scale path.
+    */
   def mightContain(filterBytes: Column, key: Column): Column = {
     import org.apache.spark.sql.functions.call_function
     call_function("graft_bloom_might_contain", filterBytes, key)
+  }
+
+  /** Column-API probe via torrent broadcast — the plan carries an int. */
+  def mightContainBroadcast(spark: SparkSession, bf: BloomFilter, key: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    val id = nextHandle.incrementAndGet()
+    handles.put(id, spark.sparkContext.broadcast(bf))
+    call_function("graft_bloom_probe", lit(id), key)
   }
 
   /** Serialize a built filter for embedding as a binary literal. */

@@ -288,10 +288,14 @@ object CorpusStats {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf = blocklist.stat.bloomFilter("h",
       math.max(blocklist.count(), 1L), fpp)
-    val bytes = graft.functions.BloomFilterFunctions.serialize(bf)
+    // broadcast-handle probe: the plan literal is one int — the filter
+    // itself ships via torrent broadcast, never through the LogicalPlan
+    // (a 10⁹-key filter is ~1.2 GB; as a plan literal it would be copied
+    // per transformation and serialized into every task binary)
     val contaminated = hashed.where(col("sb") < TrainBucketCeil)
       .select(col("doc_id"), col("h"))
-      .where(graft.functions.BloomFilterFunctions.mightContain(lit(bytes), col("h")))
+      .where(graft.functions.BloomFilterFunctions
+        .mightContainBroadcast(s, bf, col("h")))
       .join(blocklist, Seq("h"), "left_semi")
       .select(col("doc_id").as("contaminated_doc_id")).distinct()
     val roster = Tables.documents(s, d)

@@ -588,8 +588,15 @@ object Similarity {
     */
   def writeIvfIndex(s: SparkSession, d: String, outDir: String): Unit = {
     VectorFunctions.register(s)
-    val (_, a2) = kmTrained(s, d)
-    a2.write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    val (c1, a2) = kmTrained(s, d)
+    try a2.write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    finally {
+      // one-shot write: the storage copy IS the artifact now — drop the
+      // in-session caches (q71/q72 keep theirs because their returned
+      // plans still reference them)
+      a2.unpersist()
+      c1.unpersist()
+    }
   }
 
   private val kmOracleTrain: String =
@@ -1068,7 +1075,8 @@ object Similarity {
       |      (a,b) -> greatest(a,b)) AS maxae,
       |    vn2, len(errs) AS n
       |  FROM s4)
-      |SELECT vec_id, round(scale, 6) AS qscale, round(sqrt(err2 / n), 6) AS rmse,
+      |SELECT vec_id, round(scale, 6) AS qscale,
+      |  round(CASE WHEN n = 0 THEN 0.0 ELSE sqrt(err2 / n) END, 6) AS rmse,
       |  round(maxae, 6) AS max_abs_err,
       |  round(CASE WHEN vn2 = 0 THEN 0.0 ELSE sqrt(err2)/sqrt(vn2) END, 6) AS rel_err
       |FROM s5 ORDER BY vec_id""".stripMargin) { (s, d) =>

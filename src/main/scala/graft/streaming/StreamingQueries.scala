@@ -322,7 +322,7 @@ object StreamingQueries {
        |SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
        |FROM events
-       |WHERE user_id NOT IN (SELECT user_id FROM deny)
+       |WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT user_id FROM deny)
        |GROUP BY 1, 2
        |ORDER BY window_start_ms, event_type""".stripMargin) { (s, d) =>
     graft.functions.BloomFilterFunctions.register(s)
@@ -335,11 +335,16 @@ object StreamingQueries {
       .where(col("n") > DenyThreshold)
       .select("user_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bytes = graft.functions.BloomFilterFunctions.serialize(
-      deny.stat.bloomFilter("user_id", math.max(deny.count(), 1L), 0.03))
+    val bf = deny.stat.bloomFilter("user_id", math.max(deny.count(), 1L), 0.03)
     runGated(s, d) { ev =>
+      // broadcast-handle probe (see q77): the streaming plan carries an
+      // int, not the serialized filter
       val mc = graft.functions.BloomFilterFunctions
-        .mightContain(lit(bytes), col("user_id"))
+        .mightContainBroadcast(s, bf, col("user_id"))
+      // NULL user_id rows evaluate the probe to NULL and drop in BOTH
+      // branches — the oracle pins the same "unattributable row is
+      // dropped" semantics with an explicit IS NOT NULL (bare NOT IN
+      // would diverge when the denylist is empty: SQL keeps, this drops)
       val clean = ev.where(!mc)
       val cand = ev.where(mc).join(deny, Seq("user_id"), "left_anti")
       EventStreams.tumblingCounts(clean.unionByName(cand))

@@ -96,14 +96,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"q77 plans a cartesian:\n$p")
     // the bloom probe must be a Filter on the train gram stream — pruning
     // happens before the shuffle, so the semi-join sees candidates only
-    assert(p.contains("graft_bloom_might_contain"),
+    assert(p.contains("graft_bloom_probe"),
       s"bloom probe vanished from the plan:\n$p")
     assert(tree.contains("LeftSemi"),
       s"the exact confirming semi-join is gone — the bloom alone must " +
         s"never decide membership:\n$tree")
     assert(p.linesIterator.exists(l =>
-      l.contains("Condition") && l.contains("graft_bloom_might_contain")),
+      l.contains("Condition") && l.contains("graft_bloom_probe")),
       s"bloom probe is not a Filter condition:\n$p")
+    // broadcast-handle form: the plan must NOT embed the serialized
+    // filter — the probe's only literal argument is the handle id
+    assert(!p.contains("graft_bloom_might_contain"),
+      s"q77 regressed to the binary-literal probe:\n$p")
   }
 
   test("q78 quantization audit is map-only up to the output sort") {

@@ -194,11 +194,15 @@ class ScaleSpec extends SparkSuite {
   }
 
   test("written IVF index serves a single-cell probe via partition pruning") {
-    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf")
+    val out = tmp.toString + "/index"
     Similarity.writeIvfIndex(spark, dir, out)
     val index = spark.read.parquet(out)
     assert(index.count() > 0 && index.columns.toSet == Set("vec_id", "embedding", "cell"))
-    val cell = index.select("cell").orderBy("cell").limit(1)
+    // probe the most-populated cell: Lloyd reassignment may leave a
+    // small cell with one member, which has no in-cell neighbor
+    val cell = index.groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cell")).limit(1)
       .collect().head.getInt(0)
     val probe = index.where(col("cell") === cell)
     val scan = probe.queryExecution.executedPlan.toString
@@ -217,6 +221,7 @@ class ScaleSpec extends SparkSuite {
       .groupBy("vec_id")
       .agg(max(struct(col("cos"), col("nid"))).as("best"))
     assert(top1.count() == probe.count(), "a cell member has no in-cell neighbor")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
   test("SRP bucket count scales with the bits parameter") {
