@@ -205,6 +205,23 @@ class FunctionsSpec extends SparkSuite {
     assert(statsOf(Seq(1.0f, null, 0.0f)) == null)
   }
 
+  test("broadcast-handle bloom probe agrees with the literal form") {
+    import spark.implicits._
+    BloomFilterFunctions.register(spark)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(50, 0.03)
+    (0L until 50L).foreach(bf.putLong)
+    val bytes = BloomFilterFunctions.serialize(bf)
+    val df = (0L until 500L).toDF("k")
+    val got = df.select(col("k"),
+        BloomFilterFunctions.mightContain(lit(bytes), col("k")).as("lit_hit"),
+        BloomFilterFunctions.mightContainBroadcast(spark, bf, col("k")).as("bc_hit"))
+      .collect()
+    assert(got.forall(r => r.getBoolean(1) == r.getBoolean(2)),
+      "broadcast and literal probes disagree")
+    assert(got.filter(_.getLong(0) < 50).forall(_.getBoolean(2)),
+      "broadcast probe false negative")
+  }
+
   test("modified-dietz single-flow closed form") {
     import org.apache.spark.sql.Encoders
     import spark.implicits._
