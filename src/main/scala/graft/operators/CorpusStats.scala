@@ -291,11 +291,16 @@ object CorpusStats {
     // broadcast-handle probe: the plan literal is one int — the filter
     // itself ships via torrent broadcast, never through the LogicalPlan
     // (a 10⁹-key filter is ~1.2 GB; as a plan literal it would be copied
-    // per transformation and serialized into every task binary)
+    // per transformation and serialized into every task binary).
+    // observe metrics publish the prune ratio (total grams vs bloom
+    // survivors) in-flight — at 100 TB the ratio IS the operator's value
+    // proposition, so a run reports it without a second pass.
     val contaminated = hashed.where(col("sb") < TrainBucketCeil)
       .select(col("doc_id"), col("h"))
+      .observe("q77_train_grams", count(lit(1)).as("n_train_grams"))
       .where(graft.functions.BloomFilterFunctions
         .mightContainBroadcast(s, bf, col("h")))
+      .observe("q77_bloom_candidates", count(lit(1)).as("n_candidates"))
       .join(blocklist, Seq("h"), "left_semi")
       .select(col("doc_id").as("contaminated_doc_id")).distinct()
     val roster = Tables.documents(s, d)

@@ -11,6 +11,21 @@ class PipelineObserveSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q77 bloom metrics report the prune ratio and bound the candidates") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("q77_bloom_decontaminate")(spark, dir)
+    df.collect()
+    val total = df.queryExecution.observedMetrics("q77_train_grams").getLong(0)
+    val cand = df.queryExecution.observedMetrics("q77_bloom_candidates").getLong(0)
+    assert(total > 0, "no train grams — fixture drifted?")
+    // no false negatives: every truly-shared gram must survive the bloom,
+    // so candidates can never undercount the confirmed hits
+    assert(cand <= total, s"candidates $cand exceed total $total")
+    // at fpp 3% with a small blocklist the bloom must actually prune
+    assert(cand < total / 2,
+      s"bloom pruned almost nothing: $cand of $total grams survived")
+  }
+
   test("q57 gate metrics match an independent count of surviving docs") {
     import org.apache.spark.sql.functions._
     val df = graft.SparkEntry.queries("q57_corpus_pipeline")(spark, dir)
