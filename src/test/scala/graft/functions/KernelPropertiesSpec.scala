@@ -101,6 +101,28 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quant stats: bounds hold on random vectors; model agreement") {
+    (1 to 200).foreach { _ =>
+      val n = 1 + rng.nextInt(64)
+      val v = floats(n)
+      val got = Int8QuantKernel.stats(
+        new GenericArrayData(v.map(x => x: Any))).toDoubleArray()
+      val Array(scale, rmse, maxae, rel) = got
+      // straight-Scala model, same definition
+      val mx = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      assert(scale == mx / 127.0, "scale")
+      val ss = if (scale == 0.0) 1.0 else scale
+      // every value is within the representable range (|x| <= 127*ss up
+      // to fp error), so per-dim error is bounded by half a step
+      assert(maxae <= ss / 2 + 1e-12, s"max_abs_err $maxae > s/2 $ss")
+      // rmse can never exceed the worst single dim; relative error is a
+      // fraction of the vector norm
+      assert(rmse <= maxae + 1e-15, "rmse exceeds max abs err")
+      assert(rel >= 0.0 && (rel <= 1.0 || mx == 0.0), s"rel_err $rel")
+      assert(!got.exists(d => d.isNaN || d.isInfinite), "non-finite stat")
+    }
+  }
+
   test("cosine_sim is symmetric and 1.0 on any vector paired with itself") {
     (1 to 200).foreach { _ =>
       val n = 1 + rng.nextInt(16)
