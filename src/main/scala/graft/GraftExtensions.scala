@@ -45,6 +45,9 @@ object GraftExtensions {
     ("int8_quant_stats",
       "int8_quant_stats(v) - [qscale, rmse, max_abs_err, rel_err] of symmetric int8 quantization",
       graft.functions.VectorFunctions.int8QuantBuilder),
+    ("int8_quant_cosine",
+      "int8_quant_cosine(a, b) - cosine similarity on the vectors' symmetric int8 codes",
+      graft.functions.VectorFunctions.int8CosineBuilder),
     ("graft_bloom_might_contain",
       "graft_bloom_might_contain(filter, key) - probe a long key against a serialized bloom filter literal",
       graft.functions.BloomFilterFunctions.builder),

@@ -190,6 +190,92 @@ object Int8QuantKernel {
   }
 }
 
+/** Kernel for [[Int8QuantCosine]] — cosine similarity computed on the
+  * symmetric-int8 codes of both vectors. The per-vector scales CANCEL in
+  * the cosine ratio (cos(qa·ssa, qb·ssb) = Σqa·qb / (√Σqa²·√Σqb²)), so
+  * the whole accumulation is EXACT 64-bit integer arithmetic on the
+  * codes (|q| ≤ 127 → every sum fits a long at any realistic dimension)
+  * with one double division at the end — which is both why int8 ANN
+  * serving is fast in production and why cross-engine parity is trivial
+  * here: there is no float accumulation order to match, just integers.
+  * Returns NaN as the null sentinel (dim mismatch, null element, zero
+  * code vector) so codegen stays box-free.
+  */
+object Int8QuantCosineKernel {
+  def quant(x: Double, ss: Double): Long = {
+    var q = math.floor(x / ss + 0.5)
+    if (q < -127.0) q = -127.0
+    if (q > 127.0) q = 127.0
+    q.toLong
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    if (a.numElements() != b.numElements()) return Double.NaN
+    val n = a.numElements()
+    var mxa = 0.0; var mxb = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      val xa = math.abs(a.getFloat(i).toDouble); if (xa > mxa) mxa = xa
+      val xb = math.abs(b.getFloat(i).toDouble); if (xb > mxb) mxb = xb
+      i += 1
+    }
+    val ssa = if (mxa == 0.0) 1.0 else mxa / 127.0
+    val ssb = if (mxb == 0.0) 1.0 else mxb / 127.0
+    var dot = 0L; var na = 0L; var nb = 0L
+    i = 0
+    while (i < n) {
+      val qa = quant(a.getFloat(i).toDouble, ssa)
+      val qb = quant(b.getFloat(i).toDouble, ssb)
+      dot += qa * qb; na += qa * qa; nb += qb * qb
+      i += 1
+    }
+    if (na == 0L || nb == 0L) Double.NaN
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+}
+
+/** `int8_quant_cosine(a, b)` — cosine on int8 codes (see
+  * [[Int8QuantCosineKernel]]); the quantized-serving twin of
+  * [[CosineSimilarity]], used by q82 to rank neighbors the way an int8
+  * index would, with the float kernel alongside exposing the
+  * approximation error per returned neighbor.
+  */
+case class Int8QuantCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_quant_cosine requires array<float> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = Int8QuantCosineKernel.cosine(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (v.isNaN) null else java.lang.Double.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.Int8QuantCosineKernel.cosine($a, $b);
+         |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `int8_quant_stats(v)` → [qscale, rmse, max_abs_err, rel_err] — the
   * reconstruction-error audit of symmetric per-vector int8 quantization.
   *
@@ -249,6 +335,11 @@ object VectorFunctions {
       require(exprs.length == 1, "int8_quant_stats(v) takes exactly 1 argument")
       Int8QuantStats(exprs.head)
     }
+  private[graft] val int8CosineBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2, "int8_quant_cosine(a, b) takes exactly 2 arguments")
+      Int8QuantCosine(exprs(0), exprs(1))
+    }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -257,6 +348,8 @@ object VectorFunctions {
       "l2_dist_sq", l2Builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int8_quant_stats", int8QuantBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_quant_cosine", int8CosineBuilder, "built-in")
   }
 
   /** Column-API form, valid on any session where [[register]] has run. */
@@ -275,5 +368,11 @@ object VectorFunctions {
   def int8QuantStats(v: Column): Column = {
     import org.apache.spark.sql.functions.{call_function}
     call_function("int8_quant_stats", v)
+  }
+
+  /** Cosine on int8 codes, post-[[register]]. */
+  def int8QuantCosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("int8_quant_cosine", a, b)
   }
 }

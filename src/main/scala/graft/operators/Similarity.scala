@@ -1172,6 +1172,66 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q82: quantized k-NN — neighbors ranked by cosine on the int8 CODES
+    * (the [[graft.functions.Int8QuantCosineKernel]] scale-cancellation
+    * identity: integer dot products, one double division), blocked on
+    * the label cell like q30, with the float cosine alongside so every
+    * returned neighbor carries its own approximation error. This is the
+    * serving side of q78's audit: q78 says whether the index is safe to
+    * quantize, q82 IS the quantized index answering queries — 4× less
+    * memory/IO per vector, integer multiply-accumulate instead of float,
+    * and the ranking is deterministic across engines because the
+    * accumulation is exact integer arithmetic.
+    */
+  private val q82 = GraftQuery(
+    "q82_quantized_knn",
+    """WITH qv AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sv AS (
+      |  SELECT vec_id, label, v,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+      |      (a,b) -> greatest(a,b)) AS mx
+      |  FROM qv),
+      |cv AS (
+      |  SELECT vec_id, label, v,
+      |    list_transform(v, x -> CAST(least(greatest(floor(x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+      |  FROM sv),
+      |nv AS (
+      |  SELECT vec_id, label, v, q,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)), (a,b) -> a+b) AS nq
+      |  FROM cv),
+      |sim AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, len(a.q)+1), i -> a.q[i] * b.q[i])), (x,y) -> x+y) AS DOUBLE)
+      |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS qcos,
+      |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
+      |      / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i]), (x,y) -> x+y))
+      |       * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i]), (x,y) -> x+y))) AS cos
+      |  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id <> b.vec_id)
+      |SELECT vec_id, neighbor_id, rank, round(qcos, 6) AS qcos_sim, round(cos, 6) AS cos_sim FROM (
+      |  SELECT vec_id, neighbor_id, qcos, cos,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, neighbor_id) AS rank
+      |  FROM sim) t
+      |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id"), col("label"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("label").as("label_b"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy("vec_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    a.join(b, col("label") === col("label_b") && col("vec_id") =!= col("neighbor_id"))
+      .withColumn("qcos", VectorFunctions.int8QuantCosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("qcos"), 6).as("qcos_sim"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79)
+    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79, q82)
 }

@@ -123,6 +123,35 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quant cosine: symmetric, self≈1, tracks float cosine, null sentinel") {
+    def wrap(v: Array[Float]) = new GenericArrayData(v.map(x => x: Any))
+    (1 to 200).foreach { _ =>
+      val n = 1 + rng.nextInt(16)
+      val a = floats(n)
+      val b = floats(n)
+      val ab = Int8QuantCosineKernel.cosine(wrap(a), wrap(b))
+      // integer accumulation: symmetry is exact, not approximate
+      assert(ab == Int8QuantCosineKernel.cosine(wrap(b), wrap(a)), "asymmetric")
+      val self = Int8QuantCosineKernel.cosine(wrap(a), wrap(a))
+      if (!self.isNaN) assert(math.abs(self - 1.0) < 1e-12, s"self $self")
+      // quantized cosine stays near the float cosine (codes carry ~7.99
+      // bits per dim; the bound here is deliberately loose — tiny vectors
+      // with near-cancelling components can amplify the step error)
+      val fc = CosineSimilarity(
+        Literal.create(a, ArrayType(FloatType)),
+        Literal.create(b, ArrayType(FloatType))).eval(null)
+      if (fc != null && !ab.isNaN)
+        assert(math.abs(ab - fc.asInstanceOf[Double]) < 0.2,
+          s"quantized cosine drifted: $ab vs $fc")
+    }
+    // dimension mismatch → NaN sentinel → expression null
+    assert(Int8QuantCosineKernel.cosine(
+      wrap(Array(1.0f, 2.0f)), wrap(Array(1.0f))).isNaN)
+    assert(Int8QuantCosine(
+      Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType)),
+      Literal.create(Array(1.0f), ArrayType(FloatType))).eval(null) == null)
+  }
+
   test("cosine_sim is symmetric and 1.0 on any vector paired with itself") {
     (1 to 200).foreach { _ =>
       val n = 1 + rng.nextInt(16)
