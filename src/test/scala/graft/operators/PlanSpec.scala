@@ -37,7 +37,7 @@ class PlanSpec extends SparkSuite {
   test("candidate-generation operators never cross-join the full table") {
     for (q <- Seq("q30_cosine_topk", "q31_minhash_neardup",
         "q39_simhash_neardup", "q40_jaccard_neardup", "q41_embedding_neardup",
-        "q45_srp_lsh_ann")) {
+        "q45_srp_lsh_ann", "q82_quantized_knn")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
