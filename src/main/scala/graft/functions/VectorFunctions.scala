@@ -173,10 +173,9 @@ object Int8QuantKernel {
     i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble
-      var q = math.floor(x / ss + 0.5)
-      if (q < -127.0) q = -127.0
-      if (q > 127.0) q = 127.0
-      val e = x - q * ss
+      // ONE quantizer definition: the audit must certify exactly the
+      // codes the serving kernel (Int8QuantCosineKernel) produces
+      val e = x - Int8QuantCosineKernel.quant(x, ss).toDouble * ss
       err2 += e * e
       val ae = math.abs(e)
       if (ae > maxae) maxae = ae
@@ -215,8 +214,14 @@ object Int8QuantCosineKernel {
     var mxa = 0.0; var mxb = 0.0; var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
-      val xa = math.abs(a.getFloat(i).toDouble); if (xa > mxa) mxa = xa
-      val xb = math.abs(b.getFloat(i).toDouble); if (xb > mxb) mxb = xb
+      val fa = a.getFloat(i); val fb = b.getFloat(i)
+      // a non-finite component must surface as null, never quantize —
+      // NaN.toLong is 0, which would fabricate a confident similarity
+      if (java.lang.Float.isNaN(fa) || java.lang.Float.isInfinite(fa) ||
+          java.lang.Float.isNaN(fb) || java.lang.Float.isInfinite(fb))
+        return Double.NaN
+      val xa = math.abs(fa.toDouble); if (xa > mxa) mxa = xa
+      val xb = math.abs(fb.toDouble); if (xb > mxb) mxb = xb
       i += 1
     }
     val ssa = if (mxa == 0.0) 1.0 else mxa / 127.0

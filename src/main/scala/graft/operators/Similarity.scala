@@ -38,13 +38,13 @@ object Similarity {
 
   // ---- shared cosine SQL fragment (l2r double accumulation) ----
 
-  private def cosSql(a: String, b: String): String =
-    s"""list_reduce(list_transform(range(1, len($a.embedding)+1),
-       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
-       |    / (sqrt(list_reduce(list_transform(range(1, len($a.embedding)+1),
-       |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
-       |     * sqrt(list_reduce(list_transform(range(1, len($b.embedding)+1),
-       |        i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+  private def cosSql(a: String, b: String, col: String = "embedding"): String =
+    s"""list_reduce(list_transform(range(1, len($a.$col)+1),
+       |      i -> CAST($a.$col[i] AS DOUBLE) * CAST($b.$col[i] AS DOUBLE)), (x,y) -> x+y)
+       |    / (sqrt(list_reduce(list_transform(range(1, len($a.$col)+1),
+       |        i -> CAST($a.$col[i] AS DOUBLE) * CAST($a.$col[i] AS DOUBLE)), (x,y) -> x+y))
+       |     * sqrt(list_reduce(list_transform(range(1, len($b.$col)+1),
+       |        i -> CAST($b.$col[i] AS DOUBLE) * CAST($b.$col[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
 
   /** q30: top-3 cosine neighbors per vector within its `label` cell
     * (IVF-style blocked ANN). Deterministic rank tie-break on neighbor id.
@@ -1185,7 +1185,7 @@ object Similarity {
     */
   private val q82 = GraftQuery(
     "q82_quantized_knn",
-    """WITH qv AS (
+    s"""WITH qv AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |sv AS (
@@ -1206,10 +1206,9 @@ object Similarity {
       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
       |        list_transform(range(1, len(a.q)+1), i -> a.q[i] * b.q[i])), (x,y) -> x+y) AS DOUBLE)
       |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS qcos,
-      |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]), (x,y) -> x+y)
-      |      / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i]), (x,y) -> x+y))
-      |       * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i]), (x,y) -> x+y))) AS cos
-      |  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id <> b.vec_id)
+      |    ${cosSql("a", "b", "v")} AS cos
+      |  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |  WHERE a.nq > 0 AND b.nq > 0)
       |SELECT vec_id, neighbor_id, rank, round(qcos, 6) AS qcos_sim, round(cos, 6) AS cos_sim FROM (
       |  SELECT vec_id, neighbor_id, qcos, cos,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, neighbor_id) AS rank
@@ -1223,6 +1222,10 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(col("qcos").desc, col("neighbor_id"))
     a.join(b, col("label") === col("label_b") && col("vec_id") =!= col("neighbor_id"))
       .withColumn("qcos", VectorFunctions.int8QuantCosine(col("emb_a"), col("emb_b")))
+      // degenerate pairs (zero code vector → null qcos) are EXCLUDED, not
+      // ranked-last: the oracle's nq > 0 guard drops the same pairs, and
+      // NULLS-LAST vs NaN-first ordering would otherwise diverge
+      .where(col("qcos").isNotNull)
       .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)

@@ -114,7 +114,7 @@ class KernelPropertiesSpec extends AnyFunSuite {
       val ss = if (scale == 0.0) 1.0 else scale
       // every value is within the representable range (|x| <= 127*ss up
       // to fp error), so per-dim error is bounded by half a step
-      assert(maxae <= ss / 2 + 1e-12, s"max_abs_err $maxae > s/2 $ss")
+      assert(maxae <= ss / 2 + 1e-12, s"max_abs_err $maxae > s/2 ${ss / 2}")
       // rmse can never exceed the worst single dim; relative error is a
       // fraction of the vector norm
       assert(rmse <= maxae + 1e-15, "rmse exceeds max abs err")
@@ -147,6 +147,12 @@ class KernelPropertiesSpec extends AnyFunSuite {
     // dimension mismatch → NaN sentinel → expression null
     assert(Int8QuantCosineKernel.cosine(
       wrap(Array(1.0f, 2.0f)), wrap(Array(1.0f))).isNaN)
+    // a non-finite component must surface as the sentinel, never as a
+    // fabricated code (NaN.toLong is 0 — the silent-garbage trap)
+    assert(Int8QuantCosineKernel.cosine(
+      wrap(Array(Float.NaN, 1.0f)), wrap(Array(1.0f, 1.0f))).isNaN)
+    assert(Int8QuantCosineKernel.cosine(
+      wrap(Array(1.0f, 1.0f)), wrap(Array(Float.PositiveInfinity, 1.0f))).isNaN)
     assert(Int8QuantCosine(
       Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType)),
       Literal.create(Array(1.0f), ArrayType(FloatType))).eval(null) == null)
