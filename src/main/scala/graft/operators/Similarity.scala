@@ -568,15 +568,24 @@ object Similarity {
     * explicitly: write the trained centroids + assignments to storage
     * once, then serve every probe from the materialized index.
     */
-  private def kmTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val c0 = e.where(col("vec_id") < KmK)
-      .select(col("vec_id").cast("int").as("cell"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val c1 = kmRecompute(kmAssign(e, c0)).persist(lvl)
-    (c1, kmAssign(e, c1).persist(lvl))
-  }
+  /** One trained index per (session, dir): q71, q72, q83, and
+    * [[writeIvfIndex]] all serve from the SAME cached artifact instead
+    * of each persisting a private copy — the artifact-reuse argument the
+    * docstring above makes, applied to the callers too.
+    */
+  private val kmTrainedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def kmTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    kmTrainedCache.computeIfAbsent((s, d), { _ =>
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val c0 = e.where(col("vec_id") < KmK)
+        .select(col("vec_id").cast("int").as("cell"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val c1 = kmRecompute(kmAssign(e, c0)).persist(lvl)
+      (c1, kmAssign(e, c1).persist(lvl))
+    })
 
   /** Materialize the trained IVF index to storage, partitioned by cell —
     * the production form of [[kmTrained]]'s persist. A probe that knows
@@ -588,15 +597,9 @@ object Similarity {
     */
   def writeIvfIndex(s: SparkSession, d: String, outDir: String): Unit = {
     VectorFunctions.register(s)
-    val (c1, a2) = kmTrained(s, d)
-    try a2.write.mode("overwrite").partitionBy("cell").parquet(outDir)
-    finally {
-      // one-shot write: the storage copy IS the artifact now — drop the
-      // in-session caches (q71/q72 keep theirs because their returned
-      // plans still reference them)
-      a2.unpersist()
-      c1.unpersist()
-    }
+    // writes from the memoized shared cache — no private copy to clean up
+    val (_, a2) = kmTrained(s, d)
+    a2.write.mode("overwrite").partitionBy("cell").parquet(outDir)
   }
 
   private val kmOracleTrain: String =
@@ -620,6 +623,56 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_id", "rank")
   }
+
+  /** Exact top-3 ground truth for the bounded query batch (q44's BNLJ
+    * shape) — ONE definition shared by both recall audits (q79, q83), so
+    * the truth the tiers are scored against cannot drift between them.
+    */
+  private def bruteForceTruth(e: DataFrame): DataFrame = {
+    val qb = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding").as("emb_a")))
+    val all = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
+    rankTop3(qb.join(all, col("vec_id") =!= col("neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"))
+  }
+
+  /** Oracle twin of [[bruteForceTruth]]: the tsim/truth CTE pair. */
+  private def truthOracle: String =
+    s"""tsim AS (
+       |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q", "c")} AS cos
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+       |  JOIN embeddings c ON q.vec_id <> c.vec_id
+       |), truth AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM tsim) t WHERE rank <= 3
+       |)""".stripMargin
+
+  /** Multi-probe cell selection (q72's aggregation shape) — shared by
+    * q72 and q83 so the (dist, cell) tie-break has one definition.
+    */
+  private def probeSelection(e: DataFrame, c1: DataFrame): DataFrame =
+    e.crossJoin(broadcast(c1))
+      .withColumn("pd", VectorFunctions.l2DistSq(col("embedding"), col("cen")))
+      .groupBy("vec_id")
+      .agg(min_by(col("embedding"), struct(col("pd"), col("cell"))).as("emb_a"),
+        slice(sort_array(collect_list(struct(col("pd"), col("cell")))), 1, ProbeP)
+          .as("near"))
+      .select(col("vec_id"), col("emb_a"),
+        explode(expr("transform(near, s -> s.cell)")).as("probe_cell"))
+
+  /** Oracle twin of [[probeSelection]]; `where` restricts the probe side. */
+  private def probesOracle(where: String): String =
+    s"""probes AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c1 c$where) t
+       |  WHERE rn <= $ProbeP
+       |)""".stripMargin
 
   /** q71: the assembled IVF-ANN machine — train the coarse quantizer
     * (q56's exact pipeline), assign every vector to its TRAINED cell, and
@@ -672,14 +725,7 @@ object Similarity {
     */
   private val q72 = GraftQuery(
     "q72_ivf_multiprobe",
-    s"""WITH $kmOracleTrain, probes AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN c1 c) t
-       |  WHERE rn <= $ProbeP
-       |), sim AS (
+    s"""WITH $kmOracleTrain, ${probesOracle("")}, sim AS (
        |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    ${cosSql("p", "b")} AS cos
        |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
@@ -692,14 +738,7 @@ object Similarity {
     VectorFunctions.register(s)
     val (c1, a2) = kmTrained(s, d)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val probes = e.crossJoin(broadcast(c1))
-      .withColumn("d", VectorFunctions.l2DistSq(col("embedding"), col("cen")))
-      .groupBy("vec_id")
-      .agg(min_by(col("embedding"), struct(col("d"), col("cell"))).as("emb_a"),
-        slice(sort_array(collect_list(struct(col("d"), col("cell")))), 1, ProbeP)
-          .as("near"))
-      .select(col("vec_id"), col("emb_a"),
-        explode(expr("transform(near, s -> s.cell)")).as("probe_cell"))
+    val probes = probeSelection(e, c1)
     val cand = a2.select(col("vec_id").as("neighbor_id"),
       col("cell").as("cell_b"), col("embedding").as("emb_b"))
     rankTop3(probes.join(cand,
@@ -1117,17 +1156,7 @@ object Similarity {
     "q79_ann_recall",
     s"""WITH b AS (
        |  SELECT vec_id, embedding, $srpBucketOracle AS bucket FROM embeddings
-       |), tsim AS (
-       |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
-       |    ${cosSql("q", "c")} AS cos
-       |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
-       |  JOIN embeddings c ON q.vec_id <> c.vec_id
-       |), truth AS (
-       |  SELECT vec_id, neighbor_id FROM (
-       |    SELECT vec_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
-       |    FROM tsim) t WHERE rank <= 3
-       |), asim AS (
+       |), $truthOracle, asim AS (
        |  SELECT a.vec_id AS vec_id, bb.vec_id AS neighbor_id,
        |    ${cosSql("a", "bb")} AS cos
        |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
@@ -1145,13 +1174,7 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
-    // ground truth: exact top-3 for the bounded query batch (q44's BNLJ
-    // shape — constant-size broadcast build side)
-    val qb = broadcast(e.where(col("vec_id") < QueryBatch)
-      .select(col("vec_id"), col("embedding").as("emb_a")))
-    val all = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
-    val truth = rankTop3(qb.join(all, col("vec_id") =!= col("neighbor_id")))
-      .select(col("vec_id"), col("neighbor_id"))
+    val truth = bruteForceTruth(e)
     // approximate side: q45's SRP buckets, probe side restricted to the
     // same batch (same fence: bucket referenced by both join sides)
     val b = e.select(col("vec_id"), col("embedding"),
@@ -1248,17 +1271,7 @@ object Similarity {
     */
   private val q83 = GraftQuery(
     "q83_ivf_recall",
-    s"""WITH $kmOracleTrain, tsim AS (
-       |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
-       |    ${cosSql("q", "c")} AS cos
-       |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
-       |  JOIN embeddings c ON q.vec_id <> c.vec_id
-       |), truth AS (
-       |  SELECT vec_id, neighbor_id FROM (
-       |    SELECT vec_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
-       |    FROM tsim) t WHERE rank <= 3
-       |), ssim AS (
+    s"""WITH $kmOracleTrain, $truthOracle, ssim AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    ${cosSql("a", "b")} AS cos
        |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
@@ -1268,15 +1281,7 @@ object Similarity {
        |    SELECT vec_id, neighbor_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
        |    FROM ssim) t WHERE rank <= 3
-       |), probes AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN c1 c
-       |    WHERE e.vec_id < $QueryBatch) t
-       |  WHERE rn <= $ProbeP
-       |), msim AS (
+       |), ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")}, msim AS (
        |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    ${cosSql("p", "b")} AS cos
        |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
@@ -1298,12 +1303,7 @@ object Similarity {
     VectorFunctions.register(s)
     val (c1, a2) = kmTrained(s, d)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    // ground truth: exact top-3 for the bounded batch (q44's BNLJ shape)
-    val qb = broadcast(e.where(col("vec_id") < QueryBatch)
-      .select(col("vec_id"), col("embedding").as("emb_a")))
-    val all = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
-    val truth = rankTop3(qb.join(all, col("vec_id") =!= col("neighbor_id")))
-      .select(col("vec_id"), col("neighbor_id"))
+    val truth = bruteForceTruth(e)
     // single-probe: q71's in-cell search, probe side restricted to the batch
     val sa = a2.where(col("vec_id") < QueryBatch)
       .select(col("vec_id"), col("cell"), col("embedding").as("emb_a"))
@@ -1313,15 +1313,7 @@ object Similarity {
         col("cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id")))
       .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit_s"))
     // multi-probe: q72's probe selection, restricted to the batch
-    val probes = e.where(col("vec_id") < QueryBatch)
-      .crossJoin(broadcast(c1))
-      .withColumn("pd", VectorFunctions.l2DistSq(col("embedding"), col("cen")))
-      .groupBy("vec_id")
-      .agg(min_by(col("embedding"), struct(col("pd"), col("cell"))).as("emb_a"),
-        slice(sort_array(collect_list(struct(col("pd"), col("cell")))), 1, ProbeP)
-          .as("near"))
-      .select(col("vec_id"), col("emb_a"),
-        explode(expr("transform(near, s -> s.cell)")).as("probe_cell"))
+    val probes = probeSelection(e.where(col("vec_id") < QueryBatch), c1)
     val multi = rankTop3(probes.join(sb,
         col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id")))
       .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit_m"))
