@@ -163,7 +163,12 @@ object Int8QuantKernel {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
-      val x = math.abs(a.getFloat(i).toDouble)
+      val f = a.getFloat(i)
+      // mirror Int8QuantCosineKernel: a non-finite component surfaces as
+      // null, never quantizes — NaN leaves max|x| unchanged and then
+      // floor(NaN).toLong = 0 would fabricate code 0 with NaN err stats
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f)) return null
+      val x = math.abs(f.toDouble)
       if (x > mx) mx = x
       i += 1
     }
@@ -281,6 +286,138 @@ case class Int8QuantCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Kernel for [[Int8Encode]] — the MATERIALIZATION half of int8 serving:
+  * one pass computes the per-vector scale (s = max|x|/127, the same
+  * definition [[Int8QuantCosineKernel]] uses per pair), a second emits the
+  * codes. Storing the codes once per vector (instead of re-deriving both
+  * sides' codes inside every pair evaluation) is what actually realizes
+  * the 4× storage/shuffle reduction: the candidate join carries
+  * `array<tinyint>` + one long norm, never the float embedding.
+  * Null/non-finite components → null (the quantizer never fabricates a
+  * code from garbage).
+  */
+object Int8EncodeKernel {
+  def encode(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val f = a.getFloat(i)
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f)) return null
+      val x = math.abs(f.toDouble)
+      if (x > mx) mx = x
+      i += 1
+    }
+    val ss = if (mx == 0.0) 1.0 else mx / 127.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = Int8QuantCosineKernel.quant(a.getFloat(i).toDouble, ss).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Kernel for [[Int8CodeDot]] — exact integer dot product over stored int8
+  * codes. |q| ≤ 127, so the accumulator fits a long at any realistic
+  * dimension (overflow needs n > 2^49). Long.MinValue is the null sentinel
+  * (dim mismatch / null slot) so codegen stays box-free; it is unreachable
+  * as a real dot value at any dimension below 2^49.
+  */
+object Int8CodeDotKernel {
+  final val NullSentinel: Long = Long.MinValue
+
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    if (a.numElements() != b.numElements()) return NullSentinel
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return NullSentinel
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `int8_encode(v)` → array<tinyint> — symmetric per-vector int8 codes
+  * (q = clamp(floor(x/s + 0.5), ±127), s = max|x|/127). The stored-index
+  * twin of [[Int8QuantCosine]]'s in-kernel quantization: [[graft.operators.Similarity]]
+  * materializes this column once per vector and every quantized k-NN join
+  * reads codes, not float arrays.
+  */
+case class Int8Encode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"int8_encode requires array<float>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Int8EncodeKernel.encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.Int8EncodeKernel.encode($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `int8_code_dot(a, b)` → bigint — exact integer dot product of two stored
+  * int8 code arrays (see [[Int8CodeDotKernel]]). With the code norms also
+  * stored, quantized cosine is `dot / (sqrt(na) * sqrt(nb))` in plain
+  * codegen'd SQL — no float arrays anywhere in the serving join.
+  */
+case class Int8CodeDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_code_dot requires array<tinyint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = Int8CodeDotKernel.dot(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (v == Int8CodeDotKernel.NullSentinel) null else java.lang.Long.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.Int8CodeDotKernel.dot($a, $b);
+         |if (${ev.value} == java.lang.Long.MIN_VALUE) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `int8_quant_stats(v)` → [qscale, rmse, max_abs_err, rel_err] — the
   * reconstruction-error audit of symmetric per-vector int8 quantization.
   *
@@ -345,6 +482,16 @@ object VectorFunctions {
       require(exprs.length == 2, "int8_quant_cosine(a, b) takes exactly 2 arguments")
       Int8QuantCosine(exprs(0), exprs(1))
     }
+  private[graft] val int8EncodeBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 1, "int8_encode(v) takes exactly 1 argument")
+      Int8Encode(exprs.head)
+    }
+  private[graft] val int8CodeDotBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2, "int8_code_dot(a, b) takes exactly 2 arguments")
+      Int8CodeDot(exprs(0), exprs(1))
+    }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -355,6 +502,10 @@ object VectorFunctions {
       "int8_quant_stats", int8QuantBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int8_quant_cosine", int8CosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_encode", int8EncodeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_code_dot", int8CodeDotBuilder, "built-in")
   }
 
   /** Column-API form, valid on any session where [[register]] has run. */
@@ -379,5 +530,17 @@ object VectorFunctions {
   def int8QuantCosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.{call_function}
     call_function("int8_quant_cosine", a, b)
+  }
+
+  /** Materialized int8 codes for an embedding column, post-[[register]]. */
+  def int8Encode(v: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("int8_encode", v)
+  }
+
+  /** Exact integer dot over stored code arrays, post-[[register]]. */
+  def int8CodeDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("int8_code_dot", a, b)
   }
 }

@@ -158,6 +158,65 @@ class KernelPropertiesSpec extends AnyFunSuite {
       Literal.create(Array(1.0f), ArrayType(FloatType))).eval(null) == null)
   }
 
+  test("int8 quant stats: non-finite components surface as null, never stats") {
+    def wrap(v: Array[Float]) = new GenericArrayData(v.map(x => x: Any))
+    // the audit must reject corrupt vectors the same way the cosine kernel
+    // does — NaN.toLong = 0 would otherwise fabricate code 0 and NaN err2
+    assert(Int8QuantKernel.stats(wrap(Array(Float.NaN, 1.0f))) == null)
+    assert(Int8QuantKernel.stats(wrap(Array(1.0f, Float.PositiveInfinity))) == null)
+    assert(Int8QuantKernel.stats(wrap(Array(Float.NegativeInfinity))) == null)
+    assert(Int8QuantStats(
+      Literal.create(Array(Float.NaN), ArrayType(FloatType))).eval(null) == null)
+  }
+
+  test("int8_encode codes match the pairwise kernel's quantizer; null cases") {
+    def wrap(v: Array[Float]) = new GenericArrayData(v.map(x => x: Any))
+    (1 to 200).foreach { _ =>
+      val n = 1 + rng.nextInt(32)
+      val v = floats(n)
+      val codes = Int8EncodeKernel.encode(wrap(v))
+      assert(codes != null && codes.numElements() == n)
+      // independent model: same scale definition as the serving kernel
+      val mx = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      val ss = if (mx == 0.0) 1.0 else mx / 127.0
+      (0 until n).foreach { i =>
+        val expected = Int8QuantCosineKernel.quant(v(i).toDouble, ss)
+        assert(codes.getByte(i).toLong == expected,
+          s"code $i: ${codes.getByte(i)} != $expected for ${v.toSeq}")
+      }
+    }
+    assert(Int8EncodeKernel.encode(wrap(Array(Float.NaN, 1.0f))) == null)
+    assert(Int8EncodeKernel.encode(wrap(Array(Float.NegativeInfinity))) == null)
+  }
+
+  test("stored-code cosine identity: dot/(√na·√nb) equals the per-pair kernel") {
+    def wrap(v: Array[Float]) = new GenericArrayData(v.map(x => x: Any))
+    (1 to 200).foreach { _ =>
+      val n = 1 + rng.nextInt(32)
+      val a = floats(n)
+      val b = floats(n)
+      val ca = Int8EncodeKernel.encode(wrap(a))
+      val cb = Int8EncodeKernel.encode(wrap(b))
+      val dot = Int8CodeDotKernel.dot(ca, cb)
+      val na = Int8CodeDotKernel.dot(ca, ca)
+      val nb = Int8CodeDotKernel.dot(cb, cb)
+      assert(dot != Int8CodeDotKernel.NullSentinel)
+      val pairKernel = Int8QuantCosineKernel.cosine(wrap(a), wrap(b))
+      if (na > 0 && nb > 0) {
+        // the materialized-index serving expression must rank IDENTICALLY
+        // to the in-kernel simulation q82 certified: same codes, same
+        // integer sums, same one double division — bit-exact equality
+        val stored = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+        assert(stored == pairKernel,
+          s"stored-code cosine diverged: $stored vs $pairKernel")
+      } else assert(pairKernel.isNaN, "pair kernel should reject zero codes")
+    }
+    // dimension mismatch → sentinel → expression null
+    assert(Int8CodeDotKernel.dot(
+      Int8EncodeKernel.encode(wrap(Array(1.0f, 2.0f))),
+      Int8EncodeKernel.encode(wrap(Array(1.0f)))) == Int8CodeDotKernel.NullSentinel)
+  }
+
   test("cosine_sim is symmetric and 1.0 on any vector paired with itself") {
     (1 to 200).foreach { _ =>
       val n = 1 + rng.nextInt(16)
