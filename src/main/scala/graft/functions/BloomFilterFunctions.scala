@@ -126,13 +126,32 @@ object BloomFilterFunctions {
       BloomMightContain(exprs.head, exprs(1))
     }
 
-  /** Live broadcast handles, keyed by the id embedded in the plan. Entries
-    * are one small JVM object per built filter and live for the session
-    * (like the broadcast itself); queries build O(1) filters each.
+  /** Live broadcast handles, keyed by the id embedded in the plan.
+    *
+    * Lifecycle: an entry (and the driver+executor memory its broadcast
+    * pins — ~1.2 GB per filter at the 10⁹-key design point) lives until
+    * [[releaseHandle]] destroys it. Queries obtain handles through
+    * [[cachedHandle]], which memoizes ONE filter per (session, artifact
+    * key) in [[graft.Artifacts]] and registers destruction there — so
+    * repeated runs of the same query reuse one broadcast instead of
+    * leaking one per invocation, and `Artifacts.release(session)` frees
+    * everything.
+    *
+    * Scope caveat (by design): handle ids resolve through this
+    * process-local map, so a plan re-resolved OUTSIDE the originating JVM
+    * — a streaming restart from checkpoint, SQL text shipped to another
+    * driver — fails loudly at analysis ("no broadcast filter with handle
+    * N"). The registered streaming use (q80) runs gated within one
+    * session and never recovers from a checkpoint; a deployment that
+    * needs restartable bloom probes should rebuild the filter in the
+    * restart path before re-planning.
     */
   private val handles =
     new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.broadcast.Broadcast[BloomFilter]]()
   private val nextHandle = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Live handle count (test/observability hook). */
+  private[graft] def liveHandles: Int = handles.size
 
   private[graft] val bcBuilder: Seq[Expression] => Expression =
     exprs => {
@@ -163,13 +182,44 @@ object BloomFilterFunctions {
     call_function("graft_bloom_might_contain", filterBytes, key)
   }
 
-  /** Column-API probe via torrent broadcast — the plan carries an int. */
-  def mightContainBroadcast(spark: SparkSession, bf: BloomFilter, key: Column): Column = {
-    import org.apache.spark.sql.functions.{call_function, lit}
+  /** Register a filter as a torrent broadcast; returns the plan handle id.
+    * Callers own the release ([[releaseHandle]]) — prefer [[cachedHandle]],
+    * which wires both into the session artifact registry.
+    */
+  def broadcastFilter(spark: SparkSession, bf: BloomFilter): Int = {
     val id = nextHandle.incrementAndGet()
     handles.put(id, spark.sparkContext.broadcast(bf))
+    id
+  }
+
+  /** Probe via an already-registered handle — the plan literal is an int. */
+  def probeHandle(id: Int, key: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function, lit}
     call_function("graft_bloom_probe", lit(id), key)
   }
+
+  /** Destroy the broadcast behind a handle and forget the entry. */
+  def releaseHandle(id: Int): Unit = {
+    val bc = handles.remove(id)
+    if (bc != null) bc.destroy()
+  }
+
+  /** Memoized broadcast handle for a bloom-filter artifact: `build` runs
+    * once per (session, key); the broadcast is destroyed and the handle
+    * forgotten by `Artifacts.release(session)`.
+    */
+  def cachedHandle(spark: SparkSession, key: String)(build: => BloomFilter): Int =
+    graft.Artifacts.cached[Integer](spark, key) {
+      val id = broadcastFilter(spark, build)
+      (Int.box(id), () => releaseHandle(id))
+    }.intValue
+
+  /** Column-API probe via torrent broadcast — the plan carries an int.
+    * NOTE: allocates a fresh broadcast per call with no release; the
+    * registered queries use [[cachedHandle]] + [[probeHandle]] instead.
+    */
+  def mightContainBroadcast(spark: SparkSession, bf: BloomFilter, key: Column): Column =
+    probeHandle(broadcastFilter(spark, bf), key)
 
   /** Serialize a built filter for embedding as a binary literal. */
   def serialize(bf: BloomFilter): Array[Byte] = {

@@ -272,48 +272,98 @@ object CorpusStats {
     * Bloom filters have no false negatives, so kept/dropped is exactly
     * the anti/semi-join answer at any fpp.
     */
-  private[operators] def bloomDecontaminate(
+  /** The held-out split's distinct gram-hash blocklist — an offline
+    * artifact (count → bloom build → exact confirm all read it); the
+    * registry persist is the local stand-in for writing it to storage
+    * once. Released via `Artifacts.release(session)`.
+    */
+  private def bloomBlocklist(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Artifacts.cachedDf(s, s"q77_blocklist:$d") {
+      PolyHash.register(s)
+      docGrams(s, d, GramN)
+        .select(col("sb"), PolyHash.hash(col("g")).as("h"))
+        .where(col("sb") >= TestBucketFloor)
+        .select("h").distinct()
+    }
+
+  /** Contaminated train doc_ids under the bloom-pruned plan (one column:
+    * `contaminated_doc_id`) — the shared core of the q77 manifest and the
+    * decontaminated-corpus write.
+    */
+  private[operators] def bloomContaminated(
       s: org.apache.spark.sql.SparkSession, d: String,
       fpp: Double): org.apache.spark.sql.DataFrame = {
     PolyHash.register(s)
     graft.functions.BloomFilterFunctions.register(s)
     val hashed = docGrams(s, d, GramN)
       .select(col("doc_id"), col("sb"), PolyHash.hash(col("g")).as("h"))
-    // the blocklist is an offline artifact (count → bloom build → exact
-    // confirm all read it); persist is the local stand-in for writing it
-    // to storage once — without it each consumer re-grams the held-out
-    // corpus from scratch
-    val blocklist = hashed.where(col("sb") >= TestBucketFloor)
-      .select("h").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bf = blocklist.stat.bloomFilter("h",
-      math.max(blocklist.count(), 1L), fpp)
+    val blocklist = bloomBlocklist(s, d)
     // broadcast-handle probe: the plan literal is one int — the filter
     // itself ships via torrent broadcast, never through the LogicalPlan
     // (a 10⁹-key filter is ~1.2 GB; as a plan literal it would be copied
-    // per transformation and serialized into every task binary).
+    // per transformation and serialized into every task binary). The
+    // handle is memoized per (session, dir, fpp) and destroyed by
+    // Artifacts.release — repeated runs reuse ONE broadcast instead of
+    // leaking one per invocation.
     // observe metrics publish the prune ratio (total grams vs bloom
     // survivors) in-flight — at 100 TB the ratio IS the operator's value
     // proposition, so a run reports it without a second pass.
-    val contaminated = hashed.where(col("sb") < TrainBucketCeil)
+    val handle = graft.functions.BloomFilterFunctions
+      .cachedHandle(s, s"q77_bloom:$d:$fpp") {
+        blocklist.stat.bloomFilter("h", math.max(blocklist.count(), 1L), fpp)
+      }
+    hashed.where(col("sb") < TrainBucketCeil)
       .select(col("doc_id"), col("h"))
       .observe("q77_train_grams", count(lit(1)).as("n_train_grams"))
-      .where(graft.functions.BloomFilterFunctions
-        .mightContainBroadcast(s, bf, col("h")))
+      .where(graft.functions.BloomFilterFunctions.probeHandle(handle, col("h")))
       .observe("q77_bloom_candidates", count(lit(1)).as("n_candidates"))
       .join(blocklist, Seq("h"), "left_semi")
       .select(col("doc_id").as("contaminated_doc_id")).distinct()
-    val roster = Tables.documents(s, d)
+  }
+
+  /** The train-split roster (doc_id, source) — q58's split constants, one
+    * source of truth with the contamination audit.
+    */
+  private[operators] def trainRoster(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
       .where(Pipeline.lcg(col("doc_id"), Pipeline.SplitA, Pipeline.SplitC) % 100
         < TrainBucketCeil)
-    roster
+
+  private[operators] def bloomDecontaminate(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      fpp: Double): org.apache.spark.sql.DataFrame = {
+    val contaminated = bloomContaminated(s, d, fpp)
+    trainRoster(s, d)
       .join(contaminated, col("doc_id") === col("contaminated_doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_train"),
         count(col("contaminated_doc_id")).as("n_dropped"),
         (count(lit(1)) - count(col("contaminated_doc_id"))).as("n_kept"))
       .orderBy("source")
+  }
+
+  /** Materialize the DECONTAMINATED training corpus — the terminal stage
+    * q77 stops short of: the full document rows of every train-split
+    * document that shares no held-out gram, written partitioned by
+    * (lang, source) like [[Pipeline.writeCleanCorpus]] so downstream
+    * consumers prune partitions at the scan (the test asserts the
+    * read-back PartitionFilters). The corpus side is filtered by the
+    * map-side bloom probe + exact semi-join confirm before the write —
+    * the 100 TB rows stream from scan to sink, never shuffled for the
+    * roster anti-join (doc_id equi-joins only).
+    */
+  def writeDecontaminatedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String, outDir: String, fpp: Double = 0.03): Unit = {
+    val kept = trainRoster(s, d)
+      .join(bloomContaminated(s, d, fpp),
+        col("doc_id") === col("contaminated_doc_id"), "left_anti")
+      .select("doc_id")
+    Tables.documents(s, d)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(outDir)
   }
 
   /** q77: bloom-pruned train-split decontamination manifest — per source,

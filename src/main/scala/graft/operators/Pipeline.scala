@@ -274,11 +274,13 @@ object Pipeline {
        |FROM rates r LEFT JOIN kept k ON r.source = k.source
        |ORDER BY 1""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    // persist: counts backs m, rates, and the final manifest — tiny
-    // (~#sources rows) but derived from a full corpus scan, so each
-    // uncached reuse would re-run that scan
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registry persist: counts backs m, rates, and the final manifest —
+    // tiny (~#sources rows) but derived from a full corpus scan, so each
+    // uncached reuse would re-run that scan; released via
+    // Artifacts.release(session)
+    val counts = graft.Artifacts.cachedDf(s, s"q81_counts:$d") {
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    }
     val m = counts.agg(min(col("n_docs")).as("m"))
     val rates = counts.crossJoin(broadcast(m))
       .withColumn("rate_ppm", expr("m * 1000000 DIV n_docs"))

@@ -568,24 +568,44 @@ object Similarity {
     * explicitly: write the trained centroids + assignments to storage
     * once, then serve every probe from the materialized index.
     */
-  /** One trained index per (session, dir): q71, q72, q83, and
+  /** One trained index per (session, dir): q71, q72, q83, q84, and
     * [[writeIvfIndex]] all serve from the SAME cached artifact instead
     * of each persisting a private copy — the artifact-reuse argument the
-    * docstring above makes, applied to the callers too.
+    * docstring above makes, applied to the callers too. Registered in
+    * [[graft.Artifacts]], so `Artifacts.release(session)` unpersists both
+    * halves when the session is done with the corpus.
     */
-  private val kmTrainedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
-
-  private def kmTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    kmTrainedCache.computeIfAbsent((s, d), { _ =>
+  private[operators] def kmTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"ivf_trained:$d") {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val c0 = e.where(col("vec_id") < KmK)
         .select(col("vec_id").cast("int").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val c1 = kmRecompute(kmAssign(e, c0)).persist(lvl)
-      (c1, kmAssign(e, c1).persist(lvl))
-    })
+      val a2 = kmAssign(e, c1).persist(lvl)
+      ((c1, a2), () => {
+        c1.unpersist(blocking = true); a2.unpersist(blocking = true); ()
+      })
+    }
+
+  /** The QUANTIZED index artifact: every trained assignment's int8 codes
+    * (`code: array<tinyint>`) and integer code norm (`nq: bigint`),
+    * computed ONCE per vector from the float embedding and materialized —
+    * the float arrays exist only upstream of this projection, so every
+    * serving join downstream carries 1 byte/dim + one long instead of
+    * 4 bytes/dim (the actual 4× storage/shuffle reduction, not a per-pair
+    * simulation of it). Same storage contract as [[kmTrained]]: persisted,
+    * shared per (session, dir), released via `Artifacts.release`.
+    */
+  private[operators] def kmQuantized(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cachedDf(s, s"ivf_quantized:$d") {
+      VectorFunctions.register(s)
+      val (_, a2) = kmTrained(s, d)
+      a2.select(col("vec_id"), col("cell"),
+          VectorFunctions.int8Encode(col("embedding")).as("code"))
+        .withColumn("nq", VectorFunctions.int8CodeDot(col("code"), col("code")))
+    }
 
   /** Materialize the trained IVF index to storage, partitioned by cell —
     * the production form of [[kmTrained]]'s persist. A probe that knows
@@ -597,9 +617,16 @@ object Similarity {
     */
   def writeIvfIndex(s: SparkSession, d: String, outDir: String): Unit = {
     VectorFunctions.register(s)
-    // writes from the memoized shared cache — no private copy to clean up
+    // writes from the memoized shared cache — no private copy to clean up.
+    // The stored artifact carries BOTH forms of every vector: the float
+    // embedding (exact rerank tier) and the int8 code + integer norm
+    // (quantized rerank tier, 4× smaller per probe read) — computed once
+    // here, so no serving query ever re-derives codes per pair.
     val (_, a2) = kmTrained(s, d)
-    a2.write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    a2.select(col("vec_id"), col("embedding"), col("cell"),
+        VectorFunctions.int8Encode(col("embedding")).as("code"))
+      .withColumn("nq", VectorFunctions.int8CodeDot(col("code"), col("code")))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
   }
 
   private val kmOracleTrain: String =
@@ -651,17 +678,31 @@ object Similarity {
        |)""".stripMargin
 
   /** Multi-probe cell selection (q72's aggregation shape) — shared by
-    * q72 and q83 so the (dist, cell) tie-break has one definition.
+    * q72, q83, and the recall-curve audit so the (dist, cell) tie-break
+    * has one definition. `p` is the probe-count lever: p=1 degenerates to
+    * the vector's own assigned cell (single-probe), larger p trades ~p×
+    * candidate work for recall — ScaleSpec pins both properties.
     */
-  private def probeSelection(e: DataFrame, c1: DataFrame): DataFrame =
+  private def probeSelection(e: DataFrame, c1: DataFrame,
+      p: Int = ProbeP): DataFrame = {
+    require(p >= 1, s"probe count must be >= 1, got $p")
     e.crossJoin(broadcast(c1))
       .withColumn("pd", VectorFunctions.l2DistSq(col("embedding"), col("cen")))
       .groupBy("vec_id")
       .agg(min_by(col("embedding"), struct(col("pd"), col("cell"))).as("emb_a"),
-        slice(sort_array(collect_list(struct(col("pd"), col("cell")))), 1, ProbeP)
+        slice(sort_array(collect_list(struct(col("pd"), col("cell")))), 1, p)
           .as("near"))
       .select(col("vec_id"), col("emb_a"),
         explode(expr("transform(near, s -> s.cell)")).as("probe_cell"))
+  }
+
+  /** [[probeSelection]] minus the embedding payload: (vec_id, probe_cell)
+    * only — for tiers (q84) whose rerank reads BOTH sides from a stored
+    * index, so the query's float vector has no business surviving the
+    * probe shuffle either.
+    */
+  private def probeCells(e: DataFrame, c1: DataFrame, p: Int): DataFrame =
+    probeSelection(e, c1, p).select("vec_id", "probe_cell")
 
   /** Oracle twin of [[probeSelection]]; `where` restricts the probe side. */
   private def probesOracle(where: String): String =
@@ -1258,6 +1299,117 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Mean recall@3 of p-probe IVF search over the bounded query batch —
+    * the recall-vs-p curve behind q83's two fixed points, exposed so
+    * ScaleSpec can pin monotonicity (more probes never lose neighbors)
+    * and the p=1 ≡ single-probe degeneracy.
+    */
+  private[operators] def multiProbeRecall(s: SparkSession, d: String, p: Int): Double = {
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val truth = bruteForceTruth(e)
+    val cand = a2.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("embedding").as("emb_b"))
+    val probes = probeSelection(e.where(col("vec_id") < QueryBatch), c1, p)
+    val approx = rankTop3(probes.join(cand,
+        col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("vec_id", "neighbor_id"), "left")
+      .agg(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)).as("r"))
+      .head.getDouble(0)
+  }
+
+  /** Mean recall@3 of searching ONLY each query's assigned cell (q71's
+    * shape, batch-restricted) — the value [[multiProbeRecall]] at p=1
+    * must reproduce exactly, since the nearest probe cell IS the
+    * assigned cell under the same (dist, cell) tie-break.
+    */
+  private[operators] def singleProbeRecall(s: SparkSession, d: String): Double = {
+    VectorFunctions.register(s)
+    val (_, a2) = kmTrained(s, d)
+    val truth = bruteForceTruth(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val sa = a2.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("cell"), col("embedding").as("emb_a"))
+    val sb = a2.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("embedding").as("emb_b"))
+    val approx = rankTop3(sa.join(sb,
+        col("cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("vec_id", "neighbor_id"), "left")
+      .agg(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)).as("r"))
+      .head.getDouble(0)
+  }
+
+  /** q84: quantized IVF k-NN served from the MATERIALIZED int8 index —
+    * the assembled production tier the audits (q78 safety, q82 identity,
+    * q83 probe recall) justify: train the coarse quantizer (shared
+    * [[kmTrained]]), quantize every assignment ONCE into the stored
+    * [[kmQuantized]] artifact, select each query's [[ProbeP]] nearest
+    * trained cells, and rank candidates by integer cosine on the STORED
+    * codes. Both sides of the candidate join read (code, nq) from the
+    * quantized index — the float embeddings never ride any join
+    * (PlanSpec pins exactly that), which is the 4× shuffle/storage
+    * reduction q82 only simulated in-kernel. Each per-pair evaluation is
+    * an integer multiply-accumulate over 1-byte codes + one double
+    * division (sqrt of the two STORED norms) — no re-quantization, no
+    * float reads.
+    */
+  private val q84 = GraftQuery(
+    "q84_quantized_ivf",
+    s"""WITH $kmOracleTrain, ${probesOracle("")},
+       |qv AS (
+       |  SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM a2),
+       |sv AS (
+       |  SELECT vec_id, cell, v,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+       |      (a,b) -> greatest(a,b)) AS mx
+       |  FROM qv),
+       |cv AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(v, x -> CAST(least(greatest(floor(x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+       |  FROM sv),
+       |nv AS (
+       |  SELECT vec_id, cell, q,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)), (a,b) -> a+b) AS nq
+       |  FROM cv),
+       |sim AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(a.q)+1), i -> a.q[i] * b.q[i])), (x,y) -> x+y) AS DOUBLE)
+       |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS qcos
+       |  FROM probes p
+       |  JOIN nv a ON p.vec_id = a.vec_id
+       |  JOIN nv b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+       |  WHERE a.nq > 0 AND b.nq > 0)
+       |SELECT vec_id, neighbor_id, rank, round(qcos, 6) AS qcos_sim FROM (
+       |  SELECT vec_id, neighbor_id, qcos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, neighbor_id) AS rank
+       |  FROM sim) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, _) = kmTrained(s, d)
+    val qidx = kmQuantized(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = probeCells(e, c1, ProbeP)
+    val qa = qidx.select(col("vec_id"), col("code").as("code_a"), col("nq").as("nq_a"))
+    val qb = qidx.select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
+      col("code").as("code_b"), col("nq").as("nq_b"))
+    val w = Window.partitionBy("vec_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    probes.join(qa, "vec_id")
+      .join(qb, col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id"))
+      .where(col("nq_a") > 0 && col("nq_b") > 0)
+      .withColumn("qcos",
+        VectorFunctions.int8CodeDot(col("code_a"), col("code_b")).cast("double") /
+          (sqrt(col("nq_a").cast("double")) * sqrt(col("nq_b").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("qcos"), 6).as("qcos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** q83: the multi-probe recall lever, measured — per query vector,
     * recall@3 of single-probe IVF (q71: search only your own trained
     * cell) next to multi-probe IVF (q72: probe the [[ProbeP]] nearest
@@ -1331,5 +1483,5 @@ object Similarity {
 
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83)
+      q82, q83, q84)
 }

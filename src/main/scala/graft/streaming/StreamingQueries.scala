@@ -326,21 +326,31 @@ object StreamingQueries {
        |GROUP BY 1, 2
        |ORDER BY window_start_ms, event_type""".stripMargin) { (s, d) =>
     graft.functions.BloomFilterFunctions.register(s)
-    // persist: the stream-static join re-executes the static side every
-    // micro-batch — uncached, each batch would re-aggregate the events
-    // table to rebuild a 9-row denylist (plus the count + bloom-build
-    // passes before the stream starts)
-    val deny = graft.Tables.events(s, d)
-      .groupBy("user_id").agg(count(lit(1)).as("n"))
-      .where(col("n") > DenyThreshold)
-      .select("user_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bf = deny.stat.bloomFilter("user_id", math.max(deny.count(), 1L), 0.03)
+    // registry persist: the stream-static join re-executes the static
+    // side every micro-batch — uncached, each batch would re-aggregate
+    // the events table to rebuild a 9-row denylist (plus the count +
+    // bloom-build passes before the stream starts). Released via
+    // Artifacts.release(session).
+    val deny = graft.Artifacts.cachedDf(s, s"q80_denylist:$d") {
+      graft.Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .where(col("n") > DenyThreshold)
+        .select("user_id")
+    }
+    // memoized broadcast handle (see q77): one filter per (session, dir),
+    // destroyed by Artifacts.release — repeated runs don't leak broadcasts.
+    // Handle resolution is process-local by design: this stream runs
+    // gated in-session and never restarts from a checkpoint (a recovered
+    // plan would fail loudly at analysis, not bind a stale filter).
+    val handle = graft.functions.BloomFilterFunctions
+      .cachedHandle(s, s"q80_bloom:$d") {
+        deny.stat.bloomFilter("user_id", math.max(deny.count(), 1L), 0.03)
+      }
     runGated(s, d) { ev =>
       // broadcast-handle probe (see q77): the streaming plan carries an
       // int, not the serialized filter
       val mc = graft.functions.BloomFilterFunctions
-        .mightContainBroadcast(s, bf, col("user_id"))
+        .probeHandle(handle, col("user_id"))
       // NULL user_id rows evaluate the probe to NULL and drop in BOTH
       // branches — the oracle pins the same "unattributable row is
       // dropped" semantics with an explicit IS NOT NULL (bare NOT IN

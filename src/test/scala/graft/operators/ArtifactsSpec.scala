@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{Artifacts, SparkSuite}
+import graft.functions.BloomFilterFunctions
+
+/** Lifecycle of the session-scoped artifact registry: the memoized
+  * artifacts (trained IVF index, quantized codes, bloom blocklist +
+  * broadcast handle, mixture counts) must be built once, SHARED across
+  * repeated runs, and actually freed — pinned executor storage and
+  * driver broadcasts both — by one `Artifacts.release(session)`.
+  */
+class ArtifactsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("artifacts build once, are shared across runs, and release frees storage") {
+    // clean slate: forget whatever earlier suites registered
+    Artifacts.release(spark)
+    assert(Artifacts.registered(spark) == 0)
+    val handles0 = BloomFilterFunctions.liveHandles
+    val rdds0 = spark.sparkContext.getPersistentRDDs.size
+
+    // build the registered artifacts: trained index + quantized codes
+    // (q84), blocklist + bloom handle (q77 core), mixture counts (q81)
+    assert(graft.SparkEntry.queries("q84_quantized_ivf")(spark, dir).count() > 0)
+    CorpusStats.bloomDecontaminate(spark, dir, fpp = 0.03).collect()
+    assert(graft.SparkEntry.queries("q81_mixture_balance")(spark, dir).count() > 0)
+
+    val n = Artifacts.registered(spark)
+    // trained, quantized, blocklist, bloom handle, counts
+    assert(n >= 5, s"expected >=5 registered artifacts, got $n")
+    assert(BloomFilterFunctions.liveHandles == handles0 + 1,
+      "q77's bloom broadcast should register exactly one live handle")
+    assert(spark.sparkContext.getPersistentRDDs.size > rdds0,
+      "artifacts should pin executor storage while registered")
+
+    // memoization: a repeat run must NOT grow the registry or the handle
+    // map (the round-8 leak: one broadcast per invocation)
+    CorpusStats.bloomDecontaminate(spark, dir, fpp = 0.03).collect()
+    assert(graft.SparkEntry.queries("q84_quantized_ivf")(spark, dir).count() > 0)
+    assert(Artifacts.registered(spark) == n, "repeat run re-registered artifacts")
+    assert(BloomFilterFunctions.liveHandles == handles0 + 1,
+      "repeat run leaked a bloom broadcast")
+
+    // release: registry empty, broadcast destroyed, storage actually freed
+    Artifacts.release(spark)
+    assert(Artifacts.registered(spark) == 0)
+    assert(BloomFilterFunctions.liveHandles == handles0,
+      "release did not destroy the bloom broadcast handle")
+    assert(spark.sparkContext.getPersistentRDDs.size <= rdds0,
+      "release did not unpersist the cached artifacts")
+
+    // post-release the queries still work — artifacts rebuild on demand
+    assert(graft.SparkEntry.queries("q84_quantized_ivf")(spark, dir).count() > 0)
+    assert(Artifacts.registered(spark) > 0)
+  }
+}

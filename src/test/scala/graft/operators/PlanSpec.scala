@@ -154,6 +154,29 @@ class PlanSpec extends SparkSuite {
     // against the same cached index those tests pin.
   }
 
+  test("q84 serves the candidate join from stored int8 codes, never float embeddings") {
+    val df = graft.SparkEntry.queries("q84_quantized_ivf")(spark, dir)
+    val p = plan("q84_quantized_ivf")
+    assert(!p.contains("CartesianProduct"), s"q84 plans a cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"q84 re-derives codes instead of reading the quantized artifact:\n$p")
+    // the point of the materialized index: every join at or above the
+    // quantized artifact carries (code, nq) — 1 byte/dim + a long — not
+    // the 4-byte/dim float array. The float embedding may appear only
+    // below the artifact (building it) and in the probe-cell selection
+    // scan, never as a join output alongside codes.
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val codeJoins = joins.filter(_.output.exists(_.name.startsWith("code")))
+    assert(codeJoins.nonEmpty, "quantized candidate join not found")
+    codeJoins.foreach { j =>
+      assert(!j.output.exists(a =>
+          a.name == "embedding" || a.name.startsWith("emb_")),
+        s"float embeddings ride the quantized join: ${j.output.map(_.name)}")
+    }
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),

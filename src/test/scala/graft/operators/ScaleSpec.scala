@@ -198,7 +198,15 @@ class ScaleSpec extends SparkSuite {
     val out = tmp.toString + "/index"
     Similarity.writeIvfIndex(spark, dir, out)
     val index = spark.read.parquet(out)
-    assert(index.count() > 0 && index.columns.toSet == Set("vec_id", "embedding", "cell"))
+    // both serving tiers' columns: float embeddings (exact rerank) and
+    // the int8 codes + integer norm (quantized rerank, 4× smaller)
+    assert(index.count() > 0 &&
+      index.columns.toSet == Set("vec_id", "embedding", "cell", "code", "nq"))
+    // parquet read-back widens containsNull; the element type is the
+    // contract (1 byte/dim on disk)
+    assert(index.schema("code").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType)
     // probe the most-populated cell: Lloyd reassignment may leave a
     // small cell with one member, which has no in-cell neighbor
     val cell = index.groupBy("cell").agg(count(lit(1)).as("n"))
@@ -221,7 +229,39 @@ class ScaleSpec extends SparkSuite {
       .groupBy("vec_id")
       .agg(max(struct(col("cos"), col("nid"))).as("best"))
     assert(top1.count() == probe.count(), "a cell member has no in-cell neighbor")
+    // the QUANTIZED tier serves from the same pruned shard reading ONLY
+    // the stored codes + norms — no float column in the serving join
+    val ql = probe.select(col("vec_id"), col("code").as("code_a"),
+      col("nq").as("nq_a"))
+    val qr = probe.select(col("vec_id").as("nid"), col("code").as("code_b"),
+      col("nq").as("nq_b"))
+    val qtop1 = ql.join(qr, col("vec_id") =!= col("nid"))
+      .where(col("nq_a") > 0 && col("nq_b") > 0)
+      .withColumn("qcos",
+        graft.functions.VectorFunctions.int8CodeDot(col("code_a"), col("code_b"))
+          .cast("double") /
+          (sqrt(col("nq_a").cast("double")) * sqrt(col("nq_b").cast("double"))))
+      .groupBy("vec_id")
+      .agg(max(struct(col("qcos"), col("nid"))).as("best"))
+    assert(qtop1.count() == probe.count(),
+      "stored codes do not serve the quantized in-cell search")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("IVF recall@3 is monotone in the probe count; p=1 is single-probe") {
+    val r1 = Similarity.multiProbeRecall(spark, dir, p = 1)
+    val r2 = Similarity.multiProbeRecall(spark, dir, p = 2)
+    val r3 = Similarity.multiProbeRecall(spark, dir, p = 3)
+    // probing MORE cells can only add candidates, never remove them, so
+    // recall against fixed truth is non-decreasing in p
+    assert(r1 <= r2 && r2 <= r3, s"recall not monotone in p: $r1, $r2, $r3")
+    // degenerate check: the nearest probe cell is the assigned cell under
+    // the same (dist, cell) tie-break, so p=1 IS the single-probe tier
+    val single = Similarity.singleProbeRecall(spark, dir)
+    assert(r1 == single, s"p=1 recall $r1 != single-probe recall $single")
+    // the multi-probe lever must actually buy something on this fixture
+    // (q83's measured 0.43 -> 0.69 shape at sf0.1)
+    assert(r3 > r1, s"probing more cells bought no recall: $r1 -> $r3")
   }
 
   test("SRP bucket count scales with the bits parameter") {
