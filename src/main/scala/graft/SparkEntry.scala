@@ -17,7 +17,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Similarity.queries ++ EtlDecode.queries ++
       Export.queries ++ Extraction.queries ++ Portfolio.queries ++
       Media.queries ++ Pipeline.queries ++ CorpusStats.queries ++
-      graft.streaming.StreamingQueries.queries
+      Scale.queries ++ graft.streaming.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

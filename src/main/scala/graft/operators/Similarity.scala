@@ -401,6 +401,74 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** Bucket-width cap for the REGISTERED capped-dedup query (q85). Chosen
+    * to actually TRIP on the fixture corpora (band buckets reach width 3
+    * at sf0.01, 5 at sf0.001, 15 at sf0.1), so the driver's oracle gate
+    * exercises the real routing: width ≤ 2 buckets expand to pairs,
+    * wider buckets contribute star edges instead.
+    */
+  private val CapWidth = 2
+
+  /** q85: cluster assignment under the HOT-BUCKET CAP — the 100 TB dedup
+    * path itself put under the oracle gate, not just unit fixtures:
+    * [[minhashCandidates]] with `maxBucketWidth` routes over-wide band
+    * buckets out of O(width²) pair expansion, [[minhashHotBucketEdges]]
+    * re-attaches their members as O(width) star edges (hub = bucket-min
+    * doc_id), and connected components run over the union. The capped
+    * semantics differ from q52's by construction — star-edge members join
+    * the cluster WITHOUT the 9/12 signature check (an over-wide bucket is
+    * treated as one duplicate cluster) — and the oracle states exactly
+    * that: pairs filtered to width ≤ [[CapWidth]] buckets + unverified
+    * star edges from wider ones, closed transitively.
+    */
+  private val q85 = GraftQuery(
+    "q85_capped_clusters",
+    s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, sig AS (
+       |  SELECT doc_id, $oracleSigList AS sig FROM hs
+       |), bands AS (
+       |  ${oracleMinhashBands("")}
+       |), bw AS (
+       |  SELECT band, h1, h2, h3, count(*) AS w, min(doc_id) AS hub
+       |  FROM bands GROUP BY 1, 2, 3, 4
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+       |   AND a.doc_id < b.doc_id
+       |  JOIN bw ON a.band = bw.band AND a.h1 = bw.h1 AND a.h2 = bw.h2 AND a.h3 = bw.h3
+       |  WHERE bw.w <= $CapWidth
+       |), star AS (
+       |  SELECT DISTINCT bw.hub AS doc_a, b.doc_id AS doc_b
+       |  FROM bands b
+       |  JOIN bw ON b.band = bw.band AND b.h1 = bw.h1 AND b.h2 = bw.h2 AND b.h3 = bw.h3
+       |  WHERE bw.w > $CapWidth AND b.doc_id <> bw.hub
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE $minhashMatchSql
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs WHERE $minhashMatchSql
+       |  UNION
+       |  SELECT doc_a AS u, doc_b AS v FROM star
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM star
+       |), reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)
+       |SELECT d.doc_id, least(d.doc_id, coalesce(rm.m, d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN (SELECT u, min(v) AS m FROM reach GROUP BY u) rm
+       |  ON d.doc_id = rm.u
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sigs = minhashSigs(s, d)
+    val pairs = minhashCandidates(sigs, maxBucketWidth = Some(CapWidth))
+      .where(expr(sigMatchPredicate))
+      .select(col("doc_a"), col("doc_b"))
+    val stars = minhashHotBucketEdges(sigs, maxBucketWidth = CapWidth)
+    val edges = pairs.union(stars).distinct()
+    connectedComponents(Tables.documents(s, d).select("doc_id"), edges)
+      .orderBy("doc_id")
+  }
+
   // ---- IVF k-means training (q56) ----
 
   private val KmK = 4
@@ -1483,5 +1551,5 @@ object Similarity {
 
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84)
+      q82, q83, q84, q85)
 }

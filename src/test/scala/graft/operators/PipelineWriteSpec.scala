@@ -47,4 +47,44 @@ class PipelineWriteSpec extends SparkSuite {
       .agg(count(lit(1)).as("n")).where(col("n") > 1).count()
     assert(dupes == 0, "duplicate fingerprints survived the write")
   }
+
+  test("writeDecontaminatedCorpus keeps exactly q77's kept roster, partitions prune") {
+    val out = java.nio.file.Files.createTempDirectory("graft_decon").toString + "/corpus"
+    CorpusStats.writeDecontaminatedCorpus(spark, dir, out)
+
+    val written = spark.read.parquet(out)
+    val docs = graft.Tables.documents(spark, dir)
+    assert(written.count() > 0)
+    assert(written.columns.toSet == docs.columns.toSet)
+
+    // the written corpus is exactly the manifest's n_kept accounting
+    val manifest = CorpusStats.bloomDecontaminate(spark, dir, fpp = 0.03)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val perSource = written.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource == manifest.filter(_._2 > 0),
+      s"written partitions diverge from the q77 manifest:\n$perSource\nvs\n$manifest")
+
+    // (lang, source) predicates prune at the scan, same as writeCleanCorpus
+    val first = written.select("lang", "source").distinct()
+      .orderBy("lang", "source").limit(1).collect().head
+    val (lang, source) = (first.getString(0), first.getString(1))
+    val pruned = spark.read.parquet(out)
+      .where(col("lang") === lang && col("source") === source)
+    val scan = pruned.queryExecution.executedPlan.toString
+    val partFilters = scan
+      .replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(scan.contains("PartitionFilters: [") &&
+      partFilters.contains("lang") && partFilters.contains("source"),
+      s"(lang, source) predicate did not prune partitions:\n$scan")
+    assert(pruned.count() > 0)
+
+    // decontamination contract: no written train doc shares a held-out
+    // gram (fpp-independent — re-check against a tight filter)
+    val contaminated = CorpusStats.bloomContaminated(spark, dir, fpp = 1e-6)
+      .collect().map(_.getLong(0)).toSet
+    val writtenIds = written.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(writtenIds.intersect(contaminated).isEmpty,
+      "a contaminated document survived the decontaminated write")
+  }
 }

@@ -44,6 +44,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q85 capped dedup: both the pair and star paths stay equi-joins") {
+    for (q <- Seq("q85_capped_clusters")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+    }
+  }
+
   test("q44 brute-force baseline broadcasts only the bounded query batch") {
     val p = plan("q44_knn_bruteforce")
     // BNLJ is expected here — the build side is the constant-size batch
@@ -152,6 +160,17 @@ class PlanSpec extends SparkSuite {
     // all-pairs risk is held by the no-cartesian assert here and the
     // q71/q72 equi-join test; both candidate joins are cell equi-joins
     // against the same cached index those tests pin.
+  }
+
+  test("q86 salts the fact side and replicates the dimension across salts") {
+    val p = plan("q86_salted_skew_join")
+    assert(!p.contains("CartesianProduct"), s"q86 plans a cartesian:\n$p")
+    // the dimension side replicates via explode over the salt array...
+    assert(p.contains("Generate") && p.contains("explode("),
+      s"salt replication lost:\n$p")
+    // ...and the physical join key is (key, salt): the hot key's rows
+    // spread across numSalts tasks instead of one
+    assert(p.contains("__salt"), s"join no longer keyed by salt:\n$p")
   }
 
   test("q84 serves the candidate join from stored int8 codes, never float embeddings") {
