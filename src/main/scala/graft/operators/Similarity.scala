@@ -1478,6 +1478,96 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Shortlist size for q87's two-stage serving chain: the quantized tier
+    * over-fetches M candidates per query, the float tier re-ranks only
+    * those M. M ≫ k (here 10 ≫ 3) is the standard headroom that lets the
+    * cheap integer stage absorb quantization rank-flips without the
+    * expensive stage ever touching more than M rows per query.
+    */
+  private val RerankM = 10
+
+  /** q87: the COMPLETE production serving chain — quantized shortlist →
+    * exact float re-rank: probe the [[ProbeP]] nearest trained cells,
+    * rank candidates by integer cosine on the STORED codes (q84's join:
+    * 1 byte/dim, no float arrays), keep the top [[RerankM]] per query,
+    * and only then fetch the float embeddings — two narrow id equi-joins
+    * against the corpus, M rows per query instead of a cell's worth —
+    * for the exact cosine that orders the final top-3. This is the
+    * two-stage retrieval architecture every production int8 ANN deploys:
+    * the 4×-smaller quantized index does the heavy candidate pruning,
+    * full precision touches only the shortlist. The expensive float
+    * rerank is O(M) per query REGARDLESS of cell width — the quantized
+    * stage is the only thing that scans candidates.
+    */
+  private val q87 = GraftQuery(
+    "q87_quantized_rerank",
+    s"""WITH $kmOracleTrain, ${probesOracle("")},
+       |qv AS (
+       |  SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM a2),
+       |sv AS (
+       |  SELECT vec_id, cell, v,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+       |      (a,b) -> greatest(a,b)) AS mx
+       |  FROM qv),
+       |cv AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(v, x -> CAST(least(greatest(floor(x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+       |  FROM sv),
+       |nv AS (
+       |  SELECT vec_id, cell, q,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)), (a,b) -> a+b) AS nq
+       |  FROM cv),
+       |qsim AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(a.q)+1), i -> a.q[i] * b.q[i])), (x,y) -> x+y) AS DOUBLE)
+       |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS qcos
+       |  FROM probes p
+       |  JOIN nv a ON p.vec_id = a.vec_id
+       |  JOIN nv b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+       |  WHERE a.nq > 0 AND b.nq > 0),
+       |short AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, neighbor_id) AS rq
+       |    FROM qsim) t
+       |  WHERE rq <= $RerankM),
+       |rer AS (
+       |  SELECT s.vec_id AS vec_id, s.neighbor_id AS neighbor_id,
+       |    ${cosSql("qa", "qb")} AS cos
+       |  FROM short s
+       |  JOIN embeddings qa ON qa.vec_id = s.vec_id
+       |  JOIN embeddings qb ON qb.vec_id = s.neighbor_id)
+       |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rer) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, _) = kmTrained(s, d)
+    val qidx = kmQuantized(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = probeCells(e, c1, ProbeP)
+    val qa = qidx.select(col("vec_id"), col("code").as("code_a"), col("nq").as("nq_a"))
+    val qb = qidx.select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
+      col("code").as("code_b"), col("nq").as("nq_b"))
+    val wq = Window.partitionBy("vec_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    val short = probes.join(qa, "vec_id")
+      .join(qb, col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id"))
+      .where(col("nq_a") > 0 && col("nq_b") > 0)
+      .withColumn("qcos",
+        VectorFunctions.int8CodeDot(col("code_a"), col("code_b")).cast("double") /
+          (sqrt(col("nq_a").cast("double")) * sqrt(col("nq_b").cast("double"))))
+      .withColumn("rq", row_number().over(wq))
+      .where(col("rq") <= RerankM)
+      .select("vec_id", "neighbor_id")
+    // float arrays enter ONLY here — M rows per query, two id equi-joins
+    val ea = e.select(col("vec_id"), col("embedding").as("emb_a"))
+    val eb = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
+    rankTop3(short.join(ea, "vec_id").join(eb, "neighbor_id"))
+  }
+
   /** q83: the multi-probe recall lever, measured — per query vector,
     * recall@3 of single-probe IVF (q71: search only your own trained
     * cell) next to multi-probe IVF (q72: probe the [[ProbeP]] nearest
@@ -1551,5 +1641,5 @@ object Similarity {
 
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84, q85)
+      q82, q83, q84, q85, q87)
 }

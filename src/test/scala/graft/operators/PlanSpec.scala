@@ -173,26 +173,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("__salt"), s"join no longer keyed by salt:\n$p")
   }
 
-  test("q84 serves the candidate join from stored int8 codes, never float embeddings") {
-    val df = graft.SparkEntry.queries("q84_quantized_ivf")(spark, dir)
-    val p = plan("q84_quantized_ivf")
-    assert(!p.contains("CartesianProduct"), s"q84 plans a cartesian:\n$p")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      s"q84 re-derives codes instead of reading the quantized artifact:\n$p")
-    // the point of the materialized index: every join at or above the
-    // quantized artifact carries (code, nq) — 1 byte/dim + a long — not
-    // the 4-byte/dim float array. The float embedding may appear only
-    // below the artifact (building it) and in the probe-cell selection
-    // scan, never as a join output alongside codes.
-    val joins = df.queryExecution.optimizedPlan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-    }
-    val codeJoins = joins.filter(_.output.exists(_.name.startsWith("code")))
-    assert(codeJoins.nonEmpty, "quantized candidate join not found")
-    codeJoins.foreach { j =>
-      assert(!j.output.exists(a =>
-          a.name == "embedding" || a.name.startsWith("emb_")),
-        s"float embeddings ride the quantized join: ${j.output.map(_.name)}")
+  test("q84/q87 serve the candidate join from stored int8 codes, never float embeddings") {
+    for (q <- Seq("q84_quantized_ivf", "q87_quantized_rerank")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$q re-derives codes instead of reading the quantized artifact:\n$p")
+      // the point of the materialized index: every join at or above the
+      // quantized artifact carries (code, nq) — 1 byte/dim + a long — not
+      // the 4-byte/dim float array. The float embedding may appear only
+      // below the artifact (building it), in the probe-cell selection
+      // scan, and (q87) in the post-shortlist rerank joins — never as a
+      // join output alongside codes.
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val codeJoins = joins.filter(_.output.exists(_.name.startsWith("code")))
+      assert(codeJoins.nonEmpty, s"$q quantized candidate join not found")
+      codeJoins.foreach { j =>
+        assert(!j.output.exists(a =>
+            a.name == "embedding" || a.name.startsWith("emb_")),
+          s"$q: float embeddings ride the quantized join: ${j.output.map(_.name)}")
+      }
     }
   }
 
