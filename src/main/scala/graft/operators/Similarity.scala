@@ -139,12 +139,22 @@ object Similarity {
       .withColumn("hv", expr("transform(shingles, sh2 -> poly_hash(sh2))"))
   }
 
-  /** doc_id, sig (12 minhash components). */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val sigCols = (0 until NumHashes).map(i =>
-      expr(s"array_min(transform(hv, h -> (${A(i)} * h + ${B(i)}) % $P))"))
-    shingleHashes(s, d).select(col("doc_id"), array(sigCols: _*).as("sig"))
-  }
+  /** doc_id, sig (12 minhash components) — materialized ONCE per
+    * (session, dir) in the artifact registry and served to every dedup
+    * tier that keys on signatures (q31 candidates, q40 verify, q52
+    * clusters, q76 manifest, q85 capped clusters). Signatures are
+    * content-defined, so a dedup pipeline computes them exactly once per
+    * corpus and every downstream pass reads the artifact — the cache is
+    * the local[n] stand-in for that persisted signature table (12 longs
+    * + an id per document; the heavyweight shingle payload is NOT part
+    * of the artifact). Released via `Artifacts.release(session)`.
+    */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cachedDf(s, s"minhash_sigs:$d") {
+      val sigCols = (0 until NumHashes).map(i =>
+        expr(s"array_min(transform(hv, h -> (${A(i)} * h + ${B(i)}) % $P))"))
+      shingleHashes(s, d).select(col("doc_id"), array(sigCols: _*).as("sig"))
+    }
 
   /** Banded candidate self-join: each side exploded to (band, 3-row key).
     * The input is fenced behind a repartition exchange so CollapseProject
