@@ -479,6 +479,51 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** q88: corpus-level SOURCE-overlap triage — the minhash estimate
+    * lifted from documents to whole sources: each source's shingle-set
+    * UNION gets a 12-component signature (min over all member documents'
+    * per-hash minima — exactly the union's minhash, since min distributes
+    * over union), and every source pair's agreement fraction estimates
+    * the Jaccard overlap of their content. This is the step a corpus
+    * curator runs BEFORE cross-source dedup: at 100 TB it is one
+    * map-side-combined aggregation (the explode collapses to ~#sources
+    * rows per partition before the shuffle — 12 codegen min-aggregates,
+    * no payload) and a ~#sources² comparison of 12-long arrays, i.e.
+    * free compared to any pairwise document work it triages away.
+    */
+  private val q88 = GraftQuery(
+    "q88_source_overlap",
+    s"""$shingleCtes, hsrc AS (
+       |  SELECT d.source AS source, u.h AS h
+       |  FROM hs JOIN documents d ON hs.doc_id = d.doc_id, unnest(hs.hv) AS u(h)
+       |), ssig AS (
+       |  SELECT source, $oracleSigList AS sig
+       |  FROM (SELECT source, list(h) AS hv FROM hsrc GROUP BY source)
+       |)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> a.sig[i] = b.sig[i])) AS BIGINT) AS n_match,
+       |  round(len(list_filter(range(1, ${NumHashes + 1}), i -> a.sig[i] = b.sig[i])) / $NumHashes.0, 6) AS est_jaccard
+       |FROM ssig a JOIN ssig b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val exploded = shingleHashes(s, d)
+      .select(col("doc_id"), explode(col("hv")).as("h"))
+      .join(docs, "doc_id")
+    val sigCols = (0 until NumHashes).map(i =>
+      min(expr(s"(${A(i)} * h + ${B(i)}) % $P")).as(s"m$i"))
+    val ssig = exploded.groupBy("source")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("source"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val a = ssig.select(col("source").as("source_a"), col("sig").as("sa"))
+    val b = ssig.select(col("source").as("source_b"), col("sig").as("sb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("n_match",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").cast("long"))
+      .select(col("source_a"), col("source_b"), col("n_match"),
+        round(col("n_match") / NumHashes.toDouble, 6).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   // ---- IVF k-means training (q56) ----
 
   private val KmK = 4
@@ -1651,5 +1696,5 @@ object Similarity {
 
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84, q85, q87)
+      q82, q83, q84, q85, q87, q88)
 }

@@ -199,6 +199,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q88 source overlap: map-side-combined sig aggregation, only the tiny pair BNLJ") {
+    val p = plan("q88_source_overlap")
+    val tree = p.split("\n\n").head
+    assert(!p.contains("CartesianProduct"), s"q88 plans a cartesian:\n$p")
+    // the 12 min-aggregates must combine map-side: the explode's rows
+    // collapse to ~#sources per partition BEFORE the shuffle
+    assert(tree.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"q88 lost map-side combine on the source signatures:\n$tree")
+    // the pair comparison is the ONLY nested-loop join, over ~#sources
+    // rows per side (a broadcast of the aggregated signature table)
+    assert(tree.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"q88 should BNLJ only the tiny signature pairs:\n$tree")
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),
