@@ -48,6 +48,12 @@ object GraftExtensions {
     ("int8_quant_cosine",
       "int8_quant_cosine(a, b) - cosine similarity on the vectors' symmetric int8 codes",
       graft.functions.VectorFunctions.int8CosineBuilder),
+    ("int8_encode",
+      "int8_encode(v) - materialized symmetric int8 codes of a float vector (array<tinyint>)",
+      graft.functions.VectorFunctions.int8EncodeBuilder),
+    ("int8_code_dot",
+      "int8_code_dot(a, b) - exact integer dot product of two stored int8 code arrays",
+      graft.functions.VectorFunctions.int8CodeDotBuilder),
     ("graft_bloom_might_contain",
       "graft_bloom_might_contain(filter, key) - probe a long key against a serialized bloom filter literal",
       graft.functions.BloomFilterFunctions.builder),

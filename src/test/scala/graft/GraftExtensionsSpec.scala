@@ -46,7 +46,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  poly_hash('ab') AS ph,
         |  simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) IS NOT NULL AS sh,
         |  double_plain(CAST(0.5 AS DOUBLE)) AS dp,
-        |  size(byte_pool('abcdefgh', 2)) AS bp
+        |  size(byte_pool('abcdefgh', 2)) AS bp,
+        |  int8_code_dot(int8_encode(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT))),
+        |                int8_encode(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)))) AS icd
         |""".stripMargin).head
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
     assert(row.getDouble(1) == 4.0)
@@ -55,6 +57,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getBoolean(3))
     assert(row.getString(4) == "0.5")
     assert(row.getInt(5) == 2)
+    // codes (127,-127)·(127,127): the opposing components cancel exactly
+    assert(row.getLong(6) == 0L)
   }
 
   test("wrong arity is rejected at analysis, not silently truncated") {
