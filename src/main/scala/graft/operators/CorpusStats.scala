@@ -394,5 +394,141 @@ object CorpusStats {
     bloomDecontaminate(s, d, fpp = 0.03)
   }
 
-  val queries: Seq[GraftQuery] = Seq(q65, q66, q67, q68, q77)
+  /** q89: substring-level duplication audit — for every document, how many
+    * of its distinct word-8-grams occur in at least one OTHER document, as
+    * a parts-per-million ratio. This is the corpus-internal counterpart of
+    * q65's cross-split contamination (same gram unit, same hash-join
+    * shape) and the measurement behind span-level dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * document whose grams are mostly shared is boilerplate or a near-copy
+    * even when no single whole-doc fingerprint matches (q43) and no
+    * minhash band collides (q31).
+    *
+    * Scale shape: grams are deduped per doc map-side, the document
+    * frequency is ONE hash aggregate on the 8-byte poly-hash (partial
+    * aggregation collapses per-partition repeats before the exchange),
+    * and the join back to (doc, gram) rows is an equi-join on that hash —
+    * row count stays at Σ distinct-grams-per-doc, never pairs. A hot
+    * boilerplate gram widens nothing here (unlike q65's test×train join):
+    * its df row joins back once per occurrence. The ratio is integer
+    * arithmetic (ppm via BIGINT div), so no float decides a value.
+    */
+  private val q89 = GraftQuery(
+    "q89_dup_gram_audit",
+    s"""WITH ${oracleGrams(GramN)},
+       |hashed AS (
+       |  SELECT doc_id, ${PolyHash.oracleSql("g")} AS h FROM grams),
+       |dfreq AS (SELECT h, count(*) AS gdf FROM hashed GROUP BY 1)
+       |SELECT hashed.doc_id AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN d.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  CAST(sum(CASE WHEN d.gdf >= 2 THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+       |    // CAST(count(*) AS BIGINT) AS dup_ppm
+       |FROM hashed JOIN dfreq d ON hashed.h = d.h
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val hashed = docGrams(s, d, GramN)
+      .select(col("doc_id"), PolyHash.hash(col("g")).as("h"))
+    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("gdf"))
+    hashed.join(dfreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        expr("(n_dup_grams * 1000000L) div n_grams").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("dup", "merge", "window")
+  private val Bm25TopK = 20
+
+  /** q90: BM25 retrieval — score every document against a fixed query
+    * term set and return the top-[[Bm25TopK]]. The serving-side
+    * counterpart of q67's TF-IDF (corpus salience): BM25 adds tf
+    * saturation (k1) and document-length normalization (b·dl/avgdl),
+    * which is what a retrieval layer over a training corpus actually
+    * ranks with. The query mixes one rare term ('dup' — the planted
+    * duplicate marker, high idf) with two common ones, so ranking is
+    * decided by genuine idf/tf/length interaction.
+    *
+    * Determinism: every per-term score is one fixed-shape double
+    * expression over integers plus `avgdl` (an exact-integer sum divided
+    * once), identical text in both engines; the per-document SUM over the
+    * ≤3 term scores is an ORDER-PINNED left fold (sorted by term), never
+    * a shuffle-order float sum — so top-k survival is decided on
+    * bit-identical doubles (the q56/q71 argument, applied to scoring).
+    *
+    * Scale shape: token stream is filtered to the query terms BEFORE the
+    * tf aggregate (the explode's output is ~|matches|, not |tokens|);
+    * doc lengths are a map-side `size(split(..))` projection with no
+    * explode; `N`/`avgdl` is a 1-row broadcast and the per-term df a
+    * |terms|-row broadcast. Top-k is TakeOrderedAndProject, never a full
+    * sort.
+    */
+  private val q90 = GraftQuery(
+    "q90_bm25_retrieval",
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+       |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(CAST(1 AS DOUBLE) + (CAST(s.n_docs - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |        / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |      * (CAST(tf.tf AS DOUBLE) * CAST(${Bm25K1 + 1.0} AS DOUBLE))
+       |      / (CAST(tf.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+       |         * (CAST(${1.0 - Bm25B} AS DOUBLE)
+       |            + CAST($Bm25B AS DOUBLE) * CAST(l.dl AS DOUBLE) / s.avgdl)) AS sc
+       |  FROM tf JOIN dfreq d ON tf.term = d.term
+       |  JOIN dl l ON tf.doc_id = l.doc_id CROSS JOIN stats s),
+       |folded AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
+       |      (acc, x) -> acc + x) AS score
+       |  FROM scored GROUP BY 1)
+       |SELECT doc_id, round(score, 6) AS score FROM folded
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc",
+        log(lit(1.0) + ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+          * (col("tf").cast("double") * lit(Bm25K1 + 1.0))
+          / (col("tf").cast("double") + lit(Bm25K1)
+             * (lit(1.0 - Bm25B)
+                + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+    scored
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("scs"))
+      .select(col("doc_id"),
+        round(expr("aggregate(scs, 0D, (acc, s) -> acc + s.sc)"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q65, q66, q67, q68, q77, q89, q90)
 }
