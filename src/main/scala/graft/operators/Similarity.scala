@@ -1694,7 +1694,231 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- product quantization: per-subspace codebooks + ADC search (q91) ----
+
+  private val PqM = 4
+  private val PqSubDim = KmDim / PqM
+  private val PqK = 16
+
+  /** The trained PQ index per (session, dir): per-subspace codebooks
+    * (`m, cell, cen`) and per-vector codes (`vec_id, m, cell`) —
+    * [[PqM]] independent k-means runs (k = [[PqK]], q56's exact
+    * deterministic Lloyd recipe) over the [[PqSubDim]]-dim slices of the
+    * embedding. The stored code is [[PqM]] small ints per vector — at
+    * production sizing (M=8..16 subspaces, k=256 → one byte per
+    * subspace) that is 8-16 B/vector against 256 B of float32, the 16-32×
+    * compression that lets a shard's whole code table sit in memory.
+    * Same artifact contract as [[kmTrained]]: persisted once, shared by
+    * every caller, released via `Artifacts.release(session)`.
+    */
+  private[operators] def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pq_index:$d") {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val parts = (0 until PqM).map { m =>
+        val sub = e.select(col("vec_id"),
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+        val c0 = sub.where(col("vec_id") < PqK)
+          .select(col("vec_id").cast("int").as("cell"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
+        // persist each codebook: it is referenced by BOTH the final assign
+        // (codes) and the serving-side LUT build — without the pin each
+        // reference re-runs the whole recompute pipeline (the q71 lesson)
+        val c1 = kmRecompute(kmAssign(sub, c0)).persist(lvl)
+        val a2 = kmAssign(sub, c1)
+        (c1.select(lit(m).as("m"), col("cell"), col("cen")),
+          a2.select(col("vec_id"), lit(m).as("m"), col("cell")), c1)
+      }
+      val cents = parts.map(_._1).reduce(_.union(_)).persist(lvl)
+      val codes = parts.map(_._2).reduce(_.union(_)).persist(lvl)
+      ((cents, codes), () => {
+        parts.foreach(_._3.unpersist(blocking = true))
+        cents.unpersist(blocking = true)
+        codes.unpersist(blocking = true)
+        ()
+      })
+    }
+
+  /** Oracle twin of one subspace's training: q56's CTE recipe over the
+    * `[off+1, off+PqSubDim]` slice. Emits `c1_m` (trained codebook) and
+    * `a2_m` (final assignment = the subspace code).
+    */
+  private def pqOracleSubDist(emb: String, cen: String, off: Int): String =
+    s"list_reduce(list_transform(range(1, $PqSubDim+1), j -> " +
+      s"(CAST($emb[$off+j] AS DOUBLE) - $cen[j]) * (CAST($emb[$off+j] AS DOUBLE) - $cen[j])), (x,y) -> x+y)"
+
+  private def pqOracleTrain(m: Int): String = {
+    val off = m * PqSubDim
+    s"""c0_$m AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(range(1, $PqSubDim+1), j -> CAST(embedding[$off+j] AS DOUBLE)) AS cen
+       |  FROM embeddings WHERE vec_id < $PqK),
+       |a1_$m AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off)}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c0_$m c) t WHERE rn = 1),
+       |c1d_$m AS (
+       |  SELECT a.cell, j,
+       |    list_reduce(list(CAST(e.embedding[$off+j] AS DOUBLE) ORDER BY e.vec_id), (x,y) -> x+y)
+       |      / count(*) AS mean_j
+       |  FROM a1_$m a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  CROSS JOIN range(1, $PqSubDim+1) t(j)
+       |  GROUP BY a.cell, j),
+       |c1_$m AS (SELECT cell, list(mean_j ORDER BY j) AS cen FROM c1d_$m GROUP BY cell),
+       |a2_$m AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off)}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c1_$m c) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** q91: PQ-ADC top-3 search — asymmetric distance computation over the
+    * stored PQ codes. Per query vector, the distance to each subspace
+    * codebook centroid is computed ONCE into a [[PqM]]·[[PqK]]-entry
+    * lookup table; every database vector's approximate distance is then
+    * the order-pinned sum of [[PqM]] LUT entries selected by its stored
+    * code — the float embeddings of the database side never participate.
+    *
+    * Scale shape: the LUT is (queries × M·k) rows — broadcast-sized by
+    * construction (k and M are index constants; a 1000-query batch at
+    * production M=16, k=256 is 4M tiny rows). The candidate join is an
+    * equi-join of the code table (n·M narrow int rows, the 16-32×
+    * compressed artifact) against that broadcast on (m, cell); the
+    * per-pair fold then collapses map-side (partial collect_list), so the
+    * exchange carries ~one row per (query, vector) pair of 8 ints. This
+    * is the PQ serving model: a linear scan of in-memory codes with LUT
+    * adds — here expressed as join + partial agg so Spark distributes the
+    * scan. Composes with IVF (q84's probe pruning) into IVF-PQ: restrict
+    * the code scan to probed cells before the LUT join.
+    *
+    * Determinism: LUT distances are the same left-to-right slice kernel
+    * both engines fold (q56's argument per subspace); the ADC sum is an
+    * ORDER-PINNED fold over m, never a shuffle-order float sum; ranking
+    * ties break on neighbor_id.
+    */
+  /** The ADC search core shared by q91 (the search) and q92 (its recall
+    * audit): (qid, neighbor_id, rank, adc) for the query batch, rank ≤ 3
+    * by order-pinned ADC sum with neighbor_id tie-break.
+    */
+  private def pqAdcTop3(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val (cents, codes) = pqTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val lut = (0 until PqM).map { m =>
+      e.where(col("vec_id") < QueryBatch)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("qsub"))
+        .crossJoin(broadcast(cents.where(col("m") === m).select(col("cell"), col("cen"))))
+        .select(col("qid"), lit(m).as("m"), col("cell"),
+          VectorFunctions.l2DistSq(col("qsub"), col("cen")).as("dd"))
+    }.reduce(_.union(_))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
+    codes
+      .join(broadcast(lut), Seq("m", "cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("dd")))).as("dds"))
+      .select(col("qid"), col("neighbor_id"),
+        expr("aggregate(dds, 0D, (acc, s) -> acc + s.dd)").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+  }
+
+  /** Oracle twin of [[pqAdcTop3]] minus the per-subspace training CTEs
+    * (callers prepend those): codes → lut → adc → ranked.
+    */
+  private def pqAdcOracle: String =
+    s"""codes AS (
+       |  ${(0 until PqM).map(m => s"SELECT vec_id, $m AS m, cell FROM a2_$m")
+            .mkString("\n  UNION ALL ")}),
+       |lut AS (
+       |  ${(0 until PqM).map(m =>
+            s"""SELECT e.vec_id AS qid, $m AS m, c.cell,
+               |    ${pqOracleSubDist("e.embedding", "c.cen", m * PqSubDim)} AS dd
+               |  FROM embeddings e CROSS JOIN c1_$m c WHERE e.vec_id < $QueryBatch"""
+              .stripMargin).mkString("\n  UNION ALL ")}),
+       |adc AS (
+       |  SELECT l.qid, co.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.dd ORDER BY l.m)),
+       |      (acc, x) -> acc + x) AS adc
+       |  FROM codes co JOIN lut l ON co.m = l.m AND co.cell = l.cell
+       |  WHERE co.vec_id <> l.qid
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, neighbor_id, adc, rank FROM (
+       |    SELECT qid, neighbor_id, adc,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
+       |    FROM adc) t
+       |  WHERE rank <= 3)""".stripMargin
+
+  private val q91 = GraftQuery(
+    "q91_pq_adc_search",
+    s"""WITH ${(0 until PqM).map(pqOracleTrain).mkString(",\n")},
+       |$pqAdcOracle
+       |SELECT qid AS vec_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+       |FROM ranked ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    pqAdcTop3(s, d)
+      .select(col("qid").as("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** q92: PQ recall audit — score [[pqAdcTop3]]'s top-3 against the EXACT
+    * L2 top-3 (the metric PQ approximates; the cosine truth of q79/q83
+    * audits the cosine tiers). Same shape as q83: truth is a bounded-batch
+    * BNLJ, the audit is two id-joins and a count — the honest price of
+    * knowing the compressed index's quality before switching serving to
+    * it. The recall number is what calibrates the production (M, k)
+    * choice against this corpus.
+    */
+  private val q92 = GraftQuery(
+    "q92_pq_recall",
+    s"""WITH ${(0 until PqM).map(pqOracleTrain).mkString(",\n")},
+       |$pqAdcOracle,
+       |l2truth AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT q.vec_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_transform(range(1, $KmDim+1), j ->
+       |          (CAST(q.embedding[j] AS DOUBLE) - CAST(c.embedding[j] AS DOUBLE))
+       |          * (CAST(q.embedding[j] AS DOUBLE) - CAST(c.embedding[j] AS DOUBLE))),
+       |          (x,y) -> x+y), c.vec_id) AS rank
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+       |    JOIN embeddings c ON q.vec_id <> c.vec_id) t
+       |  WHERE rank <= 3)
+       |SELECT t.vec_id AS vec_id,
+       |  CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+       |  round(CAST(count(r.neighbor_id) AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS recall
+       |FROM l2truth t
+       |LEFT JOIN ranked r ON t.vec_id = r.qid AND t.neighbor_id = r.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qb = broadcast(e.where(col("vec_id") < QueryBatch))
+    val all = e.select(col("vec_id").as("neighbor_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embd"))
+    val wt = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("neighbor_id"))
+    val truth = qb.join(all, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("dist", VectorFunctions.l2DistSq(col("embedding"), col("embd")))
+      .withColumn("rank", row_number().over(wt))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hits = pqAdcTop3(s, d)
+      .select(col("qid").as("vec_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth
+      .join(hits, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("vec_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0), 6).as("recall"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84, q85, q87, q88)
+      q82, q83, q84, q85, q87, q88, q91, q92)
 }

@@ -213,6 +213,30 @@ class PlanSpec extends SparkSuite {
       s"q88 should BNLJ only the tiny signature pairs:\n$tree")
   }
 
+  test("q91/q92 PQ-ADC: candidate join is code-vs-LUT, floats never ride it") {
+    // q91's database side must be the stored PQ codes joined against the
+    // broadcast LUT on (m, cell) — an equi-join of narrow int rows. The
+    // float embeddings appear only in the LUT build (query batch × M·k
+    // centroids) and, for q92, the bounded-batch truth BNLJ (q44's shape).
+    for (q <- Seq("q91_pq_adc_search", "q92_pq_recall")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$q re-trains instead of reading the PQ artifact:\n$p")
+      val adcJoins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.output.exists(_.name == "dd") => j
+      }
+      assert(adcJoins.nonEmpty, s"$q ADC code-vs-LUT join not found")
+      adcJoins.foreach { j =>
+        assert(!j.output.exists(a =>
+            a.name == "embedding" || a.name.endsWith("sub")),
+          s"$q: float vectors ride the ADC join: ${j.output.map(_.name)}")
+      }
+    }
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),
