@@ -1803,11 +1803,12 @@ object Similarity {
     * audit): (qid, neighbor_id, rank, adc) for the query batch, rank ≤ 3
     * by order-pinned ADC sum with neighbor_id tie-break.
     */
-  private def pqAdcTop3(s: SparkSession, d: String): DataFrame = {
-    VectorFunctions.register(s)
-    val (cents, codes) = pqTrained(s, d)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val lut = (0 until PqM).map { m =>
+  /** The query batch's ADC lookup table: (qid, m, cell, dd) — one slice
+    * distance per (query, subspace, codebook centroid). Broadcast-sized
+    * by construction (|batch| · M · k rows).
+    */
+  private def pqLut(e: DataFrame, cents: DataFrame): DataFrame =
+    (0 until PqM).map { m =>
       e.where(col("vec_id") < QueryBatch)
         .select(col("vec_id").as("qid"),
           slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("qsub"))
@@ -1815,6 +1816,12 @@ object Similarity {
         .select(col("qid"), lit(m).as("m"), col("cell"),
           VectorFunctions.l2DistSq(col("qsub"), col("cen")).as("dd"))
     }.reduce(_.union(_))
+
+  private def pqAdcTop3(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val (cents, codes) = pqTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val lut = pqLut(e, cents)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
     codes
       .join(broadcast(lut), Seq("m", "cell"))
@@ -1918,7 +1925,69 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q93: IVF-PQ — the two index families composed into the standard
+    * billion-scale serving shape: the TRAINED coarse quantizer
+    * ([[kmTrained]], q71's artifact) prunes the candidate set to the
+    * query's [[ProbeP]] nearest cells, and the PQ code table
+    * ([[pqTrained]], q91's artifact) ranks those candidates by ADC —
+    * so the scan is (probed fraction of corpus) × (M LUT adds), with
+    * float vectors appearing ONLY in the probe selection and LUT build.
+    * At 100 TB with the index written via [[writeIvfIndex]]-style
+    * partitioning, the probe is a partition-pruned read of code columns.
+    *
+    * Production IVF-PQ encodes RESIDUALS (x − coarse centroid) for
+    * tighter codebooks; here the codes quantize the raw vectors — one
+    * code artifact serves both q91's flat scan and this composed tier,
+    * and the kernel contract stays (float array, double codebook). The
+    * recall cost of skipping residuals is visible in q92's audit.
+    */
+  private val q93 = GraftQuery(
+    "q93_ivfpq_search",
+    s"""WITH $kmOracleTrain, ${(0 until PqM).map(pqOracleTrain).mkString(",\n")},
+       |$pqAdcOracle,
+       |${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
+       |cand AS (
+       |  SELECT p.vec_id AS qid, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.vec_id),
+       |iadc AS (
+       |  SELECT c.qid, c.neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.dd ORDER BY l.m)),
+       |      (acc, x) -> acc + x) AS adc
+       |  FROM cand c
+       |  JOIN codes co ON co.vec_id = c.neighbor_id
+       |  JOIN lut l ON l.qid = c.qid AND l.m = co.m AND l.cell = co.cell
+       |  GROUP BY 1, 2)
+       |SELECT qid AS vec_id, neighbor_id, rank, round(adc, 6) AS adc_dist FROM (
+       |  SELECT qid, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
+       |  FROM iadc) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val (cents, codes) = pqTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = probeCells(e.where(col("vec_id") < QueryBatch), c1, ProbeP)
+    val cand = probes
+      .join(a2.select(col("vec_id").as("neighbor_id"), col("cell")),
+        col("probe_cell") === col("cell") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("qid"), col("neighbor_id"))
+    val lut = pqLut(e, cents)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
+    cand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("qid", "m", "cell"))
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("dd")))).as("dds"))
+      .select(col("qid"), col("neighbor_id"),
+        expr("aggregate(dds, 0D, (acc, s) -> acc + s.dd)").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid").as("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84, q85, q87, q88, q91, q92)
+      q82, q83, q84, q85, q87, q88, q91, q92, q93)
 }
