@@ -569,15 +569,18 @@ object Similarity {
     s"list_reduce(list_transform(range(1, $KmDim+1), j -> " +
       s"(CAST($emb[j] AS DOUBLE) - $cen[j]) * (CAST($emb[j] AS DOUBLE) - $cen[j])), (x,y) -> x+y)"
 
-  private def kmOracleAssign(cents: String, out: String): String =
+  private def kmOracleAssignFrom(src: String, cents: String, out: String): String =
     s"""$out AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN $cents c) t
+       |    FROM $src e CROSS JOIN $cents c) t
        |  WHERE rn = 1
        |)""".stripMargin
+
+  private def kmOracleAssign(cents: String, out: String): String =
+    kmOracleAssignFrom("embeddings", cents, out)
 
   private def kmOracleRecompute(asg: String, out: String): String =
     s"""${out}_dims AS (
@@ -1987,7 +1990,132 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  // ---- incremental index append: frozen codebooks, new shard (q94) ----
+
+  /** 0-9 shard bucket from the shared LCG (q58's split constants): buckets
+    * 0-7 are the BASE corpus the index was trained on, 8-9 the newly
+    * arrived shard.
+    */
+  private def shardBucket(c: Column): Column =
+    Pipeline.lcg(c, Pipeline.SplitA, Pipeline.SplitC) % 10
+  private val shardBucketSql =
+    s"(${Pipeline.lcgSql("vec_id", Pipeline.SplitA, Pipeline.SplitC)}) % 10"
+
+  /** Index trained ONLY on the base shard — the frozen artifact an append
+    * job loads: the coarse quantizer (one Lloyd pass over base) and the
+    * [[PqM]] PQ codebooks (same recipe per subspace). Seeds stay the
+    * global first-k vectors (init is an arbitrary constant; only the
+    * Lloyd averages must exclude the new shard).
+    */
+  private[operators] def frozenBaseIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"frozen_base_index:$d") {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val base = e.where(shardBucket(col("vec_id")) < 8)
+      val c0 = e.where(col("vec_id") < KmK)
+        .select(col("vec_id").cast("int").as("cell"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
+      val c1b = kmRecompute(kmAssign(base, c0)).persist(lvl)
+      val seeds = e.where(col("vec_id") < PqK)
+      val parts = (0 until PqM).map { m =>
+        val off = m * PqSubDim
+        val baseSub = base.select(col("vec_id"),
+          slice(col("embedding"), off + 1, PqSubDim).as("embedding"))
+        val c0m = seeds.select(col("vec_id").cast("int").as("cell"),
+          expr(s"transform(slice(embedding, ${off + 1}, $PqSubDim), x -> CAST(x AS DOUBLE))")
+            .as("cen"))
+        val c1m = kmRecompute(kmAssign(baseSub, c0m)).persist(lvl)
+        (c1m.select(lit(m).as("m"), col("cell"), col("cen")), c1m)
+      }
+      val cents = parts.map(_._1).reduce(_.union(_)).persist(lvl)
+      ((c1b, cents), () => {
+        c1b.unpersist(blocking = true)
+        parts.foreach(_._2.unpersist(blocking = true))
+        cents.unpersist(blocking = true)
+        ()
+      })
+    }
+
+  /** One subspace's base-restricted codebook training for the q94 oracle:
+    * global seeds, Lloyd averages over `base` only.
+    */
+  private def pqOracleTrainOnBase(m: Int): String = {
+    val off = m * PqSubDim
+    s"""pb0_$m AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(range(1, $PqSubDim+1), j -> CAST(embedding[$off+j] AS DOUBLE)) AS cen
+       |  FROM embeddings WHERE vec_id < $PqK),
+       |pa1_$m AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${pqOracleSubDist("b.embedding", "c.cen", off)}, c.cell) AS rn
+       |    FROM base b CROSS JOIN pb0_$m c) t WHERE rn = 1),
+       |pc1d_$m AS (
+       |  SELECT a.cell, j,
+       |    list_reduce(list(CAST(b.embedding[$off+j] AS DOUBLE) ORDER BY b.vec_id), (x,y) -> x+y)
+       |      / count(*) AS mean_j
+       |  FROM pa1_$m a JOIN base b ON a.vec_id = b.vec_id
+       |  CROSS JOIN range(1, $PqSubDim+1) t(j)
+       |  GROUP BY a.cell, j),
+       |pc1_$m AS (SELECT cell, list(mean_j ORDER BY j) AS cen FROM pc1d_$m GROUP BY cell)"""
+      .stripMargin
+  }
+
+  /** q94: incremental index append — the maintenance operation a living
+    * 100 TB corpus needs between retrains: a newly arrived shard (the
+    * 8-9 LCG buckets, ~20%) is coarse-assigned and PQ-encoded against
+    * codebooks FROZEN on the base corpus (0-7 buckets), emitting exactly
+    * the rows an index writer appends to the stored partitions
+    * (vec_id, coarse cell, per-subspace code). No training touches the
+    * new rows: assignment is a broadcast-k argmin scan per family — pure
+    * map-side against the frozen artifact, so appends scale with shard
+    * size, never corpus size. Retraining cadence is then a drift
+    * decision, audited by q92's recall gauge.
+    */
+  private val q94 = GraftQuery(
+    "q94_index_append",
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE $shardBucketSql < 8),
+       |nw AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE $shardBucketSql >= 8),
+       |cb0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
+       |  FROM embeddings WHERE vec_id < $KmK),
+       |${kmOracleAssignFrom("base", "cb0", "ab1")},
+       |${kmOracleRecompute("ab1", "cb1")},
+       |${kmOracleAssignFrom("nw", "cb1", "coarse")},
+       |${(0 until PqM).map(pqOracleTrainOnBase).mkString(",\n")},
+       |pq AS (
+       |  ${(0 until PqM).map { m =>
+            s"""SELECT vec_id, $m AS m, cell AS pq_code FROM (
+               |    SELECT n.vec_id, c.cell,
+               |      row_number() OVER (PARTITION BY n.vec_id
+               |        ORDER BY ${pqOracleSubDist("n.embedding", "c.cen", m * PqSubDim)}, c.cell) AS rn
+               |    FROM nw n CROSS JOIN pc1_$m c) t WHERE rn = 1"""
+              .stripMargin }.mkString("\n  UNION ALL ")})
+       |SELECT p.vec_id AS vec_id, co.cell AS coarse_cell, p.m AS m, p.pq_code AS pq_code
+       |FROM pq p JOIN coarse co ON p.vec_id = co.vec_id
+       |ORDER BY vec_id, m""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1b, cents) = frozenBaseIndex(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val nw = e.where(shardBucket(col("vec_id")) >= 8)
+    val coarse = kmAssign(nw, c1b)
+      .select(col("vec_id"), col("cell").as("coarse_cell"))
+    val pq = (0 until PqM).map { m =>
+      val nsub = nw.select(col("vec_id"),
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+      kmAssign(nsub, cents.where(col("m") === m).select(col("cell"), col("cen")))
+        .select(col("vec_id"), lit(m).as("m"), col("cell").as("pq_code"))
+    }.reduce(_.union(_))
+    pq.join(coarse, Seq("vec_id"))
+      .select(col("vec_id"), col("coarse_cell"), col("m"), col("pq_code"))
+      .orderBy("vec_id", "m")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84, q85, q87, q88, q91, q92, q93)
+      q82, q83, q84, q85, q87, q88, q91, q92, q93, q94)
 }
