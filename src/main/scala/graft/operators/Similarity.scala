@@ -149,11 +149,27 @@ object Similarity {
     * + an id per document; the heavyweight shingle payload is NOT part
     * of the artifact). Released via `Artifacts.release(session)`.
     */
+  /** (doc_id, hv) — the per-document shingle-hash lists, materialized once
+    * per (session, dir). Two reasons this is an artifact and not a view:
+    * the signature derivation ([[minhashSigs]]) and the source-level union
+    * minhash (q88) both consume hv, and — the sharper one — explode(hv)
+    * over the raw projection triggers InferFiltersFromGenerate, which
+    * copies the ENTIRE shingle+hash pipeline into an interpreted
+    * `size(hv) > 0` Filter below the Project (the pipeline then runs 3×
+    * per document, measured ~6s of q88's 10s at sf0.1). Against the cached
+    * table the inferred filter probes a stored array — plan-shape
+    * insurance the same way the q39 repartition fence is.
+    */
+  private def shingleHashTable(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cachedDf(s, s"shingle_hv:$d") {
+      shingleHashes(s, d).select(col("doc_id"), col("hv"))
+    }
+
   private def minhashSigs(s: SparkSession, d: String): DataFrame =
     graft.Artifacts.cachedDf(s, s"minhash_sigs:$d") {
       val sigCols = (0 until NumHashes).map(i =>
         expr(s"array_min(transform(hv, h -> (${A(i)} * h + ${B(i)}) % $P))"))
-      shingleHashes(s, d).select(col("doc_id"), array(sigCols: _*).as("sig"))
+      shingleHashTable(s, d).select(col("doc_id"), array(sigCols: _*).as("sig"))
     }
 
   /** Banded candidate self-join: each side exploded to (band, 3-row key).
@@ -506,7 +522,7 @@ object Similarity {
        |FROM ssig a JOIN ssig b ON a.source < b.source
        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val exploded = shingleHashes(s, d)
+    val exploded = shingleHashTable(s, d)
       .select(col("doc_id"), explode(col("hv")).as("h"))
       .join(docs, "doc_id")
     val sigCols = (0 until NumHashes).map(i =>
