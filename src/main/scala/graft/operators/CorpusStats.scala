@@ -530,5 +530,46 @@ object CorpusStats {
       .limit(Bm25TopK)
   }
 
-  val queries: Seq[GraftQuery] = Seq(q65, q66, q67, q68, q77, q89, q90)
+  /** q95: document↔embedding alignment — join the text table to the
+    * vector table on id and aggregate per (lang, label): how many
+    * documents of each language landed in each embedding cluster, with
+    * an integer-folded norm sum as the drift gauge. This is the
+    * referential-integrity + alignment audit a multimodal corpus needs
+    * before training (every text row must pair with exactly one vector;
+    * a lang×label cell that empties or a norm sum that jumps between
+    * snapshots flags an embedding-refresh bug). Aggregates are
+    * integer-only (per-row norm folded left-to-right then floored to
+    * micro units BEFORE the sum), so no shuffle-order float addition
+    * decides a value — the q27 trick applied to vector stats.
+    *
+    * Scale: one id equi-join (both sides bucket/co-partition on the id
+    * at 100 TB — no broadcast assumption) and one partial+final hash
+    * aggregate on a ~|langs|·|labels| key space.
+    */
+  private val q95 = GraftQuery(
+    "q95_doc_vec_align",
+    s"""WITH vn AS (
+       |  SELECT vec_id, label,
+       |    CAST(floor(list_reduce(list_transform(range(1, ${EmbDim + 1}),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) * 1000000) AS BIGINT) AS vn2_micro
+       |  FROM embeddings)
+       |SELECT d.lang AS lang, v.label AS label,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(v.vn2_micro) AS BIGINT) AS sum_norm2_micro
+       |FROM documents d JOIN vn v ON d.doc_id = v.vec_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val vn = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        floor(expr(
+          "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          * 1000000).cast("long").as("vn2_micro"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(vn, col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_docs"), sum(col("vn2_micro")).as("sum_norm2_micro"))
+      .orderBy("lang", "label")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q65, q66, q67, q68, q77, q89, q90, q95)
 }

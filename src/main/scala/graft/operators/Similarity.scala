@@ -759,15 +759,23 @@ object Similarity {
     */
   def writeIvfIndex(s: SparkSession, d: String, outDir: String): Unit = {
     VectorFunctions.register(s)
-    // writes from the memoized shared cache — no private copy to clean up.
-    // The stored artifact carries BOTH forms of every vector: the float
-    // embedding (exact rerank tier) and the int8 code + integer norm
-    // (quantized rerank tier, 4× smaller per probe read) — computed once
-    // here, so no serving query ever re-derives codes per pair.
+    // writes from the memoized shared caches — no private copy to clean up.
+    // The stored artifact carries EVERY serving form of each vector: the
+    // float embedding (exact rerank tier), the int8 code + integer norm
+    // (quantized rerank tier, 4× smaller per probe read), and the PQ code
+    // array (ADC tier, [[PqM]] small ints — the 16-32×-at-production-
+    // sizing form q91/q93 scan) — all computed once here, so no serving
+    // query ever re-derives a code per pair.
     val (_, a2) = kmTrained(s, d)
+    val (_, pqCodes) = pqTrained(s, d)
+    val pqArr = pqCodes
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("cell")))).as("mc"))
+      .select(col("vec_id"), expr("transform(mc, s -> s.cell)").as("pq_code"))
     a2.select(col("vec_id"), col("embedding"), col("cell"),
         VectorFunctions.int8Encode(col("embedding")).as("code"))
       .withColumn("nq", VectorFunctions.int8CodeDot(col("code"), col("code")))
+      .join(pqArr, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
   }
 

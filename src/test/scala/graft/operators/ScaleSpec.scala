@@ -198,15 +198,19 @@ class ScaleSpec extends SparkSuite {
     val out = tmp.toString + "/index"
     Similarity.writeIvfIndex(spark, dir, out)
     val index = spark.read.parquet(out)
-    // both serving tiers' columns: float embeddings (exact rerank) and
-    // the int8 codes + integer norm (quantized rerank, 4× smaller)
+    // all three serving tiers' columns: float embeddings (exact rerank),
+    // int8 codes + integer norm (quantized rerank, 4× smaller), and the
+    // PQ code array (ADC tier)
     assert(index.count() > 0 &&
-      index.columns.toSet == Set("vec_id", "embedding", "cell", "code", "nq"))
+      index.columns.toSet == Set("vec_id", "embedding", "cell", "code", "nq", "pq_code"))
     // parquet read-back widens containsNull; the element type is the
     // contract (1 byte/dim on disk)
     assert(index.schema("code").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
       org.apache.spark.sql.types.ByteType)
+    // every vector carries a complete PQ code (one sub-code per subspace)
+    assert(index.where(size(col("pq_code")) =!= 4).count() == 0,
+      "pq_code must have one entry per subspace")
     // probe the most-populated cell: Lloyd reassignment may leave a
     // small cell with one member, which has no in-cell neighbor
     val cell = index.groupBy("cell").agg(count(lit(1)).as("n"))
