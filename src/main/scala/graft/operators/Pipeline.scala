@@ -213,6 +213,102 @@ object Pipeline {
       .orderBy("doc_id", "chunk_ix")
   }
 
+  private val CdcWindow = 4
+  private val CdcDivisor = 16
+  private val CdcP = 1000000007L
+
+  /** Rolling 4-token hash at 1-based end position `i`, as an expression
+    * string over a per-token-hash array — ONE template instantiated for
+    * both engines (only element access differs), so the boundary rule can
+    * never drift between the plan and the oracle.
+    */
+  private def cdcRollSql(at: String => String, i: String): String = {
+    val a = at(s"$i-3"); val b = at(s"$i-2"); val c = at(s"$i-1"); val e = at(i)
+    s"((((((($a * 31 + $b) % $CdcP) * 31 + $c) % $CdcP) * 31 + $e) % $CdcP) % $CdcDivisor)"
+  }
+
+  /** q96: content-defined chunking — chunk boundaries fall where a
+    * rolling [[CdcWindow]]-token hash hits 0 mod [[CdcDivisor]] (the
+    * rsync/LBFS cut rule over word tokens), so an insertion early in a
+    * document only reshapes chunks up to the next boundary instead of
+    * shifting every window the way q64's fixed stride does. That
+    * boundary stability is what makes chunk fingerprints (emitted per
+    * chunk) usable for chunk-level dedup across corpus snapshots.
+    *
+    * Map-only per document: the per-token hash array, the boundary
+    * positions, and the chunk bounds are all row-local array exprs; the
+    * only explode is over ~n/[[CdcDivisor]] chunk rows. posexplode_outer
+    * (not posexplode) is deliberate: the non-outer form would let
+    * InferFiltersFromGenerate copy the whole rolling-hash pipeline into
+    * an interpreted size()>0 pre-filter (the q88 lesson), while the
+    * outer form infers nothing — and the two are equivalent here because
+    * `ends` always contains at least the final position.
+    */
+  private val q96 = GraftQuery(
+    "q96_cdc_chunking",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, ts,
+       |    list_transform(ts, t -> ${PolyHash.oracleSql("t")}) AS hv
+       |  FROM toks),
+       |bounds AS (
+       |  SELECT doc_id, ts,
+       |    list_append(
+       |      list_filter(range($CdcWindow, len(ts)),
+       |        i -> ${cdcRollSql(ix => s"hv[$ix]", "i")} = 0),
+       |      len(ts)) AS ends
+       |  FROM hashed),
+       |chunks AS (
+       |  SELECT doc_id, ts, ends,
+       |    generate_subscripts(ends, 1) AS k, unnest(ends) AS e
+       |  FROM bounds)
+       |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_id,
+       |  CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS BIGINT) AS start_tok,
+       |  CAST(e AS BIGINT) AS end_tok,
+       |  CAST(e - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS BIGINT) AS n_tokens,
+       |  ${PolyHash.oracleSql(
+            s"array_to_string(ts[(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END):e], ' ')")}
+       |    AS chunk_fp
+       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    cdcChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_id")
+  }
+
+  /** The CDC chunker behind q96, over any (doc_id, text) frame — exposed
+    * so the boundary-stability property (a prefix edit reshapes only the
+    * chunks up to the next cut point) is testable on a controlled
+    * fixture. Caller registers [[PolyHash]] first.
+    */
+  private[operators] def cdcChunks(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val roll = cdcRollSql(ix => s"element_at(hv, $ix)", "i")
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+      .withColumn("hv", expr("transform(ts, t -> poly_hash(t))"))
+      // Spark's sequence(a, b) runs DESCENDING when a > b, so the
+      // internal-boundary scan needs the explicit size guard DuckDB's
+      // half-open range() makes implicit
+      .withColumn("ends", expr(
+        s"""concat(
+           |  CASE WHEN size(ts) > $CdcWindow
+           |    THEN filter(sequence($CdcWindow, size(ts) - 1), i -> $roll = 0)
+           |    ELSE CAST(array() AS array<int>) END,
+           |  array(size(ts)))""".stripMargin))
+    toks
+      .select(col("doc_id"), col("ts"), col("ends"),
+        posexplode_outer(col("ends")).as(Seq("k0", "e")))
+      .withColumn("start_tok",
+        when(col("k0") === 0, lit(1))
+          .otherwise(expr("element_at(ends, k0) + 1")).cast("long"))
+      .select(col("doc_id"), col("k0").cast("long").as("chunk_id"),
+        col("start_tok"), col("e").cast("long").as("end_tok"),
+        (col("e") - col("start_tok") + 1).cast("long").as("n_tokens"),
+        graft.functions.PolyHash.hash(
+          expr("array_join(slice(ts, CAST(start_tok AS INT), CAST(e - start_tok + 1 AS INT)), ' ')"))
+          .as("chunk_fp"))
+  }
+
   /** The kept documents q57 aggregates over — same token gate, same
     * fingerprint dedup (keeper = lowest doc_id), but carrying the full
     * rows instead of collapsing to stats.
@@ -294,5 +390,5 @@ object Pipeline {
       .orderBy("source")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64, q81)
+  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64, q81, q96)
 }
