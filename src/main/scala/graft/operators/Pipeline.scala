@@ -339,6 +339,29 @@ object Pipeline {
     cleanedCorpus(docs).write.mode("overwrite")
       .partitionBy("lang", "source").parquet(outDir)
 
+  /** Small-file compaction — the table-maintenance write every long-lived
+    * 100 TB corpus needs between ingests: ingestion and per-partition
+    * writes leave thousands of KB-sized parquet files whose open/footer
+    * overhead dominates scan time. This rewrites the data as
+    * ceil(n / recordsPerFile) files RANGE-LAID by `key`, so each output
+    * file covers a disjoint key interval (min/max footer stats then let a
+    * key-predicate scan skip whole files — poor-man's clustering) and
+    * `maxRecordsPerFile` hard-caps stragglers if the range estimate
+    * skews. The count() pass is the price of an exact file budget — a
+    * compaction job reads everything anyway.
+    */
+  def writeCompacted(df: org.apache.spark.sql.DataFrame, outDir: String,
+      key: String, recordsPerFile: Long): Unit = {
+    require(recordsPerFile > 0, "recordsPerFile must be positive")
+    val n = df.count()
+    val files = math.max(1L, (n + recordsPerFile - 1) / recordsPerFile).toInt
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", recordsPerFile)
+      .parquet(outDir)
+  }
+
   /** q81: mixture balancing — downsample every source to (approximately)
     * the smallest source's size by deterministic per-document sampling,
     * and emit the mixing manifest (per-source corpus size, applied rate
@@ -390,5 +413,81 @@ object Pipeline {
       .orderBy("source")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64, q81, q96)
+  /** The q96 chunking SQL minus the ordering, as a reusable CTE chain —
+    * q97 composes the dedup aggregation on top of the same text.
+    */
+  private def cdcOracleCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, ts,
+       |    list_transform(ts, t -> ${PolyHash.oracleSql("t")}) AS hv
+       |  FROM toks),
+       |bounds AS (
+       |  SELECT doc_id, ts,
+       |    list_append(
+       |      list_filter(range($CdcWindow, len(ts)),
+       |        i -> ${cdcRollSql(ix => s"hv[$ix]", "i")} = 0),
+       |      len(ts)) AS ends
+       |  FROM hashed),
+       |chunkrows AS (
+       |  SELECT doc_id, ts, ends,
+       |    generate_subscripts(ends, 1) AS k, unnest(ends) AS e
+       |  FROM bounds),
+       |allchunks AS (
+       |  SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_id,
+       |    ${PolyHash.oracleSql(
+              s"array_to_string(ts[(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END):e], ' ')")}
+       |      AS chunk_fp
+       |  FROM chunkrows)""".stripMargin
+
+  /** q97: chunk-level dedup manifest — the payoff of q96's stable cut
+    * points: identical spans produce identical chunk fingerprints even
+    * when they sit at different offsets in different documents, so one
+    * hash aggregation over (fp) finds every repeated span and elects a
+    * keeper (lowest (doc_id, chunk_id)). This is dedup BELOW document
+    * granularity (q43 removes whole-doc copies; q89 measures gram-level
+    * overlap; this emits the actionable span list) — the Lee et al.
+    * substring-dedup action expressed as chunk arithmetic.
+    *
+    * Scale: chunks shuffle once on the 8-byte fp (partial count
+    * map-side); the keeper election is a window within fp partitions of
+    * the duplicated fps only — a vanishing fraction of the corpus.
+    */
+  private val q97 = GraftQuery(
+    "q97_chunk_dedup",
+    s"""WITH $cdcOracleCtes,
+       |dups AS (
+       |  SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_copies,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM allchunks GROUP BY 1 HAVING count(*) >= 2),
+       |keepers AS (
+       |  SELECT chunk_fp, doc_id AS keeper_doc, chunk_id AS keeper_chunk FROM (
+       |    SELECT chunk_fp, doc_id, chunk_id,
+       |      row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_id) AS rn
+       |    FROM allchunks) t WHERE rn = 1)
+       |SELECT d.chunk_fp AS chunk_fp, d.n_copies, d.n_docs,
+       |  k.keeper_doc, k.keeper_chunk
+       |FROM dups d JOIN keepers k ON d.chunk_fp = k.chunk_fp
+       |ORDER BY chunk_fp""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val chunks = cdcChunks(Tables.documents(s, d))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_fp"))
+    val dups = chunks.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .where(col("n_copies") >= 2)
+    val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    val keepers = chunks
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("chunk_fp"), col("doc_id").as("keeper_doc"),
+        col("chunk_id").as("keeper_chunk"))
+    dups.join(keepers, "chunk_fp")
+      .select(col("chunk_fp"), col("n_copies"), col("n_docs"),
+        col("keeper_doc"), col("keeper_chunk"))
+      .orderBy("chunk_fp")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64, q81, q96, q97)
 }

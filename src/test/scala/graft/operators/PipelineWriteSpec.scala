@@ -87,4 +87,35 @@ class PipelineWriteSpec extends SparkSuite {
     assert(writtenIds.intersect(contaminated).isEmpty,
       "a contaminated document survived the decontaminated write")
   }
+
+  test("writeCompacted hits the file budget with disjoint key ranges per file") {
+    val docs = graft.Tables.documents(spark, dir)
+    val n = docs.count()
+    val per = 20L
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/docs"
+    Pipeline.writeCompacted(docs, out, "doc_id", per)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val expected = ((n + per - 1) / per).toInt
+    assert(files.length == expected,
+      s"wrote ${files.length} files, budget says $expected")
+
+    // round-trip completeness
+    val back = spark.read.parquet(out)
+    assert(back.count() == n && back.columns.toSet == docs.columns.toSet)
+
+    // range layout: every file covers a disjoint doc_id interval, so a
+    // key predicate can skip whole files on footer min/max stats
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("doc_id")), max(col("doc_id"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file key ranges overlap: hi=$hi lo2=$lo2")
+      case _ =>
+    }
+  }
 }
