@@ -52,12 +52,17 @@ object Bench {
         try evaluate(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { evaluate(fn(spark, sfDir)); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                 false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // one retry: a crowded-host transient (broadcast timeout, executor
+      // hiccup) must not poison the round's record with a -1 — the retry
+      // re-times from scratch, so a pass reports the clean attempt's cost
+      def attempt(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { evaluate(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None }
+      }
+      name -> attempt().orElse(attempt()).getOrElse(-1.0)
     }
     // Centisecond precision, trailing zeros stripped, short sf label: the
     // driver captures only the last ~2000 chars of stdout (followed by

@@ -237,6 +237,53 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q89 dup-gram audit: hash equi-joins and partial aggregation, no pair blowup") {
+    val p = plan("q89_dup_gram_audit")
+    val tree = p.split("\n\n").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q89 lost the hash equi-join shape:\n$p")
+    // df aggregate and per-doc aggregate both partial+final
+    assert(tree.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"q89 lost map-side combine:\n$tree")
+  }
+
+  test("q90 BM25 filters terms before the tf aggregate and takes top-k without a full sort") {
+    val p = plan("q90_bm25_retrieval")
+    val tree = p.split("\n\n").head
+    assert(tree.contains("TakeOrderedAndProject"), s"q90 full-sorts for top-k:\n$tree")
+    assert(!p.contains("CartesianProduct"), s"q90 plans a cartesian:\n$p")
+    // the term IN-filter must sit below the exploded token stream's
+    // aggregation — the explode output is ~|matches|, not |tokens|
+    assert(p.contains("dup") && p.contains("merge"),
+      s"q90 lost the early term filter:\n$p")
+  }
+
+  test("q95 alignment audit is one id equi-join plus a partial+final aggregate") {
+    val p = plan("q95_doc_vec_align")
+    val tree = p.split("\n\n").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q95 join degenerated:\n$p")
+    assert(tree.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"q95 lost map-side combine:\n$tree")
+  }
+
+  test("q96 CDC chunking is map-only: one explode, no shuffle but the presentation sort") {
+    val tree = plan("q96_cdc_chunking").split("\n\n").head
+    assert(tree.contains("Generate"), s"no explode:\n$tree")
+    val exchanges = tree.linesIterator.count(_.trim.matches(".*\\bExchange\\b.*"))
+    assert(exchanges == 1, s"q96 shuffles $exchanges times (want only the " +
+      s"presentation sort):\n$tree")
+  }
+
+  test("q97 chunk dedup shuffles once on the fingerprint for both count and keeper") {
+    val p = plan("q97_chunk_dedup")
+    val tree = p.split("\n\n").head
+    assert(!p.contains("CartesianProduct"), s"q97 plans a cartesian:\n$p")
+    // count aggregate is partial+final on the fp key
+    assert(tree.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"q97 lost map-side combine on the fp counts:\n$tree")
+  }
+
   test("q61 outer join keeps order-less customers and aggregates partially") {
     val tree = plan("q61_outer_join_dist").split("\n\n").head
     assert(tree.contains("LeftOuter") || tree.contains("RightOuter"),
