@@ -280,7 +280,7 @@ object Pipeline {
     * chunks up to the next cut point) is testable on a controlled
     * fixture. Caller registers [[PolyHash]] first.
     */
-  private[operators] def cdcChunks(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def cdcChunks(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val roll = cdcRollSql(ix => s"element_at(hv, $ix)", "i")
     val toks = docs
@@ -416,7 +416,7 @@ object Pipeline {
   /** The q96 chunking SQL minus the ordering, as a reusable CTE chain —
     * q97 composes the dedup aggregation on top of the same text.
     */
-  private def cdcOracleCtes: String =
+  private[graft] def cdcOracleCtes: String =
     s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
        |hashed AS (

@@ -31,35 +31,53 @@ object EventStreams {
     * local testdata ships a single file, so that case is staged behind a
     * symlink directory once per path.
     */
+  /** Stage a single parquet FILE as a directory a file-stream source will
+    * accept (shared by every table's streaming reader; at scale tables
+    * are directories already and this is a no-op).
+    */
+  private def stageAsDir(src: java.io.File, prefix: String): String =
+    if (!src.isFile) src.getPath
+    else {
+      // staging dir keyed by a fixed-length digest of the full path:
+      // collision-free (unlike a 32-bit hash) and immune to filesystem
+      // filename-length limits (unlike embedding the path itself)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getAbsolutePath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"${prefix}_$digest")
+      staged.mkdirs()
+      val link = new java.io.File(staged, src.getName)
+      // NOFOLLOW existence check so a pre-existing symlink (even one
+      // whose target was temporarily missing) is detected as present;
+      // its target path is invariant for this staging key, so keeping
+      // it is always correct
+      if (!java.nio.file.Files.exists(link.toPath,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(
+          link.toPath, src.toPath.toAbsolutePath)
+      staged.getPath
+    }
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = new java.io.File(s"$dir/events.parquet")
-    val streamPath =
-      if (!src.isFile) src.getPath
-      else {
-        // staging dir keyed by a fixed-length digest of the full path:
-        // collision-free (unlike a 32-bit hash) and immune to filesystem
-        // filename-length limits (unlike embedding the path itself)
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(src.getAbsolutePath.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_events_$digest")
-        staged.mkdirs()
-        val link = new java.io.File(staged, "events.parquet")
-        // NOFOLLOW existence check so a pre-existing symlink (even one
-        // whose target was temporarily missing) is detected as present;
-        // its target path is invariant for this staging key, so keeping
-        // it is always correct
-        if (!java.nio.file.Files.exists(link.toPath,
-            java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          java.nio.file.Files.createSymbolicLink(
-            link.toPath, src.toPath.toAbsolutePath)
-        staged.getPath
-      }
+    val streamPath = stageAsDir(src, "graft_events")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema).parquet(streamPath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming read of the documents table — the corpus-INGESTION stream
+    * (new shards arriving as files), as opposed to [[readEvents]]'
+    * temporal stream: no timestamps, no watermark; consumers are
+    * stateless map/anti-join ingest transforms (q98).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val streamPath = stageAsDir(src, "graft_documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(streamPath)
   }
 
   /** Tumbling 1-hour windows per event type (streaming q18). */

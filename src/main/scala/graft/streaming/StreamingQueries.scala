@@ -361,5 +361,46 @@ object StreamingQueries {
     }.orderBy("window_start_ms", "event_type")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80)
+  /** q98: streaming chunk ingest — corpus ingestion as a STREAM: newly
+    * arriving document files are content-defined-chunked (q96's map-only
+    * transform applied unchanged to the streaming frame) and every chunk
+    * whose fingerprint is already known-duplicated (q97's offline
+    * manifest, the static side) is dropped at ingest. Emits the kept
+    * (doc_id, chunk_id, chunk_fp) rows in append mode.
+    *
+    * Unlike the watermarked gates above, this needs NO flush sentinel:
+    * the whole pipeline is stateless (map + stream-static LEFT ANTI), so
+    * append mode emits every row as its file is processed — the streaming
+    * result IS the batch answer over the same files, which is what the
+    * oracle asserts. At 100 TB/day this is the ingest-side twin of q97:
+    * the dup-fp manifest is a small static table (duplicated fps only)
+    * broadcast under the anti-join, chunking is per-row arithmetic, and
+    * throughput scales with file arrival, never corpus size.
+    */
+  private val q98 = GraftQuery(
+    "q98_stream_chunk_ingest",
+    s"""WITH ${graft.operators.Pipeline.cdcOracleCtes},
+       |dups AS (
+       |  SELECT chunk_fp FROM allchunks GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT a.doc_id, a.chunk_id, a.chunk_fp
+       |FROM allchunks a LEFT JOIN dups d ON a.chunk_fp = d.chunk_fp
+       |WHERE d.chunk_fp IS NULL
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    val dupFps = graft.operators.Pipeline
+      .cdcChunks(graft.Tables.documents(s, d))
+      .groupBy("chunk_fp").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("chunk_fp")
+    val chunks = graft.operators.Pipeline
+      .cdcChunks(EventStreams.readDocuments(s, d))
+      .select("doc_id", "chunk_id", "chunk_fp")
+    val kept = chunks.join(dupFps, Seq("chunk_fp"), "left_anti")
+    EventStreams.runToMemory(s, kept,
+        s"stream_gate_${memorySinkId.incrementAndGet()}")
+      .select("doc_id", "chunk_id", "chunk_fp")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val queries: Seq[GraftQuery] =
+    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98)
 }
