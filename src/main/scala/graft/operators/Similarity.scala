@@ -779,6 +779,21 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
   }
 
+  /** The index SIDECAR: coarse centroids + PQ codebooks to storage next
+    * to [[writeIvfIndex]]'s vector partitions. Together the two writes
+    * are the complete serving artifact — a cold process (or another
+    * engine) reconstructs every tier from files alone: probe selection
+    * needs the coarse centroids, the ADC LUT needs the codebooks, and
+    * the candidate scan reads the partitioned codes. Both tables are
+    * k-sized (rows = cells, resp. M·k), so this is a metadata write.
+    */
+  def writeIndexSidecar(s: SparkSession, d: String, outDir: String): Unit = {
+    val (c1, _) = kmTrained(s, d)
+    val (cents, _) = pqTrained(s, d)
+    c1.write.mode("overwrite").parquet(s"$outDir/coarse_centroids")
+    cents.write.mode("overwrite").parquet(s"$outDir/pq_codebooks")
+  }
+
   private val kmOracleTrain: String =
     s"""c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,

@@ -278,4 +278,43 @@ class ScaleSpec extends SparkSuite {
     assert(b8 > b4,
       s"adding hyperplane bits must split buckets further ($b4 -> $b8)")
   }
+
+  test("index + sidecar writes are serving-complete: files round-trip every tier's inputs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidecar").toString
+    Similarity.writeIvfIndex(spark, dir, tmp + "/index")
+    Similarity.writeIndexSidecar(spark, dir, tmp)
+
+    // a cold process reconstructs the tiers from files alone; equality
+    // against the session caches proves nothing was left cache-only
+    val index = spark.read.parquet(tmp + "/index")
+    val coarse = spark.read.parquet(tmp + "/coarse_centroids")
+    val books = spark.read.parquet(tmp + "/pq_codebooks")
+
+    val (c1, a2) = Similarity.kmTrained(spark, dir)
+    val (cents, codes) = Similarity.pqTrained(spark, dir)
+
+    assert(coarse.count() == c1.count())
+    assert(coarse.join(c1.withColumnRenamed("cen", "cen2"), "cell")
+      .where(expr("to_json(cen) <> to_json(cen2)")).count() == 0,
+      "stored coarse centroids differ from the trained cache")
+
+    assert(books.count() == cents.count())
+    assert(books.join(cents.withColumnRenamed("cen", "cen2"), Seq("m", "cell"))
+      .where(expr("to_json(cen) <> to_json(cen2)")).count() == 0,
+      "stored PQ codebooks differ from the trained cache")
+
+    // stored per-vector pq codes == the cache's unpivoted code table
+    val storedCodes = index.select(col("vec_id"),
+      posexplode(col("pq_code")).as(Seq("m", "cellc")))
+    assert(storedCodes.join(codes,
+        storedCodes("vec_id") === codes("vec_id") &&
+        storedCodes("m") === codes("m") &&
+        col("cellc") === codes("cell")).count() == codes.count(),
+      "stored pq codes differ from the cached code table")
+
+    // stored coarse assignment == the cache's
+    assert(index.select(col("vec_id"), col("cell")).except(
+      a2.select(col("vec_id"), col("cell"))).count() == 0,
+      "stored coarse assignments differ from the trained cache")
+  }
 }
