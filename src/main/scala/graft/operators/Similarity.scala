@@ -1753,14 +1753,21 @@ object Similarity {
     * Same artifact contract as [[kmTrained]]: persisted once, shared by
     * every caller, released via `Artifacts.release(session)`.
     */
-  private[operators] def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pq_index:$d") {
+  /** `k` is the per-subspace codebook size — the PQ quality/compression
+    * lever (larger k = finer cells = higher ADC fidelity at log2(k) bits
+    * per subspace). Default [[PqK]] is the registered-query setting; the
+    * artifact is keyed by (dir, k) so differently-sized indexes coexist.
+    * ScaleSpec pins that recall@3 improves with k on the fixture.
+    */
+  private[operators] def pqTrained(s: SparkSession, d: String,
+      k: Int = PqK): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pq_index:$d:k=$k") {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val parts = (0 until PqM).map { m =>
         val sub = e.select(col("vec_id"),
           slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
-        val c0 = sub.where(col("vec_id") < PqK)
+        val c0 = sub.where(col("vec_id") < k)
           .select(col("vec_id").cast("int").as("cell"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
         // persist each codebook: it is referenced by BOTH the final assign
@@ -1859,9 +1866,9 @@ object Similarity {
           VectorFunctions.l2DistSq(col("qsub"), col("cen")).as("dd"))
     }.reduce(_.union(_))
 
-  private def pqAdcTop3(s: SparkSession, d: String): DataFrame = {
+  private def pqAdcTop3(s: SparkSession, d: String, k: Int = PqK): DataFrame = {
     VectorFunctions.register(s)
-    val (cents, codes) = pqTrained(s, d)
+    val (cents, codes) = pqTrained(s, d, k)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val lut = pqLut(e, cents)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
@@ -1924,6 +1931,33 @@ object Similarity {
     * it. The recall number is what calibrates the production (M, k)
     * choice against this corpus.
     */
+  /** Exact L2 top-3 for the bounded query batch — the metric PQ
+    * approximates (the cosine truth of q79/q83 audits the cosine tiers).
+    */
+  private def l2Top3Truth(e: DataFrame): DataFrame = {
+    val qb = broadcast(e.where(col("vec_id") < QueryBatch))
+    val all = e.select(col("vec_id").as("neighbor_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embd"))
+    val wt = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("neighbor_id"))
+    qb.join(all, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("dist", VectorFunctions.l2DistSq(col("embedding"), col("embd")))
+      .withColumn("rank", row_number().over(wt))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"))
+  }
+
+  /** Mean recall@3 of the k-codebook ADC tier against exact-L2 truth —
+    * the measurement behind the ScaleSpec recall-vs-k pin and the
+    * number a production (M, k) choice is calibrated on.
+    */
+  private[operators] def pqMeanRecall(s: SparkSession, d: String, k: Int): Double = {
+    VectorFunctions.register(s)
+    val truth = l2Top3Truth(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val hits = pqAdcTop3(s, d, k).select(col("qid").as("vec_id"), col("neighbor_id"))
+    truth.join(hits, Seq("vec_id", "neighbor_id"), "left_semi").count().toDouble /
+      truth.count().toDouble
+  }
+
   private val q92 = GraftQuery(
     "q92_pq_recall",
     s"""WITH ${(0 until PqM).map(pqOracleTrain).mkString(",\n")},
@@ -1946,16 +1980,7 @@ object Similarity {
        |LEFT JOIN ranked r ON t.vec_id = r.qid AND t.neighbor_id = r.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val qb = broadcast(e.where(col("vec_id") < QueryBatch))
-    val all = e.select(col("vec_id").as("neighbor_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embd"))
-    val wt = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("neighbor_id"))
-    val truth = qb.join(all, col("vec_id") =!= col("neighbor_id"))
-      .withColumn("dist", VectorFunctions.l2DistSq(col("embedding"), col("embd")))
-      .withColumn("rank", row_number().over(wt))
-      .where(col("rank") <= 3)
-      .select(col("vec_id"), col("neighbor_id"))
+    val truth = l2Top3Truth(Tables.embeddings(s, d).select("vec_id", "embedding"))
     val hits = pqAdcTop3(s, d)
       .select(col("qid").as("vec_id"), col("neighbor_id"), lit(1).as("hit"))
     truth

@@ -317,4 +317,12 @@ class ScaleSpec extends SparkSuite {
       a2.select(col("vec_id"), col("cell"))).count() == 0,
       "stored coarse assignments differ from the trained cache")
   }
+
+  test("PQ recall@3 improves with codebook size; k is the fidelity lever") {
+    val r4 = Similarity.pqMeanRecall(spark, dir, k = 4)
+    val r8 = Similarity.pqMeanRecall(spark, dir, k = 8)
+    val r16 = Similarity.pqMeanRecall(spark, dir, k = 16)
+    assert(r4 <= r8 && r8 <= r16, s"recall not monotone in k: $r4, $r8, $r16")
+    assert(r16 > r4, s"growing the codebooks 4x must improve recall: $r4 -> $r16")
+  }
 }
