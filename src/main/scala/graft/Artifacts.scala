@@ -32,16 +32,39 @@ object Artifacts {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Entry]()
 
+  /** Build lock: builds must NOT run inside `computeIfAbsent` — artifact
+    * builds nest (the minhash-signature artifact's build reads the
+    * shingle-hash artifact), and a nested `computeIfAbsent` on the same
+    * map throws `IllegalStateException("Recursive update")` whenever the
+    * two keys land in the same hash bin. That is key- and content-
+    * dependent, so it surfaced only for some (sf dir, query order)
+    * combinations (q52 at sf0.1 in a full Verify run). A single
+    * REENTRANT lock lets same-thread nested builds proceed while still
+    * serializing cross-thread races on first build.
+    */
+  private val buildLock = new java.util.concurrent.locks.ReentrantLock()
+
   /** Memoize an artifact with an explicit release hook. `build` runs at
     * most once per (session, key); the returned value is shared by every
-    * caller until [[release]].
+    * caller until [[release]]. Reentrant: `build` may itself request
+    * other artifacts.
     */
   def cached[T <: AnyRef](s: SparkSession, key: String)(
-      build: => (T, () => Unit)): T =
-    entries.computeIfAbsent((s, key), { _ =>
-      val (v, rel) = build
-      Entry(v, rel)
-    }).value.asInstanceOf[T]
+      build: => (T, () => Unit)): T = {
+    val k = (s, key)
+    val e0 = entries.get(k)
+    if (e0 != null) return e0.value.asInstanceOf[T]
+    buildLock.lock()
+    try {
+      val e1 = entries.get(k)
+      if (e1 != null) e1.value.asInstanceOf[T]
+      else {
+        val (v, rel) = build
+        entries.put(k, Entry(v, rel))
+        v
+      }
+    } finally buildLock.unlock()
+  }
 
   /** The common case: a persisted DataFrame whose release is unpersist. */
   def cachedDf(s: SparkSession, key: String)(build: => DataFrame): DataFrame =

@@ -413,6 +413,81 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** q99: TEMPERATURE-reweighted mixture sampling — the standard
+    * multilingual pretraining mix (p_l ∝ n_l^α, α < 1, the XLM-R/mT5
+    * recipe) instead of q81's full balancing. Keyed on `lang` (the
+    * fixture's genuinely skewed axis: en ≈ 3× the others; `source` is
+    * uniform, which would make the rate arithmetic vacuous). Keep rates
+    * are anchored so the smallest language keeps everything and nothing
+    * is upsampled: rate_l = (n_min / n_l)^(1-α) — q81's full balance at
+    * α=0, pass-through at α=1. The registered oracle pins α = 0.5, so
+    * the exponent is a single IEEE-754 `sqrt` — correctly rounded in
+    * both engines, hence the floor(·1e6) ppm rate is bit-identical
+    * cross-engine (a general pow(α) oracle would gamble on libm rounding
+    * at floor boundaries; [[temperatureRates]] keeps the parametric form
+    * for engine-side use, ScaleSpec pins its monotonicity in α).
+    *
+    * Scale shape is q81's: rates ride a ~#langs-row broadcast, the
+    * corpus is filtered map-side by the deterministic LCG ppm draw, and
+    * the 100 TB side is never shuffled.
+    */
+  private val q99 = GraftQuery(
+    "q99_temperature_mix",
+    s"""WITH counts AS (
+       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |m AS (SELECT min(n_docs) AS m FROM counts),
+       |rates AS (
+       |  SELECT lang, n_docs,
+       |    CAST(floor(1000000 * sqrt(CAST(m.m AS DOUBLE) / n_docs)) AS BIGINT)
+       |      AS rate_ppm
+       |  FROM counts, m),
+       |kept AS (
+       |  SELECT d.lang, count(*) AS n_kept
+       |  FROM documents d JOIN rates r ON d.lang = r.lang
+       |  WHERE (${lcgSql("d.doc_id", SampleA, SampleC)}) % 1000000 < r.rate_ppm
+       |  GROUP BY 1)
+       |SELECT r.lang AS lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+       |  r.rate_ppm,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val rates = temperatureRates(s, d, alpha = 0.5)
+    val kept = docs.join(broadcast(rates), "lang")
+      .where(lcg(col("doc_id"), SampleA, SampleC) % 1000000 < col("rate_ppm"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    rates.join(broadcast(kept), Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Per-language temperature keep rates in ppm:
+    * floor(1e6·(n_min/n_l)^(1-α)). α=0 reproduces full balancing; α=1
+    * keeps every language whole. The per-lang count table is a session
+    * artifact (one corpus scan shared by q99 and any other consumer;
+    * released via `Artifacts.release`).
+    */
+  private[operators] def temperatureRates(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      alpha: Double): org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = graft.Artifacts.cachedDf(s, s"q99_lang_counts:$d") {
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    }
+    val m = counts.agg(min(col("n_docs")).as("m"))
+    val frac = col("m").cast("double") / col("n_docs")
+    // α=0.5 (the oracle-pinned point) goes through sqrt, which IEEE-754
+    // requires to be correctly rounded; Math.pow only promises 1 ulp, not
+    // enough to guarantee floor(·1e6) agrees with DuckDB's sqrt.
+    val scaled =
+      if (alpha == 0.5) sqrt(frac) else pow(frac, lit(1.0 - alpha))
+    counts.crossJoin(broadcast(m))
+      .withColumn("rate_ppm", floor(lit(1000000.0) * scaled))
+      .select("lang", "n_docs", "rate_ppm")
+  }
+
   /** The q96 chunking SQL minus the ordering, as a reusable CTE chain —
     * q97 composes the dedup aggregation on top of the same text.
     */
@@ -489,5 +564,5 @@ object Pipeline {
       .orderBy("chunk_fp")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64, q81, q96, q97)
+  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64, q81, q96, q97, q99)
 }

@@ -165,7 +165,7 @@ object Similarity {
       shingleHashes(s, d).select(col("doc_id"), col("hv"))
     }
 
-  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+  private[operators] def minhashSigs(s: SparkSession, d: String): DataFrame =
     graft.Artifacts.cachedDf(s, s"minhash_sigs:$d") {
       val sigCols = (0 until NumHashes).map(i =>
         expr(s"array_min(transform(hv, h -> (${A(i)} * h + ${B(i)}) % $P))"))

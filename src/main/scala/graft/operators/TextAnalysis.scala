@@ -284,5 +284,50 @@ object TextAnalysis {
     lmScore(Tables.documents(s, d), LmMinCount)
   }
 
-  val queries: Seq[GraftQuery] = Seq(q26, q27, q28, q29, q69, q70)
+  /** Denylist scrub: redact banned terms (boilerplate, watermarks, terms
+    * a data policy excludes) as a pure map-side `regexp_replace` — the
+    * standard content-scrub step of a corpus-cleaning pipeline. Word
+    * boundaries (`\b`, same semantics in Java regex and RE2) prevent
+    * partial-token hits. At 100 TB this is a narrow transform fused into
+    * the scan — no shuffle, no UDF.
+    */
+  private val ScrubPattern = "\\b(customer|supplier|order)\\b"
+
+  private[operators] def denylistScrub(text: org.apache.spark.sql.Column) =
+    regexp_replace(text, ScrubPattern, "▮")
+
+  /** q100: denylist-scrub AUDIT — per-source impact manifest of the scrub
+    * (docs touched, match count, characters removed), the artifact a
+    * pipeline owner reviews before committing a redaction pass. Counting
+    * uses `regexp_count` / `len(regexp_extract_all(...))` and char deltas
+    * from a delete-form `regexp_replace` (DuckDB needs the 'g' flag to
+    * match Spark's replace-all semantics). Everything is integer
+    * arithmetic over ASCII lengths, so the engines agree exactly.
+    */
+  private val q100 = GraftQuery(
+    "q100_denylist_scrub",
+    s"""WITH hits AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '\\b(customer|supplier|order)\\b')) AS n_hits,
+      |    length(text) - length(regexp_replace(text, '\\b(customer|supplier|order)\\b', '', 'g')) AS n_chars
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS docs_hit,
+      |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_removed
+      |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        regexp_count(col("text"), lit(ScrubPattern)).as("n_hits"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), ScrubPattern, ""))).as("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_hits") > 0, 1)).as("docs_hit"),
+        sum(col("n_hits")).cast("long").as("total_hits"),
+        sum(col("n_chars")).cast("long").as("chars_removed"))
+      .orderBy("source")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q26, q27, q28, q29, q69, q70, q100)
 }

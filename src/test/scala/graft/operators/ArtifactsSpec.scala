@@ -54,4 +54,27 @@ class ArtifactsSpec extends SparkSuite {
     assert(graft.SparkEntry.queries("q84_quantized_ivf")(spark, dir).count() > 0)
     assert(Artifacts.registered(spark) > 0)
   }
+
+  test("artifact builds may nest (regression: 'Recursive update' in q52)") {
+    // The minhash-signature artifact's build requests the shingle-hash
+    // artifact. Under the old computeIfAbsent implementation a nested
+    // request whose key shared a hash bin with the outer key threw
+    // IllegalStateException("Recursive update") — dependent on the sf
+    // dir string and the registry's contents, which is exactly how it
+    // escaped the unit suite (q52 failed only in a full sf0.1 Verify
+    // run). Build once through the real nested path, then many nested
+    // keys from one outer build to stress bin sharing directly.
+    Artifacts.release(spark)
+    assert(Similarity.minhashSigs(spark, dir).count() > 0)
+    val v = Artifacts.cached[java.lang.Integer](spark, "nest_outer") {
+      val inner = (1 to 256).map { i =>
+        Artifacts.cached[java.lang.Integer](spark, s"nest_inner_$i") {
+          (Int.box(i), () => ())
+        }.intValue
+      }.sum
+      (Int.box(inner), () => ())
+    }
+    assert(v == (1 to 256).sum)
+    Artifacts.release(spark)
+  }
 }

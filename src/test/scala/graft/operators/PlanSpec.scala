@@ -147,6 +147,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"rates join lost broadcast:\n$p")
   }
 
+  test("q99 temperature mix keeps q81's map-side shape; q100 scrub is one agg") {
+    val p = plan("q99_temperature_mix")
+    assert(!p.contains("CartesianProduct"), s"q99 plans a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q99 shuffles the corpus for a join — rates should broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rates join lost broadcast:\n$p")
+    val sc = plan("q100_denylist_scrub")
+    // scrub audit is scan → project (regex kernels) → partial agg →
+    // exchange on source → final agg → sort: exactly two exchanges
+    assert(!sc.contains("Join"), s"q100 must be join-free:\n$sc")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(sc).size
+    assert(exchanges <= 2, s"q100 should shuffle only the per-source agg + sort:\n$sc")
+  }
+
   test("q83 recall audit: no cartesian, tiers serve from the materialized index") {
     val p = plan("q83_ivf_recall")
     assert(!p.contains("CartesianProduct"), s"q83 plans a cartesian:\n$p")

@@ -325,4 +325,25 @@ class ScaleSpec extends SparkSuite {
     assert(r4 <= r8 && r8 <= r16, s"recall not monotone in k: $r4, $r8, $r16")
     assert(r16 > r4, s"growing the codebooks 4x must improve recall: $r4 -> $r16")
   }
+
+  test("temperature mix rates are monotone in alpha; endpoints behave") {
+    val alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val rates = alphas.map { a =>
+      Pipeline.temperatureRates(spark, dir, a)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    }
+    val langs = rates.head.keySet
+    assert(langs.size > 1, "fixture must have multiple languages")
+    // hotter alpha keeps more of every language: (n_min/n_l)^(1-a) is
+    // nondecreasing in a for n_min/n_l <= 1
+    for (pair <- rates.sliding(2); l <- langs)
+      assert(pair(0)(l) <= pair(1)(l),
+        s"rate for $l not monotone in alpha")
+    // alpha=1 is pass-through; at every alpha the smallest language keeps
+    // all, and on the skewed fixture the head language is truly sampled
+    assert(rates.last.values.forall(_ == 1000000L))
+    assert(rates.forall(_.values.max == 1000000L))
+    assert(rates.head.values.min < 1000000L,
+      "fixture skew must make alpha=0 actually downsample")
+  }
 }
