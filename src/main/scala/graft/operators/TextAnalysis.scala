@@ -329,5 +329,20 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Materialize the scrubbed corpus — the terminal stage q100 audits:
+    * every denylisted term replaced by the mask, written partitioned by
+    * (lang, source) like [[Pipeline.writeCleanCorpus]] so downstream
+    * consumers prune partitions at the scan. Map-only end to end: a
+    * narrow projection into a partitioned write, no shuffle of the
+    * corpus (PipelineWriteSpec asserts no banned term survives and the
+    * char delta matches q100's audit).
+    */
+  def writeScrubbedCorpus(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit =
+    Tables.documents(s, d)
+      .withColumn("text", denylistScrub(col("text")))
+      .write.mode("overwrite")
+      .partitionBy("lang", "source").parquet(outDir)
+
   val queries: Seq[GraftQuery] = Seq(q26, q27, q28, q29, q69, q70, q100)
 }

@@ -118,4 +118,31 @@ class PipelineWriteSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("writeScrubbedCorpus masks every banned term; char delta matches q100") {
+    val out = java.nio.file.Files.createTempDirectory("graft_scrub").toString + "/corpus"
+    TextAnalysis.writeScrubbedCorpus(spark, dir, out)
+
+    val docs = graft.Tables.documents(spark, dir)
+    val written = spark.read.parquet(out)
+    assert(written.count() == docs.count())
+    assert(written.columns.toSet == docs.columns.toSet)
+
+    // no banned term survives as a whole token anywhere in the output
+    val survivors = written.where(
+      col("text").rlike("\\b(customer|supplier|order)\\b")).count()
+    assert(survivors == 0, s"$survivors documents still contain banned terms")
+
+    // the audit's accounting holds against the written bytes: each match
+    // of length L became one mask char, so chars(orig) - chars(scrubbed)
+    // = chars_removed - total_hits from q100's manifest
+    val audit = graft.SparkEntry.queries("q100_denylist_scrub")(spark, dir)
+      .agg(sum(col("total_hits")), sum(col("chars_removed"))).collect().head
+    val (hits, removed) = (audit.getLong(0), audit.getLong(1))
+    val origChars = docs.agg(sum(length(col("text")))).collect().head.getLong(0)
+    val scrubChars = written.agg(sum(length(col("text")))).collect().head.getLong(0)
+    assert(origChars - scrubChars == removed - hits,
+      s"char delta ${origChars - scrubChars} != audit ${removed - hits}")
+    assert(hits > 0, "fixture must actually contain banned terms")
+  }
 }
