@@ -1762,30 +1762,70 @@ object Similarity {
   private[operators] def pqTrained(s: SparkSession, d: String,
       k: Int = PqK): (DataFrame, DataFrame) =
     graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pq_index:$d:k=$k") {
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val parts = (0 until PqM).map { m =>
-        val sub = e.select(col("vec_id"),
-          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
-        val c0 = sub.where(col("vec_id") < k)
-          .select(col("vec_id").cast("int").as("cell"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
-        // persist each codebook: it is referenced by BOTH the final assign
-        // (codes) and the serving-side LUT build — without the pin each
-        // reference re-runs the whole recompute pipeline (the q71 lesson)
-        val c1 = kmRecompute(kmAssign(sub, c0)).persist(lvl)
-        val a2 = kmAssign(sub, c1)
-        (c1.select(lit(m).as("m"), col("cell"), col("cen")),
-          a2.select(col("vec_id"), lit(m).as("m"), col("cell")), c1)
-      }
-      val cents = parts.map(_._1).reduce(_.union(_)).persist(lvl)
-      val codes = parts.map(_._2).reduce(_.union(_)).persist(lvl)
-      ((cents, codes), () => {
-        parts.foreach(_._3.unpersist(blocking = true))
-        cents.unpersist(blocking = true)
-        codes.unpersist(blocking = true)
-        ()
-      })
+      pqTrainOn(Tables.embeddings(s, d).select("vec_id", "embedding"), k)
+    }
+
+  /** The per-subspace training body shared by the raw-vector index
+    * ([[pqTrained]]) and the residual index ([[pqResTrained]]): `e` is
+    * any (vec_id, embedding: array&lt;float&gt;) table — the recipe does
+    * not care whether the floats are raw coordinates or coarse-centroid
+    * residuals.
+    */
+  private def pqTrainOn(e: DataFrame,
+      k: Int): ((DataFrame, DataFrame), () => Unit) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val parts = (0 until PqM).map { m =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+      val c0 = sub.where(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
+      // persist each codebook: it is referenced by BOTH the final assign
+      // (codes) and the serving-side LUT build — without the pin each
+      // reference re-runs the whole recompute pipeline (the q71 lesson)
+      val c1 = kmRecompute(kmAssign(sub, c0)).persist(lvl)
+      val a2 = kmAssign(sub, c1)
+      (c1.select(lit(m).as("m"), col("cell"), col("cen")),
+        a2.select(col("vec_id"), lit(m).as("m"), col("cell")), c1)
+    }
+    val cents = parts.map(_._1).reduce(_.union(_)).persist(lvl)
+    val codes = parts.map(_._2).reduce(_.union(_)).persist(lvl)
+    ((cents, codes), () => {
+      parts.foreach(_._3.unpersist(blocking = true))
+      cents.unpersist(blocking = true)
+      codes.unpersist(blocking = true)
+      ()
+    })
+  }
+
+  /** Coarse-centroid residuals, stored at float32: every trained
+    * assignment's `x − centroid(cell(x))`, the quantity IVFADC encodes
+    * instead of the raw vector. The double subtraction is narrowed back
+    * to float (one IEEE round-to-nearest, identical in both engines and
+    * the production storage width), which keeps every downstream kernel
+    * contract — slices, Lloyd training, the (float, double) L2 kernel —
+    * byte-for-byte the same as the raw path's.
+    */
+  private[operators] def residuals(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cachedDf(s, s"pq_residuals:$d") {
+      val (c1, a2) = kmTrained(s, d)
+      a2.join(broadcast(c1), "cell")
+        .select(col("vec_id"), col("cell"),
+          expr("CAST(zip_with(embedding, cen, (x, c) -> CAST(x AS DOUBLE) - c)" +
+            " AS array<float>)").as("embedding"))
+    }
+
+  /** The RESIDUAL PQ index (IVFADC's fine quantizer): [[pqTrainOn]]'s
+    * exact recipe over [[residuals]] instead of raw embeddings. Residuals
+    * concentrate around 0 once the coarse quantizer has absorbed the
+    * between-cell structure, so the same (M, k) codebook budget spends
+    * its cells on a tighter distribution — the measured recall lift over
+    * raw-vector codes is ScaleSpec's residual-vs-raw audit and q102.
+    */
+  private[operators] def pqResTrained(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pqres_index:$d") {
+      pqTrainOn(residuals(s, d).select("vec_id", "embedding"), PqK)
     }
 
   /** Oracle twin of one subspace's training: q56's CTE recipe over the
@@ -1796,32 +1836,38 @@ object Similarity {
     s"list_reduce(list_transform(range(1, $PqSubDim+1), j -> " +
       s"(CAST($emb[$off+j] AS DOUBLE) - $cen[j]) * (CAST($emb[$off+j] AS DOUBLE) - $cen[j])), (x,y) -> x+y)"
 
-  private def pqOracleTrain(m: Int): String = {
+  private def pqOracleTrain(m: Int): String = pqOracleTrainFrom("embeddings", m, "")
+
+  /** The same per-subspace training CTEs over an arbitrary source table
+    * (raw `embeddings` or the `remb` residual CTE), with CTE names
+    * prefixed by `p` so both chains can coexist in one oracle query.
+    */
+  private def pqOracleTrainFrom(src: String, m: Int, p: String): String = {
     val off = m * PqSubDim
-    s"""c0_$m AS (
+    s"""${p}c0_$m AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(range(1, $PqSubDim+1), j -> CAST(embedding[$off+j] AS DOUBLE)) AS cen
-       |  FROM embeddings WHERE vec_id < $PqK),
-       |a1_$m AS (
+       |  FROM $src WHERE vec_id < $PqK),
+       |${p}a1_$m AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off)}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN c0_$m c) t WHERE rn = 1),
-       |c1d_$m AS (
+       |    FROM $src e CROSS JOIN ${p}c0_$m c) t WHERE rn = 1),
+       |${p}c1d_$m AS (
        |  SELECT a.cell, j,
        |    list_reduce(list(CAST(e.embedding[$off+j] AS DOUBLE) ORDER BY e.vec_id), (x,y) -> x+y)
        |      / count(*) AS mean_j
-       |  FROM a1_$m a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  FROM ${p}a1_$m a JOIN $src e ON a.vec_id = e.vec_id
        |  CROSS JOIN range(1, $PqSubDim+1) t(j)
        |  GROUP BY a.cell, j),
-       |c1_$m AS (SELECT cell, list(mean_j ORDER BY j) AS cen FROM c1d_$m GROUP BY cell),
-       |a2_$m AS (
+       |${p}c1_$m AS (SELECT cell, list(mean_j ORDER BY j) AS cen FROM ${p}c1d_$m GROUP BY cell),
+       |${p}a2_$m AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off)}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN c1_$m c) t WHERE rn = 1)""".stripMargin
+       |    FROM $src e CROSS JOIN ${p}c1_$m c) t WHERE rn = 1)""".stripMargin
   }
 
   /** q91: PQ-ADC top-3 search — asymmetric distance computation over the
@@ -2179,7 +2225,206 @@ object Similarity {
       .orderBy("vec_id", "m")
   }
 
+  // ---- residual IVF-PQ (IVFADC proper): encode x − centroid (q101/q102) ----
+
+  /** Oracle CTEs for the residual chain, appended after `kmOracleTrain`
+    * and `probes`: float residuals (`remb`) → per-subspace residual
+    * codebooks (`rc*`/`ra2_*`) → the per-(query, probe-cell) LUT
+    * (`rlut`) → probed candidates ranked by residual ADC (`rranked`).
+    * Query residuals narrow to FLOAT exactly like [[residuals]] does, so
+    * both engines square the same float32 values.
+    */
+  private def residualOracleChain: String = {
+    val remb =
+      s"""remb AS (
+         |  SELECT a.vec_id,
+         |    list_transform(range(1, $KmDim+1), j ->
+         |      CAST(CAST(a.embedding[j] AS DOUBLE) - c.cen[j] AS FLOAT)) AS embedding
+         |  FROM a2 a JOIN c1 c ON a.cell = c.cell)""".stripMargin
+    val train =
+      (0 until PqM).map(m => pqOracleTrainFrom("remb", m, "r")).mkString(",\n")
+    val rcodes =
+      s"""rcodes AS (
+         |  ${(0 until PqM).map(m => s"SELECT vec_id, $m AS m, cell FROM ra2_$m")
+              .mkString("\n  UNION ALL ")})""".stripMargin
+    def qresEl(off: Int) =
+      s"CAST(CAST(p.embedding[$off+j] AS DOUBLE) - k.cen[$off+j] AS FLOAT)"
+    val rlut =
+      s"""rlut AS (
+         |  ${(0 until PqM).map { m =>
+              val off = m * PqSubDim
+              s"""SELECT p.vec_id AS qid, p.cell AS pcell, $m AS m, rc.cell,
+                 |    list_reduce(list_transform(range(1, $PqSubDim+1), j ->
+                 |      (CAST(${qresEl(off)} AS DOUBLE) - rc.cen[j])
+                 |      * (CAST(${qresEl(off)} AS DOUBLE) - rc.cen[j])),
+                 |      (x,y) -> x+y) AS dd
+                 |  FROM probes p JOIN c1 k ON p.cell = k.cell CROSS JOIN rc1_$m rc"""
+                .stripMargin }.mkString("\n  UNION ALL ")})""".stripMargin
+    val adc =
+      s"""rcand AS (
+         |  SELECT p.vec_id AS qid, a.vec_id AS neighbor_id, p.cell AS pcell
+         |  FROM probes p JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.vec_id),
+         |radc AS (
+         |  SELECT c.qid, c.neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.dd ORDER BY l.m)),
+         |      (acc, x) -> acc + x) AS adc
+         |  FROM rcand c
+         |  JOIN rcodes co ON co.vec_id = c.neighbor_id
+         |  JOIN rlut l ON l.qid = c.qid AND l.pcell = c.pcell
+         |    AND l.m = co.m AND l.cell = co.cell
+         |  GROUP BY 1, 2),
+         |rranked AS (
+         |  SELECT qid, neighbor_id, adc, rank FROM (
+         |    SELECT qid, neighbor_id, adc,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
+         |    FROM radc) t
+         |  WHERE rank <= 3)""".stripMargin
+    Seq(remb, train, rcodes, rlut, adc).mkString(",\n")
+  }
+
+  /** The residual serving core shared by q101 (the search) and q102 (its
+    * recall audit): probed candidates ranked top-3 by residual ADC.
+    */
+  private def residualAdcTop3(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val (rcents, rcodes) = pqResTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = probeSelection(e.where(col("vec_id") < QueryBatch), c1, ProbeP)
+    // query residual PER PROBED CELL (each probe subtracts that cell's
+    // centroid), narrowed to float like the stored residuals
+    val qres = probes
+      .join(broadcast(c1.withColumnRenamed("cell", "probe_cell")), "probe_cell")
+      .select(col("vec_id").as("qid"), col("probe_cell"),
+        expr("CAST(zip_with(emb_a, cen, (x, c) -> CAST(x AS DOUBLE) - c)" +
+          " AS array<float>)").as("qres"))
+    val rlut = (0 until PqM).map { m =>
+      qres
+        .select(col("qid"), col("probe_cell"),
+          slice(col("qres"), m * PqSubDim + 1, PqSubDim).as("qsub"))
+        .crossJoin(broadcast(
+          rcents.where(col("m") === m).select(col("cell"), col("cen"))))
+        .select(col("qid"), col("probe_cell"), lit(m).as("m"), col("cell"),
+          VectorFunctions.l2DistSq(col("qsub"), col("cen")).as("dd"))
+    }.reduce(_.union(_))
+    val cand = probes.select(col("vec_id"), col("probe_cell"))
+      .join(a2.select(col("vec_id").as("neighbor_id"), col("cell")),
+        col("probe_cell") === col("cell") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("qid"), col("neighbor_id"), col("probe_cell"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
+    cand
+      .join(rcodes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(rlut), Seq("qid", "probe_cell", "m", "cell"))
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("dd")))).as("dds"))
+      .select(col("qid"), col("neighbor_id"),
+        expr("aggregate(dds, 0D, (acc, s) -> acc + s.dd)").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+  }
+
+  /** q101: residual IVF-PQ search — IVFADC as published: the coarse
+    * quantizer absorbs between-cell structure, the PQ codebooks encode
+    * the RESIDUAL x − centroid(cell(x)), and serving ranks probed
+    * candidates by a per-(query, probe-cell) residual LUT. Against q93
+    * (raw-vector codes, same coarse probes, same (M, k) budget) this is
+    * the fidelity upgrade the q93 scaladoc deferred; ScaleSpec measures
+    * the recall lift and q102 puts it under the oracle gate. Scale shape
+    * is q93's: the LUT grows only by the probe factor (|batch|·p·M·k
+    * rows, still broadcast-sized), candidates stay one equi-join, the
+    * fold stays order-pinned, and floats appear only in probe selection
+    * and LUT build — codes serve the join.
+    */
+  private val q101 = GraftQuery(
+    "q101_residual_ivfpq",
+    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
+       |$residualOracleChain
+       |SELECT qid AS vec_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+       |FROM rranked ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    residualAdcTop3(s, d)
+      .select(col("qid").as("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Mean recall@3 vs exact-L2 truth for any (qid, neighbor_id) top-3 —
+    * the shared measurement behind the residual-vs-raw ScaleSpec audit.
+    */
+  private[operators] def adcMeanRecall(s: SparkSession, d: String,
+      hits: DataFrame): Double = {
+    VectorFunctions.register(s)
+    val truth = l2Top3Truth(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    truth.join(hits.select(col("qid").as("vec_id"), col("neighbor_id")),
+        Seq("vec_id", "neighbor_id"), "left_semi").count().toDouble /
+      truth.count().toDouble
+  }
+
+  private[operators] def rawIvfpqTop3(s: SparkSession, d: String): DataFrame = {
+    // q93's core (probed candidates, RAW-vector ADC) re-expressed for the
+    // recall comparison
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val (cents, codes) = pqTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val probes = probeCells(e.where(col("vec_id") < QueryBatch), c1, ProbeP)
+    val cand = probes
+      .join(a2.select(col("vec_id").as("neighbor_id"), col("cell")),
+        col("probe_cell") === col("cell") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("qid"), col("neighbor_id"))
+    val lut = pqLut(e, cents)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
+    cand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("qid", "m", "cell"))
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("dd")))).as("dds"))
+      .select(col("qid"), col("neighbor_id"),
+        expr("aggregate(dds, 0D, (acc, s) -> acc + s.dd)").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+  }
+
+  /** q102: residual IVF-PQ recall audit — q92's shape over q101's tier:
+    * exact-L2 top-3 truth (bounded batch) scored against the residual
+    * ADC ranking. Registering the audit puts the IVFADC fidelity claim
+    * itself under the driver's hash gate, alongside ScaleSpec's
+    * residual-vs-raw comparison.
+    */
+  private val q102 = GraftQuery(
+    "q102_residual_recall",
+    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
+       |$residualOracleChain,
+       |l2truth AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT q.vec_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_transform(range(1, $KmDim+1), j ->
+       |          (CAST(q.embedding[j] AS DOUBLE) - CAST(c.embedding[j] AS DOUBLE))
+       |          * (CAST(q.embedding[j] AS DOUBLE) - CAST(c.embedding[j] AS DOUBLE))),
+       |          (x,y) -> x+y), c.vec_id) AS rank
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+       |    JOIN embeddings c ON q.vec_id <> c.vec_id) t
+       |  WHERE rank <= 3)
+       |SELECT t.vec_id AS vec_id,
+       |  CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+       |  round(CAST(count(r.neighbor_id) AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS recall
+       |FROM l2truth t
+       |LEFT JOIN rranked r ON t.vec_id = r.qid AND t.neighbor_id = r.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val truth = l2Top3Truth(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val hits = residualAdcTop3(s, d)
+      .select(col("qid").as("vec_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth
+      .join(hits, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("vec_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0), 6).as("recall"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84, q85, q87, q88, q91, q92, q93, q94)
+      q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102)
 }

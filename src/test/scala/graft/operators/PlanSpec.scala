@@ -232,7 +232,8 @@ class PlanSpec extends SparkSuite {
     // broadcast LUT on (m, cell) — an equi-join of narrow int rows. The
     // float embeddings appear only in the LUT build (query batch × M·k
     // centroids) and, for q92, the bounded-batch truth BNLJ (q44's shape).
-    for (q <- Seq("q91_pq_adc_search", "q92_pq_recall", "q93_ivfpq_search")) {
+    for (q <- Seq("q91_pq_adc_search", "q92_pq_recall", "q93_ivfpq_search",
+        "q101_residual_ivfpq", "q102_residual_recall")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -326,6 +326,18 @@ class ScaleSpec extends SparkSuite {
     assert(r16 > r4, s"growing the codebooks 4x must improve recall: $r4 -> $r16")
   }
 
+  test("residual PQ codes rank probed candidates at least as well as raw codes") {
+    // same coarse probes, same (M, k) code budget — the only difference
+    // is what the codebooks quantize (x - centroid vs x), so the recall
+    // delta isolates IVFADC's residual-encoding claim
+    val raw = Similarity.adcMeanRecall(spark, dir, Similarity.rawIvfpqTop3(spark, dir))
+    val res = Similarity.adcMeanRecall(spark, dir,
+      graft.SparkEntry.queries("q101_residual_ivfpq")(spark, dir)
+        .select(col("vec_id").as("qid"), col("neighbor_id")))
+    info(s"IVF-PQ recall@3: raw codes $raw, residual codes $res")
+    assert(res >= raw, s"residual codes must not lose to raw codes: $res < $raw")
+  }
+
   test("temperature mix rates are monotone in alpha; endpoints behave") {
     val alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
     val rates = alphas.map { a =>
