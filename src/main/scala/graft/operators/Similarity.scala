@@ -768,14 +768,19 @@ object Similarity {
     // query ever re-derives a code per pair.
     val (_, a2) = kmTrained(s, d)
     val (_, pqCodes) = pqTrained(s, d)
-    val pqArr = pqCodes
+    def codeArr(codes: DataFrame, name: String) = codes
       .groupBy("vec_id")
       .agg(sort_array(collect_list(struct(col("m"), col("cell")))).as("mc"))
-      .select(col("vec_id"), expr("transform(mc, s -> s.cell)").as("pq_code"))
+      .select(col("vec_id"), expr("transform(mc, s -> s.cell)").as(name))
+    val pqArr = codeArr(pqCodes, "pq_code")
+    // the RESIDUAL code array (q101's serving form) rides the same row —
+    // a reader picks the ADC tier (raw vs residual) by column choice
+    val rpqArr = codeArr(pqResTrained(s, d)._2, "rpq_code")
     a2.select(col("vec_id"), col("embedding"), col("cell"),
         VectorFunctions.int8Encode(col("embedding")).as("code"))
       .withColumn("nq", VectorFunctions.int8CodeDot(col("code"), col("code")))
       .join(pqArr, Seq("vec_id"))
+      .join(rpqArr, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
   }
 
@@ -792,6 +797,9 @@ object Similarity {
     val (cents, _) = pqTrained(s, d)
     c1.write.mode("overwrite").parquet(s"$outDir/coarse_centroids")
     cents.write.mode("overwrite").parquet(s"$outDir/pq_codebooks")
+    // residual-ADC tier (q101): its LUT needs the residual codebooks
+    pqResTrained(s, d)._1.write.mode("overwrite")
+      .parquet(s"$outDir/pq_residual_codebooks")
   }
 
   private val kmOracleTrain: String =

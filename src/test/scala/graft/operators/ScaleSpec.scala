@@ -198,11 +198,12 @@ class ScaleSpec extends SparkSuite {
     val out = tmp.toString + "/index"
     Similarity.writeIvfIndex(spark, dir, out)
     val index = spark.read.parquet(out)
-    // all three serving tiers' columns: float embeddings (exact rerank),
+    // all four serving tiers' columns: float embeddings (exact rerank),
     // int8 codes + integer norm (quantized rerank, 4× smaller), and the
-    // PQ code array (ADC tier)
+    // raw + residual PQ code arrays (the two ADC tiers)
     assert(index.count() > 0 &&
-      index.columns.toSet == Set("vec_id", "embedding", "cell", "code", "nq", "pq_code"))
+      index.columns.toSet ==
+        Set("vec_id", "embedding", "cell", "code", "nq", "pq_code", "rpq_code"))
     // parquet read-back widens containsNull; the element type is the
     // contract (1 byte/dim on disk)
     assert(index.schema("code").dataType
@@ -316,6 +317,21 @@ class ScaleSpec extends SparkSuite {
     assert(index.select(col("vec_id"), col("cell")).except(
       a2.select(col("vec_id"), col("cell"))).count() == 0,
       "stored coarse assignments differ from the trained cache")
+
+    // residual tier: stored codebooks + per-vector residual codes == cache
+    val (rcents, rcodes) = Similarity.pqResTrained(spark, dir)
+    val rbooks = spark.read.parquet(tmp + "/pq_residual_codebooks")
+    assert(rbooks.count() == rcents.count())
+    assert(rbooks.join(rcents.withColumnRenamed("cen", "cen2"), Seq("m", "cell"))
+      .where(expr("to_json(cen) <> to_json(cen2)")).count() == 0,
+      "stored residual codebooks differ from the trained cache")
+    val storedR = index.select(col("vec_id"),
+      posexplode(col("rpq_code")).as(Seq("m", "cellc")))
+    assert(storedR.join(rcodes,
+        storedR("vec_id") === rcodes("vec_id") &&
+        storedR("m") === rcodes("m") &&
+        col("cellc") === rcodes("cell")).count() == rcodes.count(),
+      "stored residual pq codes differ from the cached code table")
   }
 
   test("PQ recall@3 improves with codebook size; k is the fidelity lever") {
