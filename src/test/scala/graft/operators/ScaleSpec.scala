@@ -354,6 +354,25 @@ class ScaleSpec extends SparkSuite {
     assert(res >= raw, s"residual codes must not lose to raw codes: $res < $raw")
   }
 
+  test("filtered ANN: k same-label results per query, filter never starves k") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    val r = graft.SparkEntry.queries("q103_filtered_ann")(spark, dir)
+    // every neighbor shares its query's label
+    val crossLabel = r
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .where(col("label") =!= col("nlabel")).count()
+    assert(crossLabel == 0, s"$crossLabel cross-label results escaped the filter")
+    // pre-filtering keeps a full k for every query on this fixture —
+    // a post-filtered top-k would return < 3 for most queries
+    val counts = r.groupBy("vec_id").count().agg(min("count"), max("count"))
+      .collect().head
+    assert(counts.getLong(0) == 3 && counts.getLong(1) == 3,
+      s"per-query result counts drifted: $counts")
+  }
+
   test("temperature mix rates are monotone in alpha; endpoints behave") {
     val alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
     val rates = alphas.map { a =>
