@@ -1987,18 +1987,24 @@ object Similarity {
     */
   /** Exact L2 top-3 for the bounded query batch — the metric PQ
     * approximates (the cosine truth of q79/q83 audits the cosine tiers).
+    * A session artifact: the bounded-batch BNLJ is paid once and shared
+    * by every L2 audit (q92, q102, the ScaleSpec recall measurements) —
+    * the same amortization the cosine `bruteForceTruth` already has.
+    * Released via `Artifacts.release(session)`.
     */
-  private def l2Top3Truth(e: DataFrame): DataFrame = {
-    val qb = broadcast(e.where(col("vec_id") < QueryBatch))
-    val all = e.select(col("vec_id").as("neighbor_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embd"))
-    val wt = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("neighbor_id"))
-    qb.join(all, col("vec_id") =!= col("neighbor_id"))
-      .withColumn("dist", VectorFunctions.l2DistSq(col("embedding"), col("embd")))
-      .withColumn("rank", row_number().over(wt))
-      .where(col("rank") <= 3)
-      .select(col("vec_id"), col("neighbor_id"))
-  }
+  private def l2Top3Truth(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cachedDf(s, s"l2_truth:$d") {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val qb = broadcast(e.where(col("vec_id") < QueryBatch))
+      val all = e.select(col("vec_id").as("neighbor_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embd"))
+      val wt = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("neighbor_id"))
+      qb.join(all, col("vec_id") =!= col("neighbor_id"))
+        .withColumn("dist", VectorFunctions.l2DistSq(col("embedding"), col("embd")))
+        .withColumn("rank", row_number().over(wt))
+        .where(col("rank") <= 3)
+        .select(col("vec_id"), col("neighbor_id"))
+    }
 
   /** Mean recall@3 of the k-codebook ADC tier against exact-L2 truth —
     * the measurement behind the ScaleSpec recall-vs-k pin and the
@@ -2006,7 +2012,7 @@ object Similarity {
     */
   private[operators] def pqMeanRecall(s: SparkSession, d: String, k: Int): Double = {
     VectorFunctions.register(s)
-    val truth = l2Top3Truth(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val truth = l2Top3Truth(s, d)
     val hits = pqAdcTop3(s, d, k).select(col("qid").as("vec_id"), col("neighbor_id"))
     truth.join(hits, Seq("vec_id", "neighbor_id"), "left_semi").count().toDouble /
       truth.count().toDouble
@@ -2034,7 +2040,7 @@ object Similarity {
        |LEFT JOIN ranked r ON t.vec_id = r.qid AND t.neighbor_id = r.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
-    val truth = l2Top3Truth(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val truth = l2Top3Truth(s, d)
     val hits = pqAdcTop3(s, d)
       .select(col("qid").as("vec_id"), col("neighbor_id"), lit(1).as("hit"))
     truth
@@ -2361,7 +2367,7 @@ object Similarity {
   private[operators] def adcMeanRecall(s: SparkSession, d: String,
       hits: DataFrame): Double = {
     VectorFunctions.register(s)
-    val truth = l2Top3Truth(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val truth = l2Top3Truth(s, d)
     truth.join(hits.select(col("qid").as("vec_id"), col("neighbor_id")),
         Seq("vec_id", "neighbor_id"), "left_semi").count().toDouble /
       truth.count().toDouble
@@ -2420,7 +2426,7 @@ object Similarity {
        |LEFT JOIN rranked r ON t.vec_id = r.qid AND t.neighbor_id = r.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
-    val truth = l2Top3Truth(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val truth = l2Top3Truth(s, d)
     val hits = residualAdcTop3(s, d)
       .select(col("qid").as("vec_id"), col("neighbor_id"), lit(1).as("hit"))
     truth
