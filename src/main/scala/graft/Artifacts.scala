@@ -73,6 +73,40 @@ object Artifacts {
       (df, () => { df.unpersist(blocking = true); () })
     }
 
+  /** A materialized-LEAF artifact: eager `localCheckpoint` instead of
+    * persist. The returned DataFrame's logical plan is a single
+    * `LogicalRDD` over the checkpointed blocks — the derivation lineage
+    * is gone. Use for artifacts with DEEP build plans (the trained
+    * vector indexes): a `persist` keeps the whole training tree alive in
+    * every consumer's logical plan, and analysis + cache-lookup
+    * canonicalization over that tree costs SECONDS per action even when
+    * the cached data is hit (measured: a count() on a 300-row persisted
+    * index table took ~4 s from tree overhead alone). A checkpointed
+    * leaf makes every consumer's plan small, which is also the honest
+    * 100 TB shape — a production index is read from storage, not
+    * re-derived through live lineage. Release unpersists the checkpoint
+    * blocks (the leaf DataFrame is NOT usable afterwards — unlike
+    * [[cachedDf]] there is no lineage to recompute from; the next
+    * [[cached]] call rebuilds from scratch).
+    */
+  def checkpointedDf(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame =
+    cached[DataFrame](s, key) { leafDf(build) }
+
+  /** Materialize a DataFrame as a checkpointed leaf + its release hook —
+    * the building block [[checkpointedDf]] and the tuple-valued index
+    * artifacts share.
+    */
+  def leafDf(df: DataFrame): (DataFrame, () => Unit) = {
+    val chk = df.localCheckpoint(eager = true)
+    val release = () => chk.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = true); ()
+      case _ => ()
+    }
+    (chk, release)
+  }
+
   /** Release every artifact registered for `s`: run each release hook
     * (unpersist cached plans, destroy broadcasts) and forget the entries,
     * so the next query rebuilds from scratch. Call when a session is done

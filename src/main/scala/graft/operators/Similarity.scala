@@ -723,12 +723,11 @@ object Similarity {
       val c0 = e.where(col("vec_id") < KmK)
         .select(col("vec_id").cast("int").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val c1 = kmRecompute(kmAssign(e, c0)).persist(lvl)
-      val a2 = kmAssign(e, c1).persist(lvl)
-      ((c1, a2), () => {
-        c1.unpersist(blocking = true); a2.unpersist(blocking = true); ()
-      })
+      // materialized LEAVES, not live lineage (Artifacts.leafDf scaladoc):
+      // every IVF consumer's plan starts at the trained tables
+      val (c1, relC1) = graft.Artifacts.leafDf(kmRecompute(kmAssign(e, c0)))
+      val (a2, relA2) = graft.Artifacts.leafDf(kmAssign(e, c1))
+      ((c1, a2), () => { relC1(); relA2() })
     }
 
   /** The QUANTIZED index artifact: every trained assignment's int8 codes
@@ -1796,14 +1795,13 @@ object Similarity {
       (c1.select(lit(m).as("m"), col("cell"), col("cen")),
         a2.select(col("vec_id"), lit(m).as("m"), col("cell")), c1)
     }
-    val cents = parts.map(_._1).reduce(_.union(_)).persist(lvl)
-    val codes = parts.map(_._2).reduce(_.union(_)).persist(lvl)
-    ((cents, codes), () => {
-      parts.foreach(_._3.unpersist(blocking = true))
-      cents.unpersist(blocking = true)
-      codes.unpersist(blocking = true)
-      ()
-    })
+    // leaves (Artifacts.leafDf scaladoc); the eager checkpoint is the
+    // artifact's one materialization, after which the per-subspace
+    // scaffolding persists can go immediately
+    val (cents, relCents) = graft.Artifacts.leafDf(parts.map(_._1).reduce(_.union(_)))
+    val (codes, relCodes) = graft.Artifacts.leafDf(parts.map(_._2).reduce(_.union(_)))
+    parts.foreach(_._3.unpersist(blocking = false))
+    ((cents, codes), () => { relCents(); relCodes() })
   }
 
   /** Coarse-centroid residuals, stored at float32: every trained
@@ -1815,7 +1813,7 @@ object Similarity {
     * byte-for-byte the same as the raw path's.
     */
   private[operators] def residuals(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.cachedDf(s, s"pq_residuals:$d") {
+    graft.Artifacts.checkpointedDf(s, s"pq_residuals:$d") {
       val (c1, a2) = kmTrained(s, d)
       a2.join(broadcast(c1), "cell")
         .select(col("vec_id"), col("cell"),
@@ -1920,22 +1918,37 @@ object Similarity {
           VectorFunctions.l2DistSq(col("qsub"), col("cen")).as("dd"))
     }.reduce(_.union(_))
 
-  private def pqAdcTop3(s: SparkSession, d: String, k: Int = PqK): DataFrame = {
-    VectorFunctions.register(s)
-    val (cents, codes) = pqTrained(s, d, k)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val lut = pqLut(e, cents)
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
-    codes
-      .join(broadcast(lut), Seq("m", "cell"))
-      .where(col("vec_id") =!= col("qid"))
-      .withColumnRenamed("vec_id", "neighbor_id")
-      .groupBy(col("qid"), col("neighbor_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("dd")))).as("dds"))
-      .select(col("qid"), col("neighbor_id"),
-        expr("aggregate(dds, 0D, (acc, s) -> acc + s.dd)").as("adc"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
+  /** A session artifact: the ranked table is shared verbatim by the
+    * search query (q91) and its recall audit (q92, [[pqMeanRecall]]), so
+    * the ADC join + fold executes once per (session, dir, k) instead of
+    * once per consumer. ~|batch|·3 rows; released via `Artifacts.release`.
+    */
+  private def pqAdcTop3(s: SparkSession, d: String, k: Int = PqK): DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"pq_adc_top3:$d:k=$k") {
+      pqAdcTop3Plan(s, d, k)
+    }
+
+  /** The un-checkpointed plan behind [[pqAdcTop3]] — PlanSpec pins the
+    * codes-vs-LUT join shape here, where the joins are visible (the
+    * registered queries read the materialized leaf).
+    */
+  private[operators] def pqAdcTop3Plan(s: SparkSession, d: String,
+      k: Int = PqK): DataFrame = {
+      VectorFunctions.register(s)
+      val (cents, codes) = pqTrained(s, d, k)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val lut = pqLut(e, cents)
+      val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
+      codes
+        .join(broadcast(lut), Seq("m", "cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .groupBy(col("qid"), col("neighbor_id"))
+        .agg(sort_array(collect_list(struct(col("m"), col("dd")))).as("dds"))
+        .select(col("qid"), col("neighbor_id"),
+          expr("aggregate(dds, 0D, (acc, s) -> acc + s.dd)").as("adc"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
   }
 
   /** Oracle twin of [[pqAdcTop3]] minus the per-subspace training CTEs
@@ -1993,7 +2006,7 @@ object Similarity {
     * Released via `Artifacts.release(session)`.
     */
   private def l2Top3Truth(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.cachedDf(s, s"l2_truth:$d") {
+    graft.Artifacts.checkpointedDf(s, s"l2_truth:$d") {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val qb = broadcast(e.where(col("vec_id") < QueryBatch))
       val all = e.select(col("vec_id").as("neighbor_id"),
@@ -2299,7 +2312,18 @@ object Similarity {
   /** The residual serving core shared by q101 (the search) and q102 (its
     * recall audit): probed candidates ranked top-3 by residual ADC.
     */
-  private def residualAdcTop3(s: SparkSession, d: String): DataFrame = {
+  private def residualAdcTop3(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"residual_top3:$d") {
+      residualAdcTop3Plan(s, d)
+    }
+
+  /** The un-cached plan behind [[residualAdcTop3]] — q101 and q102 both
+    * consume the identical ~|batch|·3-row ranked table, so it is a
+    * session artifact (measured: the serving chain alone re-executes in
+    * ~5-7 s per consumer at fixture scale purely from its stage count;
+    * sharing pays it once). Released via `Artifacts.release`.
+    */
+  private[operators] def residualAdcTop3Plan(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val (c1, a2) = kmTrained(s, d)
     val (rcents, rcodes) = pqResTrained(s, d)

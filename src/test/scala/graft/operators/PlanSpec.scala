@@ -65,7 +65,8 @@ class PlanSpec extends SparkSuite {
       // the trained index is a materialized artifact: both the probe and
       // candidate sides must read the cached assignments, not re-run the
       // Lloyd training pipeline per join side
-      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan")
+          || p.contains("InMemoryRelation"),
         s"$q re-trains instead of reading the materialized index:\n$p")
     }
   }
@@ -181,7 +182,8 @@ class PlanSpec extends SparkSuite {
   test("q83 recall audit: no cartesian, tiers serve from the materialized index") {
     val p = plan("q83_ivf_recall")
     assert(!p.contains("CartesianProduct"), s"q83 plans a cartesian:\n$p")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan")
+        || p.contains("InMemoryRelation"),
       s"q83 re-trains instead of reading the materialized index:\n$p")
     // BNLJ count is deliberately NOT pinned: every reference to the
     // cached index re-renders the training pipeline's k-row centroid
@@ -209,7 +211,8 @@ class PlanSpec extends SparkSuite {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
-      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan")
+          || p.contains("InMemoryRelation"),
         s"$q re-derives codes instead of reading the quantized artifact:\n$p")
       // the point of the materialized index: every join at or above the
       // quantized artifact carries (code, nq) — 1 byte/dim + a long — not
@@ -245,26 +248,32 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q91/q92 PQ-ADC: candidate join is code-vs-LUT, floats never ride it") {
-    // q91's database side must be the stored PQ codes joined against the
-    // broadcast LUT on (m, cell) — an equi-join of narrow int rows. The
-    // float embeddings appear only in the LUT build (query batch × M·k
-    // centroids) and, for q92, the bounded-batch truth BNLJ (q44's shape).
+    // The ranked ADC tables are checkpointed artifacts, so the registered
+    // queries read a materialized leaf; the join-shape invariant lives in
+    // the BUILDER plans: the database side must be the stored PQ codes
+    // joined against the broadcast LUT on (m, cell) — an equi-join of
+    // narrow int rows. The float embeddings appear only in the LUT build
+    // (query batch × M·k centroids) and the bounded-batch truth BNLJ.
     for (q <- Seq("q91_pq_adc_search", "q92_pq_recall", "q93_ivfpq_search",
         "q101_residual_ivfpq", "q102_residual_recall")) {
-      val df = graft.SparkEntry.queries(q)(spark, dir)
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
-      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan")
+          || p.contains("InMemoryRelation"),
         s"$q re-trains instead of reading the PQ artifact:\n$p")
+    }
+    for ((label, df) <- Seq(
+        "pqAdcTop3" -> Similarity.pqAdcTop3Plan(spark, dir),
+        "residualAdcTop3" -> Similarity.residualAdcTop3Plan(spark, dir))) {
       val adcJoins = df.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
             if j.output.exists(_.name == "dd") => j
       }
-      assert(adcJoins.nonEmpty, s"$q ADC code-vs-LUT join not found")
+      assert(adcJoins.nonEmpty, s"$label ADC code-vs-LUT join not found")
       adcJoins.foreach { j =>
         assert(!j.output.exists(a =>
             a.name == "embedding" || a.name.endsWith("sub")),
-          s"$q: float vectors ride the ADC join: ${j.output.map(_.name)}")
+          s"$label: float vectors ride the ADC join: ${j.output.map(_.name)}")
       }
     }
   }
