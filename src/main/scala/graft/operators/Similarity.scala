@@ -2507,7 +2507,47 @@ object Similarity {
         col("label") === col("label_b")))
   }
 
+  /** q104: HARD-NEGATIVE mining — q103's machinery with the predicate
+    * inverted: for each batch query, the top-3 most-similar vectors with
+    * a DIFFERENT label. This is the negative sampler of contrastive
+    * embedding training (high-cosine other-class vectors are the
+    * gradient-bearing negatives); mining them through the probed IVF
+    * cells instead of all-pairs is what makes the sampler affordable at
+    * corpus scale. Same pre-rank join-borne predicate discipline as
+    * q103 — a post-filter would starve queries whose cells are
+    * same-label-dominated.
+    */
+  private val q104 = GraftQuery(
+    "q104_hard_negatives",
+    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")}, sim AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("p", "b")} AS cos
+       |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+       |  JOIN embeddings lq ON lq.vec_id = p.vec_id
+       |  JOIN embeddings lb ON lb.vec_id = b.vec_id
+       |  WHERE lq.label <> lb.label
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sim) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val e = Tables.embeddings(s, d)
+    val labels = e.select(col("vec_id"), col("label"))
+    val probes = probeSelection(
+        e.select("vec_id", "embedding").where(col("vec_id") < QueryBatch), c1)
+      .join(broadcast(labels.where(col("vec_id") < QueryBatch)), "vec_id")
+    val cand = a2.join(labels, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
+        col("embedding").as("emb_b"), col("label").as("label_b"))
+    rankTop3(probes.join(cand,
+      col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id") &&
+        col("label") =!= col("label_b")))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103)
+      q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104)
 }

@@ -148,21 +148,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"rates join lost broadcast:\n$p")
   }
 
-  test("q103 filtered ANN: label predicate rides the candidate join, pre-rank") {
-    val df = graft.SparkEntry.queries("q103_filtered_ann")(spark, dir)
-    val p = plan("q103_filtered_ann")
-    assert(!p.contains("CartesianProduct"), s"q103 plans a cartesian:\n$p")
-    // post-filtering a top-k starves same-label queries; the pin is that
-    // some JOIN carries the label equality together with the cell key
-    val labelJoins = df.queryExecution.optimizedPlan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if j.condition.exists { c =>
-            val s = c.sql
-            s.contains("label") && s.contains("cell")
-          } => j
+  test("q103/q104 label predicate rides the candidate join, pre-rank") {
+    for (q <- Seq("q103_filtered_ann", "q104_hard_negatives")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // post-filtering a top-k starves queries; the pin is that some
+      // JOIN carries the label predicate together with the cell key
+      val labelJoins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists { c =>
+              val s = c.sql
+              s.contains("label") && s.contains("cell")
+            } => j
+      }
+      assert(labelJoins.nonEmpty,
+        s"$q: label predicate is not part of the candidate join:\n$p")
     }
-    assert(labelJoins.nonEmpty,
-      s"label filter is not part of the candidate join:\n$p")
   }
 
   test("q99 temperature mix keeps q81's map-side shape; q100 scrub is one agg") {

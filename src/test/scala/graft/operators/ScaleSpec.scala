@@ -371,6 +371,20 @@ class ScaleSpec extends SparkSuite {
       .collect().head
     assert(counts.getLong(0) == 3 && counts.getLong(1) == 3,
       s"per-query result counts drifted: $counts")
+
+    // hard negatives are the complement: every mined neighbor is
+    // OTHER-label, and the sampler still fills k per query
+    val hn = graft.SparkEntry.queries("q104_hard_negatives")(spark, dir)
+    val sameLabel = hn
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .where(col("label") === col("nlabel")).count()
+    assert(sameLabel == 0, s"$sameLabel same-label rows leaked into the negatives")
+    val hnCounts = hn.groupBy("vec_id").count().agg(min("count"), max("count"))
+      .collect().head
+    assert(hnCounts.getLong(0) == 3 && hnCounts.getLong(1) == 3,
+      s"hard-negative counts drifted: $hnCounts")
   }
 
   test("temperature mix rates are monotone in alpha; endpoints behave") {
