@@ -876,6 +876,19 @@ object Similarity {
   private def probeCells(e: DataFrame, c1: DataFrame, p: Int): DataFrame =
     probeSelection(e, c1, p).select("vec_id", "probe_cell")
 
+  /** The FULL-corpus probe table as a leaf artifact: q72, q84, and q87
+    * all probe every vector's [[ProbeP]] nearest trained cells, and each
+    * was re-running the corpus × centroids assignment; one (session,
+    * dir) table serves all three (payload-free consumers project the
+    * embedding away). Released via `Artifacts.release`.
+    */
+  private def corpusProbes(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"corpus_probes:$d:p=$ProbeP") {
+      val (c1, _) = kmTrained(s, d)
+      probeSelection(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        c1, ProbeP)
+    }
+
   /** Oracle twin of [[probeSelection]]; `where` restricts the probe side. */
   private def probesOracle(where: String): String =
     s"""probes AS (
@@ -949,9 +962,8 @@ object Similarity {
        |  FROM sim) t
        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
-    val (c1, a2) = kmTrained(s, d)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val probes = probeSelection(e, c1)
+    val (_, a2) = kmTrained(s, d)
+    val probes = corpusProbes(s, d)
     val cand = a2.select(col("vec_id").as("neighbor_id"),
       col("cell").as("cell_b"), col("embedding").as("emb_b"))
     rankTop3(probes.join(cand,
@@ -1561,10 +1573,8 @@ object Similarity {
        |  FROM sim) t
        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
-    val (c1, _) = kmTrained(s, d)
     val qidx = kmQuantized(s, d)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val probes = probeCells(e, c1, ProbeP)
+    val probes = corpusProbes(s, d).select("vec_id", "probe_cell")
     val qa = qidx.select(col("vec_id"), col("code").as("code_a"), col("nq").as("nq_a"))
     val qb = qidx.select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
       col("code").as("code_b"), col("nq").as("nq_b"))
@@ -1649,10 +1659,8 @@ object Similarity {
        |  FROM rer) t
        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
-    val (c1, _) = kmTrained(s, d)
     val qidx = kmQuantized(s, d)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val probes = probeCells(e, c1, ProbeP)
+    val probes = corpusProbes(s, d).select("vec_id", "probe_cell")
     val qa = qidx.select(col("vec_id"), col("code").as("code_a"), col("nq").as("nq_a"))
     val qb = qidx.select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
       col("code").as("code_b"), col("nq").as("nq_b"))
@@ -1667,6 +1675,7 @@ object Similarity {
       .where(col("rq") <= RerankM)
       .select("vec_id", "neighbor_id")
     // float arrays enter ONLY here — M rows per query, two id equi-joins
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val ea = e.select(col("vec_id"), col("embedding").as("emb_a"))
     val eb = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
     rankTop3(short.join(ea, "vec_id").join(eb, "neighbor_id"))
