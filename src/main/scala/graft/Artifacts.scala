@@ -107,19 +107,63 @@ object Artifacts {
     (chk, release)
   }
 
+  /** Cluster-safe twin of [[checkpointedDf]]: a RELIABLE checkpoint
+    * (files under the session's checkpoint directory — HDFS/object store
+    * on a real cluster) instead of executor-local blocks. A
+    * `localCheckpoint` leaf trades lineage for blocks that are NOT
+    * recoverable if an executor dies — irrelevant on local[n], but on a
+    * real cluster a lost executor mid-session kills the artifact with no
+    * rebuild path short of release+retrain (ArtifactsSpec pins exactly
+    * that recovery path for the local variant). This variant pays one
+    * durable storage write and every read recomputes from the checkpoint
+    * FILES, so executor churn cannot lose it — the halfway point between
+    * an in-memory leaf and a full table write
+    * ([[graft.operators.Similarity.writeIvfIndex]], the production form).
+    * Sets a JVM-temp checkpoint dir if the session has none (local runs;
+    * a cluster deployment points spark.checkpoint.dir at shared storage).
+    * Release deletes the checkpoint files.
+    */
+  def reliableCheckpointDf(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame =
+    cached[DataFrame](s, key) {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(java.nio.file.Files
+          .createTempDirectory("graft_reliable_chk").toString)
+      val chk = build.checkpoint(eager = true)
+      val release = () => chk.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+        case _ => ()
+      }
+      (chk, release)
+    }
+
   /** Release every artifact registered for `s`: run each release hook
     * (unpersist cached plans, destroy broadcasts) and forget the entries,
     * so the next query rebuilds from scratch. Call when a session is done
     * with a corpus (or before stopping it — entries keyed by a stopped
     * session would otherwise stay strongly referenced here).
+    *
+    * Holds [[buildLock]] for the sweep: a release racing an in-flight
+    * build could otherwise unpersist entries and then have the build's
+    * `entries.put` re-register an artifact release already forgot —
+    * leaking its persisted blocks. Serializing release against builds
+    * makes the sweep atomic with respect to registration.
     */
   def release(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
-    val keys = entries.keySet.asScala.filter(_._1 eq s).toList
-    keys.foreach { k =>
-      val e = entries.remove(k)
-      if (e != null) e.releaseFn()
-    }
+    buildLock.lock()
+    try {
+      val keys = entries.keySet.asScala.filter(_._1 eq s).toList
+      keys.foreach { k =>
+        val e = entries.remove(k)
+        if (e != null) e.releaseFn()
+      }
+    } finally buildLock.unlock()
   }
 
   /** Registered artifact count for a session (test/observability hook). */

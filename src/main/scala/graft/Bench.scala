@@ -51,10 +51,14 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try evaluate(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
+    // retried query names surface in the JSON (usually empty, so the
+    // tail-window budget is unaffected): a retried time ran against JVM
+    // state warmed by the failed attempt, so downstream comparisons can
+    // discount it rather than read it as a first-attempt number
+    val retried = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // one retry: a crowded-host transient (broadcast timeout, executor
-      // hiccup) must not poison the round's record with a -1 — the retry
-      // re-times from scratch, so a pass reports the clean attempt's cost
+      // hiccup) must not poison the round's record with a -1
       def attempt(): Option[Double] = {
         val t0 = System.nanoTime()
         try { evaluate(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -62,7 +66,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None }
       }
-      name -> attempt().orElse(attempt()).getOrElse(-1.0)
+      name -> attempt().orElse {
+        retried += name
+        // drop session artifacts the failed attempt may have built, so
+        // the retry pays the same artifact costs a clean attempt would
+        try Artifacts.release(spark) catch { case _: Throwable => () }
+        attempt()
+      }.getOrElse(-1.0)
     }
     // Centisecond precision, trailing zeros stripped, short sf label: the
     // driver captures only the last ~2000 chars of stdout (followed by
@@ -82,7 +92,12 @@ object Bench {
         val key = if (shortKeys) k.takeWhile(_ != '_') else k
         "\"" + key + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+      val re =
+        if (retried.isEmpty) ""
+        else retried.sorted
+          .map(k => "\"" + (if (shortKeys) k.takeWhile(_ != '_') else k) + "\"")
+          .mkString(",\"retried\":[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$qs$re,"sf":"$sfLabel"}"""
     }
     // The driver keeps only the last ~2000 chars of stdout, so the line
     // must fit that window WITH headroom for anything logged after it.

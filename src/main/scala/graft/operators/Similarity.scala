@@ -801,6 +801,23 @@ object Similarity {
       .parquet(s"$outDir/pq_residual_codebooks")
   }
 
+  /** The complete written serving artifact as a session-memoized temp
+    * directory: [[writeIvfIndex]] under `<base>/index` plus
+    * [[writeIndexSidecar]] tables under `<base>` — one write shared by
+    * every cold-start consumer in the session (Verify + Bench warmup and
+    * timed runs), deleted by `Artifacts.release`. Each session writes its
+    * own directory, so concurrent sessions never clobber each other.
+    */
+  private[operators] def writtenIndex(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"written_index:$d") {
+      val base = java.nio.file.Files.createTempDirectory("graft_served_index")
+      writeIvfIndex(s, d, base.toString + "/index")
+      writeIndexSidecar(s, d, base.toString)
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
   private val kmOracleTrain: String =
     s"""c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
@@ -1539,10 +1556,13 @@ object Similarity {
     * division (sqrt of the two STORED norms) — no re-quantization, no
     * float reads.
     */
-  private val q84 = GraftQuery(
-    "q84_quantized_ivf",
-    s"""WITH $kmOracleTrain, ${probesOracle("")},
-       |qv AS (
+  /** Oracle tail shared by q84 (full-corpus probes) and q105 (bounded
+    * batch served cold from the written index): int8-quantize every
+    * trained assignment, rank probed candidates by integer cosine on the
+    * codes — callers prepend `kmOracleTrain` and a `probes` CTE.
+    */
+  private val int8QuantOracleTail: String =
+    s"""qv AS (
        |  SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM a2),
        |sv AS (
@@ -1571,7 +1591,12 @@ object Similarity {
        |  SELECT vec_id, neighbor_id, qcos,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, neighbor_id) AS rank
        |  FROM sim) t
-       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  private val q84 = GraftQuery(
+    "q84_quantized_ivf",
+    s"""WITH $kmOracleTrain, ${probesOracle("")},
+       |$int8QuantOracleTail""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
     val qidx = kmQuantized(s, d)
     val probes = corpusProbes(s, d).select("vec_id", "probe_cell")
@@ -1755,8 +1780,21 @@ object Similarity {
   // ---- product quantization: per-subspace codebooks + ADC search (q91) ----
 
   private val PqM = 4
+  require(KmDim % PqM == 0,
+    s"PQ subspaces must tile the embedding exactly: KmDim=$KmDim % PqM=$PqM != 0 " +
+      "(a remainder would silently drop trailing dimensions from every code)")
   private val PqSubDim = KmDim / PqM
   private val PqK = 16
+
+  /** Subspace width for an M-subspace split, with the same divisibility
+    * guard the fixture constants carry: a non-tiling M would silently
+    * drop trailing dimensions from every code.
+    */
+  private def pqSubDim(mm: Int): Int = {
+    require(KmDim % mm == 0,
+      s"PQ subspaces must tile the embedding exactly: KmDim=$KmDim % M=$mm != 0")
+    KmDim / mm
+  }
 
   /** The trained PQ index per (session, dir): per-subspace codebooks
     * (`m, cell, cen`) and per-vector codes (`vec_id, m, cell`) —
@@ -1776,9 +1814,9 @@ object Similarity {
     * ScaleSpec pins that recall@3 improves with k on the fixture.
     */
   private[operators] def pqTrained(s: SparkSession, d: String,
-      k: Int = PqK): (DataFrame, DataFrame) =
-    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pq_index:$d:k=$k") {
-      pqTrainOn(Tables.embeddings(s, d).select("vec_id", "embedding"), k)
+      k: Int = PqK, mm: Int = PqM): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pq_index:$d:k=$k:m=$mm") {
+      pqTrainOn(Tables.embeddings(s, d).select("vec_id", "embedding"), k, mm)
     }
 
   /** The per-subspace training body shared by the raw-vector index
@@ -1788,11 +1826,12 @@ object Similarity {
     * residuals.
     */
   private def pqTrainOn(e: DataFrame,
-      k: Int): ((DataFrame, DataFrame), () => Unit) = {
+      k: Int, mm: Int = PqM): ((DataFrame, DataFrame), () => Unit) = {
+    val sd = pqSubDim(mm)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val parts = (0 until PqM).map { m =>
+    val parts = (0 until mm).map { m =>
       val sub = e.select(col("vec_id"),
-        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+        slice(col("embedding"), m * sd + 1, sd).as("embedding"))
       val c0 = sub.where(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
@@ -1847,8 +1886,9 @@ object Similarity {
     * `[off+1, off+PqSubDim]` slice. Emits `c1_m` (trained codebook) and
     * `a2_m` (final assignment = the subspace code).
     */
-  private def pqOracleSubDist(emb: String, cen: String, off: Int): String =
-    s"list_reduce(list_transform(range(1, $PqSubDim+1), j -> " +
+  private def pqOracleSubDist(emb: String, cen: String, off: Int,
+      sd: Int = PqSubDim): String =
+    s"list_reduce(list_transform(range(1, $sd+1), j -> " +
       s"(CAST($emb[$off+j] AS DOUBLE) - $cen[j]) * (CAST($emb[$off+j] AS DOUBLE) - $cen[j])), (x,y) -> x+y)"
 
   private def pqOracleTrain(m: Int): String = pqOracleTrainFrom("embeddings", m, "")
@@ -1856,32 +1896,36 @@ object Similarity {
   /** The same per-subspace training CTEs over an arbitrary source table
     * (raw `embeddings` or the `remb` residual CTE), with CTE names
     * prefixed by `p` so both chains can coexist in one oracle query.
+    * `mm`/`k` select the sizing (defaults are the fixture constants; the
+    * production point passes M=[[PqMProd]], k=[[PqKProd]]).
     */
-  private def pqOracleTrainFrom(src: String, m: Int, p: String): String = {
-    val off = m * PqSubDim
+  private def pqOracleTrainFrom(src: String, m: Int, p: String,
+      mm: Int = PqM, k: Int = PqK): String = {
+    val sd = pqSubDim(mm)
+    val off = m * sd
     s"""${p}c0_$m AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
-       |    list_transform(range(1, $PqSubDim+1), j -> CAST(embedding[$off+j] AS DOUBLE)) AS cen
-       |  FROM $src WHERE vec_id < $PqK),
+       |    list_transform(range(1, $sd+1), j -> CAST(embedding[$off+j] AS DOUBLE)) AS cen
+       |  FROM $src WHERE vec_id < $k),
        |${p}a1_$m AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off)}, c.cell) AS rn
+       |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off, sd)}, c.cell) AS rn
        |    FROM $src e CROSS JOIN ${p}c0_$m c) t WHERE rn = 1),
        |${p}c1d_$m AS (
        |  SELECT a.cell, j,
        |    list_reduce(list(CAST(e.embedding[$off+j] AS DOUBLE) ORDER BY e.vec_id), (x,y) -> x+y)
        |      / count(*) AS mean_j
        |  FROM ${p}a1_$m a JOIN $src e ON a.vec_id = e.vec_id
-       |  CROSS JOIN range(1, $PqSubDim+1) t(j)
+       |  CROSS JOIN range(1, $sd+1) t(j)
        |  GROUP BY a.cell, j),
        |${p}c1_$m AS (SELECT cell, list(mean_j ORDER BY j) AS cen FROM ${p}c1d_$m GROUP BY cell),
        |${p}a2_$m AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off)}, c.cell) AS rn
+       |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off, sd)}, c.cell) AS rn
        |    FROM $src e CROSS JOIN ${p}c1_$m c) t WHERE rn = 1)""".stripMargin
   }
 
@@ -2556,7 +2600,68 @@ object Similarity {
         col("label") =!= col("label_b")))
   }
 
+  /** The cold-start serving plan behind q105, built ONLY from the files
+    * under `base` ([[writeIvfIndex]]'s partitioned vectors +
+    * [[writeIndexSidecar]]'s coarse centroids): no `graft.Tables` read,
+    * no in-session training artifact. Probe selection runs against the
+    * sidecar centroid table (k rows, broadcast); the probed cell set for
+    * the bounded batch — ≤ min(k, p·|batch|) values, the routing table a
+    * production query router holds in memory — is collected and pushed
+    * into the candidate read as a STATIC `cell IN (...)` predicate, so
+    * the scan opens only the probed partitions' files (PlanSpec pins the
+    * PartitionFilters). Ranking is q84's integer-cosine join over the
+    * STORED (code, nq) columns; float embeddings are read only for the
+    * query batch's probe selection. Exposed for PlanSpec.
+    */
+  private[operators] def coldServePlan(s: SparkSession, base: String): DataFrame = {
+    VectorFunctions.register(s)
+    val coarse = s.read.parquet(s"$base/coarse_centroids")
+    val index = s.read.parquet(s"$base/index")
+    val qs = index.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding"))
+    val probes = probeSelection(qs, coarse, ProbeP)
+      .select("vec_id", "probe_cell")
+    val cells = probes.select("probe_cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val cand = index.where(col("cell").isin(cells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
+        col("code").as("code_b"), col("nq").as("nq_b"))
+    val qa = index.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("code").as("code_a"), col("nq").as("nq_a"))
+    val w = Window.partitionBy("vec_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    probes.join(qa, "vec_id")
+      .join(cand, col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id"))
+      .where(col("nq_a") > 0 && col("nq_b") > 0)
+      .withColumn("qcos",
+        VectorFunctions.int8CodeDot(col("code_a"), col("code_b")).cast("double") /
+          (sqrt(col("nq_a").cast("double")) * sqrt(col("nq_b").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("qcos"), 6).as("qcos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** q105: COLD-START serving from the WRITTEN index — the actual
+    * production deployment path every in-session artifact stands in for:
+    * write [[writeIvfIndex]] + [[writeIndexSidecar]] once per (session,
+    * dir), then answer the bounded query batch reading ONLY those files
+    * (a fresh process with the same directory would produce the same
+    * plan). The result is q84's quantized-IVF top-3 restricted to the
+    * batch, so the oracle gate proves the storage round-trip is
+    * value-exact end-to-end: codes, norms, centroids, and partition
+    * layout all survive the write. This is also the durability answer to
+    * localCheckpoint volatility: the files ARE the artifact.
+    */
+  private val q105 = GraftQuery(
+    "q105_cold_index_serve",
+    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
+       |$int8QuantOracleTail""".stripMargin) { (s, d) =>
+    coldServePlan(s, writtenIndex(s, d))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
-      q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104)
+      q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
+      q105)
 }

@@ -55,6 +55,54 @@ class ArtifactsSpec extends SparkSuite {
     assert(Artifacts.registered(spark) > 0)
   }
 
+  test("local leaf loses data with its blocks; release+rebuild recovers; reliable leaf survives") {
+    // the documented volatility of localCheckpoint leaves (Artifacts
+    // .leafDf scaladoc): blocks are executor storage with no lineage, so
+    // a lost executor loses the artifact. Simulated here by unpersisting
+    // the leaf's RDD — the recovery path is release + rebuild-on-demand,
+    // and that path must actually work.
+    Artifacts.release(spark)
+    import spark.implicits._
+    var builds = 0
+    def build() = { builds += 1; (1 to 100).toDF("x") }
+    val leaf = Artifacts.checkpointedDf(spark, "loss_local")(build())
+    assert(leaf.count() == 100 && builds == 1)
+    leaf.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = true) // the simulated executor loss
+      case other => fail(s"leaf is not a LogicalRDD: ${other.getClass}")
+    }
+    // the handed-out leaf is now dead — and so is the memoized entry
+    assert(intercept[Exception](
+      Artifacts.checkpointedDf(spark, "loss_local")(build()).count()
+    ).toString.nonEmpty && builds == 1)
+    // recovery: forget the dead entry, rebuild from source on demand
+    Artifacts.release(spark)
+    assert(Artifacts.checkpointedDf(spark, "loss_local")(build()).count() == 100)
+    assert(builds == 2, "release must trigger a fresh build, not a cache hit")
+
+    // the cluster-safe variant reads from checkpoint FILES: dropping
+    // cached blocks cannot lose it (this is what reliable buys)
+    val rel = Artifacts.reliableCheckpointDf(spark, "loss_reliable")(build())
+    assert(rel.count() == 100)
+    rel.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val f = l.rdd.getCheckpointFile
+        assert(f.isDefined, "reliable leaf must be file-checkpointed")
+        l.rdd.unpersist(blocking = true)
+      case other => fail(s"reliable leaf is not a LogicalRDD: ${other.getClass}")
+    }
+    assert(rel.count() == 100, "reliable checkpoint must survive block loss")
+    // release deletes the checkpoint files
+    val file = rel.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      .rdd.getCheckpointFile.get
+    Artifacts.release(spark)
+    val p = new org.apache.hadoop.fs.Path(file)
+    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      "release must delete the reliable checkpoint's files")
+  }
+
   test("artifact builds may nest (regression: 'Recursive update' in q52)") {
     // The minhash-signature artifact's build requests the shingle-hash
     // artifact. Under the old computeIfAbsent implementation a nested

@@ -97,9 +97,17 @@ class PipelineWriteSpec extends SparkSuite {
 
     val files = new java.io.File(out).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    // the budget is a target, not an exact count: repartitionByRange's
+    // range sampling can skew a partition past recordsPerFile, at which
+    // point maxRecordsPerFile (the HARD cap) splits it into an extra
+    // file — assert the cap and a small tolerance, not exact equality
     val expected = ((n + per - 1) / per).toInt
-    assert(files.length == expected,
-      s"wrote ${files.length} files, budget says $expected")
+    assert(files.length >= expected && files.length <= expected + 2,
+      s"wrote ${files.length} files, budget says ~$expected")
+    files.foreach { f =>
+      val rows = spark.read.parquet(f).count()
+      assert(rows <= per, s"file $f holds $rows rows, cap is $per")
+    }
 
     // round-trip completeness
     val back = spark.read.parquet(out)

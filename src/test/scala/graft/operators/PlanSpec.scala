@@ -280,6 +280,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q105 cold serving reads only the written index with a pruned candidate scan") {
+    val base = Similarity.writtenIndex(spark, dir)
+    val df = Similarity.coldServePlan(spark, base)
+    val p = df.queryExecution.executedPlan.toString
+    // the serving plan reads files, and ONLY the written artifact's files
+    // — never the corpus parquet, never an in-session training artifact
+    assert(p.contains("FileScan"), s"cold plan has no file scan:\n$p")
+    assert(!p.contains("testdata"), s"cold plan reads the corpus:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"cold plan leans on a session artifact:\n$p")
+    // the candidate scan is partition-pruned to the probed cells: the
+    // router's cell list must reach the scan as a PartitionFilter, so
+    // only the probed cells' files are opened
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(partFilters.exists(f => f.contains("cell") && f.contains("IN")),
+      s"no probed-cell partition pruning in the cold plan:\n$p")
+  }
+
   test("q89 dup-gram audit: hash equi-joins and partial aggregation, no pair blowup") {
     val p = plan("q89_dup_gram_audit")
     val tree = p.split("\n\n").head
