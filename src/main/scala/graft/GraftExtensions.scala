@@ -54,6 +54,12 @@ object GraftExtensions {
     ("int8_code_dot",
       "int8_code_dot(a, b) - exact integer dot product of two stored int8 code arrays",
       graft.functions.VectorFunctions.int8CodeDotBuilder),
+    ("pack_codes",
+      "pack_codes(codes) - pack an array of [0,255] subspace codes into one byte each (binary)",
+      graft.functions.VectorFunctions.packCodesBuilder),
+    ("unpack_codes",
+      "unpack_codes(b) - unsigned unpack of a pack_codes byte string back to array<int>",
+      graft.functions.VectorFunctions.unpackCodesBuilder),
     ("graft_bloom_might_contain",
       "graft_bloom_might_contain(filter, key) - probe a long key against a serialized bloom filter literal",
       graft.functions.BloomFilterFunctions.builder),

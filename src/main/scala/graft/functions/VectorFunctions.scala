@@ -456,6 +456,102 @@ case class Int8QuantStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Kernels for [[PackCodes]]/[[UnpackCodes]] — the production PQ code
+  * layout. At k=256 a subspace code is exactly one unsigned byte, so an
+  * M-subspace code is an M-byte `binary` — the row-width floor (no array
+  * header, no per-element null bits, 8 B for M=8 against 256 B of
+  * float32: the 32× compression PQ promises). Pack rejects codes outside
+  * [0, 255] (they cannot be a k≤256 codebook id) with null rather than
+  * truncating; unpack widens back to the int form every (m, cell) join
+  * uses, so the stored byte and the join key are provably the same value.
+  */
+object PackCodesKernel {
+  def pack(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = a.getInt(i)
+      if (v < 0 || v > 255) return null
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  def unpack(b: Array[Byte]): ArrayData = {
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) {
+      out(i) = b(i) & 0xff
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `pack_codes(array<int>) → binary` — one unsigned byte per subspace
+  * code (see [[PackCodesKernel]]). The storage form of a k≤256 PQ code.
+  */
+case class PackCodes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pack_codes requires array<int>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PackCodesKernel.pack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.PackCodesKernel.pack($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `unpack_codes(binary) → array<int>` — the join-key form of a stored
+  * [[PackCodes]] byte string (values 0..255, the unsigned reading).
+  */
+case class UnpackCodes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unpack_codes requires binary, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PackCodesKernel.unpack(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.PackCodesKernel.unpack($a);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register `cosine_sim(a, b)` for SQL/expr use on a session. Idempotent;
     * queries that need the expression call this first, then refer to it via
@@ -492,6 +588,16 @@ object VectorFunctions {
       require(exprs.length == 2, "int8_code_dot(a, b) takes exactly 2 arguments")
       Int8CodeDot(exprs(0), exprs(1))
     }
+  private[graft] val packCodesBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 1, "pack_codes(codes) takes exactly 1 argument")
+      PackCodes(exprs.head)
+    }
+  private[graft] val unpackCodesBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 1, "unpack_codes(b) takes exactly 1 argument")
+      UnpackCodes(exprs.head)
+    }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -506,6 +612,10 @@ object VectorFunctions {
       "int8_encode", int8EncodeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int8_code_dot", int8CodeDotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pack_codes", packCodesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unpack_codes", unpackCodesBuilder, "built-in")
   }
 
   /** Column-API form, valid on any session where [[register]] has run. */
@@ -542,5 +652,17 @@ object VectorFunctions {
   def int8CodeDot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.{call_function}
     call_function("int8_code_dot", a, b)
+  }
+
+  /** One-byte-per-subspace PQ code packing (k ≤ 256), post-[[register]]. */
+  def packCodes(codes: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("pack_codes", codes)
+  }
+
+  /** Unsigned unpack of a [[packCodes]] byte string, post-[[register]]. */
+  def unpackCodes(b: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("unpack_codes", b)
   }
 }

@@ -1786,6 +1786,21 @@ object Similarity {
   private val PqSubDim = KmDim / PqM
   private val PqK = 16
 
+  /** PRODUCTION sizing: M=8 subspaces × k=256 centroids — the standard
+    * billion-scale operating point (log2(256) = 8 bits = exactly one
+    * byte per subspace, so a vector's code is an 8-byte binary against
+    * 256 B of float32: 32× compression). The fixture constants above
+    * keep the registered default cheap; q106/q107 run THIS point, with
+    * [[graft.functions.PackCodes]] storing the genuine 1-byte/subspace
+    * form. On the 500-vector fixture k=256 is deliberately overfit
+    * (≈2 vectors/cell) — the point is exercising the production shapes
+    * (byte-packed codes, 2048-entry LUTs) under the oracle gate, and the
+    * measured recall is the curve's saturation end (ScaleSpec pins it
+    * above every fixture-sized point).
+    */
+  private[operators] val PqMProd = 8
+  private[operators] val PqKProd = 256
+
   /** Subspace width for an M-subspace split, with the same divisibility
     * guard the fixture constants carry: a non-tiling M would silently
     * drop trailing dimensions from every code.
@@ -1961,24 +1976,46 @@ object Similarity {
     * distance per (query, subspace, codebook centroid). Broadcast-sized
     * by construction (|batch| · M · k rows).
     */
-  private def pqLut(e: DataFrame, cents: DataFrame): DataFrame =
-    (0 until PqM).map { m =>
+  private def pqLut(e: DataFrame, cents: DataFrame, mm: Int = PqM): DataFrame = {
+    val sd = pqSubDim(mm)
+    (0 until mm).map { m =>
       e.where(col("vec_id") < QueryBatch)
         .select(col("vec_id").as("qid"),
-          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("qsub"))
+          slice(col("embedding"), m * sd + 1, sd).as("qsub"))
         .crossJoin(broadcast(cents.where(col("m") === m).select(col("cell"), col("cen"))))
         .select(col("qid"), lit(m).as("m"), col("cell"),
           VectorFunctions.l2DistSq(col("qsub"), col("cen")).as("dd"))
     }.reduce(_.union(_))
+  }
+
+  /** The ADC join + order-pinned fold + top-3 ranking shared by every
+    * flat-scan ADC tier: `codes` is any (vec_id, m, cell) long-form code
+    * table (the in-session artifact, or [[pqProdPacked]]'s byte string
+    * unpacked back to join keys), `lut` a [[pqLut]]-shaped broadcast.
+    */
+  private def adcRank(codes: DataFrame, lut: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
+    codes
+      .join(broadcast(lut), Seq("m", "cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("dd")))).as("dds"))
+      .select(col("qid"), col("neighbor_id"),
+        expr("aggregate(dds, 0D, (acc, s) -> acc + s.dd)").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+  }
 
   /** A session artifact: the ranked table is shared verbatim by the
     * search query (q91) and its recall audit (q92, [[pqMeanRecall]]), so
     * the ADC join + fold executes once per (session, dir, k) instead of
     * once per consumer. ~|batch|·3 rows; released via `Artifacts.release`.
     */
-  private def pqAdcTop3(s: SparkSession, d: String, k: Int = PqK): DataFrame =
-    graft.Artifacts.checkpointedDf(s, s"pq_adc_top3:$d:k=$k") {
-      pqAdcTop3Plan(s, d, k)
+  private def pqAdcTop3(s: SparkSession, d: String, k: Int = PqK,
+      mm: Int = PqM): DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"pq_adc_top3:$d:k=$k:m=$mm") {
+      pqAdcTop3Plan(s, d, k, mm)
     }
 
   /** The un-checkpointed plan behind [[pqAdcTop3]] — PlanSpec pins the
@@ -1986,35 +2023,70 @@ object Similarity {
     * registered queries read the materialized leaf).
     */
   private[operators] def pqAdcTop3Plan(s: SparkSession, d: String,
-      k: Int = PqK): DataFrame = {
+      k: Int = PqK, mm: Int = PqM): DataFrame = {
       VectorFunctions.register(s)
-      val (cents, codes) = pqTrained(s, d, k)
+      val (cents, codes) = pqTrained(s, d, k, mm)
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val lut = pqLut(e, cents)
-      val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
-      codes
-        .join(broadcast(lut), Seq("m", "cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .withColumnRenamed("vec_id", "neighbor_id")
-        .groupBy(col("qid"), col("neighbor_id"))
-        .agg(sort_array(collect_list(struct(col("m"), col("dd")))).as("dds"))
-        .select(col("qid"), col("neighbor_id"),
-          expr("aggregate(dds, 0D, (acc, s) -> acc + s.dd)").as("adc"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
+      adcRank(codes, pqLut(e, cents, mm))
   }
 
-  /** Oracle twin of [[pqAdcTop3]] minus the per-subspace training CTEs
-    * (callers prepend those): codes → lut → adc → ranked.
+  /** The PACKED production code table: one row per vector, the whole
+    * M-subspace code a single [[PqMProd]]-byte `binary` via
+    * [[graft.functions.PackCodes]] — the genuine 1-byte/subspace
+    * production layout (k=256 fills the byte exactly), 32× smaller than
+    * the float row it encodes. This is the form a 100 TB deployment
+    * stores and shuffles; q106 serves FROM it, unpacking to (m, cell)
+    * join keys at scan time, so the oracle gate covers the pack→store→
+    * unpack→serve round trip, not just the long-form codes.
     */
-  private def pqAdcOracle: String =
+  private[operators] def pqProdPacked(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cachedDf(s, s"pq_prod_packed:$d") {
+      VectorFunctions.register(s)
+      val (_, codes) = pqTrained(s, d, PqKProd, PqMProd)
+      codes.groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("m"), col("cell")))).as("mc"))
+        .select(col("vec_id"),
+          VectorFunctions.packCodes(expr("transform(mc, s -> s.cell)")).as("pqb"))
+    }
+
+  /** The production-sized ADC plan behind q106: [[pqLut]] at (M=8,
+    * k=256) — a 2048-entry LUT per query, still broadcast-sized — joined
+    * against [[pqProdPacked]]'s byte strings unpacked to (m, cell). The
+    * unpack is a codegen kernel + `posexplode`, the exact read path a
+    * stored binary code column serves through. Exposed for PlanSpec.
+    */
+  private[operators] def pqProdAdcPlan(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val (cents, _) = pqTrained(s, d, PqKProd, PqMProd)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val codes = pqProdPacked(s, d)
+      .select(col("vec_id"),
+        posexplode(VectorFunctions.unpackCodes(col("pqb"))).as(Seq("m", "cell")))
+    adcRank(codes, pqLut(e, cents, PqMProd))
+  }
+
+  /** Session artifact over [[pqProdAdcPlan]], shared by q106 and the
+    * q107 recall audit — the same search-result reuse q91/q92 have.
+    */
+  private def pqProdTop3(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"pq_prod_top3:$d") {
+      pqProdAdcPlan(s, d)
+    }
+
+  /** Oracle twin of [[pqAdcTop3]] minus the per-subspace training CTEs
+    * (callers prepend those): codes → lut → adc → ranked. `mm` selects
+    * the sizing (default = the fixture constants; q106/q107 pass
+    * [[PqMProd]] — the codebook size rides in via the training CTEs).
+    */
+  private def pqAdcOracleFor(mm: Int): String = {
+    val sd = pqSubDim(mm)
     s"""codes AS (
-       |  ${(0 until PqM).map(m => s"SELECT vec_id, $m AS m, cell FROM a2_$m")
+       |  ${(0 until mm).map(m => s"SELECT vec_id, $m AS m, cell FROM a2_$m")
             .mkString("\n  UNION ALL ")}),
        |lut AS (
-       |  ${(0 until PqM).map(m =>
+       |  ${(0 until mm).map(m =>
             s"""SELECT e.vec_id AS qid, $m AS m, c.cell,
-               |    ${pqOracleSubDist("e.embedding", "c.cen", m * PqSubDim)} AS dd
+               |    ${pqOracleSubDist("e.embedding", "c.cen", m * sd, sd)} AS dd
                |  FROM embeddings e CROSS JOIN c1_$m c WHERE e.vec_id < $QueryBatch"""
               .stripMargin).mkString("\n  UNION ALL ")}),
        |adc AS (
@@ -2030,11 +2102,12 @@ object Similarity {
        |      row_number() OVER (PARTITION BY qid ORDER BY adc, neighbor_id) AS rank
        |    FROM adc) t
        |  WHERE rank <= 3)""".stripMargin
+  }
 
   private val q91 = GraftQuery(
     "q91_pq_adc_search",
     s"""WITH ${(0 until PqM).map(pqOracleTrain).mkString(",\n")},
-       |$pqAdcOracle
+       |${pqAdcOracleFor(PqM)}
        |SELECT qid AS vec_id, neighbor_id, rank, round(adc, 6) AS adc_dist
        |FROM ranked ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
     pqAdcTop3(s, d)
@@ -2076,19 +2149,23 @@ object Similarity {
     * the measurement behind the ScaleSpec recall-vs-k pin and the
     * number a production (M, k) choice is calibrated on.
     */
-  private[operators] def pqMeanRecall(s: SparkSession, d: String, k: Int): Double = {
+  private[operators] def pqMeanRecall(s: SparkSession, d: String, k: Int,
+      mm: Int = PqM): Double = {
     VectorFunctions.register(s)
     val truth = l2Top3Truth(s, d)
-    val hits = pqAdcTop3(s, d, k).select(col("qid").as("vec_id"), col("neighbor_id"))
+    val hits = pqAdcTop3(s, d, k, mm)
+      .select(col("qid").as("vec_id"), col("neighbor_id"))
     truth.join(hits, Seq("vec_id", "neighbor_id"), "left_semi").count().toDouble /
       truth.count().toDouble
   }
 
-  private val q92 = GraftQuery(
-    "q92_pq_recall",
-    s"""WITH ${(0 until PqM).map(pqOracleTrain).mkString(",\n")},
-       |$pqAdcOracle,
-       |l2truth AS (
+  /** The exact-L2-truth CTE + per-query hit-count tail shared by every
+    * ADC recall-audit oracle (q92 fixture sizing, q107 production
+    * sizing): score `ranked` (the prepended ADC chain's output) against
+    * the brute-force L2 top-3 of the bounded batch.
+    */
+  private def pqRecallOracleTail: String =
+    s"""l2truth AS (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT q.vec_id, c.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2104,18 +2181,71 @@ object Similarity {
        |  round(CAST(count(r.neighbor_id) AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS recall
        |FROM l2truth t
        |LEFT JOIN ranked r ON t.vec_id = r.qid AND t.neighbor_id = r.neighbor_id
-       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The engine-side recall audit shared by q92/q107: per-query hit
+    * count of `hits` (an ADC top-3 table) against [[l2Top3Truth]].
+    */
+  private def pqRecallAudit(s: SparkSession, d: String,
+      hits: DataFrame): DataFrame = {
     VectorFunctions.register(s)
-    val truth = l2Top3Truth(s, d)
-    val hits = pqAdcTop3(s, d)
-      .select(col("qid").as("vec_id"), col("neighbor_id"), lit(1).as("hit"))
-    truth
-      .join(hits, Seq("vec_id", "neighbor_id"), "left")
+    l2Top3Truth(s, d)
+      .join(hits.select(col("qid").as("vec_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("vec_id", "neighbor_id"), "left")
       .groupBy("vec_id")
       .agg(count(col("hit")).as("n_hits"))
       .select(col("vec_id"), col("n_hits"),
         round(col("n_hits").cast("double") / lit(3.0), 6).as("recall"))
       .orderBy("vec_id")
+  }
+
+  private val q92 = GraftQuery(
+    "q92_pq_recall",
+    s"""WITH ${(0 until PqM).map(pqOracleTrain).mkString(",\n")},
+       |${pqAdcOracleFor(PqM)},
+       |$pqRecallOracleTail""".stripMargin) { (s, d) =>
+    pqRecallAudit(s, d, pqAdcTop3(s, d))
+  }
+
+  /** q106: PRODUCTION-sized PQ-ADC search — q91's serving shape at the
+    * billion-scale operating point (M=[[PqMProd]] subspaces,
+    * k=[[PqKProd]] centroids: one byte per subspace, 32× compression),
+    * served FROM the byte-packed code table ([[pqProdPacked]]): the
+    * stored form is an 8-byte `binary` per vector, unpacked to (m, cell)
+    * join keys at scan time by the [[graft.functions.UnpackCodes]]
+    * kernel. The oracle gate therefore covers pack → store → unpack →
+    * LUT-join → fold end-to-end at production sizing — codes are genuine
+    * bytes, LUTs are the real 2048-entry tables, and both stay
+    * broadcast-sized exactly as the q91 scaladoc's scale argument says.
+    */
+  private val q106 = GraftQuery(
+    "q106_pq_prod_search",
+    s"""WITH ${(0 until PqMProd)
+          .map(m => pqOracleTrainFrom("embeddings", m, "", PqMProd, PqKProd))
+          .mkString(",\n")},
+       |${pqAdcOracleFor(PqMProd)}
+       |SELECT qid AS vec_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+       |FROM ranked ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    pqProdTop3(s, d)
+      .select(col("qid").as("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** q107: the recall audit at PRODUCTION sizing — q92's measurement for
+    * q106's index, completing the recall-vs-(M, k) curve with the point
+    * a deployment would actually run (the fixture points are the cheap
+    * end; ScaleSpec pins this end above all of them). Same truth
+    * artifact, same audit shape — only the hits table changes.
+    */
+  private val q107 = GraftQuery(
+    "q107_pq_prod_recall",
+    s"""WITH ${(0 until PqMProd)
+          .map(m => pqOracleTrainFrom("embeddings", m, "", PqMProd, PqKProd))
+          .mkString(",\n")},
+       |${pqAdcOracleFor(PqMProd)},
+       |$pqRecallOracleTail""".stripMargin) { (s, d) =>
+    pqRecallAudit(s, d, pqProdTop3(s, d))
   }
 
   /** q93: IVF-PQ — the two index families composed into the standard
@@ -2137,7 +2267,7 @@ object Similarity {
   private val q93 = GraftQuery(
     "q93_ivfpq_search",
     s"""WITH $kmOracleTrain, ${(0 until PqM).map(pqOracleTrain).mkString(",\n")},
-       |$pqAdcOracle,
+       |${pqAdcOracleFor(PqM)},
        |${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
        |cand AS (
        |  SELECT p.vec_id AS qid, a.vec_id AS neighbor_id
@@ -2663,5 +2793,5 @@ object Similarity {
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
-      q105)
+      q105, q106, q107)
 }

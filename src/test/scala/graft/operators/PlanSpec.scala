@@ -266,7 +266,11 @@ class PlanSpec extends SparkSuite {
     }
     for ((label, df) <- Seq(
         "pqAdcTop3" -> Similarity.pqAdcTop3Plan(spark, dir),
-        "residualAdcTop3" -> Similarity.residualAdcTop3Plan(spark, dir))) {
+        "residualAdcTop3" -> Similarity.residualAdcTop3Plan(spark, dir),
+        // the production-sized tier (q106): same invariant, and the
+        // candidate side reads the byte-PACKED code table — the 8-byte
+        // binary column — unpacked to join keys, never float arrays
+        "pqProdAdc" -> Similarity.pqProdAdcPlan(spark, dir))) {
       val adcJoins = df.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
             if j.output.exists(_.name == "dd") => j

@@ -340,6 +340,37 @@ class ScaleSpec extends SparkSuite {
     val r16 = Similarity.pqMeanRecall(spark, dir, k = 16)
     assert(r4 <= r8 && r8 <= r16, s"recall not monotone in k: $r4, $r8, $r16")
     assert(r16 > r4, s"growing the codebooks 4x must improve recall: $r4 -> $r16")
+    // the production point (M=8, k=256 — q106's sizing, one byte per
+    // subspace) completes the recall-vs-(M, k) curve: a byte of code per
+    // subspace must beat every fixture-sized point, or the production
+    // sizing buys nothing
+    val prod = Similarity.pqMeanRecall(spark, dir,
+      k = Similarity.PqKProd, mm = Similarity.PqMProd)
+    info(s"PQ recall@3 curve: k=4 $r4, k=8 $r8, k=16 $r16, prod(M=8,k=256) $prod")
+    assert(prod >= r16,
+      s"production sizing must top the fixture curve: $prod < $r16")
+  }
+
+  test("packed production codes round-trip and are genuinely one byte per subspace") {
+    graft.functions.VectorFunctions.register(spark)
+    val packed = Similarity.pqProdPacked(spark, dir)
+    // byte width IS the subspace count — the 1-byte/subspace claim
+    val widths = packed.select(length(col("pqb")).as("w")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(widths == Set(Similarity.PqMProd),
+      s"packed code widths $widths != M=${Similarity.PqMProd}")
+    // unpack(pack(codes)) == the long-form code table the trainer built
+    val unpacked = packed.select(col("vec_id"),
+      posexplode(graft.functions.VectorFunctions.unpackCodes(col("pqb")))
+        .as(Seq("m", "cell")))
+    val codes = Similarity.pqTrained(spark, dir,
+      Similarity.PqKProd, Similarity.PqMProd)._2
+    assert(unpacked.join(codes, Seq("vec_id", "m", "cell")).count() == codes.count(),
+      "unpacked byte codes differ from the trained code table")
+    // k=256 fills the byte exactly: every unpacked value is a valid
+    // codebook id in [0, 256)
+    val bad = unpacked.where(col("cell") < 0 || col("cell") >= 256).count()
+    assert(bad == 0, s"$bad unpacked codes outside [0, 256)")
   }
 
   test("residual PQ codes rank probed candidates at least as well as raw codes") {
