@@ -748,6 +748,19 @@ object Similarity {
         .withColumn("nq", VectorFunctions.int8CodeDot(col("code"), col("code")))
     }
 
+  /** [[kmQuantized]] with the metadata column riding the index row — the
+    * filtered-ANN storage layout (the q103 scaladoc's "label rides the
+    * stored index row, as the code columns do"): the label is joined ONCE
+    * at index-build time and materialized, so a filtered serving query's
+    * predicate is a column comparison inside the candidate join — no
+    * per-query metadata join, exactly how a production store filters.
+    */
+  private[operators] def kmQuantizedLabeled(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cachedDf(s, s"ivf_quantized_labeled:$d") {
+      kmQuantized(s, d)
+        .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+    }
+
   /** Materialize the trained IVF index to storage, partitioned by cell —
     * the production form of [[kmTrained]]'s persist. A probe that knows
     * its target cells (from the centroid table, which is k rows and ships
@@ -1638,10 +1651,15 @@ object Similarity {
     * rerank is O(M) per query REGARDLESS of cell width — the quantized
     * stage is the only thing that scans candidates.
     */
-  private val q87 = GraftQuery(
-    "q87_quantized_rerank",
-    s"""WITH $kmOracleTrain, ${probesOracle("")},
-       |qv AS (
+  /** Oracle for the two-stage quantized-shortlist → float-rerank chain,
+    * parameterized by a metadata predicate: `labelJoins` adds the
+    * metadata lookups to the shortlist candidate join, `labelPred` the
+    * predicate itself — both empty for the unfiltered chain (q87),
+    * populated for the filtered one (q108). Callers prepend
+    * `kmOracleTrain` and a `probes` CTE.
+    */
+  private def quantRerankOracle(labelJoins: String, labelPred: String): String =
+    s"""qv AS (
        |  SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM a2),
        |sv AS (
@@ -1664,8 +1682,8 @@ object Similarity {
        |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS qcos
        |  FROM probes p
        |  JOIN nv a ON p.vec_id = a.vec_id
-       |  JOIN nv b ON p.cell = b.cell AND p.vec_id <> b.vec_id
-       |  WHERE a.nq > 0 AND b.nq > 0),
+       |  JOIN nv b ON p.cell = b.cell AND p.vec_id <> b.vec_id$labelJoins
+       |  WHERE a.nq > 0 AND b.nq > 0$labelPred),
        |short AS (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT vec_id, neighbor_id,
@@ -1682,16 +1700,36 @@ object Similarity {
        |  SELECT vec_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM rer) t
-       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  /** The two-stage serving chain shared by q87 (unfiltered) and q108
+    * (`sameLabel = true`): quantized shortlist over the probed cells —
+    * with the metadata predicate, when present, riding the CANDIDATE
+    * join against the labeled index ([[kmQuantizedLabeled]]), pre-rank,
+    * so the shortlist itself is filtered and the float tier still
+    * touches only [[RerankM]] rows per query — then exact float re-rank
+    * via two id equi-joins. Exposed for PlanSpec (the label-in-join and
+    * codes-only-payload pins).
+    */
+  private[operators] def quantShortlistRerank(s: SparkSession, d: String,
+      sameLabel: Boolean): DataFrame = {
     VectorFunctions.register(s)
-    val qidx = kmQuantized(s, d)
     val probes = corpusProbes(s, d).select("vec_id", "probe_cell")
-    val qa = qidx.select(col("vec_id"), col("code").as("code_a"), col("nq").as("nq_a"))
-    val qb = qidx.select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
-      col("code").as("code_b"), col("nq").as("nq_b"))
+    val qidx = if (sameLabel) kmQuantizedLabeled(s, d) else kmQuantized(s, d)
+    val aCols = Seq(col("vec_id"), col("code").as("code_a"), col("nq").as("nq_a")) ++
+      (if (sameLabel) Seq(col("label").as("label_a")) else Nil)
+    val bCols = Seq(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
+      col("code").as("code_b"), col("nq").as("nq_b")) ++
+      (if (sameLabel) Seq(col("label").as("label_b")) else Nil)
+    val qa = qidx.select(aCols: _*)
+    val qb = qidx.select(bCols: _*)
+    val baseCond = col("probe_cell") === col("cell_b") &&
+      col("vec_id") =!= col("neighbor_id")
+    val cond = if (sameLabel) baseCond && col("label_a") === col("label_b")
+               else baseCond
     val wq = Window.partitionBy("vec_id").orderBy(col("qcos").desc, col("neighbor_id"))
     val short = probes.join(qa, "vec_id")
-      .join(qb, col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id"))
+      .join(qb, cond)
       .where(col("nq_a") > 0 && col("nq_b") > 0)
       .withColumn("qcos",
         VectorFunctions.int8CodeDot(col("code_a"), col("code_b")).cast("double") /
@@ -1704,6 +1742,34 @@ object Similarity {
     val ea = e.select(col("vec_id"), col("embedding").as("emb_a"))
     val eb = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
     rankTop3(short.join(ea, "vec_id").join(eb, "neighbor_id"))
+  }
+
+  private val q87 = GraftQuery(
+    "q87_quantized_rerank",
+    s"""WITH $kmOracleTrain, ${probesOracle("")},
+       |${quantRerankOracle("", "")}""".stripMargin) { (s, d) =>
+    quantShortlistRerank(s, d, sameLabel = false)
+  }
+
+  /** q108: FILTERED ANN through the QUANTIZED tier — q103's metadata
+    * predicate composed with q87's two-stage serving chain, the way a
+    * production store actually filters: the label is a STORED column of
+    * the quantized index ([[kmQuantizedLabeled]] — joined once at
+    * index-build time, never per query), the predicate rides the
+    * shortlist's candidate join pre-rank (a post-filtered shortlist
+    * would starve queries whose near neighbors are mostly other-label),
+    * and the float tier still touches exactly [[RerankM]] rows per
+    * query. Completes the filtered-retrieval story: q103 filters the
+    * exact float tier, this filters the compressed serving tier.
+    */
+  private val q108 = GraftQuery(
+    "q108_filtered_rerank",
+    s"""WITH $kmOracleTrain, ${probesOracle("")},
+       |${quantRerankOracle(
+            "\n  JOIN embeddings la ON la.vec_id = p.vec_id" +
+              "\n  JOIN embeddings lb ON lb.vec_id = b.vec_id",
+            " AND la.label = lb.label")}""".stripMargin) { (s, d) =>
+    quantShortlistRerank(s, d, sameLabel = true)
   }
 
   /** q83: the multi-probe recall lever, measured — per query vector,
@@ -2793,5 +2859,5 @@ object Similarity {
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
-      q105, q106, q107)
+      q105, q106, q107, q108)
 }

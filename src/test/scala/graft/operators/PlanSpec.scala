@@ -167,6 +167,30 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q108 filtered shortlist: label rides the quantized candidate join, codes-only payload") {
+    val df = Similarity.quantShortlistRerank(spark, dir, sameLabel = true)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"q108 plans a cartesian:\n$p")
+    // the predicate must sit IN the shortlist's candidate join (the one
+    // keyed on the probed cell), not in a post-rank filter — and that
+    // join's payload must be the stored codes, never float embeddings
+    val candJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists { c =>
+            val s = c.sql
+            s.contains("label") && s.contains("cell")
+          } => j
+    }
+    assert(candJoins.nonEmpty,
+      s"q108: label predicate is not part of the quantized candidate join:\n$p")
+    candJoins.foreach { j =>
+      assert(!j.output.exists(_.name.startsWith("emb")),
+        s"q108: float embeddings ride the filtered candidate join: ${j.output.map(_.name)}")
+      assert(j.output.exists(_.name.startsWith("code")),
+        s"q108: candidate join does not carry stored codes: ${j.output.map(_.name)}")
+    }
+  }
+
   test("q99 temperature mix keeps q81's map-side shape; q100 scrub is one agg") {
     val p = plan("q99_temperature_mix")
     assert(!p.contains("CartesianProduct"), s"q99 plans a cartesian:\n$p")
