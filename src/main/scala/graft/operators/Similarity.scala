@@ -2382,7 +2382,7 @@ object Similarity {
     * 0-7 are the BASE corpus the index was trained on, 8-9 the newly
     * arrived shard.
     */
-  private def shardBucket(c: Column): Column =
+  private[graft] def shardBucket(c: Column): Column =
     Pipeline.lcg(c, Pipeline.SplitA, Pipeline.SplitC) % 10
   private val shardBucketSql =
     s"(${Pipeline.lcgSql("vec_id", Pipeline.SplitA, Pipeline.SplitC)}) % 10"
@@ -2448,19 +2448,65 @@ object Similarity {
       .stripMargin
   }
 
-  /** q94: incremental index append — the maintenance operation a living
-    * 100 TB corpus needs between retrains: a newly arrived shard (the
-    * 8-9 LCG buckets, ~20%) is coarse-assigned and PQ-encoded against
-    * codebooks FROZEN on the base corpus (0-7 buckets), emitting exactly
-    * the rows an index writer appends to the stored partitions
-    * (vec_id, coarse cell, per-subspace code). No training touches the
-    * new rows: assignment is a broadcast-k argmin scan per family — pure
-    * map-side against the frozen artifact, so appends scale with shard
-    * size, never corpus size. Retraining cadence is then a drift
-    * decision, audited by q92's recall gauge.
+  /** The frozen codebooks COLLECTED to driver-side literals — the
+    * routing/codebook tables an append job ships to every task (coarse:
+    * k cells × dim doubles; PQ: M codebooks × k cells × subdim — a few
+    * hundred KB at production sizing, the metadata an index writer holds
+    * in memory). Collected once per (session, dir) and memoized, exactly
+    * like q105's probed-cell routing list.
     */
-  private val q94 = GraftQuery(
-    "q94_index_append",
+  private def frozenCollected(s: SparkSession, d: String)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[(Int, Seq[Double])])]) =
+    graft.Artifacts.cached[(Seq[(Int, Seq[Double])],
+        Seq[(Int, Seq[(Int, Seq[Double])])])](s, s"frozen_collected:$d") {
+      val (c1b, cents) = frozenBaseIndex(s, d)
+      val coarse = c1b.select(col("cell"), col("cen")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val cbs = cents.select(col("m"), col("cell"), col("cen")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (m, rs) =>
+          (m, rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq) }
+      ((coarse, cbs), () => ())
+    }
+
+  /** The frozen-codebook assign+encode as a STATELESS MAP over any
+    * (vec_id, embedding) frame — batch (q94) or streaming (q109): the
+    * collected codebooks ([[frozenCollected]]) ride the plan as
+    * literals, each row's coarse cell and per-subspace codes are
+    * `array_min` argmins over them (the same (distance, cell)
+    * lexicographic tie-break `kmAssign`'s `min_by` uses), and NO shuffle
+    * or state is involved — an append job's throughput scales with
+    * arrival rate, never corpus size, and the identical transform runs
+    * under Structured Streaming append mode unmodified.
+    */
+  private[graft] def frozenAssignEncode(s: SparkSession, d: String,
+      rows: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val (coarseArr, cbArr) = frozenCollected(s, d)
+    val scored = transform(typedLit(coarseArr), c => struct(
+      VectorFunctions.l2DistSq(col("embedding"), c.getField("_2")).as("d"),
+      c.getField("_1").as("cell")))
+    val codes = transform(typedLit(cbArr), cb => struct(
+      cb.getField("_1").as("m"),
+      array_min(transform(cb.getField("_2"), c => struct(
+        VectorFunctions.l2DistSq(
+          slice(col("embedding"),
+            cb.getField("_1") * lit(PqSubDim) + lit(1), lit(PqSubDim)),
+          c.getField("_2")).as("d"),
+        c.getField("_1").as("cell")))).getField("cell").as("pq_code")))
+    rows
+      .withColumn("coarse_cell", array_min(scored).getField("cell"))
+      .select(col("vec_id"), col("coarse_cell"), explode(codes).as("c"))
+      .select(col("vec_id"), col("coarse_cell"),
+        col("c.m").as("m"), col("c.pq_code").as("pq_code"))
+  }
+
+  /** q94's oracle, shared verbatim by its streaming twin q109 (the
+    * stream==batch gate): frozen-codebook training over base, assignment
+    * + encoding of the new shard.
+    */
+  private[graft] val indexAppendOracle: String =
     s"""WITH base AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE $shardBucketSql < 8),
        |nw AS (
@@ -2483,22 +2529,25 @@ object Similarity {
               .stripMargin }.mkString("\n  UNION ALL ")})
        |SELECT p.vec_id AS vec_id, co.cell AS coarse_cell, p.m AS m, p.pq_code AS pq_code
        |FROM pq p JOIN coarse co ON p.vec_id = co.vec_id
-       |ORDER BY vec_id, m""".stripMargin) { (s, d) =>
-    VectorFunctions.register(s)
-    val (c1b, cents) = frozenBaseIndex(s, d)
-    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val nw = e.where(shardBucket(col("vec_id")) >= 8)
-    val coarse = kmAssign(nw, c1b)
-      .select(col("vec_id"), col("cell").as("coarse_cell"))
-    val pq = (0 until PqM).map { m =>
-      val nsub = nw.select(col("vec_id"),
-        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
-      kmAssign(nsub, cents.where(col("m") === m).select(col("cell"), col("cen")))
-        .select(col("vec_id"), lit(m).as("m"), col("cell").as("pq_code"))
-    }.reduce(_.union(_))
-    pq.join(coarse, Seq("vec_id"))
-      .select(col("vec_id"), col("coarse_cell"), col("m"), col("pq_code"))
-      .orderBy("vec_id", "m")
+       |ORDER BY vec_id, m""".stripMargin
+
+  /** q94: incremental index append — the maintenance operation a living
+    * 100 TB corpus needs between retrains: a newly arrived shard (the
+    * 8-9 LCG buckets, ~20%) is coarse-assigned and PQ-encoded against
+    * codebooks FROZEN on the base corpus (0-7 buckets), emitting exactly
+    * the rows an index writer appends to the stored partitions
+    * (vec_id, coarse cell, per-subspace code). No training touches the
+    * new rows, and since round 10 no SHUFFLE either: the encode is
+    * [[frozenAssignEncode]]'s literal-codebook map (previously each
+    * assignment paid a `min_by` aggregation exchange), so appends scale
+    * with shard size, never corpus size — and the identical transform is
+    * q109's streaming ingest. Retraining cadence is then a drift
+    * decision, audited by q92's recall gauge.
+    */
+  private val q94 = GraftQuery("q94_index_append", indexAppendOracle) { (s, d) =>
+    val nw = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .where(shardBucket(col("vec_id")) >= 8)
+    frozenAssignEncode(s, d, nw).orderBy("vec_id", "m")
   }
 
   // ---- residual IVF-PQ (IVFADC proper): encode x − centroid (q101/q102) ----

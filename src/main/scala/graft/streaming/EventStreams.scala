@@ -80,6 +80,18 @@ object EventStreams {
     spark.readStream.schema(schema).parquet(streamPath)
   }
 
+  /** Streaming read of the embeddings table — the index-MAINTENANCE
+    * stream (newly embedded shards arriving as files); consumers are the
+    * stateless frozen-codebook assign+encode (q109), [[readDocuments]]'
+    * vector-side twin.
+    */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val streamPath = stageAsDir(src, "graft_embeddings")
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema).parquet(streamPath)
+  }
+
   /** Tumbling 1-hour windows per event type (streaming q18). */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -401,6 +401,30 @@ object StreamingQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** q109: STREAMING index maintenance — q94's frozen-codebook
+    * assign+encode run as a q98-style stateless ingest stream: newly
+    * arriving embedding files (the 8-9 LCG shard buckets) become
+    * appendable index rows (vec_id, coarse_cell, m, pq_code) in append
+    * mode. The transform is LITERALLY q94's
+    * ([[graft.operators.Similarity.frozenAssignEncode]] — the collected
+    * frozen codebooks ride the streaming plan as literals, the argmins
+    * are per-row `array_min` folds), so there is no state store, no
+    * watermark, no shuffle: a living 100 TB/day index ingests at file-
+    * arrival rate, and the oracle gate pins stream == batch == the
+    * DuckDB retraining of the same frozen recipe.
+    */
+  private val q109 = GraftQuery(
+    "q109_stream_index_append",
+    graft.operators.Similarity.indexAppendOracle) { (s, d) =>
+    val nw = EventStreams.readEmbeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .where(graft.operators.Similarity.shardBucket(col("vec_id")) >= 8)
+    EventStreams.runToMemory(s,
+        graft.operators.Similarity.frozenAssignEncode(s, d, nw),
+        s"stream_gate_${memorySinkId.incrementAndGet()}")
+      .orderBy("vec_id", "m")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98)
+    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109)
 }

@@ -167,6 +167,17 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q94 index append is a stateless map: no join, no aggregation exchange") {
+    // the frozen codebooks ride the plan as literals; the only exchange
+    // is the presentation sort — an append job must scale with shard
+    // arrival rate, never corpus size (and the same transform is q109's
+    // streaming ingest, where a shuffle would mean a state store)
+    val p = plan("q94_index_append")
+    assert(!p.contains("Join"), s"q94 append pays a join:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"q94 should only exchange for the final sort:\n$p")
+  }
+
   test("q108 filtered shortlist: label rides the quantized candidate join, codes-only payload") {
     val df = Similarity.quantShortlistRerank(spark, dir, sameLabel = true)
     val p = df.queryExecution.executedPlan.toString
