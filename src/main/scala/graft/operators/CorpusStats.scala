@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -444,6 +445,37 @@ object CorpusStats {
   private val Bm25Terms = Seq("dup", "merge", "window")
   private val Bm25TopK = 20
 
+  /** The BM25 serving artifacts — the FULL inverted index materialized
+    * once per (session, dir) and shared by every retrieval batch:
+    * postings (term, doc_id, tf) over EVERY token, per-document lengths,
+    * and the 1-row corpus stats. Before round 10, q90 re-exploded and
+    * re-aggregated the whole corpus per invocation; a retrieval layer
+    * amortizes that: the index build (one explode + one (term, doc_id)
+    * hash aggregate — the classic inverted-index shape, partial aggs
+    * collapsing per-partition repeats before the exchange) is paid once,
+    * and each query batch then costs a term-filtered probe of the
+    * postings leaf plus broadcast-sized df/stats joins. Checkpointed
+    * leaves (not live lineage) for the q91-family reason: consumers'
+    * plans stay small. Release via [[graft.Artifacts.release]].
+    */
+  private def bm25Index(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame, DataFrame)](
+        s, s"bm25_index:$d") {
+      val docs = Tables.documents(s, d)
+      val (postings, relP) = graft.Artifacts.leafDf(
+        docs.select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
+      val (dl, relL) = graft.Artifacts.leafDf(
+        docs.select(col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("dl")))
+      val (stats, relS) = graft.Artifacts.leafDf(
+        dl.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+      ((postings, dl, stats), () => { relP(); relL(); relS() })
+    }
+
   /** q90: BM25 retrieval — score every document against a fixed query
     * term set and return the top-[[Bm25TopK]]. The serving-side
     * counterpart of q67's TF-IDF (corpus salience): BM25 adds tf
@@ -460,12 +492,14 @@ object CorpusStats {
     * a shuffle-order float sum — so top-k survival is decided on
     * bit-identical doubles (the q56/q71 argument, applied to scoring).
     *
-    * Scale shape: token stream is filtered to the query terms BEFORE the
-    * tf aggregate (the explode's output is ~|matches|, not |tokens|);
-    * doc lengths are a map-side `size(split(..))` projection with no
-    * explode; `N`/`avgdl` is a 1-row broadcast and the per-term df a
-    * |terms|-row broadcast. Top-k is TakeOrderedAndProject, never a full
-    * sort.
+    * Scale shape (since round 10): the query serves from the
+    * MATERIALIZED [[bm25Index]] artifacts — postings/lengths/stats built
+    * once per session, so a retrieval batch pays only a term-filtered
+    * probe of the postings leaf (never re-tokenizing the corpus),
+    * |terms|-row df and 1-row `N`/`avgdl` broadcasts, and a
+    * TakeOrderedAndProject top-k — never a full sort. PlanSpec pins that
+    * the serving plan contains no Generate (no re-explode) and no
+    * documents-table scan.
     */
   private val q90 = GraftQuery(
     "q90_bm25_retrieval",
@@ -500,15 +534,8 @@ object CorpusStats {
        |  FROM scored GROUP BY 1)
        |SELECT doc_id, round(score, 6) AS score FROM folded
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val dl = docs.select(col("doc_id"),
-      size(split(lower(col("text")), "\\s+")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
-      .where(col("term").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val (postings, dl, stats) = bm25Index(s, d)
+    val tf = postings.where(col("term").isin(Bm25Terms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "term")

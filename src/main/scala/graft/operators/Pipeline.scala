@@ -347,19 +347,59 @@ object Pipeline {
     * file covers a disjoint key interval (min/max footer stats then let a
     * key-predicate scan skip whole files — poor-man's clustering) and
     * `maxRecordsPerFile` hard-caps stragglers if the range estimate
-    * skews. The count() pass is the price of an exact file budget — a
-    * compaction job reads everything anyway.
+    * skews. Sizing the budget does NOT pay a data pass (since round 10):
+    * when the input is a plain scan/projection over a parquet table —
+    * the compaction shape — the exact row count comes from the parquet
+    * FOOTER metadata ([[metadataRowCount]]), O(#files) driver-side
+    * metadata reads instead of a full cluster scan of the corpus before
+    * the rewrite; a filtered/derived frame falls back to `count()`.
     */
   def writeCompacted(df: org.apache.spark.sql.DataFrame, outDir: String,
       key: String, recordsPerFile: Long): Unit = {
     require(recordsPerFile > 0, "recordsPerFile must be positive")
-    val n = df.count()
+    val n = metadataRowCount(df).getOrElse(df.count())
     val files = math.max(1L, (n + recordsPerFile - 1) / recordsPerFile).toInt
     df.repartitionByRange(files, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", recordsPerFile)
       .parquet(outDir)
+  }
+
+  /** Exact row count from parquet FOOTER metadata, when the plan allows
+    * it: a bare parquet scan, optionally under row-count-preserving
+    * projections, sums its row-group counts straight out of the file
+    * footers — no executor reads a single data page. Any filter,
+    * generator, join, or non-parquet source returns None (the count
+    * would be wrong or unknowable from metadata) and the caller pays the
+    * real pass. This is the table-maintenance cheat every lakehouse
+    * compactor uses: the input IS a table on disk, and its row count is
+    * already written down.
+    */
+  private[operators] def metadataRowCount(
+      df: org.apache.spark.sql.DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanOf(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+      case Project(_, child) => scanOf(child)
+      case l: LogicalRelation => l.relation match {
+        case r: HadoopFsRelation
+            if r.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          Some(r)
+        case _ => None
+      }
+      case _ => None
+    }
+    scanOf(df.queryExecution.optimizedPlan).map { rel =>
+      val conf = rel.sparkSession.sessionState.newHadoopConf()
+      rel.location.inputFiles.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.sum
+    }
   }
 
   /** q81: mixture balancing — downsample every source to (approximately)

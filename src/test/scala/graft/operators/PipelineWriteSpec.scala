@@ -88,6 +88,18 @@ class PipelineWriteSpec extends SparkSuite {
       "a contaminated document survived the decontaminated write")
   }
 
+  test("metadataRowCount is exact on plain scans/projections, None past a filter") {
+    val docs = graft.Tables.documents(spark, dir)
+    val n = docs.count()
+    // bare scan and a row-count-preserving projection: exact, from footers
+    assert(Pipeline.metadataRowCount(docs).contains(n))
+    assert(Pipeline.metadataRowCount(docs.select("doc_id", "lang")).contains(n))
+    // a filter changes the row count — metadata must refuse, not guess
+    assert(Pipeline.metadataRowCount(docs.where(col("doc_id") > 100)).isEmpty)
+    // a derived frame (aggregate) likewise
+    assert(Pipeline.metadataRowCount(docs.groupBy("lang").count()).isEmpty)
+  }
+
   test("writeCompacted hits the file budget with disjoint key ranges per file") {
     val docs = graft.Tables.documents(spark, dir)
     val n = docs.count()

@@ -348,15 +348,21 @@ class PlanSpec extends SparkSuite {
       s"q89 lost map-side combine:\n$tree")
   }
 
-  test("q90 BM25 filters terms before the tf aggregate and takes top-k without a full sort") {
+  test("q90 BM25 serves from the materialized inverted index, top-k without a full sort") {
     val p = plan("q90_bm25_retrieval")
     val tree = p.split("\n\n").head
     assert(tree.contains("TakeOrderedAndProject"), s"q90 full-sorts for top-k:\n$tree")
     assert(!p.contains("CartesianProduct"), s"q90 plans a cartesian:\n$p")
-    // the term IN-filter must sit below the exploded token stream's
-    // aggregation — the explode output is ~|matches|, not |tokens|
+    // the query terms probe the postings leaf — the filter must survive
     assert(p.contains("dup") && p.contains("merge"),
-      s"q90 lost the early term filter:\n$p")
+      s"q90 lost the term probe filter:\n$p")
+    // serving from the index artifact: no re-tokenization (no Generate)
+    // and no documents-table scan in the retrieval plan — the corpus is
+    // touched only once, at index build
+    assert(!tree.contains("Generate"),
+      s"q90 re-explodes the corpus instead of probing the postings artifact:\n$tree")
+    assert(!p.contains("documents.parquet"),
+      s"q90 rescans the documents table at serving time:\n$p")
   }
 
   test("q95 alignment audit is one id equi-join plus a partial+final aggregate") {
