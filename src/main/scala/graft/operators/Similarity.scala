@@ -1574,7 +1574,13 @@ object Similarity {
     * trained assignment, rank probed candidates by integer cosine on the
     * codes — callers prepend `kmOracleTrain` and a `probes` CTE.
     */
-  private val int8QuantOracleTail: String =
+  private val int8QuantOracleTail: String = int8QuantOracleTailWhere("")
+
+  /** [[int8QuantOracleTail]] with an extra predicate on the candidate
+    * side of the sim join (`b`) — q110 injects the tombstone mask there.
+    * The zero-arg value above keeps q84/q105's oracle text byte-identical.
+    */
+  private def int8QuantOracleTailWhere(bExtra: String): String =
     s"""qv AS (
        |  SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM a2),
@@ -1599,7 +1605,7 @@ object Similarity {
        |  FROM probes p
        |  JOIN nv a ON p.vec_id = a.vec_id
        |  JOIN nv b ON p.cell = b.cell AND p.vec_id <> b.vec_id
-       |  WHERE a.nq > 0 AND b.nq > 0)
+       |  WHERE a.nq > 0 AND b.nq > 0$bExtra)
        |SELECT vec_id, neighbor_id, rank, round(qcos, 6) AS qcos_sim FROM (
        |  SELECT vec_id, neighbor_id, qcos,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, neighbor_id) AS rank
@@ -2858,20 +2864,28 @@ object Similarity {
     * STORED (code, nq) columns; float embeddings are read only for the
     * query batch's probe selection. Exposed for PlanSpec.
     */
-  private[operators] def coldServePlan(s: SparkSession, base: String): DataFrame = {
+  private[operators] def coldServePlan(s: SparkSession, base: String,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(s)
     val coarse = s.read.parquet(s"$base/coarse_centroids")
     val index = s.read.parquet(s"$base/index")
-    val qs = index.where(col("vec_id") < QueryBatch)
+    // tombstone mask, applied BEFORE ranking on both the query and the
+    // candidate side: a deleted row must neither be served as a neighbor
+    // nor occupy a rank slot (a post-top-k filter would silently return
+    // k-minus-deleted results). The request list is small — a broadcast
+    // hash LEFT ANTI join, never a shuffle of the index.
+    val live = tombstones.fold(index)(t =>
+      index.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+    val qs = live.where(col("vec_id") < QueryBatch)
       .select(col("vec_id"), col("embedding"))
     val probes = probeSelection(qs, coarse, ProbeP)
       .select("vec_id", "probe_cell")
     val cells = probes.select("probe_cell").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val cand = index.where(col("cell").isin(cells: _*))
+    val cand = live.where(col("cell").isin(cells: _*))
       .select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
         col("code").as("code_b"), col("nq").as("nq_b"))
-    val qa = index.where(col("vec_id") < QueryBatch)
+    val qa = live.where(col("vec_id") < QueryBatch)
       .select(col("vec_id"), col("code").as("code_a"), col("nq").as("nq_a"))
     val w = Window.partitionBy("vec_id").orderBy(col("qcos").desc, col("neighbor_id"))
     probes.join(qa, "vec_id")
@@ -2905,8 +2919,44 @@ object Similarity {
     coldServePlan(s, writtenIndex(s, d))
   }
 
+  /** The q110 tombstone predicate (SQL twin below): LCG bucket 9 of the
+    * vec_id space, ~10% of the corpus — the deterministic stand-in for a
+    * deletion-request log (GDPR / right-to-be-forgotten), which at
+    * production is an arbitrary id list, which is why the ENGINE applies
+    * it as an anti-join against an id table, never as a recomputable
+    * predicate.
+    */
+  private def tombstoned(c: Column): Column = shardBucket(c) >= 9
+  private def tombstoneSql(idExpr: String): String =
+    s"(${Pipeline.lcgSql(idExpr, Pipeline.SplitA, Pipeline.SplitC)}) % 10 >= 9"
+
+  /** q110: TOMBSTONE-masked serving from the written index — the DELETE
+    * half of the index lifecycle (q94/q109 are the append half): a
+    * deletion-request list arrives, and serving must exclude those rows
+    * IMMEDIATELY, without waiting for a file rewrite. The mask is a
+    * broadcast anti-join applied to both sides BEFORE ranking — a
+    * tombstoned vector neither answers queries nor occupies a rank slot,
+    * so every query still gets its full top-3 from live rows (the
+    * post-filter would starve exactly the queries whose neighbors were
+    * deleted). Physical deletion is then a compaction-time rewrite
+    * (writeCompacted's territory); this query is the read path between
+    * request and rewrite, oracle-gated against a DuckDB recompute over
+    * the live subset.
+    */
+  private val q110 = GraftQuery(
+    "q110_tombstone_serve",
+    s"""WITH $kmOracleTrain, ${probesOracle(
+           s"\n    WHERE e.vec_id < $QueryBatch AND NOT (${tombstoneSql("e.vec_id")})")},
+       |${int8QuantOracleTailWhere(s"\n    AND NOT (${tombstoneSql("b.vec_id")})")}"""
+      .stripMargin) { (s, d) =>
+    val base = writtenIndex(s, d)
+    val tomb = s.read.parquet(s"$base/index")
+      .select("vec_id").where(tombstoned(col("vec_id")))
+    coldServePlan(s, base, Some(tomb))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
-      q105, q106, q107, q108)
+      q105, q106, q107, q108, q110)
 }

@@ -338,6 +338,26 @@ class PlanSpec extends SparkSuite {
       s"no probed-cell partition pruning in the cold plan:\n$p")
   }
 
+  test("q110 tombstone mask is a broadcast anti-join, applied before ranking") {
+    val p = plan("q110_tombstone_serve")
+    // the deletion list is an arbitrary id table: a broadcast hash LEFT
+    // ANTI join, never a recomputable filter or an index shuffle
+    assert(p.contains("LeftAnti"), s"q110 lost the anti-join mask:\n$p")
+    assert(!p.contains("SortMergeJoin ["),
+      s"q110 shuffles the index for the tombstone mask:\n$p")
+    // pre-rank: the anti joins must sit BELOW the rank window, so deleted
+    // rows never occupy rank slots
+    val rankAt = p.indexOf("Window")
+    val lastAnti = p.lastIndexOf("LeftAnti")
+    assert(rankAt >= 0 && lastAnti > rankAt,
+      s"tombstone mask is not below the rank window:\n$p")
+    // masking must not cost the probed-cell partition pruning
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(partFilters.exists(f => f.contains("cell") && f.contains("IN")),
+      s"q110 lost probed-cell partition pruning:\n$p")
+  }
+
   test("q89 dup-gram audit: hash equi-joins and partial aggregation, no pair blowup") {
     val p = plan("q89_dup_gram_audit")
     val tree = p.split("\n\n").head
