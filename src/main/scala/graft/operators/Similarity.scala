@@ -1220,7 +1220,7 @@ object Similarity {
     * constant-size build side: correct at any corpus scale, linear in
     * corpus size per query.
     */
-  private val QueryBatch = 100
+  private[graft] val QueryBatch = 100
   private val q44 = GraftQuery(
     "q44_knn_bruteforce",
     s"""WITH sim AS (
@@ -2912,11 +2912,76 @@ object Similarity {
     * layout all survive the write. This is also the durability answer to
     * localCheckpoint volatility: the files ARE the artifact.
     */
-  private val q105 = GraftQuery(
-    "q105_cold_index_serve",
+  /** The bounded-batch quantized-serving oracle — q105's text, shared
+    * verbatim by its streaming twin q111 (stream == cold-batch == DuckDB
+    * is exactly the gate an online serving tier owes).
+    */
+  private[graft] val boundedQuantServeOracle: String =
     s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
-       |$int8QuantOracleTail""".stripMargin) { (s, d) =>
+       |$int8QuantOracleTail""".stripMargin
+
+  private val q105 = GraftQuery(
+    "q105_cold_index_serve", boundedQuantServeOracle) { (s, d) =>
     coldServePlan(s, writtenIndex(s, d))
+  }
+
+  /** The full trained index's coarse centroids collected to a driver-side
+    * literal (k cells × dim doubles — router metadata), memoized per
+    * (session, dir) like q94's [[frozenCollected]]: the probe-routing
+    * table an ONLINE serving tier ships inside every task, so per-query
+    * probe selection is a map, not a join.
+    */
+  private def trainedCentroidsCollected(s: SparkSession, d: String)
+      : Seq[(Int, Seq[Double])] =
+    graft.Artifacts.cached[Seq[(Int, Seq[Double])]](
+        s, s"ivf_centroids_collected:$d") {
+      val (c1, _) = kmTrained(s, d)
+      (c1.select(col("cell"), col("cen")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
+        () => ())
+    }
+
+  /** ONLINE ANN serving as a streaming plan (q111): each arriving query
+    * vector is int8-encoded and probe-routed map-side (the collected
+    * centroids ride the plan as literals — the same per-row `array_sort`
+    * argmin recipe as [[frozenAssignEncode]], same (distance, cell)
+    * tie-break as [[probeSelection]] and the oracle), candidates come
+    * from ONE stream-static equi-join against the quantized index
+    * artifact's stored (code, nq) columns — floats never ride the join,
+    * q84's contract — and the per-query top-3 is a streaming aggregation
+    * folding candidates into one sorted 3-slot array (ord = negated
+    * integer-cosine, neighbor id as tie-break: exactly the oracle's
+    * `ORDER BY qcos DESC, neighbor_id`). The only stateful operator is
+    * that final ranking aggregation; everything upstream is stateless,
+    * so serving throughput scales with query-arrival rate and the
+    * candidate join cost with cells probed — never corpus size.
+    */
+  private[graft] def streamServePlan(s: SparkSession, d: String,
+      queries: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val cents = trainedCentroidsCollected(s, d)
+    val scored = transform(typedLit(cents), c => struct(
+      VectorFunctions.l2DistSq(col("embedding"), c.getField("_2")).as("d"),
+      c.getField("_1").as("cell")))
+    val probed = queries
+      .withColumn("code_a", VectorFunctions.int8Encode(col("embedding")))
+      .withColumn("nq_a", VectorFunctions.int8CodeDot(col("code_a"), col("code_a")))
+      .withColumn("probe_cell", explode(
+        transform(slice(array_sort(scored), 1, ProbeP), s => s.getField("cell"))))
+      .select("vec_id", "probe_cell", "code_a", "nq_a")
+    val cand = kmQuantized(s, d).select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("code").as("code_b"), col("nq").as("nq_b"))
+    probed
+      .join(cand, col("probe_cell") === col("cell_b") &&
+        col("vec_id") =!= col("neighbor_id"))
+      .where(col("nq_a") > 0 && col("nq_b") > 0)
+      .withColumn("qcos",
+        VectorFunctions.int8CodeDot(col("code_a"), col("code_b")).cast("double") /
+          (sqrt(col("nq_a").cast("double")) * sqrt(col("nq_b").cast("double"))))
+      .groupBy("vec_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (col("qcos") * lit(-1)).as("ord"), col("neighbor_id"), col("qcos")))),
+        1, 3).as("top"))
   }
 
   /** The q110 tombstone predicate (SQL twin below): LCG bucket 9 of the

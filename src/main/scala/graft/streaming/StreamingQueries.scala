@@ -425,6 +425,35 @@ object StreamingQueries {
       .orderBy("vec_id", "m")
   }
 
+  /** q111: ONLINE ANN serving — the query stream answered against the
+    * static quantized index artifact
+    * ([[graft.operators.Similarity.streamServePlan]]): arriving query
+    * vectors are encoded and probe-routed map-side against literal
+    * centroids, candidates come from one stream-static equi-join on the
+    * stored (code, nq) columns, and the ONLY stateful operator is the
+    * final per-query top-3 ranking aggregation (complete mode — a
+    * serving tier's answer set is exactly the current best-k per query).
+    * The read-back explodes the 3-slot arrays into ranked rows; the gate
+    * pins stream == q105's cold-batch == DuckDB, so the online path can
+    * never drift from the offline index it serves.
+    */
+  private val q111 = GraftQuery(
+    "q111_stream_ann_serve",
+    graft.operators.Similarity.boundedQuantServeOracle) { (s, d) =>
+    val qs = EventStreams.readEmbeddings(s, d)
+      .where(col("vec_id") < graft.operators.Similarity.QueryBatch)
+      .select(col("vec_id"), col("embedding"))
+    val sunk = EventStreams.runToMemory(s,
+      graft.operators.Similarity.streamServePlan(s, d, qs),
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    sunk.select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("col.qcos"), 6).as("qcos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109)
+    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111)
 }
