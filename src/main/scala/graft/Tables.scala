@@ -32,16 +32,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as raw long and rebuild a (microsecond)
-    * TimestampType with integer division — same floor-truncation DuckDB
-    * applies when it narrows ns → µs, so oracles agree.
+  /** Normalize the events `ts` column to a UTC TimestampType (µs) across
+    * Spark's two readings of parquet TIMESTAMP(NANOS): builds that honor
+    * `spark.sql.legacy.parquet.nanosAsLong=true` surface raw nano longs
+    * (→ `timestamp_micros(ts div 1000)`, the same ns→µs floor DuckDB
+    * applies), while Spark 4.1.2 ignores that conf and reads NANOS as
+    * TIMESTAMP_NTZ already floor-truncated to µs (verified value-equal to
+    * DuckDB's `epoch_ns // 1000` on the fixture), which in a UTC session
+    * casts 1:1 to TimestampType. Dispatching on the OBSERVED type keeps
+    * both engine generations correct with one code path.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case t => throw new IllegalStateException(
+        s"unexpected events.ts type from parquet reader: $t")
+    }
+  }
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS); see
+    * [[normalizeEventTs]] for the reader-version dispatch. The legacy
+    * conf is still set first so older builds take the long-nanos path.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -64,8 +64,8 @@ object EventStreams {
     val src = new java.io.File(s"$dir/events.parquet")
     val streamPath = stageAsDir(src, "graft_events")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(streamPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamPath))
   }
 
   /** Streaming read of the documents table — the corpus-INGESTION stream

@@ -44,11 +44,19 @@ object StreamingQueries {
   def stagedWithFlush(spark: SparkSession, dir: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = new java.io.File(s"$dir/events.parquet")
+    // the reader generation decides the sentinel's physical ts type (raw
+    // nano longs vs TIMESTAMP_NTZ µs — see Tables.normalizeEventTs), so
+    // the staging key includes it: a staging dir written by one reader
+    // generation must never be replayed under the other's schema
+    val raw = spark.read.parquet(src.getPath)
+    val tsIsLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val mode = if (tsIsLong) "ns" else "ntz"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(src.getAbsolutePath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_events_flush_$digest")
+      s"graft_events_flush_${digest}_$mode")
     val marker = new java.io.File(staged, "_STAGED")
     if (!marker.exists()) {
       staged.mkdirs()
@@ -62,11 +70,12 @@ object StreamingQueries {
           java.nio.file.Files.createSymbolicLink(
             link.toPath, f.toPath.toAbsolutePath)
       }
-      // sentinel row: max-ts row pushed 30 days out; ts is raw nanos here
-      // (nanosAsLong), so arithmetic is plain long addition
-      val raw = spark.read.parquet(src.getPath)
+      // sentinel row: max-ts row pushed 30 days out; plain long addition
+      // on raw nanos, a day-interval shift on TIMESTAMP_NTZ
       val sentinel = raw.orderBy(col("ts").desc).limit(1)
-        .withColumn("ts", col("ts") + lit(FlushDelayNanos))
+        .withColumn("ts",
+          if (tsIsLong) col("ts") + lit(FlushDelayNanos)
+          else col("ts") + expr("INTERVAL 30 DAYS"))
         .withColumn("event_id", lit(-1L))
         .withColumn("user_id", lit(-1L))
         .withColumn("event_type", lit("__flush"))
@@ -89,8 +98,8 @@ object StreamingQueries {
     */
   private def readStaged(spark: SparkSession, dir: String, stagedDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(stagedDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(stagedDir))
   }
 
   /** Drain a flush-gated streaming transform and return the emitted table. */

@@ -20,8 +20,8 @@ class EventStreamsSpec extends SparkSuite {
       org.apache.spark.sql.DataFrame, name: String) = {
     val staged = StreamingQueries.stagedWithFlush(spark, dir)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val events = spark.readStream.schema(schema).parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(staged))
     EventStreams.runToMemory(spark, build(events), name)
   }
 
@@ -134,8 +134,8 @@ class EventStreamsSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def drain(): Unit = {
-      val q = spark.readStream.schema(schema).parquet(src.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = graft.Tables.normalizeEventTs(
+          spark.readStream.schema(schema).parquet(src.toString))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
