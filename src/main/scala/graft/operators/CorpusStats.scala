@@ -501,9 +501,12 @@ object CorpusStats {
     * the serving plan contains no Generate (no re-explode) and no
     * documents-table scan.
     */
-  private val q90 = GraftQuery(
-    "q90_bm25_retrieval",
-    s"""WITH dl AS (
+  /** The BM25 scoring CTE chain (ends in `folded(doc_id, score)` with
+    * the RAW double score), shared by q90 and the retrieval compositions
+    * q112/q113 — one scoring definition, three gated consumers.
+    */
+  private val bm25OracleCtes: String =
+    s"""dl AS (
        |  SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS dl
        |  FROM documents),
        |stats AS (
@@ -531,14 +534,18 @@ object CorpusStats {
        |  SELECT doc_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term)),
        |      (acc, x) -> acc + x) AS score
-       |  FROM scored GROUP BY 1)
-       |SELECT doc_id, round(score, 6) AS score FROM folded
-       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
+       |  FROM scored GROUP BY 1)""".stripMargin
+
+  /** Engine twin of [[bm25OracleCtes]]: (doc_id, score) with the RAW
+    * double BM25 score, served from the materialized [[bm25Index]]. The
+    * per-document SUM over the ≤|terms| term scores is an ORDER-PINNED
+    * left fold (sorted by term), never a shuffle-order float sum.
+    */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val (postings, dl, stats) = bm25Index(s, d)
     val tf = postings.where(col("term").isin(Bm25Terms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("sc",
@@ -548,13 +555,176 @@ object CorpusStats {
           / (col("tf").cast("double") + lit(Bm25K1)
              * (lit(1.0 - Bm25B)
                 + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
-    scored
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("scs"))
       .select(col("doc_id"),
-        round(expr("aggregate(scs, 0D, (acc, s) -> acc + s.sc)"), 6).as("score"))
+        expr("aggregate(scs, 0D, (acc, s) -> acc + s.sc)").as("score"))
+  }
+
+  private val q90 = GraftQuery(
+    "q90_bm25_retrieval",
+    s"""WITH $bm25OracleCtes
+       |SELECT doc_id, round(score, 6) AS score FROM folded
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
+    bm25Scores(s, d)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
+  }
+
+  /** Pseudo-relevance-feedback depth: the semantic query vector is the
+    * per-dimension mean of the top-[[PrfFbK]] BM25 hits' embeddings
+    * (Rocchio with α=0, β=1 — classic PRF).
+    */
+  private val PrfFbK = 5
+
+  /** Reciprocal-rank-fusion constant (the standard k=60 from Cormack et
+    * al.'s RRF formulation): score = Σ 1/(k + rank) over the lists that
+    * contain the document.
+    */
+  private val RrfK = 60
+
+  /** The PRF CTE chain shared by q112/q113, continuing
+    * [[bm25OracleCtes]]: raw-score BM25 ranks (`bmrank`), the feedback
+    * centroid (per-dimension mean over the top-[[PrfFbK]] hits, folded
+    * in doc_id order), and the corpus-wide semantic cosine (`sem`).
+    * Every float fold is order-pinned (doc_id order for the centroid,
+    * dimension order for dot/norms), so both engines produce
+    * bit-identical doubles and rank survival is deterministic.
+    */
+  private val prfOracleCtes: String =
+    s"""bmrank AS (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |  FROM folded),
+       |fb AS (SELECT doc_id FROM bmrank WHERE r <= $PrfFbK),
+       |fbe AS (
+       |  SELECT f.doc_id AS doc_id,
+       |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM fb f JOIN embeddings e ON e.vec_id = f.doc_id),
+       |cend AS (
+       |  SELECT j, list_reduce(list(v[j] ORDER BY doc_id), (x, y) -> x + y)
+       |    / count(*) AS cj
+       |  FROM fbe CROSS JOIN range(1, ${EmbDim + 1}) t(j) GROUP BY j),
+       |cen AS (SELECT list(cj ORDER BY j) AS c FROM cend),
+       |sem AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    list_reduce(list_transform(range(1, ${EmbDim + 1}),
+       |        i -> cn.c[i] * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(range(1, ${EmbDim + 1}),
+       |            i -> cn.c[i] * cn.c[i]), (x, y) -> x + y))
+       |         * sqrt(list_reduce(list_transform(range(1, ${EmbDim + 1}),
+       |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+       |            (x, y) -> x + y))) AS cos
+       |  FROM embeddings e CROSS JOIN cen cn)""".stripMargin
+
+  /** Engine twin of [[prfOracleCtes]]: the corpus ranked by cosine to
+    * the PRF feedback centroid, top-[[Bm25TopK]] with dense 1-based
+    * ranks. The centroid is a 1-row broadcast built from [[PrfFbK]]
+    * id-joined embeddings (per-dimension fold in doc_id order); the
+    * semantic pass is ONE map over the embedding table (dot/norm folds
+    * in dimension order — matching the oracle's `list_reduce` exactly)
+    * followed by TakeOrderedAndProject — no corpus shuffle, no global
+    * sort, so the shape survives a 100× corpus. The final rank window
+    * runs on the k surviving rows only.
+    */
+  private def prfSemanticRanked(s: SparkSession, d: String): DataFrame = {
+    val fb = bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(PrfFbK)
+      .select("doc_id")
+    val fbe = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(broadcast(fb), "doc_id")
+    val cen = fbe
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("embedding")))).as("ds"))
+      .select(expr(
+        s"""transform(
+           |  aggregate(ds, array_repeat(CAST(0 AS DOUBLE), $EmbDim),
+           |    (acc, x) -> zip_with(acc, x.embedding, (a, b) -> a + CAST(b AS DOUBLE))),
+           |  v -> v / CAST(size(ds) AS DOUBLE))""".stripMargin).as("c"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(cen))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(c, embedding, (cj, xj) -> cj * CAST(xj AS DOUBLE)), 0D, (a, x) -> a + x)"))
+      .withColumn("nc", expr("aggregate(c, 0D, (a, x) -> a + x * x)"))
+      .withColumn("ne", expr(
+        "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("cos", col("dot") / (sqrt(col("nc")) * sqrt(col("ne"))))
+      .orderBy(col("cos").desc, col("doc_id")).limit(Bm25TopK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"), col("cos"))
+  }
+
+  /** q112: pseudo-relevance-feedback SEMANTIC re-rank — the dense half
+    * of a hybrid retrieval stack when the query has no embedding of its
+    * own: take the BM25 top-[[PrfFbK]] as relevance feedback, average
+    * their embeddings into a query centroid (Rocchio), and rank the
+    * whole corpus by cosine to it. Composes the materialized BM25 index
+    * (lexical tier) with the embedding table (dense tier) — retrieval
+    * quality work a training-data pipeline runs to mine semantically
+    * related documents from a keyword seed.
+    */
+  private val q112 = GraftQuery(
+    "q112_prf_semantic",
+    s"""WITH $bm25OracleCtes,
+       |$prfOracleCtes
+       |SELECT doc_id, rank, round(cos, 6) AS sem_sim FROM (
+       |  SELECT doc_id, cos,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+       |  FROM sem) t
+       |WHERE rank <= $Bm25TopK ORDER BY rank""".stripMargin) { (s, d) =>
+    prfSemanticRanked(s, d)
+      .select(col("doc_id"), col("rank"), round(col("cos"), 6).as("sem_sim"))
+      .orderBy("rank")
+  }
+
+  /** q113: HYBRID retrieval by reciprocal-rank fusion — the standard way
+    * production search fuses a lexical (BM25) and a dense (embedding)
+    * ranking without score calibration: rrf(d) = Σ_lists 1/([[RrfK]] +
+    * rank_list(d)). Ranks are integers, the fused score a fixed two-term
+    * double sum (lexical term first), so fusion is deterministic given
+    * the two deterministic input rankings. Absent ranks are emitted as 0
+    * (never null) and contribute nothing. Both input lists are
+    * top-[[Bm25TopK]] frames (k rows each), so the fusion join is
+    * trivially broadcast-sized regardless of corpus scale — all the
+    * heavy lifting happened in the two ranking tiers.
+    */
+  private val q113 = GraftQuery(
+    "q113_hybrid_rrf",
+    s"""WITH $bm25OracleCtes,
+       |$prfOracleCtes,
+       |lex AS (SELECT doc_id, r AS r_lex FROM bmrank WHERE r <= $Bm25TopK),
+       |semr AS (
+       |  SELECT doc_id, rank AS r_sem FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+       |    FROM sem) t
+       |  WHERE rank <= $Bm25TopK),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id,
+       |    coalesce(l.r_lex, 0) AS r_lex, coalesce(s2.r_sem, 0) AS r_sem,
+       |    coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.r_lex), CAST(0 AS DOUBLE))
+       |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + s2.r_sem), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex l FULL OUTER JOIN semr s2 ON l.doc_id = s2.doc_id)
+       |SELECT doc_id, r_lex, r_sem, round(rrf, 6) AS rrf_score
+       |FROM fused ORDER BY rrf DESC, doc_id""".stripMargin) { (s, d) =>
+    val lex = bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val semr = prfSemanticRanked(s, d).select(col("doc_id"), col("rank").as("r_sem"))
+    lex.join(semr, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("r_sem")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0)).as("r_sem"),
+        round(col("rrf"), 6).as("rrf_score"))
   }
 
   /** q95: document↔embedding alignment — join the text table to the
@@ -598,5 +768,6 @@ object CorpusStats {
       .orderBy("lang", "label")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q65, q66, q67, q68, q77, q89, q90, q95)
+  val queries: Seq[GraftQuery] =
+    Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113)
 }

@@ -3008,20 +3008,126 @@ object Similarity {
     * request and rewrite, oracle-gated against a DuckDB recompute over
     * the live subset.
     */
-  private val q110 = GraftQuery(
-    "q110_tombstone_serve",
+  /** Serving-from-live-rows oracle shared by q110 (runtime tombstone
+    * mask over the original files) and q114 (physical compaction rewrite
+    * with no mask): both must produce exactly the quantized top-3 over
+    * the non-tombstoned subset.
+    */
+  private val tombstoneServeOracle: String =
     s"""WITH $kmOracleTrain, ${probesOracle(
            s"\n    WHERE e.vec_id < $QueryBatch AND NOT (${tombstoneSql("e.vec_id")})")},
        |${int8QuantOracleTailWhere(s"\n    AND NOT (${tombstoneSql("b.vec_id")})")}"""
-      .stripMargin) { (s, d) =>
+      .stripMargin
+
+  private val q110 = GraftQuery(
+    "q110_tombstone_serve", tombstoneServeOracle) { (s, d) =>
     val base = writtenIndex(s, d)
     val tomb = s.read.parquet(s"$base/index")
       .select("vec_id").where(tombstoned(col("vec_id")))
     coldServePlan(s, base, Some(tomb))
   }
 
+  /** The COMPACTED index: the written artifact physically rewritten with
+    * the tombstoned rows dropped — the rewrite that retires q110's
+    * runtime delete mask. The anti-join against the request list is the
+    * production shape (an arbitrary id list, not a recomputable
+    * predicate); the rewrite itself is an O(live rows) partition-
+    * preserving copy — `partitionBy(cell)` over rows already grouped by
+    * cell directories writes straight through, no shuffle — plus a
+    * metadata-sized sidecar copy (centroids are unchanged by deletes).
+    * Session-memoized like [[writtenIndex]]; released with the registry.
+    */
+  private[operators] def compactedIndex(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"compacted_index:$d") {
+      val src = writtenIndex(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_compacted_index")
+      val idx = s.read.parquet(s"$src/index")
+      val tomb = idx.select("vec_id").where(tombstoned(col("vec_id")))
+      idx.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(base.toString + "/index")
+      s.read.parquet(s"$src/coarse_centroids").write.mode("overwrite")
+        .parquet(base.toString + "/coarse_centroids")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** q114: serving from the COMPACTED index — the last stage of the
+    * delete lifecycle (q110 is the read path between deletion request
+    * and rewrite; this is the read path after it): rewrite the index
+    * minus the tombstoned rows, then cold-serve from the new files with
+    * NO runtime mask. Gated on the SAME oracle as q110 — masked serving
+    * and compacted serving must be indistinguishable to a caller, which
+    * is exactly the correctness contract a compaction job owes.
+    */
+  private val q114 = GraftQuery(
+    "q114_compacted_serve", tombstoneServeOracle) { (s, d) =>
+    coldServePlan(s, compactedIndex(s, d))
+  }
+
+  /** q115: per-cell index HEALTH audit — the monitoring pass an index
+    * operator runs between retrains, answering three questions per
+    * coarse cell from the STORED artifact alone (one scan, no joins, no
+    * float recompute beyond the stored columns): how big is the cell
+    * (probe-cost balance), how much of it is tombstoned (compaction
+    * urgency), and how faithful are the stored int8 codes to the stored
+    * float embeddings (quantization drift — rises when new data stops
+    * matching the trained scale). The error gauge folds per-row
+    * `1 − cos(embedding, code)` into floored micro-units BEFORE the sum
+    * (the q27/q95 integer-aggregation trick), so no shuffle-order float
+    * addition decides an output value.
+    */
+  private val q115 = GraftQuery(
+    "q115_index_cell_audit",
+    s"""WITH $kmOracleTrain,
+       |iq AS (
+       |  SELECT vec_id, cell, v,
+       |    list_transform(v, x -> CAST(least(greatest(floor(x / (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+       |  FROM (
+       |    SELECT vec_id, cell, v,
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+       |        (a, b) -> greatest(a, b)) AS mx
+       |    FROM (
+       |      SELECT vec_id, cell,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM a2) t1) t2),
+       |er AS (
+       |  SELECT vec_id, cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(v) + 1), i -> v[i] * CAST(q[i] AS DOUBLE))),
+       |      (x, y) -> x + y) AS dot,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x * x)), (x, y) -> x + y) AS ne,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(q, x -> x * x)), (x, y) -> x + y) AS DOUBLE) AS nq
+       |  FROM iq)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN ${tombstoneSql("vec_id")} THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tomb,
+       |  CAST(sum(CASE WHEN ne > 0 AND nq > 0 AND NOT (${tombstoneSql("vec_id")})
+       |    THEN CAST(floor((1 - dot / (sqrt(ne) * sqrt(nq))) * 1000000) AS BIGINT)
+       |    ELSE 0 END) AS BIGINT) AS sum_qerr_micro
+       |FROM er GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+    val idx = s.read.parquet(s"${writtenIndex(s, d)}/index")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, code, (x, c) -> CAST(x AS DOUBLE) * CAST(c AS DOUBLE)), 0D, (a, t) -> a + t)"))
+      .withColumn("ne", expr(
+        "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("nqd", col("nq").cast("double"))
+      .withColumn("tomb", tombstoned(col("vec_id")))
+    idx.groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("tomb"), 1L).otherwise(0L)).as("n_tomb"),
+        sum(when(col("ne") > 0 && col("nqd") > 0 && !col("tomb"),
+            floor((lit(1.0) - col("dot") / (sqrt(col("ne")) * sqrt(col("nqd"))))
+              * 1000000).cast("long"))
+          .otherwise(0L)).as("sum_qerr_micro"))
+      .orderBy("cell")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
-      q105, q106, q107, q108, q110)
+      q105, q106, q107, q108, q110, q114, q115)
 }

@@ -472,6 +472,57 @@ class PlanSpec extends SparkSuite {
       s"presentation sort):\n$tree")
   }
 
+  test("q112 PRF semantic pass is one broadcast-centroid corpus map with top-k") {
+    val p = plan("q112_prf_semantic")
+    val tree = p.split("\n\n").head
+    // the corpus-wide semantic scan short-circuits to top-k
+    assert(tree.contains("TakeOrderedAndProject"),
+      s"q112 full-sorts the semantic scan:\n$tree")
+    // the lexical tier serves from the postings artifact: no
+    // re-tokenization, no documents scan
+    assert(!tree.contains("Generate"),
+      s"q112 re-explodes the corpus:\n$tree")
+    assert(!p.contains("documents.parquet"),
+      s"q112 rescans the documents table:\n$p")
+    // the centroid rides a broadcast — the corpus is never shuffled for it
+    assert(!p.contains("CartesianProduct"), s"q112 plans a cartesian:\n$p")
+  }
+
+  test("q113 RRF fuses two k-row ranked lists — heavy lifting stays in the tiers") {
+    val p = plan("q113_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"q113 plans a cartesian:\n$p")
+    // both tiers short-circuit to top-k before fusion touches anything
+    val takes = p.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(takes >= 2, s"q113 lost a tier's top-k short-circuit:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q113 rescans the documents table:\n$p")
+  }
+
+  test("q114 compacted serving needs no runtime mask and keeps partition pruning") {
+    val base = Similarity.compactedIndex(spark, dir)
+    val df = Similarity.coldServePlan(spark, base)
+    val p = df.queryExecution.executedPlan.toString
+    // physical compaction retired the tombstone anti-join entirely
+    assert(!p.contains("LeftAnti"),
+      s"q114 still masks at read time after the rewrite:\n$p")
+    assert(!p.contains("testdata"), s"q114 reads the corpus:\n$p")
+    // probed-cell pruning survives the rewrite
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(partFilters.exists(f => f.contains("cell") && f.contains("IN")),
+      s"q114 lost probed-cell partition pruning:\n$p")
+  }
+
+  test("q115 cell audit is one index scan with partial aggregation, no joins") {
+    val p = plan("q115_index_cell_audit")
+    val tree = p.split("\n\n").head
+    assert(!tree.contains("Join"), s"q115 joins at audit time:\n$tree")
+    assert(!p.contains("testdata"),
+      s"q115 reads the corpus instead of the stored artifact:\n$p")
+    assert(tree.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"q115 lost map-side combine:\n$tree")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
