@@ -604,5 +604,67 @@ object Pipeline {
       .orderBy("chunk_fp")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q57, q58, q59, q64, q81, q96, q97, q99)
+  /** q117's selection budget (whitespace tokens) — sized to keep a
+    * nontrivial subset at every fixture SF (corpora hold ~27k tokens at
+    * sf0.01, ~270k at sf0.1).
+    */
+  private val TokenBudget = 12000L
+
+  /** Quality-band width (micro-units) for q117's two-level cumulative
+    * sum: the corpus shuffles once on ≤ 1e6/width bucket keys; finer
+    * bands mean more parallel partitions for the within-band running
+    * sums. The band table itself stays metadata-sized.
+    */
+  private val QBandWidth = 10000L
+
+  /** q117: TOKEN-BUDGET corpus selection — the "best N tokens" cut every
+    * training run makes: order documents by quality (q27's score, doc_id
+    * tie-break) and keep the prefix whose cumulative token count fits
+    * the budget. A cumulative sum over a global order is inherently
+    * sequential, so the engine decomposes it two-level: per-document
+    * rows shuffle ONCE on a quality-band key (band = quality_micro div
+    * [[QBandWidth]] — order-compatible with the global sort since the
+    * band is a monotone function of the score), within-band running sums
+    * run in parallel per band, and the cross-band offsets come from a
+    * metadata-sized band-total table (≤ 1e6/width rows) broadcast back.
+    * No corpus-wide single-partition window ever exists, which is the
+    * difference between this and the textbook `sum() OVER (ORDER BY …)`
+    * the ORACLE uses. All summed values are integers — no float decides
+    * membership.
+    */
+  private val q117 = GraftQuery(
+    "q117_token_budget",
+    s"""WITH ${TextAnalysis.qualityOracleCte},
+       |c AS (
+       |  SELECT doc_id, quality_micro, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY quality_micro DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM qual)
+       |SELECT doc_id, quality_micro, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum_tokens <= $TokenBudget
+       |ORDER BY quality_micro DESC, doc_id""".stripMargin) { (s, d) =>
+    val base = TextAnalysis.qualityBase(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("band", floor(col("quality_micro") / QBandWidth).cast("long"))
+    // cross-band offsets: band totals (metadata-sized), cumulated over
+    // the ≤1e6/width-row table, broadcast back to the corpus
+    val wOff = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("band").agg(sum(col("n_tokens")).as("band_tokens"))
+      .withColumn("offset", coalesce(sum(col("band_tokens")).over(wOff), lit(0L)))
+      .select("band", "offset")
+    val wIn = Window.partitionBy("band")
+      .orderBy(col("quality_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), "band")
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
+      .where(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("quality_micro"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("quality_micro").desc, col("doc_id"))
+  }
+
+  val queries: Seq[GraftQuery] =
+    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117)
 }

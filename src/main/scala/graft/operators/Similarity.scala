@@ -396,8 +396,11 @@ object Similarity {
     * per cluster" is a groupBy(cluster_id).min. The oracle computes the
     * same fixpoint as a recursive transitive closure.
     */
-  private val q52 = GraftQuery(
-    "q52_neardup_clusters",
+  /** The minhash→candidate→transitive-closure oracle chain, ending in a
+    * `clus(doc_id, cluster_id)` CTE — q52's text, composed further by
+    * q116's survivor selection.
+    */
+  private val clusterOracleChain: String =
     s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, sig AS (
        |  SELECT doc_id, $oracleSigList AS sig FROM hs
        |), bands AS (
@@ -415,16 +418,68 @@ object Similarity {
        |  SELECT u, v FROM edges
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-       |)
-       |SELECT d.doc_id, least(d.doc_id, coalesce(rm.m, d.doc_id)) AS cluster_id
-       |FROM documents d LEFT JOIN (SELECT u, min(v) AS m FROM reach GROUP BY u) rm
-       |  ON d.doc_id = rm.u
-       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |), clus AS (
+       |  SELECT d.doc_id, least(d.doc_id, coalesce(rm.m, d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN (SELECT u, min(v) AS m FROM reach GROUP BY u) rm
+       |    ON d.doc_id = rm.u)""".stripMargin
+
+  /** Engine twin of [[clusterOracleChain]]: every document's duplicate-
+    * cluster id (min doc_id of its minhash-candidate component).
+    */
+  private[operators] def clusterAssignments(s: SparkSession, d: String): DataFrame = {
     val edges = minhashCandidates(minhashSigs(s, d))
       .where(expr(sigMatchPredicate))
       .select(col("doc_a"), col("doc_b")).distinct()
     connectedComponents(Tables.documents(s, d).select("doc_id"), edges)
-      .orderBy("doc_id")
+  }
+
+  private val q52 = GraftQuery(
+    "q52_neardup_clusters",
+    s"""$clusterOracleChain
+       |SELECT doc_id, cluster_id FROM clus
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    clusterAssignments(s, d).orderBy("doc_id")
+  }
+
+  /** q116: SURVIVOR selection — the decision step that turns q52's
+    * cluster assignment into an actual deduplicated corpus: per
+    * duplicate cluster, keep the highest-quality member (q27's score;
+    * doc_id breaks ties), reporting cluster size and the kept document.
+    * This is where dedup and quality scoring compose — production
+    * pipelines keep the BEST copy, not an arbitrary one. The engine
+    * picks the survivor with an order-pinned min(struct(−quality,
+    * doc_id)) AGGREGATE (partial+final, one shuffle on cluster_id) —
+    * never a per-cluster ranking window, so no per-cluster sort and
+    * map-side combine does most of the work; every compared value is an
+    * integer.
+    */
+  private val q116 = GraftQuery(
+    "q116_canonical_docs",
+    s"""$clusterOracleChain,
+       |${TextAnalysis.qualityOracleCte},
+       |j AS (
+       |  SELECT c.cluster_id, c.doc_id, q.quality_micro
+       |  FROM clus c JOIN qual q ON c.doc_id = q.doc_id),
+       |r AS (
+       |  SELECT cluster_id, doc_id, quality_micro,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_micro DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM j)
+       |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS canonical_doc, quality_micro AS canonical_quality
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    val qual = TextAnalysis.qualityBase(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"))
+    clusterAssignments(s, d).join(qual, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((col("quality_micro") * -1).as("nq"),
+          col("doc_id").as("d"))).as("pick"))
+      .select(col("cluster_id"), col("n_members"),
+        col("pick.d").as("canonical_doc"),
+        (col("pick.nq") * -1).as("canonical_quality"))
+      .orderBy("cluster_id")
   }
 
   /** Bucket-width cap for the REGISTERED capped-dedup query (q85). Chosen
@@ -3129,5 +3184,5 @@ object Similarity {
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
-      q105, q106, q107, q108, q110, q114, q115)
+      q105, q106, q107, q108, q110, q114, q115, q116)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -66,6 +67,54 @@ object TextAnalysis {
     * decimal repr) and DuckDB (rounding the binary double) legitimately
     * disagree. floor of bit-identical doubles is engine-independent.
     */
+  /** The quality-score base frame shared by q27 and the selection
+    * operators (Similarity q116 survivor pick, Pipeline q117 token
+    * budget): one tokenization (lowercasing never changes whitespace, so
+    * size(toks) equals the oracle's len over the un-lowered text), the
+    * raw ratio columns, and per-doc token counts.
+    */
+  private[operators] def qualityBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("n_chars2"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter(toks, x -> x IN ${inList(stopEn)}))").as("stop_hits"))
+      .withColumn("stop_ratio", col("stop_hits") * lit(1.0) / col("n_tokens"))
+      .withColumn("avg_token_len",
+        length(regexp_replace(col("text"), " ", "")) * lit(1.0) / col("n_tokens"))
+
+  /** The bounded [0,1] quality score in floored micro-units, over
+    * [[qualityBase]]'s ratio columns — ONE definition shared by every
+    * consumer (see q27 for why floor beats round at the half boundary).
+    */
+  private[operators] def qualityMicroCol: org.apache.spark.sql.Column =
+    floor((least(lit(1.0), col("n_tokens") / 200.0) * 0.4 + col("stop_ratio") * 0.3
+      + least(lit(1.0), col("avg_token_len") / 8.0) * 0.3) * 1000000)
+      .cast("long")
+
+  /** Oracle twin of [[qualityBase]]+[[qualityMicroCol]] as a `qual`
+    * CTE: (doc_id, quality_micro, n_tokens), composed by the q116/q117
+    * oracles.
+    */
+  private[operators] val qualityOracleCte: String =
+    s"""qual AS (
+       |  SELECT doc_id,
+       |    CAST(floor((least(CAST(1 AS DOUBLE), n_tokens / CAST(200 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |          + stop_ratio * CAST(0.3 AS DOUBLE)
+       |          + least(CAST(1 AS DOUBLE), avg_token_len / CAST(8 AS DOUBLE)) * CAST(0.3 AS DOUBLE)) * 1000000) AS BIGINT) AS quality_micro,
+       |    CAST(n_tokens AS BIGINT) AS n_tokens
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(string_split_regex(text, '\\s+')) AS n_tokens,
+       |      CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |          x -> x IN ${inList(stopEn)})) AS DOUBLE)
+       |        / len(string_split_regex(text, '\\s+')) AS stop_ratio,
+       |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |        / len(string_split_regex(text, '\\s+')) AS avg_token_len
+       |    FROM documents) t)""".stripMargin
+
   private val q27 = GraftQuery(
     "q27_quality_score",
     s"""SELECT doc_id, n_tokens, n_chars2,
@@ -84,24 +133,11 @@ object TextAnalysis {
       |      / len(string_split_regex(text, '\\s+')) AS avg_token_len
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // one shared tokenization (lowercasing never changes whitespace, so
-    // size(toks) equals the oracle's len over the un-lowered text)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        split(lower(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"), col("text"),
-        length(col("text")).as("n_chars2"),
-        size(col("toks")).as("n_tokens"),
-        expr(s"size(filter(toks, x -> x IN ${inList(stopEn)}))").as("stop_hits"))
-      .withColumn("stop_ratio", col("stop_hits") * lit(1.0) / col("n_tokens"))
-      .withColumn("avg_token_len",
-        length(regexp_replace(col("text"), " ", "")) * lit(1.0) / col("n_tokens"))
+    qualityBase(s, d)
       .select(col("doc_id"), col("n_tokens"), col("n_chars2"),
         floor(col("stop_ratio") * 1000000).cast("long").as("stop_ratio_micro"),
         floor(col("avg_token_len") * 1000000).cast("long").as("avg_token_len_micro"),
-        floor((least(lit(1.0), col("n_tokens") / 200.0) * 0.4 + col("stop_ratio") * 0.3
-          + least(lit(1.0), col("avg_token_len") / 8.0) * 0.3) * 1000000)
-          .cast("long").as("quality_micro"))
+        qualityMicroCol.as("quality_micro"))
       .orderBy("doc_id")
   }
 

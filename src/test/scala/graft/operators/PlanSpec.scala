@@ -523,6 +523,30 @@ class PlanSpec extends SparkSuite {
       s"q115 lost map-side combine:\n$tree")
   }
 
+  test("q116 survivor pick is an aggregate, never a per-cluster ranking window") {
+    val p = plan("q116_canonical_docs")
+    val tree = p.split("\n\n").head
+    assert(!tree.contains("Window"),
+      s"q116 ranks per cluster instead of aggregating:\n$tree")
+    // min(struct(…)) plans as SortAggregate (structs aren't hash-able);
+    // partial+final still map-side combines
+    assert(tree.linesIterator.count(l =>
+        l.contains("HashAggregate") || l.contains("SortAggregate")) >= 2,
+      s"q116 lost map-side combine on the survivor agg:\n$tree")
+  }
+
+  test("q117 budget cut: banded windows and a broadcast offset join, no global window") {
+    val p = plan("q117_token_budget")
+    // the corpus-sized running sum must be partitioned by the quality
+    // band — a windowspec with no partition key would serialize the
+    // corpus through one task
+    assert(p.contains("windowspecdefinition(band"),
+      s"q117 lost the banded window partitioning:\n$p")
+    // cross-band offsets ride a broadcast, never a corpus shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"q117 shuffles the corpus to meet the offset table:\n$p")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
