@@ -2920,10 +2920,19 @@ object Similarity {
     * query batch's probe selection. Exposed for PlanSpec.
     */
   private[operators] def coldServePlan(s: SparkSession, base: String,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None): DataFrame =
+    quantServeFrames(s, s.read.parquet(s"$base/coarse_centroids"),
+      s.read.parquet(s"$base/index"), tombstones)
+
+  /** The frame-level serving core behind [[coldServePlan]] (single index
+    * directory) and [[manifestServePlan]] (manifest-selected segment
+    * union): probe routing against the broadcast centroid table, static
+    * probed-cell pushdown into the candidate read, int8 ranking over
+    * stored codes.
+    */
+  private[operators] def quantServeFrames(s: SparkSession, coarse: DataFrame,
+      index: DataFrame, tombstones: Option[DataFrame]): DataFrame = {
     VectorFunctions.register(s)
-    val coarse = s.read.parquet(s"$base/coarse_centroids")
-    val index = s.read.parquet(s"$base/index")
     // tombstone mask, applied BEFORE ranking on both the query and the
     // candidate side: a deleted row must neither be served as a neighbor
     // nor occupy a rank slot (a post-top-k filter would silently return
@@ -3181,8 +3190,105 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Bucket predicate over an arbitrary id expression (SQL twin of
+    * [[shardBucket]]) — the snapshot oracles restrict both probe and
+    * candidate sides by shard bucket.
+    */
+  private def shardBucketSqlOf(idExpr: String): String =
+    s"(${Pipeline.lcgSql(idExpr, Pipeline.SplitA, Pipeline.SplitC)}) % 10"
+
+  /** The index as a VERSIONED segment store: immutable segment
+    * directories plus a parquet MANIFEST mapping each snapshot version
+    * to its full file set (snapshot isolation, the Iceberg/Delta/Lance
+    * table-format idea applied to the vector index):
+    *
+    *   v1 = [base]                      — the initial load (buckets 0-7)
+    *   v2 = [base, shard]               — after q94's append commit
+    *   v3 = [base, shard] − deletes/d1  — after q110's delete commit
+    *
+    * A writer commits by writing NEW segment/delete files and appending
+    * manifest rows — never rewriting a segment — so concurrent readers
+    * keep a consistent snapshot and time-travel is a manifest filter.
+    * The manifest is itself parquet (one row per (version, kind, path)),
+    * readable by any engine. Segments stay partitioned by cell, so
+    * probed-cell pruning works per segment.
+    */
+  private[operators] def versionedIndex(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"versioned_index:$d") {
+      val src = writtenIndex(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_versioned_index")
+      val idx = s.read.parquet(s"$src/index")
+      idx.where(shardBucket(col("vec_id")) < 8)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/segments/base")
+      idx.where(shardBucket(col("vec_id")) >= 8)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/segments/shard")
+      idx.where(tombstoned(col("vec_id"))).select("vec_id")
+        .write.mode("overwrite").parquet(s"$base/deletes/d1")
+      s.read.parquet(s"$src/coarse_centroids").write.mode("overwrite")
+        .parquet(s"$base/coarse_centroids")
+      val mf = s.createDataFrame(Seq(
+        (1, "segment", "segments/base"),
+        (2, "segment", "segments/base"), (2, "segment", "segments/shard"),
+        (3, "segment", "segments/base"), (3, "segment", "segments/shard"),
+        (3, "delete", "deletes/d1")))
+        .toDF("version", "kind", "path")
+      mf.coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** Serve a QUERY at a snapshot version: resolve the manifest (a
+    * metadata-sized read, collected like q105's cell-routing list — this
+    * is the table-of-contents a query router holds in memory), union the
+    * listed segments, mask the listed delete files, and run the standard
+    * quantized serving core. Partition pruning applies per segment scan.
+    */
+  private[operators] def manifestServePlan(s: SparkSession, base: String,
+      version: Int): DataFrame = {
+    val entries = s.read.parquet(s"$base/manifest")
+      .where(col("version") === version).select("kind", "path")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    require(entries.nonEmpty, s"no manifest entries for version $version")
+    val segs = entries.collect { case ("segment", p) => p }
+    val dels = entries.collect { case ("delete", p) => p }
+    val index = segs.map(p => s.read.parquet(s"$base/$p")).reduce(_.unionByName(_))
+    val tomb = dels.map(p => s.read.parquet(s"$base/$p"))
+      .reduceOption(_.unionByName(_))
+    quantServeFrames(s, s.read.parquet(s"$base/coarse_centroids"), index, tomb)
+  }
+
+  /** q118/q119/q120: TIME-TRAVEL serving — the bounded query batch
+    * answered at each snapshot of the index lifecycle, reading only what
+    * that version's manifest lists. q118 (v1, pre-append) has its own
+    * oracle (both sides restricted to the base shard); q119 (v2,
+    * post-append) must be indistinguishable from q105's single-directory
+    * cold serve; q120 (v3, post-delete) from q110's masked serve — the
+    * snapshot mechanism may not change a single served value.
+    */
+  private val q118 = GraftQuery(
+    "q118_snapshot_base",
+    s"""WITH $kmOracleTrain, ${probesOracle(
+           s"\n    WHERE e.vec_id < $QueryBatch AND ${shardBucketSqlOf("e.vec_id")} < 8")},
+       |${int8QuantOracleTailWhere(s"\n    AND ${shardBucketSqlOf("b.vec_id")} < 8")}"""
+      .stripMargin) { (s, d) =>
+    manifestServePlan(s, versionedIndex(s, d), version = 1)
+  }
+
+  private val q119 = GraftQuery(
+    "q119_snapshot_append", boundedQuantServeOracle) { (s, d) =>
+    manifestServePlan(s, versionedIndex(s, d), version = 2)
+  }
+
+  private val q120 = GraftQuery(
+    "q120_snapshot_delete", tombstoneServeOracle) { (s, d) =>
+    manifestServePlan(s, versionedIndex(s, d), version = 3)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
-      q105, q106, q107, q108, q110, q114, q115, q116)
+      q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120)
 }

@@ -547,6 +547,20 @@ class PlanSpec extends SparkSuite {
       s"q117 shuffles the corpus to meet the offset table:\n$p")
   }
 
+  test("q119 snapshot serving prunes probed cells in EVERY manifest segment scan") {
+    val base = Similarity.versionedIndex(spark, dir)
+    val df = Similarity.manifestServePlan(spark, base, version = 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("testdata"), s"snapshot serving reads the corpus:\n$p")
+    // both segments of v2 are scanned, and each scan is partition-pruned
+    // to the probed cells — the union must not defeat pushdown
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    val pruned = partFilters.count(f => f.contains("cell") && f.contains("IN"))
+    assert(pruned >= 2,
+      s"expected every segment scan pruned, got $pruned of ${partFilters.size}:\n$p")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
