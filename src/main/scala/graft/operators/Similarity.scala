@@ -3021,7 +3021,7 @@ object Similarity {
     * candidate join cost with cells probed — never corpus size.
     */
   private[graft] def streamServePlan(s: SparkSession, d: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, candidates: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(s)
     val cents = trainedCentroidsCollected(s, d)
     val scored = transform(typedLit(cents), c => struct(
@@ -3033,8 +3033,9 @@ object Similarity {
       .withColumn("probe_cell", explode(
         transform(slice(array_sort(scored), 1, ProbeP), s => s.getField("cell"))))
       .select("vec_id", "probe_cell", "code_a", "nq_a")
-    val cand = kmQuantized(s, d).select(col("vec_id").as("neighbor_id"),
-      col("cell").as("cell_b"), col("code").as("code_b"), col("nq").as("nq_b"))
+    val cand = candidates.getOrElse(kmQuantized(s, d))
+      .select(col("vec_id").as("neighbor_id"),
+        col("cell").as("cell_b"), col("code").as("code_b"), col("nq").as("nq_b"))
     probed
       .join(cand, col("probe_cell") === col("cell_b") &&
         col("vec_id") =!= col("neighbor_id"))
@@ -3077,7 +3078,7 @@ object Similarity {
     * with no mask): both must produce exactly the quantized top-3 over
     * the non-tombstoned subset.
     */
-  private val tombstoneServeOracle: String =
+  private[graft] val tombstoneServeOracle: String =
     s"""WITH $kmOracleTrain, ${probesOracle(
            s"\n    WHERE e.vec_id < $QueryBatch AND NOT (${tombstoneSql("e.vec_id")})")},
        |${int8QuantOracleTailWhere(s"\n    AND NOT (${tombstoneSql("b.vec_id")})")}"""
@@ -3213,7 +3214,7 @@ object Similarity {
     * readable by any engine. Segments stay partitioned by cell, so
     * probed-cell pruning works per segment.
     */
-  private[operators] def versionedIndex(s: SparkSession, d: String): String =
+  private[graft] def versionedIndex(s: SparkSession, d: String): String =
     graft.Artifacts.cached[String](s, s"versioned_index:$d") {
       val src = writtenIndex(s, d)
       val base = java.nio.file.Files.createTempDirectory("graft_versioned_index")
@@ -3246,17 +3247,25 @@ object Similarity {
     * listed segments, mask the listed delete files, and run the standard
     * quantized serving core. Partition pruning applies per segment scan.
     */
-  private[operators] def manifestServePlan(s: SparkSession, base: String,
-      version: Int): DataFrame = {
+  /** Resolve a snapshot version from the manifest into (segment-union
+    * index, optional delete mask) — the metadata-sized lookup every
+    * versioned reader (batch q118-q120, streaming q121) starts from.
+    */
+  private[graft] def manifestResolve(s: SparkSession, base: String,
+      version: Int): (DataFrame, Option[DataFrame]) = {
     val entries = s.read.parquet(s"$base/manifest")
       .where(col("version") === version).select("kind", "path")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     require(entries.nonEmpty, s"no manifest entries for version $version")
     val segs = entries.collect { case ("segment", p) => p }
     val dels = entries.collect { case ("delete", p) => p }
-    val index = segs.map(p => s.read.parquet(s"$base/$p")).reduce(_.unionByName(_))
-    val tomb = dels.map(p => s.read.parquet(s"$base/$p"))
-      .reduceOption(_.unionByName(_))
+    (segs.map(p => s.read.parquet(s"$base/$p")).reduce(_.unionByName(_)),
+      dels.map(p => s.read.parquet(s"$base/$p")).reduceOption(_.unionByName(_)))
+  }
+
+  private[operators] def manifestServePlan(s: SparkSession, base: String,
+      version: Int): DataFrame = {
+    val (index, tomb) = manifestResolve(s, base, version)
     quantServeFrames(s, s.read.parquet(s"$base/coarse_centroids"), index, tomb)
   }
 

@@ -463,6 +463,40 @@ object StreamingQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** q121: ONLINE serving at the DELETE snapshot — q111's query stream
+    * answered against the manifest-resolved live set (snapshot v3:
+    * segments minus the delete file), so the online tier serves exactly
+    * what the versioned store says is live. Both masks are stream-static
+    * broadcast anti-joins (the q98 ingest shape): a tombstoned id
+    * neither answers queries nor arrives AS a query, and candidates are
+    * masked pre-rank so every live query still gets its full top-3. The
+    * gate pins stream == q110's masked batch == q120's snapshot read ==
+    * DuckDB — four independent paths to one answer set, which is the
+    * consistency contract an online serving tier owes its offline store.
+    */
+  private val q121 = GraftQuery(
+    "q121_stream_snapshot_serve",
+    graft.operators.Similarity.tombstoneServeOracle) { (s, d) =>
+    val Sim = graft.operators.Similarity
+    val base = Sim.versionedIndex(s, d)
+    val (idx, tomb) = Sim.manifestResolve(s, base, version = 3)
+    val tombIds = tomb.get.select("vec_id")
+    val live = idx.join(broadcast(tombIds), Seq("vec_id"), "left_anti")
+    val qs = EventStreams.readEmbeddings(s, d)
+      .where(col("vec_id") < Sim.QueryBatch)
+      .join(broadcast(tombIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"))
+    val sunk = EventStreams.runToMemory(s,
+      Sim.streamServePlan(s, d, qs, Some(live)),
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    sunk.select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("col.qcos"), 6).as("qcos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111)
+    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121)
 }
