@@ -543,6 +543,15 @@ object CorpusStats {
     */
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val (postings, dl, stats) = bm25Index(s, d)
+    bm25ScoreFrames(postings, dl, stats)
+  }
+
+  /** The BM25 scoring plan over ANY (postings, lengths, stats) frames —
+    * in-session artifacts (q90/q112/q113) or the written index files
+    * (q122). One scoring definition for every serving surface.
+    */
+  private def bm25ScoreFrames(postings: DataFrame, dl: DataFrame,
+      stats: DataFrame): DataFrame = {
     val tf = postings.where(col("term").isin(Bm25Terms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
@@ -561,12 +570,63 @@ object CorpusStats {
         expr("aggregate(scs, 0D, (acc, s) -> acc + s.sc)").as("score"))
   }
 
-  private val q90 = GraftQuery(
-    "q90_bm25_retrieval",
+  /** q90's oracle text, shared verbatim by its cold-start twin q122
+    * (files == artifact == DuckDB).
+    */
+  private val bm25ServeOracle: String =
     s"""WITH $bm25OracleCtes
        |SELECT doc_id, round(score, 6) AS score FROM folded
-       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+
+  private val q90 = GraftQuery(
+    "q90_bm25_retrieval", bm25ServeOracle) { (s, d) =>
     bm25Scores(s, d)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  /** The inverted index WRITTEN to storage — the text-retrieval analog
+    * of the vector tier's written IVF index (q105): postings laid out by
+    * term range (repartitionByRange + sortWithinPartitions, so a term
+    * probe prunes whole files/row-groups on parquet min/max footer
+    * stats — the storage-level equivalent of an index seek), doc-length
+    * table laid out by doc_id for the scoring join, and the 1-row corpus
+    * stats. Together the three tables are serving-complete: a cold
+    * process answers any query batch from these files alone.
+    */
+  private[operators] def writtenBm25Index(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"written_bm25:$d") {
+      val (postings, dl, stats) = bm25Index(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25_index")
+      postings.repartitionByRange(8, col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$base/postings")
+      dl.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$base/lengths")
+      stats.write.mode("overwrite").parquet(s"$base/stats")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** q122: COLD-START BM25 serving — q90's retrieval answered reading
+    * ONLY [[writtenBm25Index]]'s files (a fresh process with the same
+    * directory builds the same plan): the term probe reaches the
+    * postings scan as a pushed `In` filter over the range-laid files,
+    * df/stats ride broadcasts, and the corpus text is never touched.
+    * Hash-gated on q90's oracle, so the storage round-trip of the whole
+    * retrieval tier is value-exact — the same files==artifact contract
+    * the vector index proves via q105.
+    */
+  private val q122 = GraftQuery(
+    "q122_cold_bm25_serve", bm25ServeOracle) { (s, d) =>
+    val base = writtenBm25Index(s, d)
+    bm25ScoreFrames(
+        s.read.parquet(s"$base/postings"),
+        s.read.parquet(s"$base/lengths"),
+        s.read.parquet(s"$base/stats"))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
@@ -769,5 +829,5 @@ object CorpusStats {
   }
 
   val queries: Seq[GraftQuery] =
-    Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113)
+    Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122)
 }

@@ -561,6 +561,22 @@ class PlanSpec extends SparkSuite {
       s"expected every segment scan pruned, got $pruned of ${partFilters.size}:\n$p")
   }
 
+  test("q122 cold BM25 pushes the term probe into the written postings scan") {
+    val p = plan("q122_cold_bm25_serve")
+    val tree = p.split("\n\n").head
+    assert(tree.contains("TakeOrderedAndProject"), s"q122 full-sorts:\n$tree")
+    // serving reads ONLY the written index: no corpus text, no artifact
+    assert(!p.contains("documents.parquet"),
+      s"q122 rescans the documents table:\n$p")
+    assert(!tree.contains("Generate"), s"q122 re-tokenizes:\n$tree")
+    assert(!tree.contains("Scan ExistingRDD"),
+      s"q122 leans on a session artifact:\n$tree")
+    // the term probe reaches the postings file scan as a pushed filter,
+    // where the range layout lets footer stats prune files/row-groups
+    assert(p.contains("PushedFilters: [In(term"),
+      s"q122 lost term-probe pushdown into the postings files:\n$p")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
