@@ -527,7 +527,43 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "measure")
   }
 
+  /** q123: RANGE-framed analytic window — the VALUE-based frame q08's
+    * row-based frame doesn't cover (B5 depth): per user, the trailing
+    * 10-minute event sum/count at every event. The frame is defined over
+    * integer MICROSECONDS (both engines floor the parquet nano
+    * timestamps to µs identically — see `Tables.normalizeEventTs`), and
+    * the summed measure is integer cents (floor(value·100)), so frame
+    * membership and every output value are integer-decided: peers at the
+    * exact boundary land identically in both engines, which a float or
+    * sub-µs frame could not guarantee. One hash shuffle on user_id, the
+    * standard windowed-analytics shape.
+    */
+  private val q123 = GraftQuery(
+    "q123_trailing_window",
+    """WITH t AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS v_cents
+      |  FROM events)
+      |SELECT event_id, user_id, ts_us,
+      |  CAST(sum(v_cents) OVER w AS BIGINT) AS win_cents,
+      |  CAST(count(*) OVER w AS BIGINT) AS win_n
+      |FROM t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+    val t = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100).cast("long").as("v_cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-600000000L, 0L)
+    t.select(col("event_id"), col("user_id"), col("ts_us"),
+        sum(col("v_cents")).over(w).as("win_cents"),
+        count(lit(1)).over(w).as("win_n"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q15, q42, q46, q54, q61, q62, q63)
+      q15, q42, q46, q54, q61, q62, q63, q123)
 }

@@ -2830,11 +2830,11 @@ object Similarity {
     * neighbors are mostly other-label; pre-filtering keeps k results
     * whenever the probed cells contain k same-label vectors.
     *
-    * Scale note: the candidate side joins the index assignments with the
-    * metadata column on vec_id once — in a [[writeIvfIndex]]-served
-    * deployment the metadata column rides the stored index row (same
-    * pattern as the code columns), making the filter a partition-local
-    * predicate with no extra join.
+    * Scale note: the metadata column is MATERIALIZED on the index row
+    * ([[kmTrainedLabeled]], built once per session — the same pattern
+    * [[kmQuantizedLabeled]] uses for the compressed tier), so the filter
+    * is a column comparison inside the candidate join with no
+    * per-invocation metadata join.
     */
   private val q103 = GraftQuery(
     "q103_filtered_ann",
@@ -2851,19 +2851,44 @@ object Similarity {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM sim) t
        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    labeledFloatFiltered(s, d, sameLabel = true)
+  }
+
+  /** [[kmTrained]]'s assignments with the metadata column MATERIALIZED
+    * on the index row — the float-tier analog of [[kmQuantizedLabeled]]:
+    * the label joins once at artifact build, so each filtered serving
+    * call (q103/q104) adds no per-invocation metadata join (closing the
+    * r9 note that the label column rode a fresh join per query batch).
+    */
+  private[operators] def kmTrainedLabeled(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cachedDf(s, s"ivf_trained_labeled:$d") {
+      val (_, a2) = kmTrained(s, d)
+      a2.join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+    }
+
+  /** Shared engine for the filtered float tier: q103 (`sameLabel=true`)
+    * and q104 (inverted predicate). Probes, queries, and candidates all
+    * read the labeled index artifact; the predicate rides the candidate
+    * join pre-rank.
+    */
+  private def labeledFloatFiltered(s: SparkSession, d: String,
+      sameLabel: Boolean): DataFrame = {
     VectorFunctions.register(s)
-    val (c1, a2) = kmTrained(s, d)
-    val e = Tables.embeddings(s, d)
-    val labels = e.select(col("vec_id"), col("label"))
+    val (c1, _) = kmTrained(s, d)
+    val idx = kmTrainedLabeled(s, d)
     val probes = probeSelection(
-        e.select("vec_id", "embedding").where(col("vec_id") < QueryBatch), c1)
-      .join(broadcast(labels.where(col("vec_id") < QueryBatch)), "vec_id")
-    val cand = a2.join(labels, "vec_id")
+        idx.select(col("vec_id"), col("embedding"))
+          .where(col("vec_id") < QueryBatch), c1)
+      .join(broadcast(idx.select(col("vec_id"), col("label"))
+        .where(col("vec_id") < QueryBatch)), "vec_id")
+    val cand = idx
       .select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
         col("embedding").as("emb_b"), col("label").as("label_b"))
-    rankTop3(probes.join(cand,
-      col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id") &&
-        col("label") === col("label_b")))
+    val base = col("probe_cell") === col("cell_b") &&
+      col("vec_id") =!= col("neighbor_id")
+    val cond = if (sameLabel) base && col("label") === col("label_b")
+               else base && col("label") =!= col("label_b")
+    rankTop3(probes.join(cand, cond))
   }
 
   /** q104: HARD-NEGATIVE mining — q103's machinery with the predicate
@@ -2891,19 +2916,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM sim) t
        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
-    VectorFunctions.register(s)
-    val (c1, a2) = kmTrained(s, d)
-    val e = Tables.embeddings(s, d)
-    val labels = e.select(col("vec_id"), col("label"))
-    val probes = probeSelection(
-        e.select("vec_id", "embedding").where(col("vec_id") < QueryBatch), c1)
-      .join(broadcast(labels.where(col("vec_id") < QueryBatch)), "vec_id")
-    val cand = a2.join(labels, "vec_id")
-      .select(col("vec_id").as("neighbor_id"), col("cell").as("cell_b"),
-        col("embedding").as("emb_b"), col("label").as("label_b"))
-    rankTop3(probes.join(cand,
-      col("probe_cell") === col("cell_b") && col("vec_id") =!= col("neighbor_id") &&
-        col("label") =!= col("label_b")))
+    labeledFloatFiltered(s, d, sameLabel = false)
   }
 
   /** The cold-start serving plan behind q105, built ONLY from the files
