@@ -3204,6 +3204,65 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** q124: per-SOURCE dataset report — the "dataset card" table a corpus
+    * ships with, composing three proven tiers into one shuffle-friendly
+    * summary: per source, how many documents, how many sit inside a
+    * near-dup cluster (size ≥ 2), how many survive q116's
+    * quality-aware survivor selection, and the integer token/quality
+    * totals. Every aggregate is an integer (quality is the micro-unit
+    * score), every join a hash equi-join on doc_id/cluster_id with
+    * partial aggregation — the report costs two extra metadata-light
+    * shuffles on top of the shared minhash-cluster artifact, regardless
+    * of corpus width.
+    */
+  private val q124 = GraftQuery(
+    "q124_source_report",
+    s"""$clusterOracleChain,
+       |${TextAnalysis.qualityOracleCte},
+       |j AS (
+       |  SELECT c.cluster_id, c.doc_id, q.quality_micro, q.n_tokens
+       |  FROM clus c JOIN qual q ON c.doc_id = q.doc_id),
+       |sz AS (SELECT cluster_id, count(*) AS csize FROM j GROUP BY 1),
+       |cn AS (
+       |  SELECT cluster_id, doc_id AS canonical_doc FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY quality_micro DESC, doc_id) AS rn
+       |    FROM j) t WHERE rn = 1)
+       |SELECT d.source AS source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN s2.csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_members,
+       |  CAST(sum(CASE WHEN j.doc_id = cn.canonical_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(j.n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(j.quality_micro) AS BIGINT) AS sum_quality_micro
+       |FROM j JOIN documents d ON j.doc_id = d.doc_id
+       |JOIN sz s2 ON j.cluster_id = s2.cluster_id
+       |JOIN cn ON j.cluster_id = cn.cluster_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val qual = TextAnalysis.qualityBase(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val j = clusterAssignments(s, d).join(qual, "doc_id")
+    val sizes = j.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val canon = j.groupBy("cluster_id")
+      .agg(min(struct((col("quality_micro") * -1).as("nq"),
+        col("doc_id").as("dd"))).as("pick"))
+      .select(col("cluster_id"), col("pick.dd").as("canonical_doc"))
+    j.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .join(sizes, "cluster_id")
+      .join(canon, "cluster_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") >= 2, 1L).otherwise(0L)).as("n_dup_members"),
+        sum(when(col("doc_id") === col("canonical_doc"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("quality_micro")).as("sum_quality_micro"))
+      .orderBy("source")
+  }
+
   /** Bucket predicate over an arbitrary id expression (SQL twin of
     * [[shardBucket]]) — the snapshot oracles restrict both probe and
     * candidate sides by shard bucket.
@@ -3312,5 +3371,5 @@ object Similarity {
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
-      q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120)
+      q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124)
 }
