@@ -604,19 +604,25 @@ object Similarity {
     * Distances come from the codegen [[graft.functions.L2DistanceSq]]
     * kernel (left-to-right accumulation, bit-identical to the oracle's
     * list_reduce over bit-identical centroids), and the argmin is a
-    * `min_by` hash aggregate — partial aggregation reduces the k
-    * candidate rows per vector map-side, so the exchange carries ~one row
-    * per vector instead of shuffling the k-times-amplified cross join the
-    * way a row_number window would.
+    * map-side `array_min` over the COLLECTED centroid table riding the
+    * plan as a literal (k ≤ 256 rows of doubles — router metadata, the
+    * [[frozenAssignEncode]] recipe): ZERO exchange per assignment pass,
+    * where a `min_by` aggregate would shuffle ~one collapsed row per
+    * corpus vector per Lloyd pass — at 100 TB that exchange, repeated
+    * per training iteration, IS the training cost. The struct ordering
+    * (d, cell) is the same lexicographic tie-break
+    * `min_by(struct(d, cell))` used — the equivalence the q94/q109
+    * oracle gates already pin for the frozen-codebook path.
     */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("d", VectorFunctions.l2DistSq(col("embedding"), col("cen")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("embedding"), col("cell")),
-        struct(col("d"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cell").as("cell"))
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val arr = cents.select(col("cell"), col("cen")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val scored = transform(typedLit(arr), c => struct(
+      VectorFunctions.l2DistSq(col("embedding"), c.getField("_2")).as("d"),
+      c.getField("_1").as("cell")))
+    e.withColumn("cell", array_min(scored).getField("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
 
   /** Centroid recompute with ORDER-PINNED sums: each (cell, dim) collects
     * its member values sorted by vec_id and folds them left-to-right, so
