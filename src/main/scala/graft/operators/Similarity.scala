@@ -614,7 +614,7 @@ object Similarity {
     * `min_by(struct(d, cell))` used — the equivalence the q94/q109
     * oracle gates already pin for the frozen-codebook path.
     */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val arr = cents.select(col("cell"), col("cen")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val scored = transform(typedLit(arr), c => struct(

@@ -178,6 +178,24 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"q94 should only exchange for the final sort:\n$p")
   }
 
+  test("kmAssign is a pure map: zero exchanges, zero joins per Lloyd pass") {
+    // the centroid table rides the plan as a literal (<= 256 rows of
+    // router metadata) and the argmin is a map-side array_min — so a
+    // Lloyd ASSIGNMENT pass over a 100 TB corpus is scan-speed, where a
+    // min_by aggregate would shuffle ~one row per corpus vector per
+    // training iteration
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val c0 = e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
+    val p = Similarity.kmAssign(e, c0).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"assignment pays a join:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 0, s"assignment should be map-only, got $exchanges exchanges:\n$p")
+  }
+
   test("q108 filtered shortlist: label rides the quantized candidate join, codes-only payload") {
     val df = Similarity.quantShortlistRerank(spark, dir, sameLabel = true)
     val p = df.queryExecution.executedPlan.toString
