@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -665,6 +665,72 @@ object Pipeline {
       .orderBy(col("quality_micro").desc, col("doc_id"))
   }
 
+  /** Bucketed corpus layout — the one join co-location mechanism Spark
+    * persists ACROSS jobs: both tables are written `bucketBy(nBuckets,
+    * joinKey)` (hash-partitioned into the same bucket count on the keys
+    * the pipeline joins on), so every subsequent doc↔embedding join in
+    * every later job reads bucket i against bucket i directly — the
+    * sort-merge join runs with ZERO exchanges on either side (PlanSpec
+    * pins it). At 100 TB this is the difference between re-shuffling the
+    * corpus per joining job and shuffling once at layout time: dedup
+    * manifests, alignment audits, metadata enrichment all join on doc_id
+    * — paying the corpus shuffle once in the writer amortizes it over
+    * the whole downstream job graph (and bucket count chosen at layout
+    * time sets downstream join parallelism — pick ~cluster cores at
+    * scale; 8 keeps the fixture readable).
+    *
+    * Built once per (session, dir) through [[graft.Artifacts]]: external
+    * datasource tables (explicit path under a temp dir, in-memory
+    * catalog), released by DROP TABLE + recursive delete. Table names
+    * carry a dir hash so warmup (sf0.001) and timed (sf0.1) corpora in
+    * one session never alias each other's catalog entries.
+    */
+  private val BucketedN = 8
+  private[operators] def bucketedTables(
+      s: SparkSession, d: String): (String, String) =
+    graft.Artifacts.cached[(String, String)](s, s"bucketedTables:$d") {
+      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      val (docsT, embsT) = (s"graft_docs_b_$suffix", s"graft_embs_b_$suffix")
+      val dir = java.nio.file.Files.createTempDirectory("graft_bucketed")
+      Tables.documents(s, d).write.mode("overwrite")
+        .bucketBy(BucketedN, "doc_id").sortBy("doc_id")
+        .option("path", s"$dir/docs").saveAsTable(docsT)
+      Tables.embeddings(s, d).select("vec_id", "label")
+        .write.mode("overwrite")
+        .bucketBy(BucketedN, "vec_id").sortBy("vec_id")
+        .option("path", s"$dir/embs").saveAsTable(embsT)
+      val rel = () => {
+        s.sql(s"DROP TABLE IF EXISTS $docsT")
+        s.sql(s"DROP TABLE IF EXISTS $embsT")
+        val p = new org.apache.hadoop.fs.Path(dir.toString)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      }
+      ((docsT, embsT), rel)
+    }
+
+  /** q125: exchange-free co-located join over the bucketed layout —
+    * per-(lang, label) corpus profile joining documents to embedding
+    * labels on the bucket key. The merge hint pins the sort-merge path
+    * (a broadcast would trivially avoid the exchange at fixture scale
+    * and prove nothing about the layout); the only shuffles in the plan
+    * are the post-join aggregation and the presentation sort.
+    */
+  private val q125 = GraftQuery(
+    "q125_bucketed_join",
+    """SELECT d.lang AS lang, e.label AS label,
+      |  count(*) AS n_docs,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val (docsT, embsT) = bucketedTables(s, d)
+    s.table(docsT).hint("merge")
+      .join(s.table(embsT), col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "label")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117)
+    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125)
 }

@@ -154,5 +154,116 @@ object Temporal {
       .orderBy("user_id", "event_type")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q16, q17, q18, q19, q20, q21)
+  /** q126: windowed sequential conversion funnel (signup → view → click
+    * → purchase, each step within 1 day of the previous) — per user, how
+    * far through the ORDERED step sequence their event history advances,
+    * greedy first-match semantics (the industry-standard funnel
+    * definition: the NEXT step matches the earliest qualifying event
+    * after the previous step's match, within the conversion window).
+    * The classic event-analytics operator a SQL engine struggles with
+    * (no MATCH_RECOGNIZE in Spark): expressed here as a per-user
+    * left-to-right `aggregate` fold over the time-sorted event list with
+    * (step, last-match-ts) struct state — ONE shuffle on user_id total,
+    * partial collect map-side, the state machine entirely inside
+    * codegen. The equivalent relational formulation (stepwise
+    * min-within-window, the oracle's) pays one join + one shuffle PER
+    * STEP — 4× the exchanges at 100 TB, which is why funnels are
+    * fold-shaped here. Per-user payload is that user's events (bounded
+    * by real activity; a pathological power-user key would take the q86
+    * salting treatment). Fold order is pinned by (ts, event_id) sort;
+    * fixture timestamps are tie-free per user, so greedy-fold and
+    * min-formulation semantics coincide exactly.
+    */
+  private val q126 = GraftQuery(
+    "q126_event_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |    AND e.ts >= s1.t AND e.ts <= s1.t + INTERVAL 1 DAY
+      |  WHERE e.event_type = 'view' GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |    AND e.ts >= s2.t AND e.ts <= s2.t + INTERVAL 1 DAY
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s4 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s3 ON e.user_id = s3.user_id
+      |    AND e.ts >= s3.t AND e.ts <= s3.t + INTERVAL 1 DAY
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |per AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN s4.user_id IS NOT NULL THEN 4
+      |         WHEN s3.user_id IS NOT NULL THEN 3
+      |         WHEN s2.user_id IS NOT NULL THEN 2
+      |         WHEN s1.user_id IS NOT NULL THEN 1
+      |         ELSE 0 END AS steps_reached
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  LEFT JOIN s1 ON u.user_id = s1.user_id
+      |  LEFT JOIN s2 ON u.user_id = s2.user_id
+      |  LEFT JOIN s3 ON u.user_id = s3.user_id
+      |  LEFT JOIN s4 ON u.user_id = s4.user_id)
+      |SELECT steps_reached, count(*) AS n_users
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(expr(
+        """aggregate(evs,
+          |  named_struct('step', 0, 't', CAST(NULL AS TIMESTAMP)),
+          |  (acc, e) -> CASE
+          |    WHEN acc.step = 0 AND e.event_type = 'signup'
+          |      THEN named_struct('step', 1, 't', e.ts)
+          |    WHEN acc.step = 1 AND e.event_type = 'view'
+          |         AND e.ts <= acc.t + INTERVAL 1 DAY
+          |      THEN named_struct('step', 2, 't', e.ts)
+          |    WHEN acc.step = 2 AND e.event_type = 'click'
+          |         AND e.ts <= acc.t + INTERVAL 1 DAY
+          |      THEN named_struct('step', 3, 't', e.ts)
+          |    WHEN acc.step = 3 AND e.event_type = 'purchase'
+          |         AND e.ts <= acc.t + INTERVAL 1 DAY
+          |      THEN named_struct('step', 4, 't', e.ts)
+          |    ELSE acc END,
+          |  acc -> acc.step)""".stripMargin).as("steps_reached"))
+      .groupBy("steps_reached")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("steps_reached")
+  }
+
+  /** q127: retention cohorts — users grouped by first-active day, active
+    * user count at each day offset from that cohort day. Two exchanges
+    * total at any scale: the first-day aggregate shuffles on user_id and
+    * the events↔cohort join reuses that same hash partitioning (Catalyst
+    * exchange reuse — both sides land on user_id), then one partial+final
+    * distinct-count on (cohort_day, day_offset). The cohort table is
+    * user-granularity (tiny next to events), never the other way around.
+    */
+  private val q127 = GraftQuery(
+    "q127_retention_cohorts",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY 1)
+      |SELECT f.cohort_day AS cohort_day,
+      |  CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INTEGER)
+      |    AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = evs.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    evs.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val queries: Seq[GraftQuery] =
+    Seq(q16, q17, q18, q19, q20, q21, q126, q127)
 }

@@ -178,6 +178,45 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"q94 should only exchange for the final sort:\n$p")
   }
 
+  test("q125 bucketed join runs exchange-free: co-location comes from the layout") {
+    // both sides are written bucketBy(8, joinKey): the sort-merge join
+    // must consume bucketed scans directly — the ONLY exchanges in the
+    // plan are the post-join aggregation and the presentation sort. If a
+    // shuffle ever appears under the join, the bucketed layout has
+    // stopped paying for itself and every downstream joining job
+    // re-shuffles the corpus.
+    val p = plan("q125_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"bucketed join lost the SMJ path:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast crept in (proves nothing):\n$p")
+    assert(p.contains("Bucketed: true"), s"scan is not bucket-aware:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"want only agg + sort exchanges (join itself exchange-free), got $exchanges:\n$p")
+  }
+
+  test("q126 funnel folds per-user: one corpus shuffle, no per-step joins") {
+    // the stepwise-min relational formulation pays a join + shuffle PER
+    // funnel step; the fold pays ONE user_id shuffle for the whole state
+    // machine. The remaining exchanges are result-sized: the 5-row
+    // histogram agg and the presentation sort.
+    val p = plan("q126_event_funnel")
+    assert(!p.contains("Join"), s"funnel pays per-step joins:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 3,
+      s"want user_id shuffle + histogram agg + sort, got $exchanges:\n$p")
+  }
+
+  test("q127 cohort join reuses the first-seen aggregate's partitioning") {
+    // both the cohort aggregate and the events↔cohort join hash on
+    // user_id: Catalyst must reuse the exchange, not re-shuffle events a
+    // second time
+    val p = plan("q127_retention_cohorts")
+    assert(p.contains("ReusedExchange") || {
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+      exchanges <= 4
+    }, s"cohort join re-shuffles:\n$p")
+  }
+
   test("kmAssign is a pure map: zero exchanges, zero joins per Lloyd pass") {
     // the centroid table rides the plan as a literal (<= 256 rows of
     // router metadata) and the argmin is a map-side array_min — so a
