@@ -236,12 +236,14 @@ object Temporal {
   }
 
   /** q127: retention cohorts — users grouped by first-active day, active
-    * user count at each day offset from that cohort day. Two exchanges
-    * total at any scale: the first-day aggregate shuffles on user_id and
-    * the events↔cohort join reuses that same hash partitioning (Catalyst
-    * exchange reuse — both sides land on user_id), then one partial+final
-    * distinct-count on (cohort_day, day_offset). The cohort table is
-    * user-granularity (tiny next to events), never the other way around.
+    * user count at each day offset from that cohort day. The cohort
+    * table is user-granularity — always the small side of the join: at
+    * fixture scale Catalyst broadcasts it (the events side never pays a
+    * join-induced exchange at all — PlanSpec pins it); past the
+    * broadcast threshold the SMJ's cohort side arrives already
+    * hash-partitioned on user_id from its own aggregate, so the events
+    * shuffle is the only corpus-sized exchange either way. Then one
+    * partial+final distinct-count on (cohort_day, day_offset).
     */
   private val q127 = GraftQuery(
     "q127_retention_cohorts",
