@@ -665,6 +665,63 @@ object Pipeline {
       .orderBy(col("quality_micro").desc, col("doc_id"))
   }
 
+  /** q128: deterministic global corpus shuffle into ordered training
+    * shards — the stage every training run puts between corpus and
+    * dataloader ("shuffle the data"). A naive global ORDER BY
+    * random-key is a full-corpus range sort (sampling pass + skew-prone
+    * range exchange); this is the scale-honest equivalent: shard =
+    * hash(doc_id) (which corpus-wide IS a uniform random partition),
+    * then an INDEPENDENT second hash orders rows within each shard — a
+    * reproducible global permutation from ONE hash exchange plus
+    * shard-local sorts, no range sampling, no global sort, shard count
+    * = dataloader parallelism. The permutation is seed-stable
+    * (both LCG constants are the seed): re-running yields byte-identical
+    * shard files — the reproducibility a training-data pipeline owes its
+    * consumers. Second hash is ESSENTIAL: ordering within shard by the
+    * SHARDING hash would sort rows by their bucket residue class —
+    * correlated, not shuffled.
+    */
+  private val ShufShards = 8
+  private val ShufOrdA = 1664525L
+  private val ShufOrdC = 1013904223L
+  private val q128 = GraftQuery(
+    "q128_shuffle_shards",
+    s"""SELECT CAST(${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards AS INTEGER) AS shard,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards
+      |    ORDER BY ${lcgSql("doc_id", ShufOrdA, ShufOrdC)}, doc_id) AS BIGINT) AS pos,
+      |  doc_id
+      |FROM documents
+      |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    val shard = (lcg(col("doc_id"), SampleA, SampleC) % ShufShards).cast("int")
+    val ord = lcg(col("doc_id"), ShufOrdA, ShufOrdC)
+    val w = Window.partitionBy(col("shard")).orderBy(ord, col("doc_id"))
+    Tables.documents(s, d)
+      .select(shard.as("shard"), col("doc_id"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
+  /** The write form of [[q128]]: the shuffled corpus laid out as one
+    * directory per shard (`shard=N/`), rows within each shard file in
+    * permutation order (parquet preserves row order per file; a single
+    * sorted task writes each shard). A dataloader reads shard dirs in
+    * parallel and rows sequentially — no further shuffling needed at
+    * train time. Same determinism contract as q128: a rerun with the
+    * same seed pair yields the identical row sequence per shard
+    * (PipelineWriteSpec pins read-back order against q128's pos).
+    */
+  def writeShuffledShards(docs: org.apache.spark.sql.DataFrame,
+      outDir: String, nShards: Int = ShufShards): Unit = {
+    val shard = (lcg(col("doc_id"), SampleA, SampleC) % nShards).cast("int")
+    val ord = lcg(col("doc_id"), ShufOrdA, ShufOrdC)
+    docs.withColumn("shard", shard)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), ord, col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Bucketed corpus layout — the one join co-location mechanism Spark
     * persists ACROSS jobs: both tables are written `bucketBy(nBuckets,
     * joinKey)` (hash-partitioned into the same bucket count on the keys
@@ -732,5 +789,5 @@ object Pipeline {
   }
 
   val queries: Seq[GraftQuery] =
-    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125)
+    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128)
 }

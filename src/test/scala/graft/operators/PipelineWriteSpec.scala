@@ -139,6 +139,36 @@ class PipelineWriteSpec extends SparkSuite {
     }
   }
 
+  test("writeShuffledShards: shard dirs hold the q128 permutation in file order") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_shuf").toString + "/shards"
+    Pipeline.writeShuffledShards(docs, out)
+
+    // every shard directory exists and the union is exactly the corpus
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.length == 8, s"want 8 shard dirs, got ${shardDirs.toSeq}")
+
+    // file order within one shard == q128's pos order (the dataloader
+    // contract: sequential read replays the permutation, no sort needed)
+    val q128 = graft.SparkEntry.queries("q128_shuffle_shards")(spark, dir)
+      .collect().filter(_.getInt(0) == 3).sortBy(_.getLong(1)).map(_.getLong(2))
+    val fileOrder = spark.read.parquet(s"$out/shard=3")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(fileOrder.nonEmpty && fileOrder.sameElements(q128),
+      s"shard 3 file order diverges from q128 pos order " +
+        s"(${fileOrder.take(5).toSeq} vs ${q128.take(5).toSeq})")
+
+    // determinism: a rerun reproduces the identical per-shard sequence
+    val out2 = java.nio.file.Files.createTempDirectory("graft_shuf2").toString + "/shards"
+    Pipeline.writeShuffledShards(docs, out2)
+    val fileOrder2 = spark.read.parquet(s"$out2/shard=3")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(fileOrder2.sameElements(fileOrder), "rerun changed the permutation")
+  }
+
   test("writeScrubbedCorpus masks every banned term; char delta matches q100") {
     val out = java.nio.file.Files.createTempDirectory("graft_scrub").toString + "/corpus"
     TextAnalysis.writeScrubbedCorpus(spark, dir, out)

@@ -220,6 +220,19 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 4, s"extra shuffle crept into the cohort join:\n$p")
   }
 
+  test("q128 global shuffle: one hash exchange + shard-local sorts, no range sort of the corpus") {
+    // the naive ORDER BY random-key permutation is a corpus-wide range
+    // sort (sampling pass + skew-prone range exchange); the shard-hash
+    // formulation must plan as ONE hash exchange (the window's
+    // partition-by) plus the result-presentation sort — and the window
+    // sort stays shard-local
+    val p = plan("q128_shuffle_shards")
+    assert(!p.contains("Join"), s"shuffle-shard pays a join:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"want shard hash exchange + presentation sort only, got $exchanges:\n$p")
+  }
+
   test("kmAssign is a pure map: zero exchanges, zero joins per Lloyd pass") {
     // the centroid table rides the plan as a literal (<= 256 rows of
     // router metadata) and the argmin is a map-side array_min — so a
