@@ -722,6 +722,77 @@ object Pipeline {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
+  /** The WRITTEN chunk-fingerprint store behind q129 — the dedup
+    * family's storage artifact, mirroring the vector index (q105) and
+    * BM25 postings (q122) cold-start pattern: the accumulated corpus'
+    * distinct CDC chunk fingerprints, range-laid on `chunk_fp` so an
+    * ingest probe scans only the fingerprint column of sorted 8-byte
+    * keys. Built once per (session, dir) through [[graft.Artifacts]];
+    * release deletes the files. The store corpus is `doc_id % 4 != 0`
+    * (the complement is q129's arriving shard — the fixture's stand-in
+    * for "yesterday's corpus" vs "today's delivery").
+    */
+  private[operators] def writtenChunkStore(
+      s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"chunkStore:$d") {
+      val base = java.nio.file.Files.createTempDirectory("graft_chunk_store")
+      cdcChunks(Tables.documents(s, d).where(col("doc_id") % 4 =!= 0))
+        .select(col("chunk_fp")).distinct()
+        .repartitionByRange(4, col("chunk_fp"))
+        .sortWithinPartitions("chunk_fp")
+        .write.mode("overwrite").parquet(s"$base/fingerprints")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** q129: COLD-START ingest dedup — an arriving document shard is CDC-
+    * chunked and every chunk classified against the WRITTEN fingerprint
+    * store ([[writtenChunkStore]]) with no session state: `dup_store`
+    * (span already in the accumulated corpus), `dup_shard` (repeated
+    * within the delivery itself — not its first (doc_id, chunk_id)
+    * occurrence), or `new`. This is the first stage a production corpus
+    * pipeline runs on every delivery, and the batch cold-start twin of
+    * q98's streaming ingest: q98 proves the STREAM against the session
+    * manifest, q129 proves the FILES (a fresh process with the store
+    * directory computes the same verdicts — the files==artifact
+    * contract q105/q122 pin for the vector and lexical tiers). Scale
+    * shape: the store side of the probe reads ONLY the sorted 8-byte
+    * `chunk_fp` column (PlanSpec pins the one-column ReadSchema — text
+    * never rides the join); the intra-shard window partitions by
+    * fingerprint over delivery-sized data. At 100 TB the store probe
+    * takes a bloom pre-filter map-side (the q77/q80 mechanism) before
+    * the exact anti side — composition, not new machinery.
+    */
+  private val q129 = GraftQuery(
+    "q129_cold_ingest_dedup",
+    s"""WITH $cdcOracleCtes,
+       |store AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
+       |arr AS (
+       |  SELECT doc_id, chunk_id, chunk_fp,
+       |    row_number() OVER (PARTITION BY chunk_fp
+       |      ORDER BY doc_id, chunk_id) AS rn
+       |  FROM allchunks WHERE doc_id % 4 = 0)
+       |SELECT a.doc_id, a.chunk_id, a.chunk_fp,
+       |  CASE WHEN s.chunk_fp IS NOT NULL THEN 'dup_store'
+       |       WHEN a.rn > 1 THEN 'dup_shard' ELSE 'new' END AS status
+       |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val store = s.read.parquet(s"${writtenChunkStore(s, d)}/fingerprints")
+    val arr = cdcChunks(Tables.documents(s, d).where(col("doc_id") % 4 === 0))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_fp"))
+    val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    arr.withColumn("rn", row_number().over(w))
+      .join(store.withColumn("in_store", lit(true)), Seq("chunk_fp"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_fp"),
+        when(col("in_store"), "dup_store")
+          .when(col("rn") > 1, "dup_shard")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Bucketed corpus layout — the one join co-location mechanism Spark
     * persists ACROSS jobs: both tables are written `bucketBy(nBuckets,
     * joinKey)` (hash-partitioned into the same bucket count on the keys
@@ -789,5 +860,5 @@ object Pipeline {
   }
 
   val queries: Seq[GraftQuery] =
-    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128)
+    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129)
 }

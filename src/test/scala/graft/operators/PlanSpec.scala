@@ -233,6 +233,15 @@ class PlanSpec extends SparkSuite {
       s"want shard hash exchange + presentation sort only, got $exchanges:\n$p")
   }
 
+  test("q129 cold ingest probes the store on fingerprints only: text never rides the join") {
+    // the written store side of the dedup probe must scan exactly the
+    // sorted 8-byte chunk_fp column — at 100 TB the probe cost is the
+    // fingerprint column of the accumulated corpus, not its text
+    val p = plan("q129_cold_ingest_dedup")
+    assert(p.contains("ReadSchema: struct<chunk_fp:bigint>"),
+      s"store scan reads more than the fingerprint column:\n$p")
+  }
+
   test("kmAssign is a pure map: zero exchanges, zero joins per Lloyd pass") {
     // the centroid table rides the plan as a literal (<= 256 rows of
     // router metadata) and the argmin is a map-side array_min — so a
