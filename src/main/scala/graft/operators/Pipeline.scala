@@ -674,16 +674,25 @@ object Pipeline {
     * then an INDEPENDENT second hash orders rows within each shard — a
     * reproducible global permutation from ONE hash exchange plus
     * shard-local sorts, no range sampling, no global sort, shard count
-    * = dataloader parallelism. The permutation is seed-stable
-    * (both LCG constants are the seed): re-running yields byte-identical
-    * shard files — the reproducibility a training-data pipeline owes its
-    * consumers. Second hash is ESSENTIAL: ordering within shard by the
-    * SHARDING hash would sort rows by their bucket residue class —
-    * correlated, not shuffled.
+    * = dataloader parallelism. The permutation is seed-stable:
+    * re-running yields identical shard sequences — the reproducibility
+    * a training-data pipeline owes its consumers.
+    *
+    * The ordering hash must genuinely MIX, not merely relabel — which
+    * for an affine LCG means the multiplier must be LARGE relative to
+    * the modulus so every id increment wraps it: the first cut of this
+    * query used a textbook (a=1664525, m=2^31) LCG whose products stay
+    * below the modulus across the whole fixture id range, making the
+    * "permutation" exactly input order (caught by ScaleSpec's
+    * order-breaking pin; a small-digit-string polynomial hash fails the
+    * same way for the same no-wraparound reason). a=1588635695 ≈ 0.74·m
+    * wraps on every step. Ordering within shard by the SHARDING hash
+    * would be just as wrong in the other direction: rows would sort by
+    * bucket residue class — correlated, not shuffled.
     */
   private val ShufShards = 8
-  private val ShufOrdA = 1664525L
-  private val ShufOrdC = 1013904223L
+  private val ShufOrdA = 1588635695L
+  private val ShufOrdC = 981723457L
   private val q128 = GraftQuery(
     "q128_shuffle_shards",
     s"""SELECT CAST(${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards AS INTEGER) AS shard,

@@ -418,6 +418,24 @@ class ScaleSpec extends SparkSuite {
       s"hard-negative counts drifted: $hnCounts")
   }
 
+  test("q128 shuffle shards are balanced and the permutation breaks input order") {
+    // the whole design rests on the hash shard being a uniform random
+    // partition: a skewed shard serializes a dataloader worker, and an
+    // order-preserving "shuffle" defeats its training purpose
+    val rows = graft.SparkEntry
+      .queries("q128_shuffle_shards")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val sizes = rows.groupBy(_.getInt(0)).map(_._2.length)
+    val (mx, mn) = (sizes.max, sizes.min)
+    assert(sizes.size == 8 && mn > 0, s"empty shard: ${sizes.toSeq.sorted}")
+    assert(mx <= 2 * mn, s"shard skew ${sizes.toSeq.sorted} (max > 2*min)")
+    // within a shard, pos order must not be doc_id order (the second
+    // hash actually permutes; sorted-by-id would mean no shuffle at all)
+    val shard0 = rows.filter(_.getInt(0) == 0).sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(!shard0.sameElements(shard0.sorted),
+      "shard 0 pos order equals doc_id order — permutation is a no-op")
+  }
+
   test("temperature mix rates are monotone in alpha; endpoints behave") {
     val alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
     val rates = alphas.map { a =>
