@@ -826,7 +826,12 @@ object Pipeline {
   private[operators] def bucketedTables(
       s: SparkSession, d: String): (String, String) =
     graft.Artifacts.cached[(String, String)](s, s"bucketedTables:$d") {
-      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      // MD5 of the absolute path (the stagedWithFlush discipline): a
+      // 32-bit hashCode collision between two corpus dirs in one session
+      // would alias the catalog tables and serve the wrong corpus.
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
       val (docsT, embsT) = (s"graft_docs_b_$suffix", s"graft_embs_b_$suffix")
       val dir = java.nio.file.Files.createTempDirectory("graft_bucketed")
       Tables.documents(s, d).write.mode("overwrite")

@@ -615,7 +615,23 @@ object Similarity {
     * oracle gates already pin for the frozen-codebook path.
     */
   private[operators] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val arr = cents.select(col("cell"), col("cen")).collect()
+    // Guard the literal-codebook contract loudly: the collected frame
+    // rides the plan as a typedLit, which is only sane for router-sized
+    // codebooks, and getSeq[Double] would otherwise fail opaquely at
+    // runtime on an array<float> centroid column.
+    cents.schema("cen").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"kmAssign requires cen: array<double> (got $other); " +
+          "cast the centroid column before assignment")
+    }
+    val rows = cents.select(col("cell"), col("cen")).collect()
+    require(rows.length <= 1024,
+      s"kmAssign embeds the codebook as a plan literal; ${rows.length} " +
+        "centroids exceeds the 1024-cell router-metadata bound — use a " +
+        "broadcast join for codebooks this large")
+    val arr = rows
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val scored = transform(typedLit(arr), c => struct(
       VectorFunctions.l2DistSq(col("embedding"), c.getField("_2")).as("d"),

@@ -176,23 +176,31 @@ object Temporal {
     */
   private val q126 = GraftQuery(
     "q126_event_funnel",
-    """WITH s1 AS (
-      |  SELECT user_id, min(ts) AS t FROM events
+    // The oracle compares at integer MICROSECONDS (epoch_ns // 1000, one
+    // day = 86400000000 µs) — the same precision the engine folds at
+    // after Tables.normalizeEventTs — so window membership at the 1-day
+    // boundary is integer-decided in both engines regardless of the
+    // fixture's parquet timestamp unit (same discipline as q123).
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(t) AS t FROM ev
       |  WHERE event_type = 'signup' GROUP BY 1),
       |s2 AS (
-      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  SELECT e.user_id, min(e.t) AS t FROM ev e
       |  JOIN s1 ON e.user_id = s1.user_id
-      |    AND e.ts >= s1.t AND e.ts <= s1.t + INTERVAL 1 DAY
+      |    AND e.t >= s1.t AND e.t <= s1.t + 86400000000
       |  WHERE e.event_type = 'view' GROUP BY 1),
       |s3 AS (
-      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  SELECT e.user_id, min(e.t) AS t FROM ev e
       |  JOIN s2 ON e.user_id = s2.user_id
-      |    AND e.ts >= s2.t AND e.ts <= s2.t + INTERVAL 1 DAY
+      |    AND e.t >= s2.t AND e.t <= s2.t + 86400000000
       |  WHERE e.event_type = 'click' GROUP BY 1),
       |s4 AS (
-      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  SELECT e.user_id, min(e.t) AS t FROM ev e
       |  JOIN s3 ON e.user_id = s3.user_id
-      |    AND e.ts >= s3.t AND e.ts <= s3.t + INTERVAL 1 DAY
+      |    AND e.t >= s3.t AND e.t <= s3.t + 86400000000
       |  WHERE e.event_type = 'purchase' GROUP BY 1),
       |per AS (
       |  SELECT u.user_id,
@@ -201,7 +209,7 @@ object Temporal {
       |         WHEN s2.user_id IS NOT NULL THEN 2
       |         WHEN s1.user_id IS NOT NULL THEN 1
       |         ELSE 0 END AS steps_reached
-      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
       |  LEFT JOIN s1 ON u.user_id = s1.user_id
       |  LEFT JOIN s2 ON u.user_id = s2.user_id
       |  LEFT JOIN s3 ON u.user_id = s3.user_id
