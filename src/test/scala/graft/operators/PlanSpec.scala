@@ -678,4 +678,28 @@ class PlanSpec extends SparkSuite {
       { case _: graft.functions.BytePool => () })
     assert(nPool == 1, s"q53 evaluates byte_pool $nPool times per row")
   }
+
+  test("q130 computes the per-part threshold in ONE corpus aggregate") {
+    val p = plan("q130_small_qty_revenue")
+    // the (Σqty, n) aggregate over lineitem exists exactly once: two
+    // partial+final HashAggregate pairs total — the threshold pair and
+    // the final per-brand rollup. A correlated-subquery regression
+    // reintroduces a third aggregate over the lineitem scan.
+    val aggs = p.linesIterator.count(_.trim.startsWith("Functions ["))
+    assert(aggs == 4, s"expected 2 partial+final aggregate pairs, got $aggs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("q131 IN-subquery plans as a LEFT SEMI join pruning the fact sides") {
+    val p = plan("q131_big_order_customers")
+    assert(p.contains("LeftSemi"), s"IN did not become a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("q132 NOT EXISTS plans as LEFT ANTI with the date filter pushed") {
+    val p = plan("q132_idle_rich_customers")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recent-orders date filter not pushed to the orders scan:\n$p")
+  }
 }
