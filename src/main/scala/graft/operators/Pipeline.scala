@@ -873,6 +873,51 @@ object Pipeline {
       .orderBy("lang", "label")
   }
 
+  /** q135: weighted sampling without replacement — priority sampling
+    * (Duffield, Lund & Thorup, JACM 2007): each row draws a uniform u
+    * and takes priority u/w; the k smallest priorities per stratum are
+    * the sample, inclusion probability ∝ weight (here n_chars — longer
+    * documents carry more tokens, so a token-budget subsample should
+    * prefer them; the measured sample's mean length sits well above the
+    * corpus mean). Everything is integer-decided: u is the 31-bit
+    * affine-hash draw (fresh multiplier — reusing the q57/q58 sampling
+    * constants would correlate this sample with the split/sample
+    * buckets) and the priority is FIXED-POINT `u·2^20 div w` in BIGINTs,
+    * so both engines rank identically with zero float risk — the
+    * ln-based exponential-key variant (A-ES) would hang selection on
+    * libm's last bit. One hash shuffle on the stratum key, per-stratum
+    * top-k short-circuited by WindowGroupLimit (PlanSpec pins it): rows
+    * beyond k die map-side, nothing corpus-sized reaches the sort.
+    */
+  private val PrioA = 1327217885L
+  private val PrioC = 1013904223L
+  private val PrioK = 5
+  private val q135 = GraftQuery(
+    "q135_priority_sample",
+    s"""WITH pri AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ${lcgSql("doc_id", PrioA, PrioC)} * 1048576 // n_chars AS prio
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+      |  CAST(prio AS BIGINT) AS prio, CAST(rn AS BIGINT) AS rk
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY prio, doc_id) AS rn FROM pri)
+      |WHERE rn <= $PrioK ORDER BY source, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pri = Tables.documents(s, d)
+      .where(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars").as("weight"),
+        lcg(col("doc_id"), PrioA, PrioC).as("u"))
+      .selectExpr("source", "doc_id", "weight",
+        "(u * 1048576) div weight AS prio")
+    val w = Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))
+    pri.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= PrioK)
+      .select(col("source"), col("doc_id"), col("weight"), col("prio"),
+        col("rk"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129)
+    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135)
 }

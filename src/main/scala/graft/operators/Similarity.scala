@@ -3390,8 +3390,84 @@ object Similarity {
     manifestServePlan(s, versionedIndex(s, d), version = 3)
   }
 
+  // ---- maximum-inner-product search (q136) ----
+
+  /** DuckDB l2r dot-product fragment over two list columns. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a.embedding)+1),
+       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
+
+  /** q136: maximum-inner-product top-k — retrieval where the NORM is
+    * signal (recommendation scores, un-normalized output embeddings),
+    * which cosine serving gets WRONG: cosine divides the norm away.
+    * MIPS reduces to cosine by the norm-augmentation trick (Bachrach et
+    * al., RecSys 2014 / Shrivastava & Li, NIPS 2014): with M = max
+    * corpus norm, augment each corpus vector to [x, √(M²−‖x‖²)] — every
+    * augmented vector has norm exactly M — and each query to [q, 0];
+    * augmented cosine is then dot/(‖q‖·M), a per-query positive
+    * constant times the raw inner product, so the RANKING is identical
+    * and the whole cosine serving stack (SRP-LSH q45, IVF q71) serves
+    * MIPS unchanged. The gate PINS that rank equivalence: the oracle
+    * ranks by raw dot, the output carries the augmented cosine, and the
+    * hash only matches if the orders agree. Shape is the q44 exact
+    * brute-force discipline: the bounded query batch (8 rows + their
+    * norms) broadcasts, M rides along as a broadcast one-row aggregate
+    * (never a driver collect), the corpus side streams through ONE scan
+    * with the dot/rank pipeline fully codegen'd, per-query top-k by
+    * window rank. Dots fold left-to-right in doubles — bit-identical to
+    * the oracle's list_reduce — and IEEE sqrt/division keep aug_cos
+    * deterministic.
+    */
+  private val MipsK = 5
+  private val MipsNq = 8
+  private val q136 = GraftQuery(
+    "q136_mips_topk",
+    s"""WITH nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x,y) -> x+y)) AS nrm
+       |  FROM embeddings),
+       |m AS (SELECT max(nrm) AS mx FROM nrm),
+       |qs AS (SELECT vec_id, embedding, nrm FROM nrm
+       |  ORDER BY vec_id LIMIT $MipsNq),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q", "c")} AS dot,
+       |    q.nrm AS qn
+       |  FROM qs q JOIN nrm c ON c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, rank, round(dot, 6) AS dot_p,
+       |  round(dot / (qn * (SELECT mx FROM m)), 6) AS aug_cos
+       |FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM dots) t
+       |WHERE rank <= $MipsK ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val dotAgg = (a: String, b: String) => expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val nrm = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotAgg("embedding", "embedding")).as("nrm"))
+    val mx = nrm.agg(max(col("nrm")).as("mx"))
+    val qs = nrm.orderBy("vec_id").limit(MipsNq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(mx))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    nrm.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dotAgg("q_emb", "c_emb"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= MipsK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("dot"), 6).as("dot_p"),
+        round(col("dot") / (col("qn") * col("mx")), 6).as("aug_cos"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
-      q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124)
+      q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
+      q136)
 }

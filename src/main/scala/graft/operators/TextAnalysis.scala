@@ -380,5 +380,82 @@ object TextAnalysis {
       .write.mode("overwrite")
       .partitionBy("lang", "source").parquet(outDir)
 
-  val queries: Seq[GraftQuery] = Seq(q26, q27, q28, q29, q69, q70, q100)
+  /** q133: the BPE vocabulary-induction kernel — corpus-weighted counts
+    * of adjacent character pairs, the quantity one round of byte-pair
+    * encoding merges on. The scale shape is the whole point: the corpus
+    * is reduced FIRST to (distinct word, frequency) by a partial+final
+    * hash aggregate — the only corpus-sized shuffle — and pair explosion
+    * runs over the distinct VOCABULARY (bounded by type count, not token
+    * count; English web text plateaus near 10^6 types while tokens grow
+    * with corpus size), carrying word frequency as the weight. Exploding
+    * pairs straight off the token stream would multiply the corpus ~5×
+    * through a Generate before aggregating; this shape touches it once.
+    * Top-50 via TakeOrderedAndProject on the (count desc, pair) total
+    * order — strict because pair is the group key.
+    */
+  private val q133 = GraftQuery(
+    "q133_bpe_pairs",
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, count(*) AS f FROM words WHERE length(w) > 1 GROUP BY 1),
+      |pairs AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+      |  FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM wf))
+      |SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY 1
+      |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(50)
+  }
+
+  /** q134: vocabulary coverage audit — per-source OOV token rate against
+    * the corpus top-K vocabulary, the go/no-go metric for a fixed
+    * tokenizer vocabulary over a new source mix. Same aggregate-first
+    * discipline as q133: one corpus-sized shuffle to (word, freq), a
+    * driver-bounded top-K (K=16 here; K=vocab size in production — still
+    * broadcast-sized at 10^5–10^6 entries), then the per-source scan
+    * joins the BROADCAST vocabulary with a null-marker left join — the
+    * corpus is never shuffled again. The boundary is tie-free by the
+    * (freq desc, word) total order, so both engines cut the same K.
+    */
+  private val q134 = GraftQuery(
+    "q134_vocab_coverage",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (
+      |  SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY 1),
+      |vocab AS (SELECT w FROM tf ORDER BY f DESC, w LIMIT 16)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) FILTER (WHERE t.w NOT IN (SELECT w FROM vocab))
+      |    AS BIGINT) AS oov_tokens,
+      |  round(count(*) FILTER (WHERE t.w NOT IN (SELECT w FROM vocab))
+      |    * 1.0 / count(*), 6) AS oov_rate
+      |FROM toks t WHERE t.w <> '' GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(16)
+      .select(col("w").as("vw"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        round(col("oov_tokens") * lit(1.0) / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("source")
+  }
+
+  val queries: Seq[GraftQuery] =
+    Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134)
 }

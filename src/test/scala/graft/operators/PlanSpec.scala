@@ -679,6 +679,23 @@ class PlanSpec extends SparkSuite {
     assert(nPool == 1, s"q53 evaluates byte_pool $nPool times per row")
   }
 
+  test("q135 per-stratum top-k short-circuits via WindowGroupLimit") {
+    val p = plan("q135_priority_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"priority sample sorts whole strata instead of group-limiting:\n$p")
+  }
+
+  test("q136 MIPS broadcasts only the bounded query batch (q44 discipline)") {
+    val p = plan("q136_mips_topk")
+    // BNLJ is expected — the build side is the constant-size query batch
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // one corpus-side embeddings scan feeds the dot/rank pipeline; the
+    // query batch + max-norm sides account for the other two scans
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) <= 3,
+      s"corpus re-scanned:\n$p")
+  }
+
   test("q130 computes the per-part threshold in ONE corpus aggregate") {
     val p = plan("q130_small_qty_revenue")
     // the (Σqty, n) aggregate over lineitem exists exactly once: two
