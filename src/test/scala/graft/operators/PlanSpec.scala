@@ -696,6 +696,16 @@ class PlanSpec extends SparkSuite {
       s"corpus re-scanned:\n$p")
   }
 
+  test("q137 refresh reads the state artifact and prunes history at the scan") {
+    val p = plan("q137_ivm_refresh")
+    // the merge's state side comes from the written artifact files…
+    assert(p.contains("graft_ivm_state"), s"state artifact not read:\n$p")
+    // …and the delta side's cut reaches the events scan as a pushed
+    // filter, so a refresh never re-reads pre-cut history row groups
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"delta cut not pushed to the events scan:\n$p")
+  }
+
   test("q130 computes the per-part threshold in ONE corpus aggregate") {
     val p = plan("q130_small_qty_revenue")
     // the (Σqty, n) aggregate over lineitem exists exactly once: two
