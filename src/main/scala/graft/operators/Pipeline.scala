@@ -918,6 +918,87 @@ object Pipeline {
       .orderBy("source", "rk")
   }
 
+  // ---- Z-order clustered layout (q138) ----
+
+  /** Bits per dimension for the q138 Z-value; 10 covers n_chars' fixture
+    * range (capped at 1023) and source indices with headroom. */
+  private val ZBits = 10
+
+  /** Morton/Z-value bit-interleave as plain integer arithmetic, generated
+    * once and shared by both engines so the value is identical by
+    * construction: bit i of each dimension lands at positions 2i / 2i+1.
+    * `shr` abstracts the engines' differing shift syntax (DuckDB `>>`,
+    * Spark SQL `shiftright`).
+    */
+  private def zArith(a: String, b: String, shr: (String, Int) => String): String =
+    (0 until ZBits).map { i =>
+      s"((${shr(a, i)}) % 2) * ${1L << (2 * i)} + ((${shr(b, i)}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+  private def zSqlDuck(a: String, b: String): String =
+    zArith(a, b, (x, i) => s"($x >> $i)")
+  private def zSqlSpark(a: String, b: String): String =
+    zArith(a, b, (x, i) => s"shiftright($x, $i)")
+
+  /** The WRITTEN Z-order-clustered corpus layout behind q138: documents
+    * augmented with `z` = interleave(source index, capped n_chars),
+    * range-partitioned AND sorted on z. Because the Z-curve is locality-
+    * preserving in BOTH dimensions, every file's (source, n_chars)
+    * min/max footer ranges are narrow — a 2-predicate box query prunes
+    * most files/row-groups from the STATS alone, where a layout sorted
+    * on either single column only prunes on that column. Vanilla Spark
+    * applies these stats at row-group granularity inside the scan
+    * (pushed filters); stats-indexed table formats skip whole files.
+    * LayoutSpec pins the artifact property directly from the parquet
+    * footers: the q138 box intersects a minority of files. At 100 TB
+    * this layout choice IS the difference between a box query touching
+    * ~boxes worth of data and touching the whole corpus.
+    */
+  private[operators] def writtenZLayout(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"zLayout:$d") {
+      val base = java.nio.file.Files.createTempDirectory("graft_zorder")
+      Tables.documents(s, d)
+        .withColumn("src_idx",
+          substring(col("source"), 4, 8).cast("int"))
+        .withColumn("z", expr(zSqlSpark("src_idx", s"least(n_chars, ${(1 << ZBits) - 1})"))
+          .cast("long"))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(s"$base/z")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** q138: 2-dimensional box query served from the Z-ordered layout —
+    * the data-skipping pattern for multi-predicate scans. The gate runs
+    * the same box over the flat documents table in DuckDB (the layout
+    * must change WHERE data lives, never WHAT the query returns) and
+    * pins the Z-values themselves (identical interleave arithmetic both
+    * sides). Both box predicates reach the layout scan as pushed filters
+    * (PlanSpec), where the z-clustered row-group stats make them
+    * actually selective.
+    */
+  private val q138 = GraftQuery(
+    "q138_zorder_box",
+    s"""WITH zd AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(substr(source, 4) AS INTEGER) AS si,
+      |    least(n_chars, ${(1 << ZBits) - 1}) AS nc
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(${zSqlDuck("si", "nc")} AS BIGINT) AS z
+      |FROM zd
+      |WHERE si BETWEEN 10 AND 13 AND n_chars BETWEEN 200 AND 400
+      |ORDER BY z, doc_id""".stripMargin) { (s, d) =>
+    s.read.parquet(s"${writtenZLayout(s, d)}/z")
+      .where(col("src_idx").between(10, 13) &&
+        col("n_chars").between(200, 400))
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"), col("z"))
+      .orderBy("z", "doc_id")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135)
+    Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
+      q138)
 }

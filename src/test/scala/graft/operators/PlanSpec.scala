@@ -706,6 +706,16 @@ class PlanSpec extends SparkSuite {
       s"delta cut not pushed to the events scan:\n$p")
   }
 
+  test("q138 box predicates reach the z-layout scan (row-group stats apply)") {
+    val p = plan("q138_zorder_box")
+    assert(p.contains("GreaterThanOrEqual(src_idx,10)")
+        && p.contains("LessThanOrEqual(src_idx,13)"),
+      s"src_idx box not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)")
+        && p.contains("LessThanOrEqual(n_chars,400)"),
+      s"n_chars box not pushed:\n$p")
+  }
+
   test("q130 computes the per-part threshold in ONE corpus aggregate") {
     val p = plan("q130_small_qty_revenue")
     // the (Σqty, n) aggregate over lineitem exists exactly once: two
