@@ -828,6 +828,226 @@ object CorpusStats {
       .orderBy("lang", "label")
   }
 
+  // ---- mergeable sketches (q139–q141) ----
+
+  /** DuckDB twin of `poly_hash(w)` over a word column `$w` — the shared
+    * fold(acc·31+cp) % 1e9+7 kernel (graft.functions.PolyHashKernel). */
+  private def polyHashDuck(w: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length($w) + 1),
+       |                       i -> CAST(ascii($w[i]) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
+  /** Count-min sizing and per-row affine seeds: d=4 rows × w=64 buckets;
+    * row r maps a token hash h to bucket ((h·A_r + C_r) mod 2^31) mod 64.
+    * The seed table is emitted as literal VALUES in both engines, so the
+    * sketch content is identical by construction.
+    */
+  private val CmRows: Seq[(Int, Long, Long)] = Seq(
+    (0, 1588635695L, 1013904223L),
+    (1, 1103515245L, 12345L),
+    (2, 747796405L, 2891336453L % 2147483648L),
+    (3, 1181783497L, 980097109L))
+  private val CmW = 64
+  private def cmRowsValues: String =
+    CmRows.map { case (r, a, c) => s"($r, $a, $c)" }.mkString(", ")
+
+  /** q139: count-min sketch BUILD — the mergeable frequency summary a
+    * 100 TB pipeline keeps instead of an exact vocabulary count when the
+    * key space is unbounded. The whole sketch is a 4×64 integer grid;
+    * per-partition grids merge by cell-wise ADDITION, which is exactly
+    * what partial+final hash aggregation does — so `groupBy(r, c).sum`
+    * IS the distributed sketch merge, no custom accumulator needed. The
+    * corpus is first reduced to (word, freq) — the only corpus-sized
+    * shuffle (q133's discipline) — then each VOCABULARY entry fans out
+    * to its d cells with its frequency as weight. The grid is
+    * deterministic integer state, so the gate hash-pins every cell.
+    */
+  private val q139 = GraftQuery(
+    "q139_countmin_sketch",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (
+       |  SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY 1),
+       |hashed AS (
+       |  SELECT f, ${polyHashDuck("w")} AS h
+       |  FROM tf),
+       |seeds(r, a, c) AS (VALUES $cmRowsValues),
+       |cells AS (
+       |  SELECT s.r, ((t.h * s.a + s.c) % 2147483648) % $CmW AS cell, t.f
+       |  FROM hashed t CROSS JOIN seeds s)
+       |SELECT r, cell, CAST(sum(f) AS BIGINT) AS n
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val seeds = s.createDataFrame(CmRows).toDF("r", "a", "c")
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(PolyHash.hash(col("w")).as("h"), col("f"))
+    tf.crossJoin(broadcast(seeds))
+      .select(col("r"),
+        pmod(pmod(col("h") * col("a") + col("c"), lit(2147483648L)), lit(CmW))
+          .as("cell"),
+        col("f"))
+      .groupBy("r", "cell").agg(sum(col("f")).as("n"))
+      .orderBy("r", "cell")
+  }
+
+  /** Probe tokens for q140 — present in the fixture vocabulary. */
+  private val CmProbes = Seq("join", "hash", "spark", "window", "the", "vector")
+
+  /** q140: count-min POINT QUERIES against q139's sketch — est(w) =
+    * min over rows of the probed cell, beside the exact count, pinning
+    * the sketch's one-sided guarantee (est ≥ exact, never under). The
+    * serving shape is what matters at scale: the probe never touches the
+    * corpus — it reads the 256-cell grid (here rebuilt by the shared
+    * plan; in production the written artifact) and the exact side is a
+    * key-filtered aggregate. Overestimate is an integer (collision mass),
+    * so the gate is exact.
+    */
+  private val q140 = GraftQuery(
+    "q140_countmin_probe",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (
+       |  SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY 1),
+       |hashed AS (
+       |  SELECT f, ${polyHashDuck("w")} AS h
+       |  FROM tf),
+       |seeds(r, a, c) AS (VALUES $cmRowsValues),
+       |cells AS (
+       |  SELECT s.r, ((t.h * s.a + s.c) % 2147483648) % $CmW AS cell,
+       |    CAST(sum(t.f) AS BIGINT) AS n
+       |  FROM hashed t CROSS JOIN seeds s GROUP BY 1, 2),
+       |probes(w) AS (VALUES ${CmProbes.map(p => s"('$p')").mkString(", ")}),
+       |ph AS (
+       |  SELECT w, ${polyHashDuck("w")} AS h FROM probes),
+       |est AS (
+       |  SELECT p.w, min(c.n) AS est
+       |  FROM ph p CROSS JOIN seeds s
+       |  JOIN cells c ON c.r = s.r
+       |    AND c.cell = ((p.h * s.a + s.c) % 2147483648) % $CmW
+       |  GROUP BY 1)
+       |SELECT e.w AS token, e.est AS est,
+       |  CAST(coalesce(t.f, 0) AS BIGINT) AS exact,
+       |  e.est - CAST(coalesce(t.f, 0) AS BIGINT) AS overestimate
+       |FROM est e LEFT JOIN tf t ON t.w = e.w
+       |ORDER BY token""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val seeds = s.createDataFrame(CmRows).toDF("r", "a", "c")
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val cells = tf
+      .select(PolyHash.hash(col("w")).as("h"), col("f"))
+      .crossJoin(broadcast(seeds))
+      .select(col("r"),
+        pmod(pmod(col("h") * col("a") + col("c"), lit(2147483648L)), lit(CmW))
+          .as("cell"),
+        col("f"))
+      .groupBy("r", "cell").agg(sum(col("f")).as("n"))
+    val probes = s.createDataFrame(CmProbes.map(Tuple1(_))).toDF("token")
+      .select(col("token"), PolyHash.hash(col("token")).as("h"))
+      .crossJoin(broadcast(seeds))
+      .select(col("token"),
+        col("r").as("pr"),
+        pmod(pmod(col("h") * col("a") + col("c"), lit(2147483648L)), lit(CmW))
+          .as("pcell"))
+    val est = probes
+      .join(cells, col("pr") === col("r") && col("pcell") === col("cell"))
+      .groupBy("token").agg(min(col("n")).as("est"))
+    est.join(tf.withColumnRenamed("w", "token"), Seq("token"), "left")
+      .select(col("token"), col("est"),
+        coalesce(col("f"), lit(0L)).cast("long").as("exact"),
+        (col("est") - coalesce(col("f"), lit(0L))).cast("long")
+          .as("overestimate"))
+      .orderBy("token")
+  }
+
+  /** HLL geometry for q141: 64 registers, rank from the hash bits above
+    * the register index, capped at 25 (24 testable trailing-zero bits +
+    * 1; a zero suffix saturates the cap). The trailing-zero count is
+    * generated as pure `% / CASE` arithmetic VALID IN BOTH DIALECTS, so
+    * one string serves the Spark plan (via expr) and the oracle.
+    */
+  private val HllM = 64
+  private def hllRankArith(h2: String): String = {
+    val terms = (1 to 24).map(i =>
+      s"(CASE WHEN $h2 % ${1L << i} = 0 THEN 1 ELSE 0 END)")
+    s"(1 + ${terms.mkString(" + ")})"
+  }
+
+  /** q141: HyperLogLog register table + estimate per source — the
+    * mergeable distinct-count state. Per (source, register) the MAX rank
+    * is kept; register tables merge by cell-wise max (again: partial+
+    * final hash aggregation IS the merge). The estimator is computed
+    * from INTEGER state only: the harmonic denominator is scaled by 2^25
+    * so it is an exact BIGINT sum (powers of two — no float
+    * accumulation), and the single float division at the end is
+    * bit-deterministic. Exact distinct rides along for the error audit.
+    * Raw Flajolet-et-al estimator, no small/large-range correction —
+    * the kernel under audit is the register/merge machinery (the
+    * corrections are driver-side post-processing of the same state).
+    */
+  private val q141 = GraftQuery(
+    "q141_hll_registers",
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (
+       |  SELECT DISTINCT source, w FROM toks WHERE w <> ''),
+       |hashed AS (
+       |  SELECT source, ${polyHashDuck("w")} AS h
+       |  FROM dw),
+       |rr AS (
+       |  SELECT source, h % $HllM AS reg,
+       |    ${hllRankArith(s"(h // $HllM)")} AS rank
+       |  FROM hashed),
+       |regs AS (
+       |  SELECT source, reg, max(rank) AS mx FROM rr GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source, count(*) AS regs_hit,
+       |    CAST(sum(CAST(${1L << 25} AS BIGINT) // CAST(power(2, mx) AS BIGINT))
+       |      AS BIGINT) AS denom_hit
+       |  FROM regs GROUP BY 1),
+       |ex AS (
+       |  SELECT source, count(*) AS exact_distinct FROM dw GROUP BY 1)
+       |SELECT a.source AS source, CAST(a.regs_hit AS BIGINT) AS regs_hit,
+       |  CAST(a.denom_hit + ($HllM - a.regs_hit) * ${1L << 25} AS BIGINT)
+       |    AS denom_scaled,
+       |  round(0.709 * $HllM * $HllM * ${1L << 25}
+       |    / (a.denom_hit + ($HllM - a.regs_hit) * ${1L << 25}), 4) AS est,
+       |  CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+       |FROM agg a JOIN ex e ON e.source = a.source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val dw = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+    val rr = dw
+      .select(col("source"), PolyHash.hash(col("w")).as("h"))
+      .select(col("source"), pmod(col("h"), lit(HllM.toLong)).as("reg"),
+        expr(hllRankArith(s"(h div $HllM)")).as("rank"))
+    val regs = rr.groupBy("source", "reg").agg(max(col("rank")).as("mx"))
+    val agg = regs.groupBy("source")
+      .agg(count(lit(1)).as("regs_hit"),
+        sum(expr(s"CAST(${1L << 25} AS BIGINT) div CAST(power(2, mx) AS BIGINT)"))
+          .as("denom_hit"))
+    val ex = dw.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+    agg.join(ex, "source")
+      .select(col("source"), col("regs_hit").cast("long").as("regs_hit"),
+        (col("denom_hit") + (lit(HllM.toLong) - col("regs_hit")) * lit(1L << 25))
+          .cast("long").as("denom_scaled"),
+        round(lit(0.709 * HllM * HllM * (1L << 25))
+          / (col("denom_hit") + (lit(HllM.toLong) - col("regs_hit")) * lit(1L << 25)),
+          4).as("est"),
+        col("exact_distinct").cast("long").as("exact_distinct"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122)
+    Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
+      q139, q140, q141)
 }
