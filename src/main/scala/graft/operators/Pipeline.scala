@@ -745,6 +745,7 @@ object Pipeline {
       s: SparkSession, d: String): String =
     graft.Artifacts.cached[String](s, s"chunkStore:$d") {
       val base = java.nio.file.Files.createTempDirectory("graft_chunk_store")
+      PolyHash.register(s)
       cdcChunks(Tables.documents(s, d).where(col("doc_id") % 4 =!= 0))
         .select(col("chunk_fp")).distinct()
         .repartitionByRange(4, col("chunk_fp"))
@@ -788,8 +789,18 @@ object Pipeline {
        |       WHEN a.rn > 1 THEN 'dup_shard' ELSE 'new' END AS status
        |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    classifyDelivery(s, d,
+      s.read.parquet(s"${writtenChunkStore(s, d)}/fingerprints"))
+  }
+
+  /** The classification core shared by q129 (store v1) and q142 (store
+    * v2): CDC-chunk the arriving shard, mark each chunk `dup_store` /
+    * `dup_shard` / `new` against whatever fingerprint frame the caller
+    * resolved. The store side carries ONLY the 8-byte `chunk_fp`.
+    */
+  private def classifyDelivery(s: SparkSession, d: String,
+      store: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     PolyHash.register(s)
-    val store = s.read.parquet(s"${writtenChunkStore(s, d)}/fingerprints")
     val arr = cdcChunks(Tables.documents(s, d).where(col("doc_id") % 4 === 0))
       .select(col("doc_id"), col("chunk_id"), col("chunk_fp"))
     val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
@@ -800,6 +811,96 @@ object Pipeline {
           .when(col("rn") > 1, "dup_shard")
           .otherwise("new").as("status"))
       .orderBy("doc_id", "chunk_id")
+  }
+
+  /** The chunk-fingerprint store as a VERSIONED artifact — q118's
+    * manifest mechanism applied to the dedup tier, closing the ingest
+    * loop q129 leaves open: after a delivery is classified, its `new`
+    * fingerprints are COMMITTED as an immutable delta segment plus
+    * manifest rows, so tomorrow's probe runs against v2 and yesterday's
+    * spans classify as `dup_store` instead of `new` forever.
+    *
+    *   v1 = [base]          — the accumulated corpus (q129's store)
+    *   v2 = [base, delta1]  — after committing today's new spans
+    *
+    * The commit protocol is the 100 TB one: nothing in the base segment
+    * is rewritten OR copied — the manifest's absolute-path row adopts
+    * the already-written files ([[writtenChunkStore]]), and the only new
+    * bytes are the delta fingerprints (range-laid on `chunk_fp` like the
+    * base, so the per-segment probe stays a sorted one-column scan).
+    */
+  private[operators] def versionedChunkStore(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"chunkStoreVersions:$d") {
+      val baseSeg = s"${writtenChunkStore(s, d)}/fingerprints"
+      val base = java.nio.file.Files.createTempDirectory("graft_chunk_versions")
+      PolyHash.register(s)
+      cdcChunks(Tables.documents(s, d).where(col("doc_id") % 4 === 0))
+        .select(col("chunk_fp")).distinct()
+        .join(s.read.parquet(baseSeg), Seq("chunk_fp"), "left_anti")
+        .repartitionByRange(2, col("chunk_fp"))
+        .sortWithinPartitions("chunk_fp")
+        .write.mode("overwrite").parquet(s"$base/segments/delta1")
+      val mf = s.createDataFrame(Seq(
+        (1, "segment", baseSeg),
+        (2, "segment", baseSeg), (2, "segment", "segments/delta1")))
+        .toDF("version", "kind", "path")
+      mf.coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** Resolve a chunk-store snapshot version from its manifest into the
+    * union of segment fingerprint frames (metadata-sized read, like
+    * [[Similarity.manifestResolve]]). Absolute manifest paths are
+    * adopted files outside the store dir; relative ones live under it.
+    */
+  private[graft] def chunkStoreResolve(s: SparkSession, base: String,
+      version: Int): org.apache.spark.sql.DataFrame = {
+    val paths = s.read.parquet(s"$base/manifest")
+      .where(col("version") === version && col("kind") === "segment")
+      .select("path").collect().map(_.getString(0)).toSeq
+    require(paths.nonEmpty, s"no chunk-store segments for version $version")
+    paths.map(p =>
+        s.read.parquet(if (p.startsWith("/")) p else s"$base/$p"))
+      .reduce(_.unionByName(_))
+  }
+
+  /** q142: the CLOSED ingest loop — re-classify the SAME delivery after
+    * its commit. The store is resolved at v2 (base + delta1 via the
+    * manifest), so every chunk the v1 pass called `new` or `dup_shard`
+    * now probes into the store and classifies `dup_store`: accumulate →
+    * dedup → accumulate converges, which is the property a daily corpus
+    * pipeline actually relies on (re-delivered files cost zero new
+    * spans). The oracle re-derives v2 the long way (base ∪ delivery-minus-
+    * base) and classifies against it — all rows land `dup_store`, but
+    * the gate proves it by value, not by assumption. Scale shape is
+    * q129's: the probe reads only sorted 8-byte fingerprints per
+    * segment (PlanSpec pins the one-column ReadSchema on BOTH segments).
+    */
+  private val q142 = GraftQuery(
+    "q142_ingest_loop_closed",
+    s"""WITH $cdcOracleCtes,
+       |base AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
+       |delta AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks
+       |  WHERE doc_id % 4 = 0
+       |    AND chunk_fp NOT IN (SELECT chunk_fp FROM base)),
+       |store AS (
+       |  SELECT chunk_fp FROM base UNION SELECT chunk_fp FROM delta),
+       |arr AS (
+       |  SELECT doc_id, chunk_id, chunk_fp,
+       |    row_number() OVER (PARTITION BY chunk_fp
+       |      ORDER BY doc_id, chunk_id) AS rn
+       |  FROM allchunks WHERE doc_id % 4 = 0)
+       |SELECT a.doc_id, a.chunk_id, a.chunk_fp,
+       |  CASE WHEN s.chunk_fp IS NOT NULL THEN 'dup_store'
+       |       WHEN a.rn > 1 THEN 'dup_shard' ELSE 'new' END AS status
+       |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    classifyDelivery(s, d,
+      chunkStoreResolve(s, versionedChunkStore(s, d), version = 2))
   }
 
   /** Bucketed corpus layout — the one join co-location mechanism Spark
@@ -1000,5 +1101,5 @@ object Pipeline {
 
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138)
+      q138, q142)
 }

@@ -242,6 +242,18 @@ class PlanSpec extends SparkSuite {
       s"store scan reads more than the fingerprint column:\n$p")
   }
 
+  test("q142 v2 probe stays a one-column pruned scan on BOTH store segments") {
+    // the versioned store's commit must not regress the probe shape:
+    // base segment (adopted files) and delta1 segment each scan exactly
+    // the sorted 8-byte chunk_fp column, so the v(N) probe cost stays
+    // the fingerprint column of the accumulated corpus regardless of
+    // how many daily commits the manifest has accreted
+    val p = plan("q142_ingest_loop_closed")
+    val probeScans = "ReadSchema: struct<chunk_fp:bigint>".r.findAllIn(p).size
+    assert(probeScans >= 2,
+      s"want one-column fingerprint scans for base AND delta segments, got $probeScans:\n$p")
+  }
+
   test("kmAssign is a pure map: zero exchanges, zero joins per Lloyd pass") {
     // the centroid table rides the plan as a literal (<= 256 rows of
     // router metadata) and the argmin is a map-side array_min — so a
