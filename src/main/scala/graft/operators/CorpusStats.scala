@@ -632,6 +632,128 @@ object CorpusStats {
       .limit(Bm25TopK)
   }
 
+  /** The BM25 index as a VERSIONED segment store — the lexical tier gets
+    * the lifecycle the vector tier has had since q94/q110/q114/q118:
+    *
+    *   v1 = [base]              — the accumulated corpus (doc_id % 4 != 0)
+    *   v2 = [base, delta1]      — after appending today's shard (% 4 == 0)
+    *   v3 = [compacted]         — after folding delta1 into the base
+    *
+    * Append protocol: ONLY the arriving shard is tokenized — its
+    * postings/lengths become an immutable delta segment (term-range-laid
+    * like the base, so per-segment footer pruning survives), and the
+    * commit is manifest rows, never a base rewrite. The two corpus stats
+    * are handled differently and deliberately:
+    *   - `df` (document frequency) is NOT stored per segment at all — it
+    *     is derived at serve time from the term-probed postings union
+    *     (segments partition the doc space, so the union's per-term count
+    *     IS the exact global df; |terms| rows, nothing to merge).
+    *   - `n_docs`/`avgdl` are stored per segment as the MERGEABLE exact
+    *     integers (n_docs, sum_dl) and combined at resolve with one final
+    *     division — bit-identical to a full rebuild's single division,
+    *     which is what lets q143 gate against the full-corpus oracle.
+    * Compaction (v3) unions the disjoint segments and rewrites one
+    * term-range layout — an O(index) postings merge that never touches
+    * document text.
+    */
+  private[operators] def versionedBm25(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"bm25_versions:$d") {
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25_versions")
+      val docs = Tables.documents(s, d)
+      def writeSeg(part: DataFrame, seg: String): Unit = {
+        part.select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .repartitionByRange(4, col("term")).sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$base/$seg/postings")
+        part.select(col("doc_id"),
+            size(split(lower(col("text")), "\\s+")).cast("long").as("dl"))
+          .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$base/$seg/lengths")
+        s.read.parquet(s"$base/$seg/lengths")
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .write.mode("overwrite").parquet(s"$base/$seg/stats")
+      }
+      writeSeg(docs.where(col("doc_id") % 4 =!= 0), "segments/base")
+      writeSeg(docs.where(col("doc_id") % 4 === 0), "segments/delta1")
+      def segRead(seg: String, t: String): DataFrame =
+        s.read.parquet(s"$base/segments/$seg/$t")
+      segRead("base", "postings").unionByName(segRead("delta1", "postings"))
+        .repartitionByRange(4, col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$base/segments/compacted/postings")
+      segRead("base", "lengths").unionByName(segRead("delta1", "lengths"))
+        .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$base/segments/compacted/lengths")
+      s.read.parquet(s"$base/segments/compacted/lengths")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$base/segments/compacted/stats")
+      s.createDataFrame(Seq(
+          (1, "segment", "segments/base"),
+          (2, "segment", "segments/base"), (2, "segment", "segments/delta1"),
+          (3, "segment", "segments/compacted")))
+        .toDF("version", "kind", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** Resolve a BM25 snapshot version into serving frames: postings and
+    * lengths are segment unions; stats merge the per-segment exact
+    * integers with ONE final division (`sum(sum_dl)::double / sum(n_docs)`
+    * — the same operands a full rebuild divides, so `avgdl` is
+    * bit-identical across v1-rebuild/v2-append/v3-compaction).
+    */
+  private[graft] def bm25Resolve(s: SparkSession, base: String,
+      version: Int): (DataFrame, DataFrame, DataFrame) = {
+    val segs = s.read.parquet(s"$base/manifest")
+      .where(col("version") === version && col("kind") === "segment")
+      .select("path").collect().map(_.getString(0)).toSeq
+    require(segs.nonEmpty, s"no BM25 segments for version $version")
+    def union(t: String): DataFrame =
+      segs.map(p => s.read.parquet(s"$base/$p/$t")).reduce(_.unionByName(_))
+    val stats = union("stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    (union("postings"), union("lengths"), stats)
+  }
+
+  private def bm25VersionServe(s: SparkSession, d: String,
+      version: Int): DataFrame = {
+    val (postings, dl, stats) = bm25Resolve(s, versionedBm25(s, d), version)
+    bm25ScoreFrames(postings, dl, stats)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  /** q143: BM25 APPEND serving — the query batch answered at v2 (base +
+    * delta1) must be value-indistinguishable from a full rebuild over
+    * the whole corpus, so it gates on q90/q122's full-corpus oracle
+    * verbatim. That equality is exactly the append correctness claim:
+    * derived-at-serve df over the segment union equals global df, and
+    * the merged (n_docs, sum_dl) division equals the rebuild's avgdl
+    * bit-for-bit. Scale shape: appending a shard tokenizes ONLY the
+    * shard; serving pays the same pushed term probe per segment
+    * (PlanSpec pins the In-filter on every postings scan).
+    */
+  private val q143 = GraftQuery(
+    "q143_bm25_append_serve", bm25ServeOracle) { (s, d) =>
+    bm25VersionServe(s, d, version = 2)
+  }
+
+  /** q144: BM25 COMPACTION serving — v3 (the one merged segment) must be
+    * value-indistinguishable from v2 (base + delta1), gated on the same
+    * full-corpus oracle. Compaction exists to cap the per-query segment
+    * fan-out a daily append accretes (k segments = k probes + a k-way
+    * union); the gate proves the rewrite changed layout, not values.
+    */
+  private val q144 = GraftQuery(
+    "q144_bm25_compacted_serve", bm25ServeOracle) { (s, d) =>
+    bm25VersionServe(s, d, version = 3)
+  }
+
   /** Pseudo-relevance-feedback depth: the semantic query vector is the
     * per-dimension mean of the top-[[PrfFbK]] BM25 hits' embeddings
     * (Rocchio with α=0, β=1 — classic PRF).
@@ -1049,5 +1171,5 @@ object CorpusStats {
 
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
-      q139, q140, q141)
+      q139, q140, q141, q143, q144)
 }

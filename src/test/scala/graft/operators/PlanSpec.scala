@@ -671,6 +671,29 @@ class PlanSpec extends SparkSuite {
       s"q122 lost term-probe pushdown into the postings files:\n$p")
   }
 
+  test("q143 append serving probes terms into EVERY postings segment, no re-tokenize") {
+    val p = plan("q143_bm25_append_serve")
+    val tree = p.split("\n\n").head
+    assert(tree.contains("TakeOrderedAndProject"), s"q143 full-sorts:\n$tree")
+    assert(!p.contains("documents.parquet"),
+      s"q143 rescans the documents table:\n$p")
+    assert(!tree.contains("Generate"), s"q143 re-tokenizes:\n$tree")
+    // the term probe must reach BOTH segments' postings files pushed —
+    // per-segment footer pruning is what keeps a k-segment index at
+    // query cost O(probed terms), not O(accreted segments' bytes)
+    val probes = "PushedFilters: \\[In\\(term".r.findAllIn(p).size
+    assert(probes >= 2,
+      s"want pushed term probe on base AND delta postings scans, got $probes:\n$p")
+  }
+
+  test("q144 compacted serving is one merged segment, same pushed probe") {
+    val p = plan("q144_bm25_compacted_serve")
+    assert(!p.contains("documents.parquet"),
+      s"q144 rescans the documents table:\n$p")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"q144 lost term-probe pushdown:\n$p")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
