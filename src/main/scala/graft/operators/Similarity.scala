@@ -998,12 +998,19 @@ object Similarity {
 
   /** Oracle twin of [[probeSelection]]; `where` restricts the probe side. */
   private def probesOracle(where: String): String =
+    probesOracleFrom("embeddings", where)
+
+  /** [[probesOracle]] over an arbitrary (vec_id, embedding) source CTE —
+    * q145 probes with the UPDATED embeddings; the zero-src delegate keeps
+    * every existing oracle's text byte-identical.
+    */
+  private def probesOracleFrom(src: String, where: String): String =
     s"""probes AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN c1 c$where) t
+       |    FROM $src e CROSS JOIN c1 c$where) t
        |  WHERE rn <= $ProbeP
        |)""".stripMargin
 
@@ -1658,9 +1665,16 @@ object Similarity {
     * The zero-arg value above keeps q84/q105's oracle text byte-identical.
     */
   private def int8QuantOracleTailWhere(bExtra: String): String =
+    int8QuantOracleTailFrom("a2", bExtra)
+
+  /** [[int8QuantOracleTailWhere]] over an arbitrary assignment CTE —
+    * q145 quantizes the UPSERTED assignment `a2u`; the two-arg delegate
+    * keeps every existing oracle's text byte-identical.
+    */
+  private def int8QuantOracleTailFrom(src: String, bExtra: String): String =
     s"""qv AS (
        |  SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM a2),
+       |  FROM $src),
        |sv AS (
        |  SELECT vec_id, cell, v,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
@@ -3127,6 +3141,58 @@ object Similarity {
     coldServePlan(s, base, Some(tomb))
   }
 
+  /** The q145 upsert set: LCG bucket 7 (~10% of the corpus, disjoint
+    * from the tombstone bucket 9) — the deterministic stand-in for a
+    * re-embedding batch. The "new" embedding is the reversed vector: a
+    * fixture-computable update that genuinely moves cells and ranks.
+    */
+  private def upserted(c: Column): Column = shardBucket(c) === 7
+  private def upsertSql(idExpr: String): String =
+    s"(${Pipeline.lcgSql(idExpr, Pipeline.SplitA, Pipeline.SplitC)}) % 10 = 7"
+
+  /** q145: index UPSERT serving — the compose of the lifecycle's two
+    * halves a re-embedded document needs: the OLD encodings of the
+    * upsert batch are tombstoned (broadcast anti-join, q110's mechanism)
+    * and the NEW embeddings are encoded against the FROZEN serving
+    * artifacts (coarse cell via [[kmAssign]]'s literal-codebook argmin,
+    * int8 code + stored norm — q94's no-retrain discipline applied to
+    * the int8 tier) and unioned in, all before ranking. Serving at the
+    * result is gated against an oracle that re-derives the WHOLE index
+    * with updated vectors: a stale encoding answering a query, a dropped
+    * upsert, or an upserted query probing with its old vector would all
+    * hash-mismatch. Scale shape: the upsert batch is request-log sized —
+    * its anti-join and union are broadcast/metadata work, the corpus-side
+    * probe pushdown is unchanged, and nothing retrains or rewrites files
+    * (the durable commit is then q118's manifest append, already gated).
+    */
+  private val q145 = GraftQuery(
+    "q145_upsert_serve",
+    s"""WITH $kmOracleTrain,
+       |embu AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ${upsertSql("vec_id")} THEN list_reverse(embedding)
+       |         ELSE embedding END AS embedding
+       |  FROM embeddings),
+       |${kmOracleAssignFrom("embu", "c1", "a2u")},
+       |${probesOracleFrom("embu", s"\n    WHERE e.vec_id < $QueryBatch")},
+       |${int8QuantOracleTailFrom("a2u", "")}""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val base = writtenIndex(s, d)
+    val idx = s.read.parquet(s"$base/index")
+      .select("vec_id", "embedding", "cell", "code", "nq")
+    val renew = Tables.embeddings(s, d)
+      .where(upserted(col("vec_id")))
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val delta = kmAssign(renew, s.read.parquet(s"$base/coarse_centroids"))
+      .withColumn("code", VectorFunctions.int8Encode(col("embedding")))
+      .withColumn("nq", VectorFunctions.int8CodeDot(col("code"), col("code")))
+      .select("vec_id", "embedding", "cell", "code", "nq")
+    val live = idx.join(broadcast(renew.select("vec_id")),
+      Seq("vec_id"), "left_anti")
+    quantServeFrames(s, s.read.parquet(s"$base/coarse_centroids"),
+      live.unionByName(delta), None)
+  }
+
   /** The COMPACTED index: the written artifact physically rewritten with
     * the tombstoned rows dropped — the rewrite that retires q110's
     * runtime delete mask. The anti-join against the request list is the
@@ -3469,5 +3535,5 @@ object Similarity {
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
-      q136)
+      q136, q145)
 }

@@ -413,6 +413,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q145 upsert serving keeps probed-cell pruning; the corpus read is the upsert batch only") {
+    val p = plan("q145_upsert_serve")
+    // the base index's candidate scan stays partition-pruned to the
+    // probed cells — composing the upsert mask+union must not widen the
+    // file read back to the whole index
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(partFilters.exists(f => f.contains("cell") && f.contains("IN")),
+      s"upsert serving lost probed-cell partition pruning:\n$p")
+    // no retrain: the only aggregate-shaped work is probe routing and
+    // ranking — a Lloyd recompute would show a per-dimension explode
+    assert(!p.contains("posexplode"),
+      s"upsert serving appears to retrain centroids:\n$p")
+  }
+
   test("q105 cold serving reads only the written index with a pruned candidate scan") {
     val base = Similarity.writtenIndex(spark, dir)
     val df = Similarity.coldServePlan(spark, base)
