@@ -2054,10 +2054,14 @@ object Similarity {
     * its cells on a tighter distribution — the measured recall lift over
     * raw-vector codes is ScaleSpec's residual-vs-raw audit and q102.
     */
-  private[operators] def pqResTrained(s: SparkSession,
-      d: String): (DataFrame, DataFrame) =
-    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pqres_index:$d") {
-      pqTrainOn(residuals(s, d).select("vec_id", "embedding"), PqK)
+  /** `k`/`mm` select the sizing like [[pqTrained]]'s — the fixture
+    * defaults serve q101/q102; q146/q147 train the production point
+    * (M=[[PqMProd]], k=[[PqKProd]]) over the same residuals.
+    */
+  private[operators] def pqResTrained(s: SparkSession, d: String,
+      k: Int = PqK, mm: Int = PqM): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"pqres_index:$d:k=$k:m=$mm") {
+      pqTrainOn(residuals(s, d).select("vec_id", "embedding"), k, mm)
     }
 
   /** Oracle twin of one subspace's training: q56's CTE recipe over the
@@ -2327,7 +2331,13 @@ object Similarity {
     * sizing): score `ranked` (the prepended ADC chain's output) against
     * the brute-force L2 top-3 of the bounded batch.
     */
-  private def pqRecallOracleTail: String =
+  private def pqRecallOracleTail: String = pqRecallOracleTailOn("ranked")
+
+  /** [[pqRecallOracleTail]] scoring an arbitrary ranked CTE — the
+    * residual chains emit `rranked` (q147); the delegate keeps the
+    * raw-chain consumers' text byte-identical.
+    */
+  private def pqRecallOracleTailOn(ranked: String): String =
     s"""l2truth AS (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT q.vec_id, c.vec_id AS neighbor_id,
@@ -2343,7 +2353,7 @@ object Similarity {
        |  CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
        |  round(CAST(count(r.neighbor_id) AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS recall
        |FROM l2truth t
-       |LEFT JOIN ranked r ON t.vec_id = r.qid AND t.neighbor_id = r.neighbor_id
+       |LEFT JOIN $ranked r ON t.vec_id = r.qid AND t.neighbor_id = r.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The engine-side recall audit shared by q92/q107: per-query hit
@@ -2656,7 +2666,15 @@ object Similarity {
     * Query residuals narrow to FLOAT exactly like [[residuals]] does, so
     * both engines square the same float32 values.
     */
-  private def residualOracleChain: String = {
+  private def residualOracleChain: String =
+    residualOracleChainFor(PqM, PqK)
+
+  /** [[residualOracleChain]] at an arbitrary (M, k) sizing — the
+    * fixture-default delegate keeps q101/q102's oracle text byte-
+    * identical; q146/q147 instantiate the production point.
+    */
+  private def residualOracleChainFor(mm: Int, k: Int): String = {
+    val sd = pqSubDim(mm)
     val remb =
       s"""remb AS (
          |  SELECT a.vec_id,
@@ -2664,19 +2682,19 @@ object Similarity {
          |      CAST(CAST(a.embedding[j] AS DOUBLE) - c.cen[j] AS FLOAT)) AS embedding
          |  FROM a2 a JOIN c1 c ON a.cell = c.cell)""".stripMargin
     val train =
-      (0 until PqM).map(m => pqOracleTrainFrom("remb", m, "r")).mkString(",\n")
+      (0 until mm).map(m => pqOracleTrainFrom("remb", m, "r", mm, k)).mkString(",\n")
     val rcodes =
       s"""rcodes AS (
-         |  ${(0 until PqM).map(m => s"SELECT vec_id, $m AS m, cell FROM ra2_$m")
+         |  ${(0 until mm).map(m => s"SELECT vec_id, $m AS m, cell FROM ra2_$m")
               .mkString("\n  UNION ALL ")})""".stripMargin
     def qresEl(off: Int) =
       s"CAST(CAST(p.embedding[$off+j] AS DOUBLE) - k.cen[$off+j] AS FLOAT)"
     val rlut =
       s"""rlut AS (
-         |  ${(0 until PqM).map { m =>
-              val off = m * PqSubDim
+         |  ${(0 until mm).map { m =>
+              val off = m * sd
               s"""SELECT p.vec_id AS qid, p.cell AS pcell, $m AS m, rc.cell,
-                 |    list_reduce(list_transform(range(1, $PqSubDim+1), j ->
+                 |    list_reduce(list_transform(range(1, $sd+1), j ->
                  |      (CAST(${qresEl(off)} AS DOUBLE) - rc.cen[j])
                  |      * (CAST(${qresEl(off)} AS DOUBLE) - rc.cen[j])),
                  |      (x,y) -> x+y) AS dd
@@ -2707,9 +2725,10 @@ object Similarity {
   /** The residual serving core shared by q101 (the search) and q102 (its
     * recall audit): probed candidates ranked top-3 by residual ADC.
     */
-  private def residualAdcTop3(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.checkpointedDf(s, s"residual_top3:$d") {
-      residualAdcTop3Plan(s, d)
+  private def residualAdcTop3(s: SparkSession, d: String,
+      k: Int = PqK, mm: Int = PqM): DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"residual_top3:$d:k=$k:m=$mm") {
+      residualAdcTop3Plan(s, d, k, mm)
     }
 
   /** The un-cached plan behind [[residualAdcTop3]] — q101 and q102 both
@@ -2718,10 +2737,12 @@ object Similarity {
     * ~5-7 s per consumer at fixture scale purely from its stage count;
     * sharing pays it once). Released via `Artifacts.release`.
     */
-  private[operators] def residualAdcTop3Plan(s: SparkSession, d: String): DataFrame = {
+  private[operators] def residualAdcTop3Plan(s: SparkSession, d: String,
+      k: Int = PqK, mm: Int = PqM): DataFrame = {
     VectorFunctions.register(s)
+    val sd = pqSubDim(mm)
     val (c1, a2) = kmTrained(s, d)
-    val (rcents, rcodes) = pqResTrained(s, d)
+    val (rcents, rcodes) = pqResTrained(s, d, k, mm)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val probes = probeSelection(e.where(col("vec_id") < QueryBatch), c1, ProbeP)
     // query residual PER PROBED CELL (each probe subtracts that cell's
@@ -2731,10 +2752,10 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("probe_cell"),
         expr("CAST(zip_with(emb_a, cen, (x, c) -> CAST(x AS DOUBLE) - c)" +
           " AS array<float>)").as("qres"))
-    val rlut = (0 until PqM).map { m =>
+    val rlut = (0 until mm).map { m =>
       qres
         .select(col("qid"), col("probe_cell"),
-          slice(col("qres"), m * PqSubDim + 1, PqSubDim).as("qsub"))
+          slice(col("qres"), m * sd + 1, sd).as("qsub"))
         .crossJoin(broadcast(
           rcents.where(col("m") === m).select(col("cell"), col("cen"))))
         .select(col("qid"), col("probe_cell"), lit(m).as("m"), col("cell"),
@@ -2792,19 +2813,21 @@ object Similarity {
       truth.count().toDouble
   }
 
-  private[operators] def rawIvfpqTop3(s: SparkSession, d: String): DataFrame = {
+  private[operators] def rawIvfpqTop3(s: SparkSession, d: String,
+      k: Int = PqK, mm: Int = PqM): DataFrame = {
     // q93's core (probed candidates, RAW-vector ADC) re-expressed for the
-    // recall comparison
+    // recall comparison; (k, mm) select the sizing for the production
+    // residual-vs-raw audit
     VectorFunctions.register(s)
     val (c1, a2) = kmTrained(s, d)
-    val (cents, codes) = pqTrained(s, d)
+    val (cents, codes) = pqTrained(s, d, k, mm)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     val probes = probeCells(e.where(col("vec_id") < QueryBatch), c1, ProbeP)
     val cand = probes
       .join(a2.select(col("vec_id").as("neighbor_id"), col("cell")),
         col("probe_cell") === col("cell") && col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id").as("qid"), col("neighbor_id"))
-    val lut = pqLut(e, cents)
+    val lut = pqLut(e, cents, mm)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("neighbor_id"))
     cand
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
@@ -2855,6 +2878,49 @@ object Similarity {
       .select(col("vec_id"), col("n_hits"),
         round(col("n_hits").cast("double") / lit(3.0), 6).as("recall"))
       .orderBy("vec_id")
+  }
+
+  /** The production-sized residual serving artifact behind q146/q147 —
+    * the same search-result reuse every (search, recall-audit) pair has.
+    */
+  private def residualProdTop3(s: SparkSession, d: String): DataFrame =
+    residualAdcTop3(s, d, PqKProd, PqMProd)
+
+  /** q146: residual IVF-PQ at PRODUCTION sizing — the actual IVFADC
+    * deployment configuration: coarse quantizer + residual codebooks at
+    * (M=[[PqMProd]], k=[[PqKProd]]), one byte of code per subspace over
+    * the residual distribution. q101 proved the residual mechanism at
+    * fixture sizing; q106 proved the production sizing over raw vectors;
+    * this is their composition — the operating point a 100 TB vector
+    * store would really run, under the same oracle gate. Scale shape is
+    * q101's: the per-(query, probe-cell) LUT grows to |batch|·p·M·k rows
+    * (still broadcast-sized — 2048 entries per (query, probe)), and
+    * candidates carry codes, never floats.
+    */
+  private val q146 = GraftQuery(
+    "q146_residual_prod_search",
+    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
+       |${residualOracleChainFor(PqMProd, PqKProd)}
+       |SELECT qid AS vec_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+       |FROM rranked ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    residualProdTop3(s, d)
+      .select(col("qid").as("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** q147: the recall audit at the IVFADC production point — the last
+    * unmeasured entry on the recall-vs-(M, k) curve: q92 (raw, fixture),
+    * q102 (residual, fixture), q107 (raw, production), and now residual
+    * at production. ScaleSpec additionally pins residual ≥ raw at this
+    * sizing, mirroring the fixture-sized pin.
+    */
+  private val q147 = GraftQuery(
+    "q147_residual_prod_recall",
+    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
+       |${residualOracleChainFor(PqMProd, PqKProd)},
+       |${pqRecallOracleTailOn("rranked")}""".stripMargin) { (s, d) =>
+    pqRecallAudit(s, d, residualProdTop3(s, d))
   }
 
   /** q103: FILTERED ANN — vector search under a metadata predicate (the
@@ -3535,5 +3601,5 @@ object Similarity {
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
-      q136, q145)
+      q136, q145, q146, q147)
 }

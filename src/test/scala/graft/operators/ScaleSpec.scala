@@ -385,6 +385,34 @@ class ScaleSpec extends SparkSuite {
     assert(res >= raw, s"residual codes must not lose to raw codes: $res < $raw")
   }
 
+  test("the production residual point completes the recall curve honestly") {
+    // the residual-vs-raw isolation at q146/q147's (M=8, k=256) sizing.
+    // MEASURED result on this fixture: residual does NOT beat raw here
+    // (raw 0.36 vs residual ~0.34) — and that is the expected physics,
+    // not a bug: k=256 codebooks over 500 vectors (~2 vectors/cell)
+    // have budget to spare, and residual encoding's advantage is
+    // precisely that a LIMITED budget spends its cells on a tighter
+    // distribution. The fixture-sized pin above (k=16, budget-starved)
+    // models the production corpus:k regime, where the edge shows.
+    // What must hold at the saturated point: the sizing lever still
+    // works for the residual tier (prod ≥ fixture sizing), and the two
+    // prod points sit in the same saturation band.
+    val rawProd = Similarity.adcMeanRecall(spark, dir,
+      Similarity.rawIvfpqTop3(spark, dir, Similarity.PqKProd, Similarity.PqMProd))
+    val resProd = Similarity.adcMeanRecall(spark, dir,
+      graft.SparkEntry.queries("q146_residual_prod_search")(spark, dir)
+        .select(col("vec_id").as("qid"), col("neighbor_id")))
+    val resFix = Similarity.adcMeanRecall(spark, dir,
+      graft.SparkEntry.queries("q101_residual_ivfpq")(spark, dir)
+        .select(col("vec_id").as("qid"), col("neighbor_id")))
+    info(s"IVF-PQ recall@3 at (M=8, k=256): raw $rawProd, residual $resProd" +
+      s" (residual fixture point: $resFix)")
+    assert(resProd >= resFix,
+      s"production sizing must not lose to fixture sizing: $resProd < $resFix")
+    assert(resProd >= rawProd - 0.05,
+      s"residual prod point fell out of raw's saturation band: $resProd vs $rawProd")
+  }
+
   test("filtered ANN: k same-label results per query, filter never starves k") {
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"))
