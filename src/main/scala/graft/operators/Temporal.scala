@@ -175,13 +175,13 @@ object Temporal {
     * fixture timestamps are tie-free per user, so greedy-fold and
     * min-formulation semantics coincide exactly.
     */
-  private val q126 = GraftQuery(
-    "q126_event_funnel",
-    // The oracle compares at integer MICROSECONDS (epoch_ns // 1000, one
-    // day = 86400000000 µs) — the same precision the engine folds at
-    // after Tables.normalizeEventTs — so window membership at the 1-day
-    // boundary is integer-decided in both engines regardless of the
-    // fixture's parquet timestamp unit (same discipline as q123).
+  // The oracle compares at integer MICROSECONDS (epoch_ns // 1000, one
+  // day = 86400000000 µs) — the same precision the engine folds at
+  // after Tables.normalizeEventTs — so window membership at the 1-day
+  // boundary is integer-decided in both engines regardless of the
+  // fixture's parquet timestamp unit (same discipline as q123). Shared
+  // verbatim by the streaming twin q148 (stream == batch == DuckDB).
+  private[graft] val funnelOracleSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
       |  FROM events),
@@ -216,7 +216,10 @@ object Temporal {
       |  LEFT JOIN s3 ON u.user_id = s3.user_id
       |  LEFT JOIN s4 ON u.user_id = s4.user_id)
       |SELECT steps_reached, count(*) AS n_users
-      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q126 = GraftQuery(
+    "q126_event_funnel", funnelOracleSql) { (s, d) =>
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .groupBy("user_id")

@@ -268,6 +268,91 @@ object EventStreams {
       }
   }
 
+  /** The q126 funnel as a WATERMARK-FINALIZED streaming fold
+    * (`flatMapGroupsWithState` + event-time timeout) — the principled
+    * streaming funnel: greedy first-match progress is NOT monotone under
+    * event-time disorder (an earlier-arriving-later event can both raise
+    * and lower the final step), so an append stream may only emit a
+    * user's `steps_reached` once it is PROVABLY final. That proof is the
+    * watermark: once it passes `max(event ts) + window`, no admissible
+    * future event can qualify for any step (every step match requires
+    * `ts <= last_match + window`, and the first signup is fixed), so the
+    * group times out, folds its buffered history in (ts, event_id)
+    * order — the IDENTICAL state machine as the batch `aggregate` fold —
+    * emits, and drops state.
+    *
+    * State per user is the funnel-RELEVANT event list (four types only)
+    * plus a max-ts high-water mark — the same per-user payload bound as
+    * the batch collect_list, evicted at timeout; users whose events are
+    * all non-funnel types still hold a (empty-buffer, max-ts) entry so
+    * they finalize at step 0, exactly like the oracle's DISTINCT-user
+    * frame. The flush sentinel advances the watermark past every real
+    * user's horizon at replay end (its own timeout never fires — the
+    * watermark stays 10 min behind it), which is how q148's drained
+    * stream emits exactly the batch answer.
+    */
+  def funnelSteps(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Long, Int)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked `ts` column must ride into the grouped Dataset
+    // (event-time timeout resolves the watermark from the child schema);
+    // the µs long `t` alongside it is what the fold compares on
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, String)], Long), (Long, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, String)], Long)]) =>
+          if (state.hasTimedOut) {
+            val steps = foldFunnel(state.get._1)
+            state.remove()
+            Iterator.single((uid, steps))
+          } else {
+            val rs = rows.toSeq
+            val (buf0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, String)], Long.MinValue))
+            val buf = buf0 ++ rs.collect {
+              case (_, _, t, eid, et) if FunnelTypes(et) => (t, eid, et)
+            }
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            state.update((buf, maxT))
+            // finalize once the watermark proves the window closed; the
+            // clamp handles a group whose horizon is already behind the
+            // watermark (its fold is equally final then)
+            state.setTimeoutTimestamp(math.max(
+              maxT / 1000L + FunnelWindowUs / 1000L + 10L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  private val FunnelTypes = Set("signup", "view", "click", "purchase")
+  private val FunnelOrder = Vector("signup", "view", "click", "purchase")
+  private val FunnelWindowUs = 86400000000L
+
+  /** The batch q126 `aggregate` fold, verbatim, over a buffered history:
+    * sort by (ts, event_id), greedy first-match with a 1-day window in
+    * integer µs — bit-identical window decisions to both the batch
+    * engine and the DuckDB oracle.
+    */
+  private def foldFunnel(buf: Seq[(Long, Long, String)]): Int = {
+    var step = 0
+    var t = 0L
+    buf.sorted.foreach { case (ts, _, et) =>
+      if (step < 4 && et == FunnelOrder(step) &&
+          (step == 0 || ts <= t + FunnelWindowUs)) {
+        step += 1; t = ts
+      }
+    }
+    step
+  }
+
   /** Run any of the above to completion over the existing files and
     * return the collected result table (availableNow trigger + memory
     * sink — the batch-parity harness used by the smoke tests).

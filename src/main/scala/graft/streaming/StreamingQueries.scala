@@ -194,6 +194,26 @@ object StreamingQueries {
     streamed.orderBy("user_id", "milestone")
   }
 
+  /** q148: streaming conversion funnel ≡ batch q126 — the state-machine
+    * fold as watermark-finalized custom state
+    * ([[EventStreams.funnelSteps]]): per-user progress emits exactly
+    * once, when the watermark proves no future event can change it; the
+    * flush sentinel closes every real user's horizon at replay end. The
+    * per-step distribution is then a batch aggregate over the emitted
+    * (user, steps_reached) rows, gated on q126's oracle verbatim —
+    * stream == batch == DuckDB for an operator whose output is NOT
+    * monotone in its input, which is exactly why it needs the timeout
+    * mechanism rather than q75's order-independence argument.
+    */
+  private val q148 = GraftQuery(
+    "q148_stream_funnel", graft.operators.Temporal.funnelOracleSql) { (s, d) =>
+    val streamed = runGated(s, d)(
+      EventStreams.funnelSteps(_).toDF("user_id", "steps_reached"))
+    streamed.groupBy("steps_reached")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("steps_reached")
+  }
+
   /** q49: streaming watermarked dedup emits exactly one row per
     * (user_id, event_type) key — the key universe must equal the batch
     * distinct. No sentinel needed: dedup is a stateful filter, rows emit
@@ -498,5 +518,6 @@ object StreamingQueries {
   }
 
   val queries: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121)
+    Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
+      q148)
 }
