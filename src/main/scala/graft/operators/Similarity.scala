@@ -3199,12 +3199,27 @@ object Similarity {
        |${int8QuantOracleTailWhere(s"\n    AND NOT (${tombstoneSql("b.vec_id")})")}"""
       .stripMargin
 
+  /** PUBLIC serving entry: answer the bounded query batch from the
+    * written index at `indexDir`, masking an ARBITRARY caller-supplied
+    * id frame (a deletion-request log is an external input — GDPR
+    * requests, moderation takedowns — never a recomputable predicate;
+    * the fixture happens to derive its list deterministically so the
+    * oracle can re-derive it, but nothing in this path knows that). The
+    * mask is a broadcast anti-join on both sides pre-rank; pass None for
+    * unmasked serving. q110 routes through this; q118-q121 resolve their
+    * id frames from the manifest's delete FILES through the same
+    * `quantServeFrames(tombstones:)` plumbing.
+    */
+  def serveQuantized(s: SparkSession, indexDir: String,
+      tombstones: Option[DataFrame] = None): DataFrame =
+    coldServePlan(s, indexDir, tombstones)
+
   private val q110 = GraftQuery(
     "q110_tombstone_serve", tombstoneServeOracle) { (s, d) =>
     val base = writtenIndex(s, d)
     val tomb = s.read.parquet(s"$base/index")
       .select("vec_id").where(tombstoned(col("vec_id")))
-    coldServePlan(s, base, Some(tomb))
+    serveQuantized(s, base, Some(tomb))
   }
 
   /** The q145 upsert set: LCG bucket 7 (~10% of the corpus, disjoint

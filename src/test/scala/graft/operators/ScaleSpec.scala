@@ -253,6 +253,34 @@ class ScaleSpec extends SparkSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("serveQuantized masks an ARBITRARY external id list, not a recomputable predicate") {
+    // the deletion-request log is an external input: hand the public
+    // serving API a list no predicate generates (the unmasked result's
+    // own first few neighbors) and require those ids to vanish from
+    // BOTH sides of the rank while every surviving query keeps its full
+    // top-3 — a post-top-k filter would starve exactly those queries
+    val base = Similarity.writtenIndex(spark, dir)
+    val unmasked = Similarity.serveQuantized(spark, base)
+    val victims = unmasked.select(col("neighbor_id"))
+      .distinct().orderBy("neighbor_id").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val tomb = spark.createDataFrame(
+      victims.map(Tuple1(_))).toDF("vec_id")
+    val masked = Similarity.serveQuantized(spark, base, Some(tomb))
+    val served = masked.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !served.contains(v)),
+      s"tombstoned ids ${victims.filter(served.contains)} still served")
+    val qids = masked.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !qids.contains(v)),
+      "tombstoned ids still answer as queries")
+    // full top-3 per surviving query: the mask ran pre-rank
+    val short = masked.groupBy("vec_id").agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 3).count()
+    assert(short == 0, s"$short queries lost rank slots to the mask")
+  }
+
   test("IVF recall@3 is monotone in the probe count; p=1 is single-probe") {
     val r1 = Similarity.multiProbeRecall(spark, dir, p = 1)
     val r2 = Similarity.multiProbeRecall(spark, dir, p = 2)
