@@ -93,15 +93,53 @@ object Artifacts {
       build: => DataFrame): DataFrame =
     cached[DataFrame](s, key) { leafDf(build) }
 
+  /** Conf key selecting the leaf durability mode for EVERY [[leafDf]]
+    * artifact (the whole index family routes through it): `false`
+    * (default) = executor-local checkpoint blocks — fastest, right for
+    * local[n] and for any deployment that treats in-session artifacts as
+    * rebuildable caches; `true` = reliable file checkpoints under
+    * `spark.checkpoint.dir` — executor churn cannot lose the artifact,
+    * the cluster deployment's setting. One conf flips the family; the
+    * WRITTEN index (q105's files) remains the fully durable form either
+    * way.
+    */
+  val ReliableArtifactsConf = "spark.graft.reliableArtifacts"
+
   /** Materialize a DataFrame as a checkpointed leaf + its release hook —
     * the building block [[checkpointedDf]] and the tuple-valued index
-    * artifacts share.
+    * artifacts share. Durability per [[ReliableArtifactsConf]].
     */
   def leafDf(df: DataFrame): (DataFrame, () => Unit) = {
-    val chk = df.localCheckpoint(eager = true)
+    val s = df.sparkSession
+    if (s.conf.get(ReliableArtifactsConf, "false").toBoolean) reliableLeaf(df)
+    else {
+      val chk = df.localCheckpoint(eager = true)
+      val release = () => chk.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = true); ()
+        case _ => ()
+      }
+      (chk, release)
+    }
+  }
+
+  /** A reliable (file-backed) checkpoint leaf + a release hook that
+    * deletes its files — [[leafDf]]'s cluster-safe arm and the body of
+    * [[reliableCheckpointDf]].
+    */
+  def reliableLeaf(df: DataFrame): (DataFrame, () => Unit) = {
+    val s = df.sparkSession
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("graft_reliable_chk").toString)
+    val chk = df.checkpoint(eager = true)
     val release = () => chk.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = true); ()
+        l.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
       case _ => ()
     }
     (chk, release)
@@ -125,22 +163,7 @@ object Artifacts {
     */
   def reliableCheckpointDf(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame =
-    cached[DataFrame](s, key) {
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(java.nio.file.Files
-          .createTempDirectory("graft_reliable_chk").toString)
-      val chk = build.checkpoint(eager = true)
-      val release = () => chk.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.getCheckpointFile.foreach { f =>
-            val p = new org.apache.hadoop.fs.Path(f)
-            p.getFileSystem(s.sparkContext.hadoopConfiguration)
-              .delete(p, true)
-          }
-        case _ => ()
-      }
-      (chk, release)
-    }
+    cached[DataFrame](s, key) { reliableLeaf(build) }
 
   /** Release every artifact registered for `s`: run each release hook
     * (unpersist cached plans, destroy broadcasts) and forget the entries,

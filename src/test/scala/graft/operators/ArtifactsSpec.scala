@@ -103,6 +103,37 @@ class ArtifactsSpec extends SparkSuite {
       "release must delete the reliable checkpoint's files")
   }
 
+  test("reliable mode: the TRAINED INDEX FAMILY survives block loss without retrain") {
+    // the round-10 gap: reliableCheckpointDf existed but kmTrained/
+    // pqTrained built on local leaves. With the one-conf flip
+    // (Artifacts.ReliableArtifactsConf) every leafDf artifact — the
+    // whole index family — becomes a file checkpoint: simulate executor
+    // loss by dropping the leaves' cached blocks and require the SAME
+    // handed-out frames to keep serving, with no release and no rebuild.
+    Artifacts.release(spark)
+    spark.conf.set(Artifacts.ReliableArtifactsConf, "true")
+    try {
+      val (c1, a2) = Similarity.kmTrained(spark, dir)
+      val cells = c1.count()
+      val rows = a2.count()
+      assert(cells > 0 && rows > 0)
+      Seq(c1, a2).foreach { df =>
+        df.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            assert(l.rdd.getCheckpointFile.isDefined,
+              "reliable mode must file-checkpoint the index leaves")
+            l.rdd.unpersist(blocking = true) // simulated executor loss
+          case other => fail(s"index leaf is not a LogicalRDD: ${other.getClass}")
+        }
+      }
+      assert(c1.count() == cells && a2.count() == rows,
+        "index family must survive block loss from the checkpoint files")
+    } finally {
+      spark.conf.set(Artifacts.ReliableArtifactsConf, "false")
+      Artifacts.release(spark)
+    }
+  }
+
   test("artifact builds may nest (regression: 'Recursive update' in q52)") {
     // The minhash-signature artifact's build requests the shingle-hash
     // artifact. Under the old computeIfAbsent implementation a nested
