@@ -257,8 +257,10 @@ object Temporal {
     * shuffle is the only corpus-sized exchange either way. Then one
     * partial+final distinct-count on (cohort_day, day_offset).
     */
-  private val q127 = GraftQuery(
-    "q127_retention_cohorts",
+  /** Shared verbatim by the streaming twin q149 (stream == batch ==
+    * DuckDB).
+    */
+  private[graft] val retentionOracleSql: String =
     """WITH f AS (
       |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
       |  FROM events GROUP BY 1)
@@ -267,7 +269,10 @@ object Temporal {
       |    AS day_offset,
       |  count(DISTINCT e.user_id) AS n_users
       |FROM events e JOIN f ON e.user_id = f.user_id
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val q127 = GraftQuery(
+    "q127_retention_cohorts", retentionOracleSql) { (s, d) =>
     val evs = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val cohorts = evs.groupBy("user_id").agg(min(col("day")).as("cohort_day"))

@@ -332,6 +332,54 @@ object EventStreams {
       }
   }
 
+  /** The q127 retention cohorts as watermark-finalized custom state —
+    * [[funnelSteps]]' machinery applied to the other non-monotone
+    * per-user temporal fold: a user's cohort day is their FIRST-seen
+    * day, which late data can only move EARLIER, so emitted
+    * (cohort_day, day_offset) rows are provisional until the watermark
+    * proves them final. State per user is the active-day set plus a
+    * max-ts high-water mark (bounded by days of real activity — far
+    * smaller than the event history); at event-time timeout the group
+    * emits its (cohort, offset) pairs exactly once and evicts. Each
+    * user contributes at most one row per pair, so the downstream
+    * per-pair `count(*)` IS the batch `count(DISTINCT user_id)` —
+    * distinct-count streaming without distinct-count state.
+    */
+  def retentionRows(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Int, Int)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Int], Long), (Int, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[Int], Long)]) =>
+          if (state.hasTimedOut) {
+            val days = state.get._1
+            state.remove()
+            val cohort = days.min
+            days.sorted.iterator.map(d => (cohort, d - cohort))
+          } else {
+            val rs = rows.toSeq
+            val (days0, max0) = state.getOption.getOrElse(
+              (Seq.empty[Int], Long.MinValue))
+            val days = (days0 ++ rs.iterator.map(r =>
+              Math.floorDiv(r._3, DayUs).toInt)).distinct
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            state.update((days, maxT))
+            state.setTimeoutTimestamp(math.max(maxT / 1000L + 10L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  private val DayUs = 86400000000L
+
   private val FunnelTypes = Set("signup", "view", "click", "purchase")
   private val FunnelOrder = Vector("signup", "view", "click", "purchase")
   private val FunnelWindowUs = 86400000000L

@@ -214,6 +214,24 @@ object StreamingQueries {
       .orderBy("steps_reached")
   }
 
+  /** q149: streaming retention cohorts ≡ batch q127 — per-user
+    * (cohort, offset) pairs finalized by watermark timeout
+    * ([[EventStreams.retentionRows]]); the per-pair user count is then a
+    * plain `count(*)` because each user emits each pair exactly once —
+    * the batch `count(DISTINCT)` without distinct-count state. Gated on
+    * q127's oracle verbatim.
+    */
+  private val q149 = GraftQuery(
+    "q149_stream_retention", graft.operators.Temporal.retentionOracleSql) { (s, d) =>
+    val streamed = runGated(s, d)(
+      EventStreams.retentionRows(_).toDF("cohort", "day_offset"))
+    streamed.groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_from_unix_date(col("cohort")).as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** q49: streaming watermarked dedup emits exactly one row per
     * (user_id, event_type) key — the key universe must equal the batch
     * distinct. No sentinel needed: dedup is a stateful filter, rows emit
@@ -519,5 +537,5 @@ object StreamingQueries {
 
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148)
+      q148, q149)
 }
