@@ -505,16 +505,22 @@ object CorpusStats {
     * the RAW double score), shared by q90 and the retrieval compositions
     * q112/q113 — one scoring definition, three gated consumers.
     */
-  private val bm25OracleCtes: String =
+  private val bm25OracleCtes: String = bm25OracleCtesFrom("documents")
+
+  /** [[bm25OracleCtes]] over an arbitrary document-shaped source CTE —
+    * q150 scores the LIVE (post-delete) subset; the zero-arg delegate
+    * keeps every existing oracle's text byte-identical.
+    */
+  private def bm25OracleCtesFrom(src: String): String =
     s"""dl AS (
        |  SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS dl
-       |  FROM documents),
+       |  FROM $src),
        |stats AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
        |toks AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
-       |  FROM documents),
+       |  FROM $src),
        |tf AS (
        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
        |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
@@ -706,18 +712,30 @@ object CorpusStats {
     */
   private[graft] def bm25Resolve(s: SparkSession, base: String,
       version: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (postings, dl, raw) = bm25ResolveRaw(s, base, version)
+    (postings, dl, finishBm25Stats(raw))
+  }
+
+  /** [[bm25Resolve]] with the stats left as the MERGEABLE exact integers
+    * (n_docs, sum_dl) — q150's delete-serve subtracts the dead docs'
+    * contribution from these before the one final division.
+    */
+  private[graft] def bm25ResolveRaw(s: SparkSession, base: String,
+      version: Int): (DataFrame, DataFrame, DataFrame) = {
     val segs = s.read.parquet(s"$base/manifest")
       .where(col("version") === version && col("kind") === "segment")
       .select("path").collect().map(_.getString(0)).toSeq
     require(segs.nonEmpty, s"no BM25 segments for version $version")
     def union(t: String): DataFrame =
       segs.map(p => s.read.parquet(s"$base/$p/$t")).reduce(_.unionByName(_))
-    val stats = union("stats")
+    val raw = union("stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-    (union("postings"), union("lengths"), stats)
+    (union("postings"), union("lengths"), raw)
   }
+
+  private def finishBm25Stats(raw: DataFrame): DataFrame =
+    raw.select(col("n_docs"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
 
   private def bm25VersionServe(s: SparkSession, d: String,
       version: Int): DataFrame = {
@@ -741,6 +759,57 @@ object CorpusStats {
   private val q143 = GraftQuery(
     "q143_bm25_append_serve", bm25ServeOracle) { (s, d) =>
     bm25VersionServe(s, d, version = 2)
+  }
+
+  /** The q150 document-tombstone set: LCG bucket 9 of the doc_id space
+    * (~10%) — the deterministic stand-in for a takedown/deletion log,
+    * which in production is an arbitrary external id list (the engine
+    * path consumes a DataFrame of ids, mirroring
+    * [[Similarity.serveQuantized]]'s contract).
+    */
+  private def docTombstoned(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Pipeline.lcg(c, Pipeline.SplitA, Pipeline.SplitC) % 10 >= 9
+  private def docTombSql(idExpr: String): String =
+    s"(${Pipeline.lcgSql(idExpr, Pipeline.SplitA, Pipeline.SplitC)}) % 10 >= 9"
+
+  /** q150: BM25 DELETE serving — the lexical tier's tombstone mask,
+    * completing its lifecycle (append q143, compaction q144): a deletion
+    * list arrives and serving must exclude those documents IMMEDIATELY,
+    * with exact live-subset scoring and no postings rewrite. Three
+    * pieces make it exact: postings/lengths are broadcast-anti-joined
+    * against the id list (df then derives at serve time from the MASKED
+    * postings, so per-term document frequency is the live value for
+    * free), and the corpus stats are the stored mergeable integers MINUS
+    * the dead documents' (count, sum_dl) contribution — one subtraction
+    * and one division, bit-identical to a full rebuild over the live
+    * subset, which is exactly what the oracle computes. At 100 TB the
+    * mask cost is the delete-list broadcast; nothing rescans text and
+    * nothing rewrites segments (physical deletion is compaction's job,
+    * q144's mechanism).
+    */
+  private val q150 = GraftQuery(
+    "q150_bm25_delete_serve",
+    s"""WITH live AS (
+       |  SELECT * FROM documents WHERE NOT (${docTombSql("doc_id")})),
+       |${bm25OracleCtesFrom("live")}
+       |SELECT doc_id, round(score, 6) AS score FROM folded
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
+    val base = versionedBm25(s, d)
+    val (postings, dl, raw) = bm25ResolveRaw(s, base, version = 3)
+    val tomb = dl.select("doc_id").where(docTombstoned(col("doc_id")))
+    val dead = dl.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_dead"), sum(col("dl")).as("sum_dead"))
+    val liveStats = raw.crossJoin(dead)
+      .select((col("n_docs") - col("n_dead")).as("n_docs"),
+        ((col("sum_dl") - col("sum_dead")).cast("double")
+          / (col("n_docs") - col("n_dead"))).as("avgdl"))
+    bm25ScoreFrames(
+        postings.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        dl.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        liveStats)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
   }
 
   /** q144: BM25 COMPACTION serving — v3 (the one merged segment) must be
@@ -1171,5 +1240,5 @@ object CorpusStats {
 
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
-      q139, q140, q141, q143, q144)
+      q139, q140, q141, q143, q144, q150)
 }
