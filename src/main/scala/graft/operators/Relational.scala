@@ -580,6 +580,7 @@ object Relational {
     Tables.orders(s, d).createOrReplaceTempView("graft_orders")
     Tables.customer(s, d).createOrReplaceTempView("graft_customer")
     Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
   }
 
   /** q130: TPC-H Q17-shaped correlated scalar subquery — per-brand
@@ -717,7 +718,138 @@ object Relational {
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
   }
 
+  /** q151: TPC-H Q15-shaped "top supplier by revenue view" — a derived
+    * revenue-per-supplier aggregate over one shipping quarter, then the
+    * supplier(s) whose revenue EQUALS the view's scalar max. The
+    * equality is the float trap Q15 is famous for: revenue here is an
+    * exact BIGINT in 10⁻⁴-cent units (`Σ cents·(100−disc_pct)` — both
+    * factors are 2-decimal money values, so round(·100) is exact), so
+    * max-equality selection cannot flip between engines or between
+    * shuffle orders. Catalyst plans the scalar max as a one-row
+    * subquery broadcast against the (supplier-count-sized) view — the
+    * quarter filter is pushed into the lineitem scan, and the corpus
+    * pays one partial+final aggregate.
+    */
+  private val q151 = GraftQuery(
+    "q151_top_revenue_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01'
+      |    AND l_shipdate < DATE '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+      |  round(r.rev_u / 10000.0, 2) AS total_revenue
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      |WHERE r.rev_u = (SELECT max(rev_u) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u
+        |  FROM graft_lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+        |  round(r.rev_u / 10000.0, 2) AS total_revenue
+        |FROM graft_supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.rev_u = (SELECT max(rev_u) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** q152: TPC-H Q20-shaped nested IN over a grouped-HAVING threshold —
+    * suppliers who moved more than 100 units of some red part
+    * (`(suppkey, partkey)` grouped quantity, integral doubles cast
+    * BIGINT so the cut is integer-decided). RewritePredicateSubquery
+    * turns the IN into a LEFT SEMI against the grouped aggregate whose
+    * own input is pre-pruned by the part-name join — at 100 TB the semi
+    * side is (matching parts × their suppliers), never the lineitem
+    * corpus, and the supplier scan is broadcast-pruned by it.
+    */
+  private val q152 = GraftQuery(
+    "q152_bulk_part_suppliers",
+    """SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+      |  n.n_name AS n_name
+      |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE p.p_name LIKE 'red%'
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING CAST(sum(l_quantity) AS BIGINT) > 100)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+        |  n.n_name AS n_name
+        |FROM graft_supplier s
+        |JOIN graft_nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM graft_lineitem l
+        |  JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_name LIKE 'red%'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING CAST(sum(l_quantity) AS BIGINT) > 100)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** q153: TPC-H Q21-shaped double-correlated EXISTS / NOT EXISTS —
+    * per supplier, the count of multi-supplier orders where THIS
+    * supplier shipped late (> 90 days after the order date; the fixture
+    * lineitem has no commit/receipt dates, so lateness is defined
+    * against o_orderdate — same correlation shape, available columns)
+    * and NO OTHER supplier did. The `late` set is computed ONCE as a CTE
+    * and reused for both the driving side and the NOT EXISTS — the
+    * decorrelation Q21 rewards: Catalyst plans EXISTS as a left-semi on
+    * orderkey with the supplier inequality as a join-borne predicate and
+    * NOT EXISTS as a left-anti on the same key, so the corpus-sized
+    * shuffles are the late-set aggregation and two key joins, never a
+    * per-supplier re-scan. All-integer outputs; ties ordered by name.
+    */
+  private val q153 = GraftQuery(
+    "q153_sole_late_supplier",
+    """WITH late AS (
+      |  SELECT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      |  GROUP BY 1, 2)
+      |SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM late w
+      |JOIN supplier s ON s.s_suppkey = w.l_suppkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = w.l_orderkey AND l2.l_suppkey <> w.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM late w2
+      |    WHERE w2.l_orderkey = w.l_orderkey AND w2.l_suppkey <> w.l_suppkey)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM graft_lineitem l
+        |  JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  GROUP BY l.l_orderkey, l.l_suppkey)
+        |SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late w
+        |JOIN graft_supplier s ON s.s_suppkey = w.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM graft_lineitem l2
+        |    WHERE l2.l_orderkey = w.l_orderkey AND l2.l_suppkey <> w.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late w2
+        |    WHERE w2.l_orderkey = w.l_orderkey AND w2.l_suppkey <> w.l_suppkey)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132)
+      q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
+      q153)
 }

@@ -789,4 +789,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       s"recent-orders date filter not pushed to the orders scan:\n$p")
   }
+
+  test("q151 scalar max rides as a one-row subquery; the quarter filter reaches the scan") {
+    val p = plan("q151_top_revenue_supplier")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"scalar max not planned as a reusable subquery:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
+      || p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"quarter filter not pushed into the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("q152 nested IN plans as a LEFT SEMI with the part-name filter pushed") {
+    val p = plan("q152_bulk_part_suppliers")
+    assert(p.contains("LeftSemi"), s"IN did not become a semi join:\n$p")
+    assert(p.contains("StringStartsWith(p_name,red"),
+      s"part-name prefix not pushed into the part scan:\n$p")
+  }
+
+  test("q153 EXISTS/NOT EXISTS decorrelate to semi + anti joins, no per-row re-scan") {
+    val p = plan("q153_sole_late_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"correlation fell back to a nested-loop shape:\n$p")
+  }
 }
