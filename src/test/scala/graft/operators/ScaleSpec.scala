@@ -413,6 +413,20 @@ class ScaleSpec extends SparkSuite {
     assert(res >= raw, s"residual codes must not lose to raw codes: $res < $raw")
   }
 
+  test("JL projection halves the vectors and keeps random-sign recall quality") {
+    // the q155 audit's number, pinned: popcount-parity signs must hold
+    // the true-random-sign band (~0.15-0.19 on this corpus at k=32);
+    // the degenerate LCG/mid-bit constructions measured ~0.04 — a pin
+    // at 0.10 separates the two regimes with margin on both sides
+    val r = graft.SparkEntry.queries("q155_jl_recall")(spark, dir)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    info(s"JL recall@3 at k=32: $r")
+    assert(r >= 0.10, s"JL sign matrix degraded below the random-sign band: $r")
+    val width = graft.SparkEntry.queries("q154_jl_projection_search")(spark, dir)
+      .count()
+    assert(width == 300, s"bounded batch must produce 100x3 rows, got $width")
+  }
+
   test("the production residual point completes the recall curve honestly") {
     // the residual-vs-raw isolation at q146/q147's (M=8, k=256) sizing.
     // MEASURED result on this fixture: residual does NOT beat raw here
