@@ -848,8 +848,134 @@ object Relational {
         |GROUP BY s.s_name ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
+  /** q156: TPC-H Q2-shaped correlated scalar MIN — for every size-15
+    * part, the supplier(s) whose cheapest sale of that part equals the
+    * part's global cheapest sale. Prices are compared as BIGINT cents
+    * (`round(l_extendedprice·100)` is exact for 2-decimal money), so the
+    * min-equality selection is integer-decided and cannot flip between
+    * engines. The (part, supplier) min and the per-part min both derive
+    * from ONE grouped aggregate CTE; Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates the per-part min into
+    * a second grouped aggregate over that same CTE joined back on
+    * l_partkey — at 100 TB the corpus pays one partial+final aggregate
+    * to (part, supplier) grain (the only corpus-sized shuffle), and
+    * everything after runs at part-count scale with the p_size filter
+    * broadcast-pruning both sides.
+    */
+  private val q156 = GraftQuery(
+    "q156_cheapest_supplier",
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_c
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT p.p_partkey AS p_partkey, p.p_brand AS p_brand,
+      |  s.s_suppkey AS s_suppkey, s.s_name AS s_name, n.n_name AS n_name,
+      |  round(c.min_c / 100.0, 2) AS best_price
+      |FROM cost c
+      |JOIN part p ON p.p_partkey = c.l_partkey
+      |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_size = 15
+      |  AND c.min_c = (SELECT min(c2.min_c) FROM cost c2
+      |                 WHERE c2.l_partkey = c.l_partkey)
+      |ORDER BY p_partkey, s_suppkey""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_c
+        |  FROM graft_lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p.p_partkey AS p_partkey, p.p_brand AS p_brand,
+        |  s.s_suppkey AS s_suppkey, s.s_name AS s_name, n.n_name AS n_name,
+        |  round(c.min_c / 100.0, 2) AS best_price
+        |FROM cost c
+        |JOIN graft_part p ON p.p_partkey = c.l_partkey
+        |JOIN graft_supplier s ON s.s_suppkey = c.l_suppkey
+        |JOIN graft_nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_size = 15
+        |  AND c.min_c = (SELECT min(c2.min_c) FROM cost c2
+        |                 WHERE c2.l_partkey = c.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin)
+  }
+
+  /** q157: TPC-H Q11-shaped global-threshold HAVING — parts whose total
+    * sold value exceeds a fixed fraction (7⁄10000) of the corpus total.
+    * Value is an exact BIGINT cents sum, and the cut compares
+    * `v_u·10000 > 7·Σv_u` in integers — no float share computation to
+    * disagree on. Catalyst evaluates the uncorrelated scalar `Σv_u` as
+    * a one-row subquery reused as a literal against the already-grouped
+    * per-part aggregate, so the corpus is scanned once and shuffled
+    * once (to part grain); the threshold pass then runs at part
+    * cardinality. The same shape at 100 TB: the expensive aggregate is
+    * shared by both the numerator and the denominator, never recomputed
+    * per row.
+    */
+  private val q157 = GraftQuery(
+    "q157_part_value_share",
+    """WITH val AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v_u
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey AS p_partkey, round(v_u / 100.0, 2) AS part_value
+      |FROM val
+      |WHERE v_u * 10000 > 7 * (SELECT sum(v_u) FROM val)
+      |ORDER BY part_value DESC, p_partkey""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v_u
+        |  FROM graft_lineitem GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, round(v_u / 100.0, 2) AS part_value
+        |FROM val
+        |WHERE v_u * 10000 > 7 * (SELECT sum(v_u) FROM val)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin)
+  }
+
+  /** q158: TPC-H Q19-shaped disjunctive predicate — revenue from three
+    * OR'd (brand, size-range, quantity-range) branches across the
+    * part⋈lineitem join. The planner story IS the query: each disjunct
+    * mixes part-side and lineitem-side conjuncts, so a naive engine
+    * filters only after the join; Catalyst extracts the per-side
+    * disjunctions (`brand∈… ∧ size…` OR'd → part scan; `qty∈[1,30]`
+    * envelope → lineitem scan) and pushes them below the join, so at
+    * 100 TB both scan prunes BEFORE the shuffle and the residual OR
+    * evaluates on the pruned sliver. Revenue is the exact
+    * `Σ cents·(100−disc_pct)` BIGINT of q151, so the hash gate is
+    * float-safe.
+    */
+  private val q158 = GraftQuery(
+    "q158_disjunctive_revenue",
+    """SELECT p.p_brand AS p_brand, CAST(count(*) AS BIGINT) AS n_li,
+      |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0,
+      |    2) AS revenue
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+      |       AND p.p_size BETWEEN 1 AND 5)
+      |   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+      |       AND p.p_size BETWEEN 1 AND 10)
+      |   OR (p.p_brand = 'Brand#21' AND l.l_quantity BETWEEN 20 AND 30
+      |       AND p.p_size BETWEEN 1 AND 15)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """SELECT p.p_brand AS p_brand, CAST(count(*) AS BIGINT) AS n_li,
+        |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0,
+        |    2) AS revenue
+        |FROM graft_lineitem l JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+        |       AND p.p_size BETWEEN 1 AND 5)
+        |   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+        |       AND p.p_size BETWEEN 1 AND 10)
+        |   OR (p.p_brand = 'Brand#21' AND l.l_quantity BETWEEN 20 AND 30
+        |       AND p.p_size BETWEEN 1 AND 15)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
-      q153)
+      q153, q156, q157, q158)
 }

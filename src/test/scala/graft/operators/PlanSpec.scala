@@ -814,4 +814,35 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"correlation fell back to a nested-loop shape:\n$p")
   }
+
+  test("q156 correlated min decorrelates; the size filter reaches the part scan") {
+    val p = plan("q156_cheapest_supplier")
+    // the per-part min must come from a grouped aggregate joined back,
+    // never a per-row re-evaluation
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"correlated min fell back to a nested-loop shape:\n$p")
+    assert(p.contains("EqualTo(p_size,15)"),
+      s"p_size filter not pushed into the part scan:\n$p")
+  }
+
+  test("q157 global total rides as a one-row subquery over the shared aggregate") {
+    val p = plan("q157_part_value_share")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"global total not planned as a reusable scalar subquery:\n$p")
+    // the threshold pass runs on the grouped per-part frame — the corpus
+    // is never joined row-level against the scalar
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("q158 per-side disjunctions are pushed below the join") {
+    val p = plan("q158_disjunctive_revenue")
+    // part side: the OR of (brand ∧ size) branches reaches the part scan
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#12)"),
+      s"part-side disjunction not pushed into the part scan:\n$p")
+    // lineitem side: the quantity envelope reaches the lineitem scan
+    assert(p.contains("Or(And(GreaterThanOrEqual(l_quantity,1")
+        || p.contains("Or(And(GreaterThanOrEqual(l_quantity,10"),
+      s"lineitem-side quantity disjunction not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
 }
