@@ -482,6 +482,34 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** q159: LEAKAGE-FREE train/val/test split — the dedup-aware version
+    * of q58's document split: the split unit is the duplicate CLUSTER
+    * (q52's connected component), so every member of a near-dup cluster
+    * lands in the SAME split. Splitting documents independently (q58)
+    * leaks training data into eval whenever near-copies straddle the
+    * cut — the contamination q65 detects after the fact, prevented
+    * structurally here. The bucketing reuses q58's LCG contract on
+    * `cluster_id` (same constants, so the two splits are comparable
+    * apples-to-apples), and at 100 TB the whole query is the q52 CC
+    * artifact plus ONE stateless map — split assignment adds zero
+    * shuffles, and a singleton-heavy corpus (most documents) never
+    * enters the edge fixpoint at all.
+    */
+  private val q159 = GraftQuery(
+    "q159_leakfree_split",
+    s"""$clusterOracleChain
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ${Pipeline.lcgSql("cluster_id", Pipeline.SplitA, Pipeline.SplitC)} % 100 < 80 THEN 'train'
+       |       WHEN ${Pipeline.lcgSql("cluster_id", Pipeline.SplitA, Pipeline.SplitC)} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM clus ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bucket = Pipeline.lcg(col("cluster_id"), Pipeline.SplitA, Pipeline.SplitC) % 100
+    clusterAssignments(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** Bucket-width cap for the REGISTERED capped-dedup query (q85). Chosen
     * to actually TRIP on the fixture corpora (band buckets reach width 3
     * at sf0.01, 5 at sf0.001, 15 at sf0.1), so the driver's oracle gate
@@ -3731,5 +3759,5 @@ object Similarity {
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
-      q136, q145, q146, q147, q154, q155)
+      q136, q145, q146, q147, q154, q155, q159)
 }

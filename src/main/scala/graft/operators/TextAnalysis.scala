@@ -456,6 +456,82 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q160: bigram-LM quality scoring — the CCNet/KenLM idea with the
+    * corpus as its own model: an add-one-smoothed bigram language model
+    * is fit over the whole corpus, and every document is scored by its
+    * average per-bigram log-probability (and perplexity). Documents
+    * whose token transitions are unusual for the corpus — gibberish,
+    * boilerplate, wrong-language spans — surface as high-perplexity
+    * outliers; production pipelines cut on exactly this number (CCNet's
+    * Wikipedia-perplexity buckets). Design for 100 TB: the corpus pays
+    * ONE partial+final shuffle down to bigram-model grain (distinct
+    * bigrams — the type/token distinction: types plateau while tokens
+    * grow); the conditioning-context table and vocabulary size derive
+    * from that model table, never from a second corpus pass; scoring
+    * joins the doc bigrams against the model co-partitioned on the
+    * bigram key with the context table broadcast (vocab-sized, ~10⁶ at
+    * web scale); and the per-document mean is an ORDER-PINNED fold over
+    * the (a, b, lp)-sorted score list — never a shuffle-order float sum
+    * — so the gate is exact to the rounded digits. Smoothing:
+    * P(b|a) = (c(a,b)+1) / (c(a)+V), with c(a) = Σ_y c(a,y) (contexts
+    * with successors) and V = |distinct contexts|, both read off the
+    * model table.
+    */
+  private val q160 = GraftQuery(
+    "q160_bigram_lm_score",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+      |    i -> struct_pack(a := t[i-1], b := t[i]))) AS p
+      |  FROM toks WHERE len(t) >= 2),
+      |dbg AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+      |bigc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2),
+      |firsts AS (SELECT a, CAST(sum(c12) AS BIGINT) AS c1 FROM bigc GROUP BY 1),
+      |vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM firsts),
+      |scored AS (
+      |  SELECT g.doc_id, g.a, g.b,
+      |    ln((CAST(c.c12 AS DOUBLE) + CAST(1 AS DOUBLE))
+      |       / (CAST(f.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))) AS lp
+      |  FROM dbg g JOIN bigc c ON g.a = c.a AND g.b = c.b
+      |  JOIN firsts f ON g.a = f.a CROSS JOIN vsz v),
+      |folded AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY a, b, lp)),
+      |      (acc, x) -> acc + x) AS s
+      |  FROM scored GROUP BY 1)
+      |SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logprob,
+      |  round(exp(-s / n_bigrams), 4) AS ppl
+      |FROM folded ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dbg = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bigc = dbg.groupBy("a", "b").agg(count(lit(1)).as("c12"))
+    val firsts = bigc.groupBy("a").agg(sum(col("c12")).as("c1"))
+    val vsz = firsts.agg(count(lit(1)).as("v"))
+    val sum_lp = expr("aggregate(lps, 0D, (acc, x) -> acc + x.lp)")
+    dbg.join(bigc, Seq("a", "b"))
+      .join(broadcast(firsts), Seq("a"))
+      .crossJoin(broadcast(vsz))
+      .withColumn("lp",
+        log((col("c12").cast("double") + lit(1.0))
+          / (col("c1").cast("double") + col("v").cast("double"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("a"), col("b"), col("lp")))).as("lps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(sum_lp / col("n_bigrams"), 6).as("avg_logprob"),
+        round(exp(-(sum_lp / col("n_bigrams"))), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134)
+    Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160)
 }
