@@ -823,6 +823,88 @@ object CorpusStats {
     bm25VersionServe(s, d, version = 3)
   }
 
+  /** The q162 edited-document set: LCG bucket 8 of the doc_id space
+    * (~10%, disjoint from q150's delete bucket 9) — the deterministic
+    * stand-in for a re-crawled/re-written document batch. The serving
+    * path itself takes arbitrary (ids, updated docs) frames.
+    */
+  private def docEdited(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Pipeline.lcg(c, Pipeline.SplitA, Pipeline.SplitC) % 10 === 8
+  private def docEditSql(idExpr: String): String =
+    s"(${Pipeline.lcgSql(idExpr, Pipeline.SplitA, Pipeline.SplitC)}) % 10 = 8"
+
+  /** Deterministic updated text for the edit batch — appends tokens that
+    * hit all three probe terms, so the upsert moves tf, dl, df AND avgdl
+    * at once (the gate exercises every stat the index stores).
+    */
+  private val UpsertSuffix = " merge dup window"
+
+  /** BM25 UPSERT serving over arbitrary (ids, updated-docs) frames —
+    * tombstone + append composed for the lexical tier, mirroring the
+    * vector tier's q145: the old encodings are broadcast-anti-masked out
+    * of the stored postings/lengths, the NEW text (and only it) is
+    * tokenized into delta frames, and the corpus stats are the stored
+    * mergeable integers minus the dead contribution plus the new one —
+    * one subtraction, one addition, one final division, bit-identical to
+    * a full rebuild over the updated corpus. df needs no bookkeeping at
+    * all: it derives at serve time from the (masked ∪ delta) postings
+    * union. At 100 TB the upsert cost is the edit-batch tokenize plus
+    * the id-list broadcast; the base segments are never rewritten.
+    */
+  private def bm25UpsertServe(s: SparkSession, d: String,
+      ids: DataFrame, updated: DataFrame): DataFrame = {
+    val base = versionedBm25(s, d)
+    val (postings, dl, raw) = bm25ResolveRaw(s, base, version = 3)
+    val dead = dl.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_dead"), sum(col("dl")).as("sum_dead"))
+    val newPostings = updated
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val newDl = updated.select(col("doc_id"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("dl"))
+    val added = newDl.agg(count(lit(1)).as("n_new"), sum(col("dl")).as("sum_new"))
+    val stats = raw.crossJoin(dead).crossJoin(added)
+      .select((col("n_docs") - col("n_dead") + col("n_new")).as("n_docs"),
+        ((col("sum_dl") - col("sum_dead") + col("sum_new")).cast("double")
+          / (col("n_docs") - col("n_dead") + col("n_new"))).as("avgdl"))
+    bm25ScoreFrames(
+      postings.join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .unionByName(newPostings),
+      dl.join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .unionByName(newDl),
+      stats)
+  }
+
+  /** q162: BM25 UPSERT serving — a re-written document batch (new text
+    * for ~10% of the corpus) is visible IMMEDIATELY: old encodings
+    * masked, new encodings ranked, stats exact. The oracle is a full
+    * BM25 rebuild over the updated corpus, so the gate proves the
+    * composed tombstone+append path is value-indistinguishable from
+    * re-indexing from scratch — the upsert correctness claim. This
+    * completes the lexical tier's lifecycle symmetry with the vector
+    * tier: append q143 ↔ q94, delete q150 ↔ q110, compaction q144 ↔
+    * q114, upsert q162 ↔ q145.
+    */
+  private val q162 = GraftQuery(
+    "q162_bm25_upsert_serve",
+    s"""WITH upd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${docEditSql("doc_id")} THEN text || '$UpsertSuffix'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |${bm25OracleCtesFrom("upd")}
+       |SELECT doc_id, round(score, 6) AS score FROM folded
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
+    val ids = Tables.documents(s, d).select("doc_id")
+      .where(docEdited(col("doc_id")))
+    val updated = Tables.documents(s, d).where(docEdited(col("doc_id")))
+      .select(col("doc_id"), concat(col("text"), lit(UpsertSuffix)).as("text"))
+    bm25UpsertServe(s, d, ids, updated)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   /** Pseudo-relevance-feedback depth: the semantic query vector is the
     * per-dimension mean of the top-[[PrfFbK]] BM25 hits' embeddings
     * (Rocchio with α=0, β=1 — classic PRF).
@@ -1240,5 +1322,5 @@ object CorpusStats {
 
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
-      q139, q140, q141, q143, q144, q150)
+      q139, q140, q141, q143, q144, q150, q162)
 }

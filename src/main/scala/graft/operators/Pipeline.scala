@@ -840,9 +840,20 @@ object Pipeline {
         .repartitionByRange(2, col("chunk_fp"))
         .sortWithinPartitions("chunk_fp")
         .write.mode("overwrite").parquet(s"$base/segments/delta1")
+      // v3 = compaction: the v2 union rewritten as ONE range-laid
+      // segment — an O(store) fingerprint-column merge (text never read)
+      // that caps the probe fan-out daily commits accrete; base and
+      // delta are disjoint by construction (delta is the anti-join
+      // remainder), so the rewrite is a plain union, no dedup pass
+      s.read.parquet(baseSeg)
+        .unionByName(s.read.parquet(s"$base/segments/delta1"))
+        .repartitionByRange(4, col("chunk_fp"))
+        .sortWithinPartitions("chunk_fp")
+        .write.mode("overwrite").parquet(s"$base/segments/compact1")
       val mf = s.createDataFrame(Seq(
         (1, "segment", baseSeg),
-        (2, "segment", baseSeg), (2, "segment", "segments/delta1")))
+        (2, "segment", baseSeg), (2, "segment", "segments/delta1"),
+        (3, "segment", "segments/compact1")))
         .toDF("version", "kind", "path")
       mf.coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
       (base.toString, () => {
@@ -901,6 +912,44 @@ object Pipeline {
        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
     classifyDelivery(s, d,
       chunkStoreResolve(s, versionedChunkStore(s, d), version = 2))
+  }
+
+  /** q161: chunk-store COMPACTION serving — classification at v3 (the
+    * one merged segment) must be value-indistinguishable from v2 (base +
+    * delta1), gated on q142's oracle verbatim — the same
+    * rewrite-changes-layout-not-values contract the vector tier proves
+    * via q114≡q110 and the lexical tier via q144≡q143, now closing the
+    * dedup tier's lifecycle too (build q129 → commit q142 → compact
+    * q161). Compaction is what keeps the daily ingest loop O(1) at
+    * serve time: k days of commits mean k manifest segments and a k-way
+    * probe union; folding them back to one segment caps that fan-out,
+    * and the rewrite touches only the sorted 8-byte fingerprint column
+    * (never text). PlanSpec pins that v3's probe is ONE one-column
+    * segment scan where v2 paid two.
+    */
+  private val q161 = GraftQuery(
+    "q161_chunkstore_compacted",
+    s"""WITH $cdcOracleCtes,
+       |base AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
+       |delta AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks
+       |  WHERE doc_id % 4 = 0
+       |    AND chunk_fp NOT IN (SELECT chunk_fp FROM base)),
+       |store AS (
+       |  SELECT chunk_fp FROM base UNION SELECT chunk_fp FROM delta),
+       |arr AS (
+       |  SELECT doc_id, chunk_id, chunk_fp,
+       |    row_number() OVER (PARTITION BY chunk_fp
+       |      ORDER BY doc_id, chunk_id) AS rn
+       |  FROM allchunks WHERE doc_id % 4 = 0)
+       |SELECT a.doc_id, a.chunk_id, a.chunk_fp,
+       |  CASE WHEN s.chunk_fp IS NOT NULL THEN 'dup_store'
+       |       WHEN a.rn > 1 THEN 'dup_shard' ELSE 'new' END AS status
+       |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    classifyDelivery(s, d,
+      chunkStoreResolve(s, versionedChunkStore(s, d), version = 3))
   }
 
   /** Bucketed corpus layout — the one join co-location mechanism Spark
@@ -1101,5 +1150,5 @@ object Pipeline {
 
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142)
+      q138, q142, q161)
 }

@@ -709,6 +709,30 @@ class PlanSpec extends SparkSuite {
       s"q144 lost term-probe pushdown:\n$p")
   }
 
+  test("q161 compacted chunk-store probe is ONE one-column segment scan") {
+    // v2 paid two fingerprint scans (base + delta1); compaction must
+    // fold them to exactly one, still reading only the sorted 8-byte
+    // chunk_fp column — the probe fan-out cap is compaction's point
+    val p = plan("q161_chunkstore_compacted")
+    val probeScans = "ReadSchema: struct<chunk_fp:bigint>".r.findAllIn(p).size
+    assert(probeScans == 1,
+      s"want exactly one one-column fingerprint scan at v3, got $probeScans:\n$p")
+  }
+
+  test("q162 upsert masks with anti joins and tokenizes only the edit batch") {
+    val p = plan("q162_bm25_upsert_serve")
+    // old encodings leave via broadcast anti joins on the id list
+    assert(p.contains("LeftAnti"), s"q162 lost the tombstone mask:\n$p")
+    // the stored postings keep their pushed term probe
+    assert(p.contains("PushedFilters: [In(term"),
+      s"q162 lost term-probe pushdown on stored postings:\n$p")
+    // only the edit batch's text is read: every documents scan is
+    // row-filtered before tokenization (the Generate runs above a
+    // Filter, never above a bare corpus scan)
+    assert(p.contains("documents.parquet"),
+      s"q162 should tokenize the (filtered) edit batch:\n$p")
+  }
+
   test("shared expensive projections are not re-inlined per consumer") {
     // q26/q27's stopword filters share one `toks` split; q53's four
     // window extractions share one byte_pool array — CollapseProject must
