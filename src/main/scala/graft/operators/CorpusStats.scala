@@ -1105,7 +1105,7 @@ object CorpusStats {
 
   /** DuckDB twin of `poly_hash(w)` over a word column `$w` — the shared
     * fold(acc·31+cp) % 1e9+7 kernel (graft.functions.PolyHashKernel). */
-  private def polyHashDuck(w: String): String =
+  private[graft] def polyHashDuck(w: String): String =
     s"""list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
        |        list_transform(range(1, length($w) + 1),
@@ -1117,13 +1117,13 @@ object CorpusStats {
     * The seed table is emitted as literal VALUES in both engines, so the
     * sketch content is identical by construction.
     */
-  private val CmRows: Seq[(Int, Long, Long)] = Seq(
+  private[graft] val CmRows: Seq[(Int, Long, Long)] = Seq(
     (0, 1588635695L, 1013904223L),
     (1, 1103515245L, 12345L),
     (2, 747796405L, 2891336453L % 2147483648L),
     (3, 1181783497L, 980097109L))
-  private val CmW = 64
-  private def cmRowsValues: String =
+  private[graft] val CmW = 64
+  private[graft] def cmRowsValues: String =
     CmRows.map { case (r, a, c) => s"($r, $a, $c)" }.mkString(", ")
 
   /** q139: count-min sketch BUILD — the mergeable frequency summary a

@@ -535,7 +535,54 @@ object StreamingQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** q163: STREAMING count-min maintenance — q139's mergeable frequency
+    * sketch kept ONLINE over the event stream. The point at scale: the
+    * streaming state is the SKETCH ITSELF — d×w integer cells bounded by
+    * the grid, not by stream length or key cardinality — because
+    * count-min cells merge by addition, which is exactly what a
+    * streaming grouped count does per micro-batch. No watermark is
+    * needed (nothing expires; the sketch only grows), so the query runs
+    * Complete-mode and every drain emits the full 256-cell artifact.
+    * The flush sentinel is excluded by KEY (user_id = −1), not by
+    * timing, since an unwatermarked aggregate would otherwise fold it
+    * in. Gated cell-for-cell against the batch sketch a DuckDB rebuild
+    * computes — the est ≥ exact one-sided guarantee q140 pins therefore
+    * holds for the online sketch too.
+    */
+  private val q163 = GraftQuery(
+    "q163_stream_countmin",
+    s"""WITH tf AS (
+       |  SELECT event_type AS w, CAST(count(*) AS BIGINT) AS f
+       |  FROM events GROUP BY 1),
+       |hashed AS (
+       |  SELECT f, ${graft.operators.CorpusStats.polyHashDuck("w")} AS h FROM tf),
+       |seeds(r, a, c) AS (VALUES ${graft.operators.CorpusStats.cmRowsValues}),
+       |cells AS (
+       |  SELECT s.r,
+       |    ((t.h * s.a + s.c) % 2147483648) % ${graft.operators.CorpusStats.CmW} AS cell,
+       |    t.f
+       |  FROM hashed t CROSS JOIN seeds s)
+       |SELECT r, cell, CAST(sum(f) AS BIGINT) AS n
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val Cs = graft.operators.CorpusStats
+    graft.functions.PolyHash.register(s)
+    val seeds = s.createDataFrame(Cs.CmRows).toDF("r", "a", "c")
+    val staged = stagedWithFlush(s, d)
+    val events = readStaged(s, d, staged).where(col("user_id") >= 0)
+    val cells = events
+      .select(graft.functions.PolyHash.hash(col("event_type")).as("h"))
+      .crossJoin(broadcast(seeds))
+      .select(col("r"),
+        pmod(pmod(col("h") * col("a") + col("c"), lit(2147483648L)),
+          lit(Cs.CmW)).as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+    EventStreams.runToMemory(s, cells,
+        s"stream_gate_${memorySinkId.incrementAndGet()}",
+        outputMode = "complete")
+      .orderBy("r", "cell")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149)
+      q148, q149, q163)
 }
