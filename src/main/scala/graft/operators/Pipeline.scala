@@ -952,6 +952,55 @@ object Pipeline {
       chunkStoreResolve(s, versionedChunkStore(s, d), version = 3))
   }
 
+  /** The two-generation corpus layout behind q165 — the schema-evolution
+    * fact of life at 100 TB: a column added in year 2 must NOT force a
+    * rewrite of year 1's exabyte of files. gen1 files lack `n_chars`
+    * entirely (written before the column existed); gen2 files carry it.
+    * Built once per (session, dir); release deletes the files.
+    */
+  private[operators] def evolvedLayout(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"evolvedLayout:$d") {
+      val base = java.nio.file.Files.createTempDirectory("graft_evolved")
+      val docs = Tables.documents(s, d)
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** q165: SCHEMA-EVOLUTION read — one query over both file generations
+    * via `mergeSchema`: the scan unions the footers' schemas, old files
+    * surface the missing column as null, and the per-source audit
+    * reports exactly how much of the corpus predates the column (the
+    * number a backfill decision needs). The mechanism matters at scale:
+    * evolution is resolved AT READ TIME from parquet footers — no
+    * rewrite of the old generation, no ALTER TABLE, and column pruning
+    * still holds across generations (PlanSpec pins that `text` never
+    * enters the merged ReadSchema). The oracle recomputes the audit
+    * from the original table with the generation rule inlined, so the
+    * gate proves merged-read == logical-truth.
+    */
+  private val q165 = GraftQuery(
+    "q165_schema_evolution",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_legacy,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+      |    AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val b = evolvedLayout(s, d)
+    s.read.option("mergeSchema", "true").parquet(s"$b/gen1", s"$b/gen2")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** Bucketed corpus layout — the one join co-location mechanism Spark
     * persists ACROSS jobs: both tables are written `bucketBy(nBuckets,
     * joinKey)` (hash-partitioned into the same bucket count on the keys
@@ -1150,5 +1199,5 @@ object Pipeline {
 
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142, q161)
+      q138, q142, q161, q165)
 }

@@ -482,6 +482,103 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** q164: PageRank over the duplicate-candidate graph — 3 unrolled
+    * power iterations (damping 0.85, no dangling redistribution — the
+    * simplified variant, stated) ranking documents by how central they
+    * sit in duplication neighborhoods: high-rank nodes are the template/
+    * boilerplate hubs a corpus triage reviews first, the graph-shaped
+    * complement to q52's membership answer. Determinism is the whole
+    * trick for a float fixpoint: every per-node incoming sum is an
+    * ORDER-PINNED fold over the (source-sorted) contribution list, and
+    * contributions are pr/deg divisions of identical doubles — so all
+    * three iterations are bit-reproducible across engines and shuffle
+    * orders, and the gate rounds only at the end. Scale shape: the
+    * symmetrized adjacency is built once; each iteration is one join
+    * carrying (rank, degree) — never text or signatures — plus one fold
+    * shuffle to node grain, i.e. O(iterations) passes over EDGES, the
+    * same budget GraphX/Pregel pays, expressed as three declarative
+    * rounds (a fixed iteration count needs no fixpoint loop, so unlike
+    * [[connectedComponents]] it stays in Catalyst end-to-end).
+    */
+  private val q164 = GraftQuery(
+    "q164_dupgraph_pagerank",
+    s"""$clusterOracleChain,
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |pr0 AS (
+       |  SELECT d.doc_id, CAST(1 AS DOUBLE) / nn.n AS p
+       |  FROM documents d CROSS JOIN nn),
+       |c1 AS (
+       |  SELECT e.v, e.u, pr.p / d.deg AS c
+       |  FROM edges e JOIN pr0 pr ON pr.doc_id = e.u JOIN deg d ON d.u = e.u),
+       |s1 AS (
+       |  SELECT v, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(c ORDER BY u)), (a, x) -> a + x) AS s
+       |  FROM c1 GROUP BY 1),
+       |pr1 AS (
+       |  SELECT d.doc_id,
+       |    CAST(0.15 AS DOUBLE) / nn.n
+       |      + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS p
+       |  FROM documents d CROSS JOIN nn LEFT JOIN s1 s ON s.v = d.doc_id),
+       |c2 AS (
+       |  SELECT e.v, e.u, pr.p / d.deg AS c
+       |  FROM edges e JOIN pr1 pr ON pr.doc_id = e.u JOIN deg d ON d.u = e.u),
+       |s2 AS (
+       |  SELECT v, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(c ORDER BY u)), (a, x) -> a + x) AS s
+       |  FROM c2 GROUP BY 1),
+       |pr2 AS (
+       |  SELECT d.doc_id,
+       |    CAST(0.15 AS DOUBLE) / nn.n
+       |      + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS p
+       |  FROM documents d CROSS JOIN nn LEFT JOIN s2 s ON s.v = d.doc_id),
+       |c3 AS (
+       |  SELECT e.v, e.u, pr.p / d.deg AS c
+       |  FROM edges e JOIN pr2 pr ON pr.doc_id = e.u JOIN deg d ON d.u = e.u),
+       |s3 AS (
+       |  SELECT v, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(c ORDER BY u)), (a, x) -> a + x) AS s
+       |  FROM c3 GROUP BY 1),
+       |pr3 AS (
+       |  SELECT d.doc_id,
+       |    CAST(0.15 AS DOUBLE) / nn.n
+       |      + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS p
+       |  FROM documents d CROSS JOIN nn LEFT JOIN s3 s ON s.v = d.doc_id)
+       |SELECT doc_id, round(p * 1000000, 4) AS pr_ppm
+       |FROM pr3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val edges = minhashCandidates(minhashSigs(s, d))
+      .where(expr(sigMatchPredicate))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "u")
+      .select(col("u"), col("v"), col("deg"))
+      // the fixture graph is tiny but the 100 TB shape wants the
+      // adjacency shuffled once and reread per iteration, not re-derived
+      // from signatures three times
+      .repartition(col("u")).localCheckpoint(eager = true)
+    val docs = Tables.documents(s, d).select("doc_id")
+    val nn = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
+    val pr0 = docs.crossJoin(nn).select(col("doc_id"), (lit(1.0) / col("n")).as("p"))
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = adj.join(pr.withColumnRenamed("doc_id", "u"), "u")
+        .select(col("v"), col("u"), (col("p") / col("deg")).as("c"))
+      val sums = contrib.groupBy("v")
+        .agg(sort_array(collect_list(struct(col("u"), col("c")))).as("cs"))
+        .select(col("v"),
+          expr("aggregate(cs, 0D, (a, x) -> a + x.c)").as("s"))
+      docs.crossJoin(nn)
+        .join(sums, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"),
+          (lit(0.15) / col("n")
+            + lit(0.85) * coalesce(col("s"), lit(0.0))).as("p"))
+    }
+    val pr3 = step(step(step(pr0)))
+    pr3.select(col("doc_id"), round(col("p") * 1e6, 4).as("pr_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** q159: LEAKAGE-FREE train/val/test split — the dedup-aware version
     * of q58's document split: the split unit is the duplicate CLUSTER
     * (q52's connected component), so every member of a near-dup cluster
@@ -3759,5 +3856,5 @@ object Similarity {
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
-      q136, q145, q146, q147, q154, q155, q159)
+      q136, q145, q146, q147, q154, q155, q159, q164)
 }

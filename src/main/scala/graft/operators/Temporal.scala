@@ -364,6 +364,47 @@ object Temporal {
       .orderBy("user_id", "event_type")
   }
 
+  /** q166: time-series GAP-FILL — per-user daily event counts with
+    * missing days zero-filled between each user's first and last active
+    * day, the resample/densify step every downstream window or
+    * anomaly computation silently assumes (a trailing 7-day mean over a
+    * sparse series is wrong exactly on the days that are absent). The
+    * calendar is derived PER ENTITY from its own (min, max) bounds —
+    * `sequence(mn, mx)` exploded — never a global date-dimension cross
+    * join, so at 100 TB the row expansion is Σ per-user spans (the
+    * output's own size, skew-local), the generate runs map-side off a
+    * user-grain aggregate, and the zero-fill left join rides the same
+    * (user_id, day) key the daily aggregate already produced. All
+    * outputs are integers and dates — the gate is exact.
+    */
+  private val q166 = GraftQuery(
+    "q166_gapfill_daily",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT b.user_id,
+      |    CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+      |      CAST(b.mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds b)
+      |SELECT c.user_id, c.day, coalesce(d.n, 0) AS n
+      |FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.groupBy("user_id")
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137)
+    Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166)
 }

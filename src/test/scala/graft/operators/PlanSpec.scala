@@ -719,6 +719,23 @@ class PlanSpec extends SparkSuite {
       s"want exactly one one-column fingerprint scan at v3, got $probeScans:\n$p")
   }
 
+  test("q165 merged-schema scan still prunes columns across generations") {
+    val p = plan("q165_schema_evolution")
+    // schema evolution must not defeat pruning: the merged ReadSchema
+    // carries only the audited columns, never gen2's text payload
+    assert(!p.contains("text"), s"text column entered the merged scan:\n$p")
+    assert(p.contains("n_chars"), s"evolved column missing from scan:\n$p")
+  }
+
+  test("q166 gap-fill derives the calendar per entity — no cross join") {
+    val p = plan("q166_gapfill_daily")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"gap-fill fell back to a calendar cross join:\n$p")
+    // the zero-fill is a key join on (user_id, day)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), s"no key join in gap-fill:\n$p")
+  }
+
   test("q162 upsert masks with anti joins and tokenizes only the edit batch") {
     val p = plan("q162_bm25_upsert_serve")
     // old encodings leave via broadcast anti joins on the id list
