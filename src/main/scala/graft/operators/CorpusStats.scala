@@ -1320,7 +1320,82 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** q169: HLL MERGE — the property q141's register tables exist FOR:
+    * per-source sketches (the thing each shard/day job persists) are
+    * max-merged into the global sketch, and the global distinct estimate
+    * comes out of the merged 64-cell table WITHOUT rescanning any
+    * source. Output pins the merged estimate beside the exact global
+    * distinct and the sum of per-source distincts — the gap between the
+    * last two is the cross-source overlap a naive "sum the shard
+    * counts" rollup double-counts, which is precisely why mergeable
+    * sketches (not counts) are what a 100 TB pipeline stores. Same
+    * integer-state discipline as q141: cell-wise max IS partial+final
+    * aggregation, the harmonic denominator is an exact power-of-two
+    * BIGINT sum, and the one float division happens after rounding
+    * state is frozen.
+    */
+  private val q169 = GraftQuery(
+    "q169_hll_merged",
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (
+       |  SELECT DISTINCT source, w FROM toks WHERE w <> ''),
+       |hashed AS (
+       |  SELECT source, ${polyHashDuck("w")} AS h
+       |  FROM dw),
+       |rr AS (
+       |  SELECT source, h % $HllM AS reg,
+       |    ${hllRankArith(s"(h // $HllM)")} AS rank
+       |  FROM hashed),
+       |regs AS (
+       |  SELECT source, reg, max(rank) AS mx FROM rr GROUP BY 1, 2),
+       |merged AS (
+       |  SELECT reg, max(mx) AS mx FROM regs GROUP BY 1),
+       |agg AS (
+       |  SELECT count(*) AS regs_hit,
+       |    CAST(sum(CAST(${1L << 25} AS BIGINT) // CAST(power(2, mx) AS BIGINT))
+       |      AS BIGINT) AS denom_hit
+       |  FROM merged),
+       |exg AS (
+       |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact_global
+       |  FROM toks WHERE w <> ''),
+       |exs AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS sum_source_distinct FROM dw)
+       |SELECT CAST(a.regs_hit AS BIGINT) AS regs_hit,
+       |  CAST(a.denom_hit + ($HllM - a.regs_hit) * ${1L << 25} AS BIGINT)
+       |    AS denom_scaled,
+       |  round(0.709 * $HllM * $HllM * ${1L << 25}
+       |    / (a.denom_hit + ($HllM - a.regs_hit) * ${1L << 25}), 4) AS est,
+       |  g.exact_global, x.sum_source_distinct
+       |FROM agg a CROSS JOIN exg g CROSS JOIN exs x""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val dw = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+    val regs = dw
+      .select(col("source"), PolyHash.hash(col("w")).as("h"))
+      .select(col("source"), pmod(col("h"), lit(HllM.toLong)).as("reg"),
+        expr(hllRankArith(s"(h div $HllM)")).as("rank"))
+      .groupBy("source", "reg").agg(max(col("rank")).as("mx"))
+    val agg = regs.groupBy("reg").agg(max(col("mx")).as("mx"))
+      .agg(count(lit(1)).as("regs_hit"),
+        sum(expr(s"CAST(${1L << 25} AS BIGINT) div CAST(power(2, mx) AS BIGINT)"))
+          .as("denom_hit"))
+    val exg = dw.select("w").distinct()
+      .agg(count(lit(1)).as("exact_global"))
+    val exs = dw.agg(count(lit(1)).as("sum_source_distinct"))
+    agg.crossJoin(broadcast(exg)).crossJoin(broadcast(exs))
+      .select(col("regs_hit").cast("long").as("regs_hit"),
+        (col("denom_hit") + (lit(HllM.toLong) - col("regs_hit")) * lit(1L << 25))
+          .cast("long").as("denom_scaled"),
+        round(lit(0.709 * HllM * HllM * (1L << 25))
+          / (col("denom_hit") + (lit(HllM.toLong) - col("regs_hit")) * lit(1L << 25)),
+          4).as("est"),
+        col("exact_global").cast("long").as("exact_global"),
+        col("sum_source_distinct").cast("long").as("sum_source_distinct"))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
-      q139, q140, q141, q143, q144, q150, q162)
+      q139, q140, q141, q143, q144, q150, q162, q169)
 }

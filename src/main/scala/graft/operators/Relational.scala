@@ -974,8 +974,66 @@ object Relational {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** q168: TPC-H Q7-shaped nation-pair volume shipping — revenue between
+    * two trading nations by (supplier nation, customer nation, year)
+    * across the full lineitem⋈orders fact-fact join with four dimension
+    * attaches. The plan shape is Q7's point: both nation joins and the
+    * pair disjunction are BROADCAST prunes (25-row dims), the date range
+    * is pushed into the lineitem scan, and the one expensive exchange is
+    * the orderkey join of two pre-filtered facts — supplier-side
+    * lineitem is cut to two nations' suppliers BEFORE the join, which at
+    * 100 TB shrinks the shuffled fact by ~2/25 ahead of the join instead
+    * of after it. Revenue in exact BIGINT 10⁻⁴-cent units (q151's
+    * discipline), year as BIGINT — the gate is integer-exact.
+    */
+  private val q168 = GraftQuery(
+    "q168_nation_pair_volume",
+    """WITH rev AS (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(count(*) AS BIGINT) AS n_li,
+      |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_u
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l.l_shipdate >= DATE '1995-01-01'
+      |    AND l.l_shipdate < DATE '1997-01-01'
+      |  GROUP BY 1, 2, 3)
+      |SELECT supp_nation, cust_nation, l_year, n_li,
+      |  round(rev_u / 10000.0, 2) AS revenue
+      |FROM rev ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """WITH rev AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(count(*) AS BIGINT) AS n_li,
+        |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_u
+        |  FROM graft_lineitem l
+        |  JOIN graft_supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN graft_customer c ON c.c_custkey = o.o_custkey
+        |  JOIN graft_nation n1 ON n1.n_nationkey = s.s_nationkey
+        |  JOIN graft_nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate >= DATE '1995-01-01'
+        |    AND l.l_shipdate < DATE '1997-01-01'
+        |  GROUP BY supp_nation, cust_nation, l_year)
+        |SELECT supp_nation, cust_nation, l_year, n_li,
+        |  round(rev_u / 10000.0, 2) AS revenue
+        |FROM rev ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
-      q153, q156, q157, q158)
+      q153, q156, q157, q158, q168)
 }

@@ -377,9 +377,11 @@ object Temporal {
     * (user_id, day) key the daily aggregate already produced. All
     * outputs are integers and dates — the gate is exact.
     */
-  private val q166 = GraftQuery(
-    "q166_gapfill_daily",
-    """WITH daily AS (
+  /** The gap-fill core shared by q166 and q167: oracle CTEs ending in
+    * `filled(user_id, day, n)` and the engine twin.
+    */
+  private val gapfillOracleCtes: String =
+    """daily AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),
@@ -389,10 +391,12 @@ object Temporal {
       |  SELECT b.user_id,
       |    CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
       |      CAST(b.mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
-      |  FROM bounds b)
-      |SELECT c.user_id, c.day, coalesce(d.n, 0) AS n
-      |FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
-      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      |  FROM bounds b),
+      |filled AS (
+      |  SELECT c.user_id, c.day, coalesce(d.n, 0) AS n
+      |  FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day)""".stripMargin
+
+  private def gapFilledDaily(s: SparkSession, d: String) = {
     val daily = Tables.events(s, d)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
@@ -402,9 +406,64 @@ object Temporal {
         explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
     cal.join(daily, Seq("user_id", "day"), "left")
       .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val q166 = GraftQuery(
+    "q166_gapfill_daily",
+    s"""WITH $gapfillOracleCtes
+      |SELECT user_id, day, n FROM filled
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    gapFilledDaily(s, d).orderBy("user_id", "day")
+  }
+
+  /** q167: integer-decided anomaly flags over the gap-filled series —
+    * per (user, day), flag activity spikes more than 3 trailing-week
+    * standard deviations above the trailing-week mean. The float trap in
+    * every z-score implementation is σ (a sqrt) and μ (a division);
+    * both are eliminated by clearing denominators: with S = Σn and
+    * SS = Σn² over the 7 PRECEDING days (exact BIGINTs on the densified
+    * series — gap-fill is what makes "trailing 7 days" mean calendar
+    * days, not present rows), z² > 9 ∧ n above mean becomes
+    *   7n − S > 0  ∧  (7n − S)² > 9·(7·SS − S²)
+    * — all-integer comparisons no engine pair can disagree on. Scale
+    * shape: one window pass over the gap-filled frame, partitioned by
+    * user and day-ordered (the sort the gap-fill join already
+    * clustered for); output is the anomaly rows only.
+    */
+  private val q167 = GraftQuery(
+    "q167_activity_anomaly",
+    s"""WITH $gapfillOracleCtes,
+      |w AS (
+      |  SELECT user_id, day, n,
+      |    CAST(count(*) OVER tw AS BIGINT) AS cnt,
+      |    CAST(sum(n) OVER tw AS BIGINT) AS s,
+      |    CAST(sum(n * n) OVER tw AS BIGINT) AS ss
+      |  FROM filled
+      |  WINDOW tw AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, day, n, s AS week_sum,
+      |  (7 * n - s) * (7 * n - s) AS dev2_49,
+      |  9 * (7 * ss - s * s) AS var_bound
+      |FROM w
+      |WHERE cnt = 7 AND 7 * n - s > 0
+      |  AND (7 * n - s) * (7 * n - s) > 9 * (7 * ss - s * s)
+      |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val tw = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-7, -1)
+    gapFilledDaily(s, d)
+      .withColumn("cnt", count(lit(1)).over(tw))
+      .withColumn("s", sum(col("n")).over(tw))
+      .withColumn("ss", sum(col("n") * col("n")).over(tw))
+      .where(col("cnt") === 7 && lit(7) * col("n") - col("s") > 0
+        && (lit(7) * col("n") - col("s")) * (lit(7) * col("n") - col("s"))
+           > lit(9) * (lit(7) * col("ss") - col("s") * col("s")))
+      .select(col("user_id"), col("day"), col("n"), col("s").as("week_sum"),
+        ((lit(7) * col("n") - col("s")) * (lit(7) * col("n") - col("s")))
+          .as("dev2_49"),
+        (lit(9) * (lit(7) * col("ss") - col("s") * col("s"))).as("var_bound"))
       .orderBy("user_id", "day")
   }
 
   val queries: Seq[GraftQuery] =
-    Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166)
+    Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167)
 }
