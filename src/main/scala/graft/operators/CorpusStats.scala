@@ -1395,7 +1395,47 @@ object CorpusStats {
         col("sum_source_distinct").cast("long").as("sum_source_distinct"))
   }
 
+  /** q171: EXACT distributed weighted median — per source, the document
+    * length at which half the corpus BYTES are in shorter documents (the
+    * capacity-planning number a packing/sharding config keys on; the
+    * unweighted median answers a different question the moment lengths
+    * skew). The approx-percentile sketch (q54) trades exactness for one
+    * pass; this is its exact complement: one per-group sort-window
+    * cumulative sum, then the crossing row selected by the all-integer
+    * test `2·cum ≥ W ∧ 2·(cum−w) < W` — no division, no float rank, so
+    * the selected row is identical in any engine and any shuffle order
+    * (ties pinned by (length, doc_id)). Scale shape: ONE shuffle on the
+    * group key + per-group sort — the same budget as any top-k-per-group
+    * — with nothing corpus-sized on the driver.
+    */
+  private val q171 = GraftQuery(
+    "q171_weighted_median",
+    """WITH w AS (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
+      |  FROM documents)
+      |SELECT source, v AS median_chars, cum AS cum_at_median,
+      |  tot AS total_chars
+      |FROM w WHERE 2 * cum >= tot AND 2 * (cum - v) < tot
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_chars", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("v"),
+        sum(col("n_chars")).over(wOrd).cast("long").as("cum"),
+        sum(col("n_chars")).over(wAll).cast("long").as("tot"))
+      .where(lit(2) * col("cum") >= col("tot")
+        && lit(2) * (col("cum") - col("v")) < col("tot"))
+      .select(col("source"), col("v").as("median_chars"),
+        col("cum").as("cum_at_median"), col("tot").as("total_chars"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
-      q139, q140, q141, q143, q144, q150, q162, q169)
+      q139, q140, q141, q143, q144, q150, q162, q169, q171)
 }

@@ -364,6 +364,125 @@ object Temporal {
       .orderBy("user_id", "event_type")
   }
 
+  /** Ship-date cutover for the q170 join-view refresh: lineitems shipped
+    * before 2000-01-01 are folded history, at/after are the delta. */
+  private val IvmJoinCut = "2000-01-01"
+
+  /** The WRITTEN join-view state behind q170: the pre-cut revenue
+    * aggregate per (o_orderpriority, l_returnflag) — mergeable partials
+    * (count + exact BIGINT revenue units), state size = key cardinality
+    * (≤ 5·3 rows), not history length.
+    */
+  private[operators] def writtenJoinState(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"ivmJoinState:$d") {
+      val base = java.nio.file.Files.createTempDirectory("graft_ivm_join_state")
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") < lit(IvmJoinCut).cast("timestamp"))
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(count(lit(1)).as("n_li"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"
+            + " * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("rev_u"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/state")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** q170: incremental JOIN-view maintenance — q137's discipline lifted
+    * from a single-table aggregate to a two-table join view (revenue by
+    * order priority × return flag over lineitem⋈orders). The refresh
+    * merges the WRITTEN state with the DELTA lineitems' join partials:
+    * the delta cut is a pushable ship-date predicate, so the 100 TB fact
+    * side is scanned only for post-cut row groups (PlanSpec pins the
+    * pushed GreaterThanOrEqual and the state-file read), and only the
+    * delta rides the join. The orders side is joined as the stable
+    * smaller relation — at scale a deployment prunes it too by the
+    * delta's orderkey interval; the fixture keeps it whole to keep the
+    * claim honest where it matters (the big side). Gate = merge ==
+    * full-recompute oracle, the IVM invariant, exact in integer units.
+    */
+  private val q170 = GraftQuery(
+    "q170_ivm_join_refresh",
+    """SELECT o.o_orderpriority AS o_orderpriority,
+      |  l.l_returnflag AS l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_li,
+      |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0,
+      |    2) AS revenue
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val state = s.read.parquet(s"${writtenJoinState(s, d)}/state")
+    val delta = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit(IvmJoinCut).cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n_li"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"
+          + " * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("rev_u"))
+    state.unionByName(delta)
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(sum(col("n_li")).as("n_li"), sum(col("rev_u")).as("rev_u"))
+      .select(col("o_orderpriority"), col("l_returnflag"), col("n_li"),
+        round(col("rev_u") / 10000.0, 2).as("revenue"))
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
+  /** q172: LAST-TOUCH attribution — for every purchase, the most recent
+    * preceding non-purchase event by the same user within one day (the
+    * marketing-analytics join every event warehouse runs). Expressed as
+    * ONE window pass: `last(non-purchase struct, ignoreNulls)` over the
+    * user's time-ordered history — no self-join, no per-purchase rescan;
+    * at 100 TB the cost is the one user_id shuffle + per-user sort the
+    * sessionization family already pays, versus the timeline self-join's
+    * quadratic blowup on hot users. Determinism: event order is pinned
+    * by (ts, event_id) — duplicate timestamps cannot reorder across
+    * engines — the attribution window carries integer µs, and the 1-day
+    * cut compares integer µs.
+    */
+  private val q172 = GraftQuery(
+    "q172_last_touch",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+      |  FROM events),
+      |attr AS (
+      |  SELECT event_id, user_id, event_type, us,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |        THEN struct_pack(aus := us, aid := event_id, atype := event_type)
+      |        END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a
+      |  FROM ev)
+      |SELECT event_id, user_id, us AS purchase_us,
+      |  CASE WHEN a.aus IS NOT NULL AND us - a.aus <= 86400000000
+      |       THEN a.atype ELSE 'none' END AS attr_type,
+      |  CASE WHEN a.aus IS NOT NULL AND us - a.aus <= 86400000000
+      |       THEN a.aid ELSE -1 END AS attr_event_id,
+      |  CASE WHEN a.aus IS NOT NULL AND us - a.aus <= 86400000000
+      |       THEN us - a.aus ELSE -1 END AS gap_us
+      |FROM attr WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_us, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("a",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("us").as("aus"), col("event_id").as("aid"),
+            col("event_type").as("atype"))), ignoreNulls = true).over(w))
+    val hit = col("a.aus").isNotNull &&
+      col("us") - col("a.aus") <= 86400000000L
+    attributed.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        when(hit, col("a.atype")).otherwise("none").as("attr_type"),
+        when(hit, col("a.aid")).otherwise(-1L).as("attr_event_id"),
+        when(hit, col("us") - col("a.aus")).otherwise(-1L).as("gap_us"))
+      .orderBy("user_id", "purchase_us", "event_id")
+  }
+
   /** q166: time-series GAP-FILL — per-user daily event counts with
     * missing days zero-filled between each user's first and last active
     * day, the resample/densify step every downstream window or
@@ -465,5 +584,6 @@ object Temporal {
   }
 
   val queries: Seq[GraftQuery] =
-    Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167)
+    Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
+      q172)
 }

@@ -719,6 +719,22 @@ class PlanSpec extends SparkSuite {
       s"want exactly one one-column fingerprint scan at v3, got $probeScans:\n$p")
   }
 
+  test("q170 join-view refresh reads the state artifact and prunes pre-cut lineitem") {
+    val p = plan("q170_ivm_join_refresh")
+    assert(p.contains("graft_ivm_join_state"), s"state artifact not read:\n$p")
+    // the delta cut reaches the 100 TB-side scan as a pushed predicate,
+    // so a refresh never re-reads folded-history row groups
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"delta cut not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q172 attribution is one window pass — no timeline self-join") {
+    val p = plan("q172_last_touch")
+    assert(!p.contains("Join"), s"attribution fell back to a self-join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window operator in attribution plan:\n$p")
+  }
+
   test("q165 merged-schema scan still prunes columns across generations") {
     val p = plan("q165_schema_evolution")
     // schema evolution must not defeat pruning: the merged ReadSchema
