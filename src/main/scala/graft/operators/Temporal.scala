@@ -442,8 +442,10 @@ object Temporal {
     * engines — the attribution window carries integer µs, and the 1-day
     * cut compares integer µs.
     */
-  private val q172 = GraftQuery(
-    "q172_last_touch",
+  /** q172's oracle text, shared verbatim by its streaming twin q173
+    * (stream == batch == DuckDB).
+    */
+  private[graft] val lastTouchOracleSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
       |  FROM events),
@@ -463,7 +465,10 @@ object Temporal {
       |  CASE WHEN a.aus IS NOT NULL AND us - a.aus <= 86400000000
       |       THEN us - a.aus ELSE -1 END AS gap_us
       |FROM attr WHERE event_type = 'purchase'
-      |ORDER BY user_id, purchase_us, event_id""".stripMargin) { (s, d) =>
+      |ORDER BY user_id, purchase_us, event_id""".stripMargin
+
+  private val q172 = GraftQuery(
+    "q172_last_touch", lastTouchOracleSql) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val attributed = Tables.events(s, d)

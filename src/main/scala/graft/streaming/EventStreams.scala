@@ -389,6 +389,66 @@ object EventStreams {
     * integer µs — bit-identical window decisions to both the batch
     * engine and the DuckDB oracle.
     */
+  /** q172's last-touch attribution as watermark-finalized custom state
+    * ([[funnelSteps]]' machinery on a third non-monotone per-user fold):
+    * a purchase's attribution depends on the latest PRECEDING event, so
+    * late data can rewrite it until the watermark passes — the group
+    * buffers its timeline (every type: any event can be the touch) and
+    * at event-time timeout replays it in (t, event_id) order tracking
+    * the last non-purchase touch, emitting one attribution row per
+    * purchase exactly once. Same 1-day window and -1/'none' misses as
+    * the batch window plan; gated on the identical oracle.
+    */
+  def lastTouchRows(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, String, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, String)], Long),
+          (Long, Long, Long, String, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, String)], Long)]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get._1
+            state.remove()
+            var lastT = Long.MinValue
+            var lastId = -1L
+            var lastType = "none"
+            val out = Seq.newBuilder[(Long, Long, Long, String, Long, Long)]
+            buf.sorted.foreach { case (t, eid, et) =>
+              if (et == "purchase") {
+                if (lastT != Long.MinValue && t - lastT <= AttrWindowUs)
+                  out += ((eid, uid, t, lastType, lastId, t - lastT))
+                else out += ((eid, uid, t, "none", -1L, -1L))
+              } else {
+                lastT = t; lastId = eid; lastType = et
+              }
+            }
+            out.result().iterator
+          } else {
+            val rs = rows.toSeq
+            val (buf0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, String)], Long.MinValue))
+            val buf = buf0 ++ rs.map { case (_, _, t, eid, et) => (t, eid, et) }
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            state.update((buf, maxT))
+            // attribution has no forward window: a group is final as
+            // soon as the watermark passes its last buffered event
+            state.setTimeoutTimestamp(math.max(
+              maxT / 1000L + 10L, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  private val AttrWindowUs = 86400000000L
+
   private def foldFunnel(buf: Seq[(Long, Long, String)]): Int = {
     var step = 0
     var t = 0L

@@ -582,7 +582,22 @@ object StreamingQueries {
       .orderBy("r", "cell")
   }
 
+  /** q173: streaming last-touch attribution ≡ batch q172 — per-user
+    * timelines finalized by watermark timeout
+    * ([[EventStreams.lastTouchRows]]), each purchase emitting its
+    * attribution row exactly once. Gated on q172's oracle verbatim
+    * (stream == batch window plan == DuckDB).
+    */
+  private val q173 = GraftQuery(
+    "q173_stream_last_touch",
+    graft.operators.Temporal.lastTouchOracleSql) { (s, d) =>
+    runGated(s, d)(EventStreams.lastTouchRows(_)
+        .toDF("event_id", "user_id", "purchase_us", "attr_type",
+          "attr_event_id", "gap_us"))
+      .orderBy("user_id", "purchase_us", "event_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149, q163)
+      q148, q149, q163, q173)
 }
