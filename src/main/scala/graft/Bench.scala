@@ -87,27 +87,32 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def render(decimals: Int, shortKeys: Boolean): String = {
+    // keyMode 0 = full names, 1 = "qNN", 2 = bare number "NN" (ids stay
+    // recoverable: every query id is unique by number)
+    def render(decimals: Int, keyMode: Int): String = {
+      def key(k: String): String = keyMode match {
+        case 0 => k
+        case 1 => k.takeWhile(_ != '_')
+        case _ => k.takeWhile(_ != '_').dropWhile(!_.isDigit)
+      }
       val qs = results.map { case (k, v) =>
-        val key = if (shortKeys) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + fmt(v, decimals)
+        "\"" + key(k) + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
       val re =
         if (retried.isEmpty) ""
-        else retried.sorted
-          .map(k => "\"" + (if (shortKeys) k.takeWhile(_ != '_') else k) + "\"")
+        else retried.sorted.map(k => "\"" + key(k) + "\"")
           .mkString(",\"retried\":[", ",", "]")
       s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$qs$re,"sf":"$sfLabel"}"""
     }
     // The driver keeps only the last ~2000 chars of stdout, so the line
     // must fit that window WITH headroom for anything logged after it.
     // Degrade gracefully as the query count grows: centi→deci seconds
-    // with full names, then the qNN short keys (names stay recoverable —
-    // every query id is unique by number) — a coarser or abbreviated
-    // line beats a precise truncated one the driver can't parse.
-    val line = Iterator((2, false), (1, false), (2, true), (1, true))
-      .map { case (d, s) => render(d, s) }.find(_.length <= 1900)
-      .getOrElse(render(1, shortKeys = true))
+    // with full names, then qNN short keys, then bare-number keys, then
+    // whole seconds — a coarser or abbreviated line beats a precise
+    // truncated one the driver can't parse.
+    val line = Iterator((2, 0), (1, 0), (2, 1), (1, 1), (1, 2), (0, 2))
+      .map { case (d, m) => render(d, m) }.find(_.length <= 1900)
+      .getOrElse(render(0, 2))
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail window")
     // stop BEFORE printing: shutdown log lines on stdout would otherwise

@@ -532,6 +532,97 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q174: EXACT per-group quartiles by rank-crossing — the
+    * generalization of q171's weighted-median trick to arbitrary
+    * quantiles, unweighted: with rk = row_number and n = group size, the
+    * p-quantile (p = k/4) is the single row where `4·rk ≥ k·n ∧
+    * 4·(rk−1) < k·n` — an all-integer selection, so exact quartiles come
+    * out of ONE per-group sort-window pass + a partial-aggregate pick
+    * (the max(CASE) collapses the one non-null crossing row per
+    * quartile), with none of the approx-percentile sketch's error bars
+    * (q54) and none of a per-quantile re-sort. Scale budget: one shuffle
+    * on the group key + per-group sort, identical to top-k-per-group.
+    */
+  private val q174 = GraftQuery(
+    "q174_exact_quartiles",
+    """WITH r AS (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+      |  max(CASE WHEN 4 * rk >= n AND 4 * (rk - 1) < n THEN v END) AS p25,
+      |  max(CASE WHEN 2 * rk >= n AND 2 * (rk - 1) < n THEN v END) AS p50,
+      |  max(CASE WHEN 4 * rk >= 3 * n AND 4 * (rk - 1) < 3 * n THEN v END) AS p75
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    val wn = Window.partitionBy("lang")
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("v"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        max(when(lit(4) * col("rk") >= col("n")
+          && lit(4) * (col("rk") - 1) < col("n"), col("v"))).as("p25"),
+        max(when(lit(2) * col("rk") >= col("n")
+          && lit(2) * (col("rk") - 1) < col("n"), col("v"))).as("p50"),
+        max(when(lit(4) * col("rk") >= lit(3) * col("n")
+          && lit(4) * (col("rk") - 1) < lit(3) * col("n"), col("v"))).as("p75"))
+      .orderBy("lang")
+  }
+
+  /** q175: Pareto frontier (quality vs length) — the documents no other
+    * document strictly dominates (higher quality AND shorter), the
+    * skyline a curation pass keeps when two objectives trade off. The
+    * naive formulation is the O(n²) NOT EXISTS self-join the ORACLE
+    * runs; the engine computes the same set in O(n log n) with the
+    * q117 two-level discipline so no corpus-wide single-partition
+    * window appears: quality BANDS partition the corpus (one hash
+    * shuffle), a within-band range-framed running min of length covers
+    * strictly-higher-quality rows in-band (strictness = the DESC range
+    * frame's 1 PRECEDING bound — equal qualities are excluded by
+    * value, not position), an 11-row band-min offset table covers all
+    * higher bands, and a row survives iff min(both) ≥ its own length.
+    * All integers (micro-quality, char lengths) — the frontier set is
+    * engine-exact.
+    */
+  private val q175 = GraftQuery(
+    "q175_pareto_frontier",
+    s"""WITH $qualityOracleCte,
+      |j AS (
+      |  SELECT q.doc_id, q.quality_micro AS q, CAST(d.n_chars AS BIGINT) AS l
+      |  FROM qual q JOIN documents d ON d.doc_id = q.doc_id)
+      |SELECT doc_id, q AS quality_micro, l AS n_chars
+      |FROM j a WHERE NOT EXISTS (
+      |  SELECT 1 FROM j b WHERE b.q > a.q AND b.l < a.l)
+      |ORDER BY quality_micro DESC, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val LMax = Long.MaxValue
+    val base = qualityBase(s, d).select(col("doc_id"), qualityMicroCol.as("q"))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("l")), "doc_id")
+      .withColumn("band", expr("q div 100000"))
+    val wb = Window.partitionBy("band").orderBy(col("q").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val bandMins = base.groupBy("band").agg(min(col("l")).as("bl"))
+    val wBand = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ 11 rows: the only unpartitioned window runs on the band table
+    val offsets = bandMins
+      .withColumn("off", min(col("bl")).over(wBand))
+      .select(col("band"), col("off"))
+    base
+      .withColumn("mw", min(col("l")).over(wb))
+      .join(broadcast(offsets), Seq("band"), "left")
+      .withColumn("m",
+        least(coalesce(col("mw"), lit(LMax)), coalesce(col("off"), lit(LMax))))
+      .where(col("m") >= col("l"))
+      .select(col("doc_id"), col("q").as("quality_micro"), col("l").as("n_chars"))
+      .orderBy(col("quality_micro").desc, col("doc_id"))
+  }
+
   val queries: Seq[GraftQuery] =
-    Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160)
+    Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160, q174, q175)
 }

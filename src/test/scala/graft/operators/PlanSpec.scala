@@ -719,6 +719,15 @@ class PlanSpec extends SparkSuite {
       s"want exactly one one-column fingerprint scan at v3, got $probeScans:\n$p")
   }
 
+  test("q175 frontier never builds the O(n²) dominance join") {
+    val p = plan("q175_pareto_frontier")
+    // the oracle's NOT EXISTS shape would surface as a nested-loop /
+    // cartesian between two corpus-sized sides; the engine must stay on
+    // the banded-window construction
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"frontier fell back to the quadratic dominance join:\n$p")
+  }
+
   test("q170 join-view refresh reads the state artifact and prunes pre-cut lineitem") {
     val p = plan("q170_ivm_join_refresh")
     assert(p.contains("graft_ivm_join_state"), s"state artifact not read:\n$p")
