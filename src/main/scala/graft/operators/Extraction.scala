@@ -67,5 +67,59 @@ object Extraction {
       .orderBy("assetID")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q34, q35)
+  /** q176: asset-tree ROOT resolution — the hierarchy walk behind the
+    * portfolio rollup SURVEY §2/B4 calls out ("assets are a tree" via
+    * `parentAssetID`, reference/Sources/Model/MAsset+StandardID.swift +
+    * the AllocData MAsset schema): each decoded asset is resolved to the
+    * top of its parent chain, with depth. Semantics pinned by the gate:
+    * the walk follows `parentAssetID` only while it names another GOOD
+    * decoded row — a nil parent (Bond), a dangling pointer (Gold→Cmdty,
+    * REIT→RE), and a reject-filtered row all terminate the chain, so
+    * the engine and the oracle's recursive closure agree on every edge
+    * case in the fixture. Engine shape: the chain is unrolled as K
+    * broadcast self-joins (K=4 ≥ any sane taxonomy depth — recursion
+    * depth here is a SCHEMA property, not a data-size property, which
+    * is why unrolling beats a fixpoint loop for dimension hierarchies);
+    * each step is a dimension-sized broadcast, nothing shuffles.
+    */
+  private val q176 = GraftQuery(
+    "q176_asset_tree_roots",
+    s"""WITH RECURSIVE raw AS (SELECT * FROM ${Decoder.oracleRawCsv(spec, FixturePath)}),
+       |tagged AS (SELECT *, ${Decoder.oracleReasonSql(spec)} AS reason FROM raw),
+       |assets AS (
+       |  SELECT assetID, parentAssetID FROM tagged WHERE reason IS NULL),
+       |walk AS (
+       |  SELECT assetID AS leaf, assetID AS cur, 0 AS depth FROM assets
+       |  UNION ALL
+       |  SELECT w.leaf, a2.assetID, w.depth + 1
+       |  FROM walk w
+       |  JOIN assets a1 ON a1.assetID = w.cur
+       |  JOIN assets a2 ON a2.assetID = a1.parentAssetID),
+       |deepest AS (SELECT leaf, max(depth) AS d FROM walk GROUP BY 1)
+       |SELECT w.leaf AS assetID, w.cur AS root_id,
+       |  CAST(w.depth AS BIGINT) AS depth
+       |FROM walk w JOIN deepest m ON m.leaf = w.leaf AND m.d = w.depth
+       |ORDER BY assetID""".stripMargin) { (s, _) =>
+    val assets = Decoder.decode(Decoder.readRaw(s, FixturePath, spec), spec).good
+      .select(col("assetID"), col("parentAssetID"))
+    // parent edge exists only when the parent names a good row
+    val resolvable = assets.as("c")
+      .join(assets.as("p"),
+        col("c.parentAssetID") === col("p.assetID"))
+      .select(col("c.assetID").as("child"), col("p.assetID").as("parent"))
+    val walk = (1 to 4).foldLeft(
+      assets.select(col("assetID").as("leaf"), col("assetID").as("cur"),
+        lit(0L).as("depth"))) { (acc, _) =>
+      acc.join(broadcast(resolvable), col("cur") === col("child"), "left")
+        .select(col("leaf"),
+          coalesce(col("parent"), col("cur")).as("cur"),
+          (col("depth") + when(col("parent").isNotNull, 1L).otherwise(0L))
+            .as("depth"))
+    }
+    walk.select(col("leaf").as("assetID"), col("cur").as("root_id"),
+        col("depth"))
+      .orderBy("assetID")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q34, q35, q176)
 }
