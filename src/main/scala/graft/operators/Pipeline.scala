@@ -1001,6 +1001,66 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** q177: SNAPSHOT DIFF — the data-diff/reconciliation operator: two
+    * corpus snapshots compared into added/updated/deleted/unchanged
+    * classes per source, the audit every pipeline handoff runs ("what
+    * actually changed between yesterday's corpus and today's?"). The
+    * fixture's "today" is derived deterministically from "yesterday"
+    * (edit bucket 8 re-texted, delete bucket 9 dropped, an added batch
+    * cloned under fresh ids), but the DIFF ITSELF never looks at the
+    * rules: it is a FULL OUTER join on the key with value comparison,
+    * which is what makes it an operator and not a tautology — the
+    * oracle rebuilds both snapshots and diffs them the same blind way.
+    * 100 TB shape: the join ships an 8-byte content fingerprint per
+    * row, never the text (hashes are computed map-side under the scan,
+    * PlanSpec pins text stays out of the exchange), and the class
+    * rollup is a partial+final count on a 4-value key.
+    */
+  private val q177 = GraftQuery(
+    "q177_snapshot_diff",
+    s"""WITH old AS (
+       |  SELECT doc_id, source, text FROM documents),
+       |new_ AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN (${lcgSql("doc_id", SplitA, SplitC)}) % 10 = 8
+       |         THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents
+       |  WHERE (${lcgSql("doc_id", SplitA, SplitC)}) % 10 <> 9
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, text FROM documents
+       |  WHERE (${lcgSql("doc_id", SplitA, SplitC)}) % 10 = 7),
+       |diff AS (
+       |  SELECT coalesce(o.source, n.source) AS source,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'deleted'
+       |         WHEN o.text <> n.text THEN 'updated'
+       |         ELSE 'unchanged' END AS status
+       |  FROM old o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id)
+       |SELECT source, status, CAST(count(*) AS BIGINT) AS n
+       |FROM diff GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val bucket = lcg(col("doc_id"), SplitA, SplitC) % 10
+    val docs = Tables.documents(s, d)
+    val old = docs.select(col("doc_id"), col("source"),
+      PolyHash.hash(col("text")).as("fp"))
+    val newSnap = docs.where(bucket =!= 9)
+      .select(col("doc_id"), col("source"),
+        PolyHash.hash(when(bucket === 8, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("fp"))
+      .unionByName(docs.where(bucket === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          PolyHash.hash(col("text")).as("fp")))
+    old.as("o").join(newSnap.as("n"),
+        col("o.doc_id") === col("n.doc_id"), "full_outer")
+      .select(coalesce(col("o.source"), col("n.source")).as("source"),
+        when(col("o.doc_id").isNull, "added")
+          .when(col("n.doc_id").isNull, "deleted")
+          .when(col("o.fp") =!= col("n.fp"), "updated")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n"))
+      .orderBy("source", "status")
+  }
+
   /** Bucketed corpus layout — the one join co-location mechanism Spark
     * persists ACROSS jobs: both tables are written `bucketBy(nBuckets,
     * joinKey)` (hash-partitioned into the same bucket count on the keys
@@ -1199,5 +1259,5 @@ object Pipeline {
 
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142, q161, q165)
+      q138, q142, q161, q165, q177)
 }

@@ -719,6 +719,18 @@ class PlanSpec extends SparkSuite {
       s"want exactly one one-column fingerprint scan at v3, got $probeScans:\n$p")
   }
 
+  test("q177 diff join ships fingerprints, not text") {
+    val p = plan("q177_snapshot_diff")
+    // the FULL OUTER reconciliation must compare 8-byte poly_hash
+    // fingerprints computed map-side under the scans — document text
+    // never rides the key exchange
+    assert(p.contains("FullOuter"), s"diff lost the full-outer shape:\n$p")
+    assert(p.contains("polyhash("), s"fingerprints not in the plan:\n$p")
+    val shuffled = p.split("\n\n").filter(_.contains(") Exchange"))
+    assert(shuffled.nonEmpty && shuffled.forall(!_.contains("text#")),
+      s"text column rides a shuffle:\n${shuffled.mkString("\n\n")}")
+  }
+
   test("q175 frontier never builds the O(n²) dominance join") {
     val p = plan("q175_pareto_frontier")
     // the oracle's NOT EXISTS shape would surface as a nested-loop /
