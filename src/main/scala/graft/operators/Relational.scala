@@ -1032,8 +1032,114 @@ object Relational {
         |FROM rev ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
 
+  /** q178: TPC-H Q8-shaped market share — one nation's share of PROMO-
+    * part revenue sold into ASIA, by order year. The share is the
+    * conditional-aggregate ratio Q8 pins (`sum(CASE)/sum`), computed
+    * here over exact BIGINT revenue units with ONE float division at
+    * the very end (round 6) — the numerator and denominator come out of
+    * the same partial+final aggregate, never two passes. Plan shape:
+    * every dimension (part-type, region, both nation hops) broadcast-
+    * prunes the fact join; the region filter cuts customers BEFORE the
+    * orders join, so the fact-fact shuffle carries only ASIA orders.
+    */
+  private val q178 = GraftQuery(
+    "q178_market_share",
+    """WITH rev AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS total_u,
+      |    sum(CASE WHEN n2.n_name = 'NATION_3'
+      |        THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |        ELSE 0 END) AS nation_u
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+      |  GROUP BY 1)
+      |SELECT o_year, round(total_u / 10000.0, 2) AS total_revenue,
+      |  round(nation_u / 10000.0, 2) AS nation_revenue,
+      |  round(nation_u * 1.0 / total_u, 6) AS mkt_share
+      |FROM rev ORDER BY o_year""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    Tables.region(s, d).createOrReplaceTempView("graft_region")
+    s.sql(
+      """WITH rev AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS total_u,
+        |    sum(CASE WHEN n2.n_name = 'NATION_3'
+        |        THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |        ELSE CAST(0 AS BIGINT) END) AS nation_u
+        |  FROM graft_lineitem l
+        |  JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |  JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN graft_customer c ON c.c_custkey = o.o_custkey
+        |  JOIN graft_nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN graft_region r ON r.r_regionkey = n1.n_regionkey
+        |  JOIN graft_supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN graft_nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+        |  GROUP BY year(o.o_orderdate))
+        |SELECT o_year, round(total_u / 10000.0, 2) AS total_revenue,
+        |  round(nation_u / 10000.0, 2) AS nation_revenue,
+        |  round(nation_u * 1.0 / total_u, 6) AS mkt_share
+        |FROM rev ORDER BY o_year""".stripMargin)
+  }
+
+  /** q179: TPC-H Q9-shaped profit by (supplier nation, year) — profit
+    * proxy = discounted revenue minus retail cost (`p_retailprice·qty`,
+    * the fixture's stand-in for the missing partsupp supplycost), over
+    * parts whose name contains a hue token. Both terms are exact BIGINT
+    * unit sums (revenue in 10⁻⁴-cent units, cost scaled to match), so
+    * the subtraction and the gate are integer-exact. Shape: the part
+    * LIKE filter prunes the fact before the orders join (the Q9 point —
+    * profit queries touch every lineitem of matching parts, so the
+    * name filter must reach the scan side of the join, not the top).
+    */
+  private val q179 = GraftQuery(
+    "q179_product_profit",
+    """SELECT n.n_name AS nation,
+      |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(count(*) AS BIGINT) AS n_li,
+      |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+      |      * CAST(l.l_quantity AS BIGINT) * 100) / 10000.0, 2) AS profit
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE p.p_name LIKE 'blue%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_li,
+        |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+        |      * CAST(l.l_quantity AS BIGINT) * 100) / 10000.0, 2) AS profit
+        |FROM graft_lineitem l
+        |JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |JOIN graft_supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN graft_nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE 'blue%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
-      q153, q156, q157, q158, q168)
+      q153, q156, q157, q158, q168, q178, q179)
 }

@@ -588,7 +588,116 @@ object Temporal {
       .orderBy("user_id", "day")
   }
 
+  /** q180: rolling 7-day active users (WAU) per day — exact rolling
+    * DISTINCT, which no window frame computes directly (count(distinct)
+    * over a frame is unsupported for good reason: per-frame set state).
+    * The scalable construction: dedup to (user, active-day) grain first
+    * (the only corpus-sized shuffle), then each active day CONTRIBUTES
+    * to the 7 window-days it falls in — a bounded ×7 map-side explode at
+    * day grain, NOT event grain — and the per-window-day distinct-user
+    * count is a partial+final count-distinct over that bounded
+    * expansion. Window days are clamped to the observed [min, max] day
+    * range so every reported day aggregates a full week of data.
+    * All integers and dates; engine-exact.
+    */
+  private val q180 = GraftQuery(
+    "q180_rolling_wau",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+      |contrib AS (
+      |  SELECT u.user_id,
+      |    CAST(unnest(generate_series(CAST(u.day AS TIMESTAMP),
+      |      CAST(u.day + INTERVAL 6 DAY AS TIMESTAMP), INTERVAL 1 DAY))
+      |      AS DATE) AS wday
+      |  FROM ud u)
+      |SELECT c.wday AS day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+      |FROM contrib c CROSS JOIN bounds b
+      |WHERE c.wday >= b.mn + INTERVAL 6 DAY AND c.wday <= b.mx
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = broadcast(ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx")))
+    ud.select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6), interval 1 day)"))
+          .as("wday"))
+      .crossJoin(bounds)
+      .where(col("wday") >= date_add(col("mn"), 6) && col("wday") <= col("mx"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("day")
+  }
+
+  /** q181: conversion-latency quartiles — for users whose first purchase
+    * follows their first signup, the p25/p50/p75 of (first purchase −
+    * first signup) in integer µs, by q174's all-integer rank-crossing
+    * selection (no float percentile, no approx sketch). The global rank
+    * the crossing test needs is built WITHOUT a global single-partition
+    * sort (q117's banded discipline): hour-granularity latency bands
+    * partition the converted set (monotone in latency, so band order ==
+    * value order), ranks are band-local windows running in parallel,
+    * and a broadcast band-count table supplies each band's rank offset
+    * and the global n. Two user_id-grain aggregates + one band shuffle;
+    * the only unpartitioned window runs on the band table. Every
+    * compared value is an integer µs difference.
+    */
+  private val q181 = GraftQuery(
+    "q181_conversion_latency",
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000 END)
+      |      AS s_us,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END)
+      |      AS p_us
+      |  FROM events GROUP BY 1),
+      |conv AS (
+      |  SELECT user_id, p_us - s_us AS lat_us FROM firsts
+      |  WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us),
+      |r AS (
+      |  SELECT lat_us,
+      |    row_number() OVER (ORDER BY lat_us, user_id) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM conv)
+      |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+      |  max(CASE WHEN 4 * rk >= n AND 4 * (rk - 1) < n THEN lat_us END) AS p25_us,
+      |  max(CASE WHEN 2 * rk >= n AND 2 * (rk - 1) < n THEN lat_us END) AS p50_us,
+      |  max(CASE WHEN 4 * rk >= 3 * n AND 4 * (rk - 1) < 3 * n THEN lat_us END)
+      |    AS p75_us
+      |FROM r""".stripMargin) { (s, d) =>
+    val firsts = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+          .as("s_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p_us"))
+    val conv = firsts
+      .where(col("s_us").isNotNull && col("p_us").isNotNull
+        && col("p_us") >= col("s_us"))
+      .select(col("user_id"), (col("p_us") - col("s_us")).as("lat_us"))
+      .withColumn("band", expr("lat_us div 3600000000"))
+    val bandCounts = conv.groupBy("band").agg(count(lit(1)).as("bc"))
+    val wOff = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy()
+    // band-table-sized windows: offsets + global n ride a broadcast
+    val offs = bandCounts
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(wTot))
+      .select(col("band"), col("off"), col("n"))
+    val wB = Window.partitionBy("band").orderBy("lat_us", "user_id")
+    conv.join(broadcast(offs), "band")
+      .withColumn("rk", col("off") + row_number().over(wB))
+      .agg(max(col("n")).as("n_converted"),
+        max(when(lit(4) * col("rk") >= col("n")
+          && lit(4) * (col("rk") - 1) < col("n"), col("lat_us"))).as("p25_us"),
+        max(when(lit(2) * col("rk") >= col("n")
+          && lit(2) * (col("rk") - 1) < col("n"), col("lat_us"))).as("p50_us"),
+        max(when(lit(4) * col("rk") >= lit(3) * col("n")
+          && lit(4) * (col("rk") - 1) < lit(3) * col("n"), col("lat_us")))
+          .as("p75_us"))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
-      q172)
+      q172, q180, q181)
 }
