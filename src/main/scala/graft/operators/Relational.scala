@@ -1138,8 +1138,197 @@ object Relational {
         |ORDER BY nation, o_year""".stripMargin)
   }
 
+  /** q182: TPC-H Q10-shaped returned-item report — per-customer revenue
+    * lost to returns in a half-year order window, top 20. Revenue is
+    * exact BIGINT units with tie-broken top-k (`rev_u DESC, c_custkey`),
+    * so LIMIT membership is deterministic in both engines. Shape: the
+    * returnflag filter prunes lineitem at the scan, the order-date
+    * filter prunes orders BEFORE the fact-fact join, and the customer/
+    * nation dims ride broadcasts onto the aggregate output (k rows),
+    * never onto the fact — at 100 TB the only big exchange is the
+    * orderkey join plus one custkey-grain aggregate.
+    */
+  private val q182 = GraftQuery(
+    "q182_returned_customers",
+    """WITH rev AS (
+      |  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+      |    CAST(count(*) AS BIGINT) AS n_li,
+      |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_u
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  WHERE l.l_returnflag = 'R'
+      |    AND o.o_orderdate >= DATE '1995-01-01'
+      |    AND o.o_orderdate < DATE '1995-07-01'
+      |  GROUP BY 1, 2, 3)
+      |SELECT c_custkey, c_name, nation, n_li,
+      |  round(rev_u / 10000.0, 2) AS revenue
+      |FROM rev ORDER BY rev_u DESC, c_custkey LIMIT 20""".stripMargin) {
+    (s, d) =>
+      subqueryViews(s, d)
+      s.sql(
+        """WITH rev AS (
+          |  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+          |    CAST(count(*) AS BIGINT) AS n_li,
+          |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+          |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_u
+          |  FROM graft_lineitem l
+          |  JOIN graft_orders o ON o.o_orderkey = l.l_orderkey
+          |  JOIN graft_customer c ON c.c_custkey = o.o_custkey
+          |  JOIN graft_nation n ON n.n_nationkey = c.c_nationkey
+          |  WHERE l.l_returnflag = 'R'
+          |    AND o.o_orderdate >= DATE '1995-01-01'
+          |    AND o.o_orderdate < DATE '1995-07-01'
+          |  GROUP BY c.c_custkey, c.c_name, n.n_name)
+          |SELECT c_custkey, c_name, nation, n_li,
+          |  round(rev_u / 10000.0, 2) AS revenue
+          |FROM rev ORDER BY rev_u DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
+  /** q183: TPC-H Q13-shaped customer order distribution — histogram of
+    * per-customer order counts INCLUDING the zero bucket, which is the
+    * whole point of the form: the join must be a left outer with the
+    * order-side predicate INSIDE the join condition (pushing
+    * `o_orderpriority <> …` below the outer join as a WHERE would drop
+    * customers with only urgent orders instead of counting them at 0).
+    * Two aggregates: custkey grain (rides the join's partitioning),
+    * then the tiny count-grain histogram. `count(o_orderkey)` counts
+    * matches only — NULLs from the outer side contribute 0.
+    */
+  private val q183 = GraftQuery(
+    "q183_custdist",
+    """WITH co AS (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |SELECT CAST(c_count AS BIGINT) AS c_count,
+      |  CAST(count(*) AS BIGINT) AS custdist
+      |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin) {
+    (s, d) =>
+      subqueryViews(s, d)
+      s.sql(
+        """WITH co AS (
+          |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          |  FROM graft_customer c LEFT JOIN graft_orders o
+          |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+          |  GROUP BY c.c_custkey)
+          |SELECT CAST(c_count AS BIGINT) AS c_count,
+          |  CAST(count(*) AS BIGINT) AS custdist
+          |FROM co GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** q184: TPC-H Q14-shaped promo revenue share — one month of shipped
+    * lineitems, the PROMO fraction of revenue. Numerator and
+    * denominator are exact BIGINT unit sums out of ONE partial+final
+    * aggregate (a conditional sum, not two passes); the single float
+    * division happens on the 1-row result. The exact numerator is also
+    * emitted so the gate pins the integers, not just the rounded ratio.
+    * The ship-date range prunes the lineitem scan; part joins broadcast.
+    */
+  private val q184 = GraftQuery(
+    "q184_promo_share",
+    """WITH u AS (
+      |  SELECT sum(CASE WHEN p.p_type = 'PROMO'
+      |      THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |      ELSE 0 END) AS promo_u,
+      |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS total_u
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE l.l_shipdate >= DATE '1995-03-01'
+      |    AND l.l_shipdate < DATE '1995-04-01')
+      |SELECT CAST(promo_u AS BIGINT) AS promo_u_int,
+      |  round(100.0 * promo_u / total_u, 6) AS promo_share
+      |FROM u""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """WITH u AS (
+        |  SELECT sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |      ELSE CAST(0 AS BIGINT) END) AS promo_u,
+        |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS total_u
+        |  FROM graft_lineitem l
+        |  JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_shipdate >= DATE '1995-03-01'
+        |    AND l.l_shipdate < DATE '1995-04-01')
+        |SELECT promo_u AS promo_u_int,
+        |  round(100.0 * promo_u / total_u, 6) AS promo_share
+        |FROM u""".stripMargin)
+  }
+
+  /** q185: TPC-H Q16-shaped supplier-count-by-part-attributes — how many
+    * DISTINCT suppliers ship each (brand, type, size) of the selected
+    * sizes, excluding a denylisted supplier set via NOT IN. Catalyst
+    * turns the NOT IN into a null-aware anti join (broadcast: the
+    * denylist is name-filtered supplier, tiny); `s_suppkey` is non-null
+    * so the null-aware machinery never degenerates to the cartesian
+    * check. count(DISTINCT) runs as the standard two-shuffle expand;
+    * the size IN-list prunes part before the fact join.
+    */
+  private val q185 = GraftQuery(
+    "q185_supplier_parts",
+    """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+      |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_size IN (1, 4, 7) AND p.p_brand <> 'Brand#1'
+      |  AND l.l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+    (s, d) =>
+      subqueryViews(s, d)
+      s.sql(
+        """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+          |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM graft_lineitem l
+          |JOIN graft_part p ON p.p_partkey = l.l_partkey
+          |WHERE p.p_size IN (1, 4, 7) AND p.p_brand <> 'Brand#1'
+          |  AND l.l_suppkey NOT IN
+          |    (SELECT s_suppkey FROM graft_supplier WHERE s_name LIKE '%7')
+          |GROUP BY p.p_brand, p.p_type, p.p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** q186: TPC-H Q4-shaped order-priority check — orders in a half-year
+    * window with at least one slow lineitem (shipped >60 days after the
+    * order date), counted per priority. The correlated EXISTS carries a
+    * NON-equi conjunct (`l_shipdate > o_orderdate + 60d`) alongside the
+    * key equality; RewritePredicateSubquery plants it as a LEFT SEMI
+    * join on orderkey with the date comparison in the join condition —
+    * each order is emitted once no matter how many lineitems qualify,
+    * with no distinct pass. The date filter prunes orders before the
+    * semi join, so the fact side probes a half-year subset.
+    */
+  private val q186 = GraftQuery(
+    "q186_priority_exists",
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= DATE '1995-01-01'
+      |  AND o.o_orderdate < DATE '1995-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    subqueryViews(s, d)
+    s.sql(
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM graft_orders o
+        |WHERE o.o_orderdate >= DATE '1995-01-01'
+        |  AND o.o_orderdate < DATE '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o.o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
-      q153, q156, q157, q158, q168, q178, q179)
+      q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186)
 }
