@@ -3852,9 +3852,138 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q187: triangle census of the duplicate-candidate graph — per
+    * document, how many near-dup TRIANGLES it sits in. q52 answers
+    * "which cluster", q164 "how central"; triangles answer "how DENSE is
+    * the neighborhood" — a chain of pairwise near-dups (A~B~C) and a
+    * mutually-similar clique are different cleanup problems (template
+    * boilerplate forms cliques; drifting revisions form paths). The
+    * enumeration is the compact-forward algorithm: orient every
+    * undirected candidate edge from its (degree, id)-smaller endpoint to
+    * the larger, so each triangle has exactly one (source, middle, sink)
+    * spelling and is emitted ONCE by [wedge join on the middle] + [one
+    * closing-edge equi-join]. Degree orientation is the 100 TB point —
+    * wedge fanout is Σ out-deg², and orienting INTO high-degree hubs
+    * caps out-degree at O(√|E|) no matter how skewed the dup graph is
+    * (a 1M-copy boilerplate hub contributes zero wedges as a pure sink,
+    * vs ~10¹² with id-orientation). The oracle enumerates the same
+    * triangle set with plain id-orientation — orientation changes the
+    * join cost, never the triangle set, which is exactly why the cheap
+    * spelling is safe for the gate and the scalable one for the engine.
+    */
+  private val q187 = GraftQuery(
+    "q187_dup_triangles",
+    s"""$clusterOracleChain,
+       |ce AS (SELECT u, v FROM edges WHERE u < v),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM ce e1
+       |  JOIN ce e2 ON e2.u = e1.v
+       |  JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |pn AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+       |FROM pn GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val und = minhashCandidates(minhashSigs(s, d))
+      .where(expr(sigMatchPredicate))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sym = und.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(und.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("dg"))
+    val da = deg.select(col("u").as("doc_a"), col("dg").as("da"))
+    val db = deg.select(col("u").as("doc_b"), col("dg").as("db"))
+    val lowFirst =
+      struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b"))
+    val o = und.join(da, "doc_a").join(db, "doc_b")
+      .select(when(lowFirst, col("doc_a")).otherwise(col("doc_b")).as("x"),
+        when(lowFirst, col("doc_b")).otherwise(col("doc_a")).as("y"))
+    val e1 = o.select(col("x").as("a"), col("y").as("b"))
+    val e2 = o.select(col("x").as("b"), col("y").as("c"))
+    val e3 = o.select(col("x").as("a"), col("y").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
+  /** q190: the recall-vs-nprobe CURVE — q83 measures the single point
+    * p=[[ProbeP]]; this sweeps p ∈ {1, 2, 4} (4 = [[KmK]], the
+    * exhaustive bound, so the curve's ceiling recall=1.0 is measured,
+    * not assumed) and reports recall@3 against the shared brute-force
+    * truth per setting. This is the table a capacity planner actually
+    * reads: each row is (probe cost multiplier → recall), and the knee
+    * tells you the cheapest p meeting an SLO. Cost shape: the truth pass
+    * is one bounded brute-force over the [[QueryBatch]] sample (shared
+    * text with q79/q83); each curve point re-probes only the 100-vector
+    * batch against k broadcast centroids and reranks p cells' members —
+    * the corpus is never rescanned more than the p-cell candidate join
+    * requires, and the three points share [[kmTrained]]'s one trained
+    * index artifact.
+    */
+  private val q190 = GraftQuery(
+    "q190_nprobe_curve", {
+      def point(p: Int): String =
+        s"""m$p AS (
+           |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           |    ${cosSql("p", "b")} AS cos
+           |  FROM (SELECT * FROM pr WHERE rn <= $p) p
+           |  JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+           |), t$p AS (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT vec_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM m$p) z WHERE rank <= 3
+           |), h$p AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS hits
+           |  FROM truth t JOIN t$p s
+           |    ON t.vec_id = s.vec_id AND t.neighbor_id = s.neighbor_id)"""
+          .stripMargin
+      def row(p: Int): String =
+        s"""SELECT CAST($p AS BIGINT) AS nprobe, hits,
+           |  round(CAST(hits AS DOUBLE) / CAST(${3 * QueryBatch} AS DOUBLE), 6) AS recall
+           |FROM h$p""".stripMargin
+      s"""WITH $kmOracleTrain, $truthOracle,
+         |pr AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id < $QueryBatch),
+         |${point(1)},
+         |${point(2)},
+         |${point(4)}
+         |${row(1)}
+         |UNION ALL
+         |${row(2)}
+         |UNION ALL
+         |${row(4)}
+         |ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val truth = bruteForceTruth(e)
+    val qe = e.where(col("vec_id") < QueryBatch)
+    val b = a2.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("embedding").as("emb_b"))
+    val points = Seq(1, 2, 4).map { p =>
+      val top = rankTop3(probeSelection(qe, c1, p).join(b,
+          col("probe_cell") === col("cell_b")
+            && col("vec_id") =!= col("neighbor_id")))
+        .select("vec_id", "neighbor_id")
+      truth.join(top, Seq("vec_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p.toLong).as("nprobe"), col("hits"),
+          round(col("hits").cast("double") / lit((3 * QueryBatch).toDouble),
+            6).as("recall"))
+    }
+    points.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
-      q136, q145, q146, q147, q154, q155, q159, q164)
+      q136, q145, q146, q147, q154, q155, q159, q164, q187, q190)
 }

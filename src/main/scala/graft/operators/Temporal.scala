@@ -697,7 +697,76 @@ object Temporal {
           .as("p75_us"))
   }
 
+  /** q188: daily-count autocorrelation at lags 1 and 7 — the
+    * periodicity probe (is traffic day-over-day sticky? is there a
+    * weekly cycle?) a forecasting pipeline runs before choosing a
+    * seasonal model. Numerically this is the Pearson correlation of the
+    * day series against its lag-L shift, computed from INTEGER
+    * sufficient statistics: the only corpus-sized work is the one
+    * day-grain count aggregate; the lag alignment is a self-join on the
+    * ~hundreds-row day table (day = day + L, inner — calendar gaps
+    * drop pairs identically in both engines); n/Σx/Σy/Σxy/Σx²/Σy² are
+    * all BIGINT sums over that tiny table, and the single float
+    * expression runs once per lag on the 2-row stats frame with the
+    * same operation tree in both engines (identical integer inputs →
+    * bit-identical doubles → the 6-decimal round is decoration, not a
+    * tolerance). At 100 TB the day table is still ~365 rows/year —
+    * everything after the first aggregate is driver-trivial, and the
+    * BIGINT stats stay exact far beyond any real daily volume
+    * (overflow needs Σxy > 2⁶³ ≈ 9e18, i.e. ~3e8 events/day for 100
+    * years).
+    */
+  private val q188 = GraftQuery(
+    "q188_daily_autocorr",
+    """WITH dc AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |lp AS (
+      |  SELECT l.lag, x.cnt AS xv, y.cnt AS yv
+      |  FROM (VALUES (1), (7)) l(lag)
+      |  JOIN dc x ON true
+      |  JOIN dc y ON y.day = x.day + l.lag),
+      |st AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+      |    CAST(sum(xv * yv) AS BIGINT) AS sxy,
+      |    CAST(sum(xv * xv) AS BIGINT) AS sx2,
+      |    CAST(sum(yv * yv) AS BIGINT) AS sy2
+      |  FROM lp GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, n, sx AS sum_x, sy AS sum_y,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS autocorr
+      |FROM st ORDER BY lag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dc = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val lags = Seq(1, 7).toDF("lag")
+    val x = dc.select(col("day").as("xday"), col("cnt").as("xv"))
+    val y = dc.select(col("day").as("yday"), col("cnt").as("yv"))
+    val st = x.crossJoin(broadcast(lags))
+      .join(y, col("yday") === date_add(col("xday"), col("lag")))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("xv").as("sx"), sum("yv").as("sy"),
+        sum(col("xv") * col("yv")).as("sxy"),
+        sum(col("xv") * col("xv")).as("sx2"),
+        sum(col("yv") * col("yv")).as("sy2"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    st.select(col("lag").cast("long").as("lag"), col("n"),
+        col("sx").as("sum_x"), col("sy").as("sum_y"),
+        round((nD * col("sxy").cast("double") - sxD * syD)
+          / (sqrt(nD * col("sx2").cast("double") - sxD * sxD)
+            * sqrt(nD * col("sy2").cast("double") - syD * syD)), 6)
+          .as("autocorr"))
+      .orderBy("lag")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
-      q172, q180, q181)
+      q172, q180, q181, q188)
 }

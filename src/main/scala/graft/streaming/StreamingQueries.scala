@@ -597,7 +597,43 @@ object StreamingQueries {
       .orderBy("user_id", "purchase_us", "event_id")
   }
 
+  /** q189: streaming trending-types dashboard — top 3 event types per
+    * closed 1-hour window, by count (event_type breaks count ties). The
+    * split of labor is the production one: the STREAM maintains the
+    * per-(window, type) counts (q47's watermarked tumbling aggregate —
+    * the only state, bounded by watermark retention), and the RANK runs
+    * over the finalized emissions, a (windows × types)-row table that is
+    * metadata-sized no matter the event volume — ranking inside the
+    * stream would force update-mode retraction semantics for zero
+    * benefit, since a window's top-3 is only meaningful once the window
+    * closes. The flush sentinel closes every real window (q47's
+    * invariant), and its own '__flush' window never closes, so it never
+    * enters the ranking. Gate: stream counts + finalized rank ==
+    * DuckDB's batch window/rank over the same events.
+    */
+  private val q189 = GraftQuery(
+    "q189_stream_trending",
+    """WITH wc AS (
+      |  SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+      |    event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start_ms, event_type, n, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT window_start_ms, event_type, n,
+      |    row_number() OVER (PARTITION BY window_start_ms
+      |      ORDER BY n DESC, event_type) AS rk
+      |  FROM wc) t
+      |WHERE rk <= 3 ORDER BY window_start_ms, rk""".stripMargin) { (s, d) =>
+    val wc = runGated(s, d)(EventStreams.tumblingCounts(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start_ms")
+      .orderBy(col("n").desc, col("event_type"))
+    wc.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("window_start_ms", "event_type", "n", "rk")
+      .orderBy("window_start_ms", "rk")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149, q163, q173)
+      q148, q149, q163, q173, q189)
 }
