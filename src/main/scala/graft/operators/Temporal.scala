@@ -766,7 +766,210 @@ object Temporal {
       .orderBy("lag")
   }
 
+  /** q191: SCD2 dimension build — the event log's per-user attribute
+    * (the `props.k` payload) folded into type-2 validity intervals:
+    * one row per VALUE CHANGE carrying [valid_from, valid_to), open
+    * intervals NULL-terminated. This is the temporal-table constructor
+    * every warehouse needs between a CDC log and a point-in-time join
+    * (q16's as-of join is the read side; this is the write side). Two
+    * window passes on the same (user_id ORDER BY ts, event_id) sort —
+    * change detection via lag, interval close via lead over the
+    * SURVIVORS — so the whole build is ONE user_id shuffle and one
+    * partition-local sort, no self-join against the history. The
+    * attribute is parsed with the same regex in both engines; interval
+    * endpoints are epoch-ms integers.
+    */
+  private val q191 = GraftQuery(
+    "q191_scd2_intervals",
+    """WITH kv AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, k,
+      |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+      |  FROM kv),
+      |scd AS (
+      |  SELECT user_id, k, epoch_ms(ts) AS valid_from_ms,
+      |    lead(epoch_ms(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ms
+      |  FROM ch WHERE pk IS NULL OR k <> pk)
+      |SELECT user_id, k, valid_from_ms, valid_to_ms
+      |FROM scd ORDER BY user_id, valid_from_ms""".stripMargin) { (s, d) =>
+    val kv = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("event_id"),
+      regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("k"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ch = kv.withColumn("pk", lag(col("k"), 1).over(w))
+      .where(col("pk").isNull || col("k") =!= col("pk"))
+    ch.select(col("user_id"), col("k"), col("ts"), col("event_id"),
+        unix_millis(col("ts")).as("valid_from_ms"))
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(w))
+      .select("user_id", "k", "valid_from_ms", "valid_to_ms")
+      .orderBy("user_id", "valid_from_ms")
+  }
+
+  /** q192: interval union (merge overlapping intervals) — each event
+    * claims [ts, ts + value minutes-scaled); overlapping claims per user
+    * coalesce into maximal islands. Unlike session windows (q20 — a
+    * fixed GAP between starts), the durations here are per-row and
+    * arbitrary, so this is the general interval-scheduling primitive
+    * (maintenance windows, lock spans, validity unions). The classic
+    * sweep is declared as two windows over ONE (user_id ORDER BY s_ms,
+    * event_id) sort: a running `max(end) over preceding` detects island
+    * breaks (`start > prev_max`), a running sum numbers them, and the
+    * island aggregate is a grouped min/max/count — one shuffle total,
+    * no self-join, island state never materializes beyond two window
+    * columns. All endpoints are integer ms.
+    */
+  private val q192 = GraftQuery(
+    "q192_interval_union",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS s_ms,
+      |    epoch_ms(ts) + CAST(round(value * 60000) AS BIGINT) AS e_ms
+      |  FROM events),
+      |mx AS (
+      |  SELECT user_id, s_ms, e_ms,
+      |    max(e_ms) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+      |    event_id
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, s_ms, e_ms,
+      |    sum(CASE WHEN prev_max IS NULL OR s_ms > prev_max THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM mx)
+      |SELECT user_id, CAST(min(s_ms) AS BIGINT) AS start_ms,
+      |  CAST(max(e_ms) AS BIGINT) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM isl GROUP BY user_id, island
+      |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+    val iv = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("s_ms"),
+      (unix_millis(col("ts"))
+        + round(col("value") * 60000).cast("long")).as("e_ms"))
+    val w = Window.partitionBy("user_id").orderBy("s_ms", "event_id")
+    iv.withColumn("prev_max",
+        max(col("e_ms")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("s_ms") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "island")
+      .agg(min(col("s_ms")).as("start_ms"), max(col("e_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .orderBy("user_id", "start_ms")
+  }
+
+  /** q193: exact per-group percentiles (p50/p90/p99 of integer value-
+    * cents per event type) by rank crossing — q174's all-integer exact
+    * selection, generalized from one global distribution to one PER
+    * GROUP, with q181's banding discipline carried into the group
+    * dimension: a naive `row_number() OVER (PARTITION BY event_type)`
+    * puts each type's ENTIRE distribution in one task (5 types → 5
+    * straggler partitions at 100 TB), so ranks are built band-locally
+    * over (type, value-band) — monotone bands within each type — and a
+    * broadcast (type, band) offset table restores each type's global
+    * ranks. The only corpus shuffle is on the composite (type, band)
+    * key, which scales with data, not group count; the offset windows
+    * run on the tiny band table.
+    */
+  private val q193 = GraftQuery(
+    "q193_group_percentiles",
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc, event_id
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type, vc,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  max(CASE WHEN 2*r >= n AND 2*(r-1) < n THEN vc END) AS p50_c,
+      |  max(CASE WHEN 10*r >= 9*n AND 10*(r-1) < 9*n THEN vc END) AS p90_c,
+      |  max(CASE WHEN 100*r >= 99*n AND 100*(r-1) < 99*n THEN vc END) AS p99_c
+      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val v = Tables.events(s, d).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("vc"), col("event_id"))
+      .withColumn("band", expr("vc div 2000"))
+    val bc = v.groupBy("event_type", "band").agg(count(lit(1)).as("bc"))
+    val wOff = Window.partitionBy("event_type").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("event_type")
+    val offs = bc
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(wTot))
+      .select("event_type", "band", "off", "n")
+    val wB = Window.partitionBy("event_type", "band").orderBy("vc", "event_id")
+    v.join(broadcast(offs), Seq("event_type", "band"))
+      .withColumn("r", col("off") + row_number().over(wB))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(when(lit(2) * col("r") >= col("n")
+          && lit(2) * (col("r") - 1) < col("n"), col("vc"))).as("p50_c"),
+        max(when(lit(10) * col("r") >= lit(9) * col("n")
+          && lit(10) * (col("r") - 1) < lit(9) * col("n"), col("vc")))
+          .as("p90_c"),
+        max(when(lit(100) * col("r") >= lit(99) * col("n")
+          && lit(100) * (col("r") - 1) < lit(99) * col("n"), col("vc")))
+          .as("p99_c"))
+      .orderBy("event_type")
+  }
+
+  /** q194: EWMA smoothing of the daily event-count series — a 7-tap
+    * geometric kernel (α = 1/2, weights 64…1 over the trailing week,
+    * normalized by 127) as the finite-window spelling of exponential
+    * smoothing: the infinite tail below 1/127 is truncated, which makes
+    * the smoother WINDOWED (hence parallel and backfill-stable — value
+    * t depends on 7 rows, not all history) where the recursive s_t =
+    * αx_t + (1−α)s_{t−1} form would serialize the whole series through
+    * one running state. The weighted sum is an exact BIGINT dot product
+    * of the 7 lagged counts (binary weights, no float accumulation);
+    * the single division by 127 is the only float op. Only days with a
+    * full 7-day history are emitted. The day series is metadata-sized
+    * at any corpus scale; the one corpus-sized op is the day-count
+    * aggregate it shares with q188's shape.
+    */
+  private val q194 = GraftQuery(
+    "q194_ewma_daily",
+    """WITH dc AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |lg AS (
+      |  SELECT day, cnt,
+      |    lag(cnt, 1) OVER w AS c1, lag(cnt, 2) OVER w AS c2,
+      |    lag(cnt, 3) OVER w AS c3, lag(cnt, 4) OVER w AS c4,
+      |    lag(cnt, 5) OVER w AS c5, lag(cnt, 6) OVER w AS c6
+      |  FROM dc WINDOW w AS (ORDER BY day))
+      |SELECT day, cnt,
+      |  round(CAST(64*cnt + 32*c1 + 16*c2 + 8*c3 + 4*c4 + 2*c5 + c6
+      |      AS DOUBLE) / CAST(127 AS DOUBLE), 6) AS ewma
+      |FROM lg WHERE c6 IS NOT NULL ORDER BY day""".stripMargin) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    // the unpartitioned window runs on the ~day-count-sized series, the
+    // q117/q181 exemption: window input is metadata-sized by construction
+    val w = Window.orderBy("day")
+    dc.withColumn("c1", lag(col("cnt"), 1).over(w))
+      .withColumn("c2", lag(col("cnt"), 2).over(w))
+      .withColumn("c3", lag(col("cnt"), 3).over(w))
+      .withColumn("c4", lag(col("cnt"), 4).over(w))
+      .withColumn("c5", lag(col("cnt"), 5).over(w))
+      .withColumn("c6", lag(col("cnt"), 6).over(w))
+      .where(col("c6").isNotNull)
+      .select(col("day"), col("cnt"),
+        round((lit(64) * col("cnt") + lit(32) * col("c1")
+          + lit(16) * col("c2") + lit(8) * col("c3") + lit(4) * col("c4")
+          + lit(2) * col("c5") + col("c6")).cast("double") / lit(127.0), 6)
+          .as("ewma"))
+      .orderBy("day")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
-      q172, q180, q181, q188)
+      q172, q180, q181, q188, q191, q192, q193, q194)
 }
