@@ -3871,6 +3871,30 @@ object Similarity {
     * join cost, never the triangle set, which is exactly why the cheap
     * spelling is safe for the gate and the scalable one for the engine.
     */
+  /** Per-node triangle counts of an undirected graph given as unique
+    * (doc_a < doc_b) edge pairs — q187's compact-forward core, factored
+    * so ScaleSpec can pin the enumeration on known graphs (clique,
+    * path) independently of the minhash edge derivation.
+    */
+  private[operators] def triangleCounts(und: DataFrame): DataFrame = {
+    val sym = und.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(und.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("dg"))
+    val da = deg.select(col("u").as("doc_a"), col("dg").as("da"))
+    val db = deg.select(col("u").as("doc_b"), col("dg").as("db"))
+    val lowFirst =
+      struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b"))
+    val o = und.join(da, "doc_a").join(db, "doc_b")
+      .select(when(lowFirst, col("doc_a")).otherwise(col("doc_b")).as("x"),
+        when(lowFirst, col("doc_b")).otherwise(col("doc_a")).as("y"))
+    val e1 = o.select(col("x").as("a"), col("y").as("b"))
+    val e2 = o.select(col("x").as("b"), col("y").as("c"))
+    val e3 = o.select(col("x").as("a"), col("y").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+  }
+
   private val q187 = GraftQuery(
     "q187_dup_triangles",
     s"""$clusterOracleChain,
@@ -3889,23 +3913,7 @@ object Similarity {
     val und = minhashCandidates(minhashSigs(s, d))
       .where(expr(sigMatchPredicate))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sym = und.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(und.select(col("doc_b").as("u"), col("doc_a").as("v")))
-    val deg = sym.groupBy("u").agg(count(lit(1)).as("dg"))
-    val da = deg.select(col("u").as("doc_a"), col("dg").as("da"))
-    val db = deg.select(col("u").as("doc_b"), col("dg").as("db"))
-    val lowFirst =
-      struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b"))
-    val o = und.join(da, "doc_a").join(db, "doc_b")
-      .select(when(lowFirst, col("doc_a")).otherwise(col("doc_b")).as("x"),
-        when(lowFirst, col("doc_b")).otherwise(col("doc_a")).as("y"))
-    val e1 = o.select(col("x").as("a"), col("y").as("b"))
-    val e2 = o.select(col("x").as("b"), col("y").as("c"))
-    val e3 = o.select(col("x").as("a"), col("y").as("c"))
-    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
-      .orderBy("doc_id")
+    triangleCounts(und).orderBy("doc_id")
   }
 
   /** q190: the recall-vs-nprobe CURVE — q83 measures the single point

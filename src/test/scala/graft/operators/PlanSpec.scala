@@ -923,4 +923,83 @@ class PlanSpec extends SparkSuite {
       s"lineitem-side quantity disjunction not pushed:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
+
+  test("q178/q179 dimension filters reach the part scan; no nested-loop joins") {
+    val p8 = plan("q178_market_share")
+    assert(p8.contains("EqualTo(p_type,PROMO)"),
+      s"q178 part-type filter not pushed into the part scan:\n$p8")
+    assert(p8.contains("EqualTo(r_name,ASIA)"),
+      s"q178 region filter not pushed into the region scan:\n$p8")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoop"),
+      s"q178 fell back to a nested-loop shape:\n$p8")
+    val p9 = plan("q179_product_profit")
+    assert(p9.contains("StringStartsWith(p_name,blue"),
+      s"q179 part-name prefix not pushed into the part scan:\n$p9")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoop"),
+      s"q179 fell back to a nested-loop shape:\n$p9")
+  }
+
+  test("q182 top-20 customers short-circuits as TakeOrderedAndProject") {
+    val p = plan("q182_returned_customers")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort crept in:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed into the lineitem scan:\n$p")
+  }
+
+  test("q183 custdist keeps the outer join and pushes the ON-clause filter to orders") {
+    val p = plan("q183_custdist")
+    // the zero bucket exists only if the join stays outer
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"outer join lost (zero-order customers dropped):\n$p")
+    // the ON-clause predicate on the preserved side's opposite input is
+    // still pushable INTO that input's scan without changing semantics
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"ON-clause order filter not pushed into the orders scan:\n$p")
+  }
+
+  test("q185 NOT IN denylist plans as an anti join with the size IN-list pushed") {
+    val p = plan("q185_supplier_parts")
+    assert(p.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$p")
+    assert(p.contains("In(p_size"),
+      s"size IN-list not pushed into the part scan:\n$p")
+  }
+
+  test("q186 non-equi EXISTS plans as a semi join with the date window pushed") {
+    val p = plan("q186_priority_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date window not pushed into the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the non-equi conjunct degenerated to a nested loop:\n$p")
+  }
+
+  test("q187 triangle enumeration stays equi-joins end to end") {
+    val p = plan("q187_dup_triangles")
+    assert(!p.contains("CartesianProduct"), s"triangle join went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"triangle join went BNLJ:\n$p")
+  }
+
+  test("q191/q192 interval builds run on ONE user_id exchange each") {
+    for (q <- Seq("q191_scd2_intervals", "q192_interval_union")) {
+      val p = plan(q)
+      // both window passes and the island aggregate must ride the same
+      // user_id partitioning — a second corpus hash exchange means a
+      // window or groupBy broke partitioning reuse (the remaining
+      // exchange is the final presentation orderBy's range partitioning)
+      val hashEx = p.linesIterator.count(l =>
+        l.contains("Arguments: hashpartitioning"))
+      assert(hashEx == 1, s"$q has $hashEx corpus hash exchanges (want 1):\n$p")
+    }
+  }
+
+  test("q193 per-group percentiles: banded windows, broadcast offsets, no per-type window") {
+    val p = plan("q193_group_percentiles")
+    // corpus-sized ranks run per (type, band), never per type alone —
+    // a per-type-only windowspec serializes each type through one task
+    assert(p.linesIterator.exists(l =>
+        l.contains("windowspecdefinition(event_type") && l.contains("band")),
+      s"q193 lost the (type, band) window partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q193 shuffles the corpus to meet the offset table:\n$p")
+  }
 }

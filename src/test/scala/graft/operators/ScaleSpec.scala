@@ -526,4 +526,25 @@ class ScaleSpec extends SparkSuite {
     assert(rates.head.values.min < 1000000L,
       "fixture skew must make alpha=0 actually downsample")
   }
+
+  test("triangle census: cliques, paths, and pendant edges count exactly") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in C(3,2)=3 of them
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+      .toDF("doc_a", "doc_b")
+    val t4 = Similarity.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 census wrong: $t4")
+    // a path has zero triangles -> empty census (wedges never close)
+    val path = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("doc_a", "doc_b")
+    assert(Similarity.triangleCounts(path).count() == 0,
+      "path graph produced phantom triangles")
+    // triangle + pendant edge: the pendant node 4 is in no triangle, and
+    // the degree-oriented enumeration still finds the one triangle ONCE
+    val tp = Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L)).toDF("doc_a", "doc_b")
+    val c = Similarity.triangleCounts(tp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"pendant census wrong: $c")
+  }
 }
