@@ -1327,8 +1327,60 @@ object Relational {
         |GROUP BY o.o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q198: schema-driven column profiling — per column of `orders`:
+    * row count, null count, distinct count. The profiler every ingest
+    * front-door runs before accepting a delivery (and the per-column
+    * half of q124's dataset card). The Spark side is DYNAMIC — it walks
+    * `df.schema` and emits one aggregate per column, so the same code
+    * profiles any table — but it does all columns in ONE corpus pass:
+    * a single aggregate row of 2·k `count`s plus k `approx`-free exact
+    * distincts would force k shuffles, so instead each column becomes
+    * one (col_name, value-string) pair via a map-side stack (the
+    * unpivot trick at profile grain), and the profile is ONE groupBy on
+    * ≤k keys with count/count(value)/count(distinct value) — one
+    * shuffle whose payload is the distinct-value stream, the minimum
+    * any exact-distinct profile pays. (Distinct counting per column is
+    * the expensive honest choice; the sketched alternative is the HLL
+    * tier, q141/q169.) Values are compared as canonical strings for
+    * distinctness only — never emitted, so no cross-engine formatting
+    * risk enters the gate.
+    */
+  private val q198 = GraftQuery(
+    "q198_column_profile",
+    """SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+      |UNION ALL SELECT 'o_orderdate', count(*),
+      |  count(*) - count(o_orderdate), count(DISTINCT o_orderdate) FROM orders
+      |UNION ALL SELECT 'o_orderkey', count(*),
+      |  count(*) - count(o_orderkey), count(DISTINCT o_orderkey) FROM orders
+      |UNION ALL SELECT 'o_orderpriority', count(*),
+      |  count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority)
+      |  FROM orders
+      |UNION ALL SELECT 'o_orderstatus', count(*),
+      |  count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus)
+      |  FROM orders
+      |UNION ALL SELECT 'o_totalprice', count(*),
+      |  count(*) - count(o_totalprice), count(DISTINCT o_totalprice)
+      |  FROM orders
+      |ORDER BY col""".stripMargin) { (s, d) =>
+    val t = Tables.orders(s, d)
+    // one row per (source row, column): the unpivot stack keeps the
+    // profile a single corpus pass + a single k-key shuffle
+    val pairs = t.select(explode(array(t.schema.fields.map(f =>
+        struct(lit(f.name).as("col"),
+          col(f.name).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col").as("col"), col("p.v").as("v"))
+    pairs.groupBy("col")
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"))
+      .orderBy("col")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
-      q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186)
+      q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
+      q198)
 }

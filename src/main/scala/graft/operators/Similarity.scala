@@ -3989,9 +3989,141 @@ object Similarity {
     points.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  /** q195: label-propagation communities over the duplicate-candidate
+    * graph — 2 synchronized rounds, each node adopting its
+    * neighborhood's plurality label (ties broken toward the SMALLER
+    * label, isolated nodes keep their own). Where q52's connected
+    * components answer reachability, LPA converges toward DENSE
+    * sub-communities inside a component — e.g. two boilerplate families
+    * bridged by one chance near-dup stay separate communities while CC
+    * fuses them. Determinism is total: the plurality pick is an
+    * order-pinned `min(struct(−count, label))` AGGREGATE (partial+final,
+    * no per-node ranking window), so shuffle order can't flip a tie.
+    * Scale shape: each round is one join carrying (node, label) pairs —
+    * never text or signatures — plus one label-grain fold; the fixed
+    * round count keeps the whole thing in Catalyst (same argument as
+    * q164's unrolled PageRank, vs the driver-looped CC fixpoint).
+    */
+  private val q195 = GraftQuery(
+    "q195_label_propagation", {
+      def round(prev: String, n: String, p: String, l: String): String =
+        s"""$n AS (
+           |  SELECT e.u AS doc_id, l.lbl, CAST(count(*) AS BIGINT) AS c
+           |  FROM edges e JOIN $prev l ON l.doc_id = e.v GROUP BY 1, 2),
+           |$p AS (
+           |  SELECT doc_id, lbl FROM (
+           |    SELECT doc_id, lbl,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lbl) AS rn
+           |    FROM $n) t WHERE rn = 1),
+           |$l AS (
+           |  SELECT d.doc_id, coalesce(p.lbl, d.doc_id) AS lbl
+           |  FROM documents d LEFT JOIN $p p ON p.doc_id = d.doc_id)"""
+          .stripMargin
+      s"""$clusterOracleChain,
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+         |${round("l0", "n1", "p1", "l1")},
+         |${round("l1", "n2", "p2", "l2")}
+         |SELECT doc_id, lbl AS community FROM l2 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val und = minhashCandidates(minhashSigs(s, d))
+      .where(expr(sigMatchPredicate))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sym = und.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(und.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      // one shuffled adjacency reread per round, not re-derived from
+      // signatures twice (q164's discipline)
+      .repartition(col("v")).localCheckpoint(eager = true)
+    val docs = Tables.documents(s, d).select("doc_id")
+    def step(lbls: DataFrame): DataFrame = {
+      val nb = sym.join(lbls.withColumnRenamed("doc_id", "v"), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      val pick = nb.groupBy("u")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("u"), col("m.lbl").as("nl"))
+      docs.join(pick, docs("doc_id") === pick("u"), "left")
+        .select(col("doc_id"), coalesce(col("nl"), col("doc_id")).as("lbl"))
+    }
+    val l2 = step(step(docs.select(col("doc_id"), col("doc_id").as("lbl"))))
+    l2.select(col("doc_id"), col("lbl").as("community")).orderBy("doc_id")
+  }
+
+  /** Jaccard threshold for [[q196]], in tenths (6 = 0.6): all threshold
+    * arithmetic is integer (`10·o ≥ 6·(|A|+|B|−o)`, prefix length via
+    * `⌈0.6·sz⌉ = (6·sz+9) div 10`) so no float boundary can disagree
+    * between engines or, worse, shrink a prefix below the lossless bound.
+    */
+  private val PrefixJacTenths = 6
+
+  /** q196: EXACT similarity self-join by prefix filtering (AllPairs/
+    * PPJoin) — every document pair with shingle-set Jaccard ≥ 0.6,
+    * with the true overlap and similarity, no approximation. The LSH
+    * tiers (q31/q40) trade recall for speed; this is the lossless
+    * complement: order the universe by global rarity (df, then hash),
+    * keep each document's PREFIX (its |S| − ⌈0.6·|S|⌉ + 1 rarest
+    * tokens), and join on prefix tokens only — the prefix-filter
+    * theorem guarantees every qualifying pair shares a prefix token, so
+    * candidates ⊇ answers, and an exact overlap count over the full
+    * sets verifies each candidate. The 100 TB shape: the candidate join
+    * fans out on RARE tokens by construction (a boilerplate shingle
+    * shared by a million docs is in almost nobody's prefix — high-df
+    * tokens sort to the suffix), verification touches only candidate
+    * pairs, and everything is equi-joins + one per-doc ranking window.
+    * The oracle is the O(all-sharing-pairs) brute force the filter
+    * avoids — the gate proves losslessness on the fixture, not just
+    * plausibility.
+    */
+  private val q196 = GraftQuery(
+    "q196_prefix_filter_join",
+    s"""$shingleCtes,
+       |st AS (SELECT doc_id, unnest(list_distinct(hv)) AS h FROM hs),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM st GROUP BY 1),
+       |ov AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS o
+       |  FROM st a JOIN st b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT o.doc_a, o.doc_b, o, sa.sz AS size_a, sb.sz AS size_b,
+       |  round(CAST(o AS DOUBLE) / CAST(sa.sz + sb.sz - o AS DOUBLE), 6) AS jac
+       |FROM ov o
+       |JOIN sz sa ON sa.doc_id = o.doc_a
+       |JOIN sz sb ON sb.doc_id = o.doc_b
+       |WHERE 10 * o >= $PrefixJacTenths * (sa.sz + sb.sz - o)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val st = shingleHashes(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("hv"))).as("h"))
+    val sz = st.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = st.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefLen = col("sz")
+      - expr(s"($PrefixJacTenths * sz + 9) div 10") + lit(1L)
+    val pref = st.join(dfreq, "h").join(sz, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= prefLen)
+      .select("doc_id", "h")
+    val cand = pref.select(col("doc_id").as("doc_a"), col("h"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val o = cand
+      .join(st.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(st.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("o"))
+    o.join(sz.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), "doc_b")
+      .where(lit(10) * col("o")
+        >= lit(PrefixJacTenths) * (col("size_a") + col("size_b") - col("o")))
+      .select(col("doc_a"), col("doc_b"), col("o"), col("size_a"),
+        col("size_b"),
+        round(col("o").cast("double")
+          / (col("size_a") + col("size_b") - col("o")).cast("double"), 6)
+          .as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
-      q136, q145, q146, q147, q154, q155, q159, q164, q187, q190)
+      q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196)
 }

@@ -969,7 +969,101 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** q197: first-order Markov transition matrix over user event
+    * sequences — P(next event type | current type), the behavioral-
+    * analytics primitive under next-action prediction, anomaly
+    * baselines, and funnel-free flow diagrams. One window pass (lead
+    * over the per-user (ts, event_id) order — the q191/q192 single-sort
+    * discipline) produces the transition pairs; counts aggregate to
+    * TYPE×TYPE grain (metadata-sized forever), and the row-conditional
+    * probability is one float division of two BIGINTs on that tiny
+    * table. The exact transition counts ride along so the gate pins
+    * integers, not just rounded ratios.
+    */
+  private val q197 = GraftQuery(
+    "q197_markov_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |tc AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tn FROM tc GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n,
+      |  round(CAST(t.n AS DOUBLE) / CAST(o.tn AS DOUBLE), 6) AS p
+      |FROM tc t JOIN tot o ON o.from_type = t.from_type
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tc = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tc.groupBy("from_type").agg(sum(col("n")).as("tn"))
+    tc.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tn").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q199: percentiles from a MERGEABLE fixed-width histogram sketch —
+    * the deterministic alternative to t-digest/KLL when the value
+    * domain is bounded: bucket the integer value-cents at width 50, and
+    * a percentile is the smallest bucket whose cumulative count crosses
+    * pct·n/100 (integer comparison, no interpolation). Unlike the
+    * engine-specific approx_percentile sketches (whose estimates no two
+    * engines reproduce), the histogram is exactly mergeable — per-
+    * source/per-day sketches sum bucket-wise to the global sketch, so
+    * it serves the same incremental role as the count-min (q139) and
+    * HLL (q141/q169) tiers with answers that are bit-reproducible
+    * anywhere. The corpus-sized work is one bucket-grain aggregate; the
+    * cumulative window runs on the ≤1000-row sketch. Resolution is the
+    * bucket width: the gate pins the bucket floor, the honest form of a
+    * histogram answer.
+    */
+  private val q199 = GraftQuery(
+    "q199_histogram_quantiles",
+    """WITH vc AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |sk AS (
+      |  SELECT c // 50 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM vc GROUP BY 1),
+      |cum AS (
+      |  SELECT bucket, cnt,
+      |    sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+      |    sum(cnt) OVER () AS n
+      |  FROM sk),
+      |pcts AS (SELECT * FROM (VALUES (25), (50), (90), (99)) p(pct))
+      |SELECT CAST(p.pct AS BIGINT) AS pct,
+      |  CAST(min(c.bucket) AS BIGINT) AS bucket,
+      |  CAST(min(c.bucket) * 50 AS BIGINT) AS bucket_lo_c
+      |FROM pcts p JOIN cum c ON 100 * c.cum_n >= p.pct * c.n
+      |GROUP BY p.pct ORDER BY pct""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sk = Tables.events(s, d)
+      .select((round(col("value") * 100).cast("long")).as("c"))
+      .withColumn("bucket", expr("c div 50"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // sketch-table-sized windows (≤ domain/width rows), the q194 exemption
+    val cum = sk
+      .withColumn("cum_n", sum(col("cnt"))
+        .over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val pcts = Seq(25, 50, 90, 99).toDF("pct")
+    broadcast(pcts)
+      .join(cum, lit(100) * col("cum_n") >= col("pct") * col("n"))
+      .groupBy(col("pct").cast("long").as("pct"))
+      .agg(min(col("bucket")).as("bucket"),
+        (min(col("bucket")) * 50).as("bucket_lo_c"))
+      .orderBy("pct")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
-      q172, q180, q181, q188, q191, q192, q193, q194)
+      q172, q180, q181, q188, q191, q192, q193, q194, q197, q199)
 }
