@@ -65,5 +65,44 @@ object Media {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q38, q53)
+  /** q200: frame sampling to FRAME GRAIN — q38 samples k bytes into
+    * fixed columns; this emits one ROW per sampled frame (media_id,
+    * frame_idx, byte_offset, frame digest), the shape downstream
+    * training pipelines consume (frame rows join to labels, dedup by
+    * frame digest, shard by frame count). Four frames at evenly-spaced
+    * byte offsets, each an 8-byte window digested in place — O(frames)
+    * access per payload, never a full decode, so a 2 GB video costs the
+    * same plan as a 2 KB clip. The explode is map-side (scan → narrow
+    * generate → project, no shuffle); a real codec replaces the
+    * window-digest expression behind the same frame-grain contract —
+    * batched, whole-stage-codegen'd, zero driver round-trips (the
+    * mapInPandas slot in a pyspark deployment). Payloads shorter than
+    * one window are dropped, pinned by both engines' length guard.
+    */
+  private val Frames = 4
+  private val Win = 8
+  private val q200 = GraftQuery(
+    "q200_frame_sample",
+    s"""SELECT doc_id AS media_id, CAST(j AS BIGINT) AS frame_idx,
+       |  CAST(1 + ((length(text) - $Win) * j) // $Frames AS BIGINT) AS byte_offset,
+       |  md5(substring(text,
+       |    CAST(1 + ((length(text) - $Win) * j) // $Frames AS INTEGER), $Win))
+       |    AS frame_md5
+       |FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) f(j)
+       |WHERE length(text) >= $Win
+       |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .where(length(col("text")) >= Win)
+      .select(col("doc_id").as("media_id"),
+        explode(expr(s"sequence(0, ${Frames - 1})")).as("j"), col("text"))
+      .select(col("media_id"), col("j").cast("long").as("frame_idx"),
+        expr(s"CAST(1 + ((length(text) - $Win) * j) div $Frames AS BIGINT)")
+          .as("byte_offset"),
+        expr(s"md5(CAST(substring(text, " +
+          s"CAST(1 + ((length(text) - $Win) * j) div $Frames AS INT), $Win) " +
+          "AS BINARY))").as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q38, q53, q200)
 }

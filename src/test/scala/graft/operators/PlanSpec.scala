@@ -992,6 +992,32 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q195 LPA rounds are equi-joins over the checkpointed adjacency") {
+    val p = plan("q195_label_propagation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LPA round fell back to a nested-loop shape:\n$p")
+    // both rounds must read the one checkpointed adjacency, not re-derive
+    // the minhash candidate graph per round
+    assert(p.contains("Scan ExistingRDD"),
+      s"q195 re-derives the candidate graph each round:\n$p")
+  }
+
+  test("q196 prefix-filter join stays equi-joins; no all-pairs fallback") {
+    val p = plan("q196_prefix_filter_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exact similarity join went all-pairs:\n$p")
+  }
+
+  test("q198 profile reads the table once for all columns") {
+    val p = plan("q198_column_profile")
+    // the unpivot stack profiles every column from ONE scan — the naive
+    // per-column UNION ALL form scans k times (count the node detail
+    // headers; formatted mode also repeats each node in the tree sketch)
+    assert(p.linesIterator.count(l =>
+        l.trim.startsWith("(") && l.contains("Scan parquet")) == 1,
+      s"q198 scans the table more than once:\n$p")
+  }
+
   test("q193 per-group percentiles: banded windows, broadcast offsets, no per-type window") {
     val p = plan("q193_group_percentiles")
     // corpus-sized ranks run per (type, band), never per type alone —
