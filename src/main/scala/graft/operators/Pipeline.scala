@@ -1257,7 +1257,59 @@ object Pipeline {
       .orderBy("z", "doc_id")
   }
 
+  /** q202: deterministic negative sampling — for every purchasing
+    * customer, 4 candidate part ids drawn by a seeded LCG over
+    * (custkey, slot), with TRUE purchases anti-joined out: the
+    * contrastive-pair generator under recommendation and retrieval
+    * training (positives come from the interaction log; negatives must
+    * be plausible ids the user did NOT touch). Hash-based generation is
+    * the 100 TB point — `rand()` would make every retry/backfill emit
+    * different training data, while the LCG makes the sample a pure
+    * FUNCTION of the key (same discipline as q128's shuffle and q58's
+    * split): map-side generation at customer grain, one anti join
+    * against the distinct interaction pairs, zero state. Collisions
+    * with true purchases are dropped, not resampled — the honest
+    * fixed-overhead variant (resampling loops are unbounded under
+    * adversarial density; production over-generates instead).
+    */
+  private val q202 = GraftQuery(
+    "q202_negative_sampling",
+    """WITH pp AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |cust AS (SELECT DISTINCT ck FROM pp),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM part),
+      |gen AS (
+      |  SELECT c.ck, f.j,
+      |    ((c.ck * 2654435761 + f.j * 40503 + 12345) % 2147483647) % n.np
+      |      AS cand
+      |  FROM cust c CROSS JOIN (VALUES (0), (1), (2), (3)) f(j)
+      |  CROSS JOIN np n)
+      |SELECT g.ck AS c_custkey, CAST(g.j AS BIGINT) AS j,
+      |  CAST(g.cand AS BIGINT) AS neg_partkey
+      |FROM gen g
+      |WHERE NOT EXISTS (SELECT 1 FROM pp p WHERE p.ck = g.ck AND p.pk = g.cand)
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val pp = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+        col("o_orderkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey").as("pk")), "o_orderkey")
+      .select("ck", "pk").distinct()
+    val np = broadcast(Tables.part(s, d).agg(count(lit(1)).as("np")))
+    val gen = pp.select("ck").distinct()
+      .crossJoin(broadcast(
+        s.range(0, 4).select(col("id").cast("long").as("j"))))
+      .crossJoin(np)
+      .select(col("ck"), col("j"),
+        (((col("ck") * lit(2654435761L) + col("j") * lit(40503L)
+          + lit(12345L)) % lit(2147483647L)) % col("np")).as("cand"))
+    gen.join(pp.select(col("ck"), col("pk").as("cand")),
+        Seq("ck", "cand"), "left_anti")
+      .select(col("ck").as("c_custkey"), col("j"),
+        col("cand").as("neg_partkey"))
+      .orderBy("c_custkey", "j")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142, q161, q165, q177)
+      q138, q142, q161, q165, q177, q202)
 }

@@ -1378,9 +1378,52 @@ object Relational {
       .orderBy("col")
   }
 
+  /** q201: the distribution-analytic window trio — ntile(4),
+    * percent_rank, cume_dist per return flag over exact integer revenue
+    * units (tie-broken by (orderkey, linenumber) so every function is
+    * deterministic — percent_rank/cume_dist are rank ratios of BIGINTs
+    * and ntile a bounded integer, all engine-exact modulo the terminal
+    * 6-decimal round). Completes the analytic-function surface next to
+    * the ranking (q07), frame (q08/q123), and offset (q09) families.
+    * One month's slice; one (returnflag) window pass over it.
+    */
+  private val q201 = GraftQuery(
+    "q201_analytic_suite",
+    """WITH v AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1995-03-01'
+      |    AND l_shipdate < DATE '1995-04-01')
+      |SELECT l_orderkey, l_linenumber, l_returnflag, rev_u,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM v WINDOW w AS (PARTITION BY l_returnflag
+      |  ORDER BY rev_u, l_orderkey, l_linenumber)
+      |ORDER BY l_returnflag, rev_u, l_orderkey, l_linenumber""".stripMargin) {
+    (s, d) =>
+      val v = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1995-03-01").cast("timestamp")
+          && col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("rev_u", "l_orderkey", "l_linenumber")
+      v.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("rev_u"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("l_returnflag", "rev_u", "l_orderkey", "l_linenumber")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198)
+      q198, q201)
 }

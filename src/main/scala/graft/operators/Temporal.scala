@@ -1063,7 +1063,131 @@ object Temporal {
       .orderBy("pct")
   }
 
+  /** q203: point-in-time feature retrieval with a STALENESS BOUND — the
+    * feature-store read: every purchase gets the user's most recent
+    * signup feature as-of the event, but only if it is at most 7 days
+    * old; staler features surface as NULL (is_fresh = 0) instead of
+    * silently training on outdated state. This composes q16's as-of
+    * join (the point-in-time-correct retrieval that prevents feature
+    * leakage from the future) with the freshness SLA every production
+    * feature store enforces — and the bound must be applied AFTER the
+    * as-of match, not as a join predicate: pre-filtering the feature
+    * side would fall back to an older-still row, the opposite of the
+    * SLA's intent. Same single-shuffle union+window plan as q16; the
+    * staleness test is one integer-ms comparison per matched row.
+    */
+  private val q203 = GraftQuery(
+    "q203_pit_features",
+    """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS purchase_ms,
+      |  CASE WHEN s.ts IS NOT NULL
+      |      AND epoch_ns(p.ts) // 1000 - epoch_ns(s.ts) // 1000 <= 604800000000
+      |    THEN epoch_ms(s.ts) END AS feature_ms,
+      |  CASE WHEN s.ts IS NOT NULL
+      |      AND epoch_ns(p.ts) // 1000 - epoch_ns(s.ts) // 1000 <= 604800000000
+      |    THEN 1 ELSE 0 END AS is_fresh
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+    // staleness decided at µs — the engines' shared timestamp grain
+    // (q123/q126's precision discipline); a ms-floored compare could
+    // flip boundary rows
+    val fresh = col("signup_ts").isNotNull &&
+      (unix_micros(col("ts")) - unix_micros(col("signup_ts"))
+        <= lit(7L * 24 * 3600 * 1000 * 1000))
+    AsOfJoin.asOf(purchases, signups, "user_id", "ts", "signup_ts",
+        Seq("signup_ts"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ms"),
+        when(fresh, unix_millis(col("signup_ts"))).as("feature_ms"),
+        when(fresh, 1).otherwise(0).as("is_fresh"))
+      .orderBy("event_id")
+  }
+
+  /** q204: CUPED-adjusted experiment readout — variance-reduced A/B
+    * means (Deng et al. 2013): per user, the experiment-period metric x
+    * and pre-period covariate `pre` (integer cents each, one pass);
+    * θ = cov(pre, x)/var(pre) pooled across arms; each arm reports its
+    * raw mean and the adjusted mean x̄ − θ·(p̄re_arm − p̄re_global).
+    * The entire statistic chain is integer sufficient statistics
+    * (n, Σx, Σpre, Σpre·x, Σpre²) out of ONE user-grain aggregate —
+    * θ and the adjustment are a handful of double ops on a 1-row frame
+    * with the identical expression tree in both engines (q188's
+    * determinism argument), and the variant split is the deterministic
+    * `user_id % 2`. The exact per-arm Σx rides along so the gate pins
+    * integers, not just the rounded means.
+    */
+  private val q204 = GraftQuery(
+    "q204_cuped",
+    """WITH per_user AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x_c,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre_c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(pre_c) AS BIGINT) AS sp,
+      |    CAST(sum(x_c) AS BIGINT) AS sx,
+      |    CAST(sum(pre_c * x_c) AS BIGINT) AS spx,
+      |    CAST(sum(pre_c * pre_c) AS BIGINT) AS spp
+      |  FROM per_user),
+      |th AS (
+      |  SELECT
+      |    (CAST(n AS DOUBLE) * CAST(spx AS DOUBLE)
+      |        - CAST(sp AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+      |        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) AS theta,
+      |    CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pre
+      |  FROM g)
+      |SELECT CAST(u.variant AS BIGINT) AS variant,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(u.x_c) AS BIGINT) AS sum_x_c,
+      |  round(CAST(sum(u.x_c) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0,
+      |    6) AS mean_x,
+      |  round((CAST(sum(u.x_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    - t.theta * (CAST(sum(u.pre_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      - t.mean_pre)) / 100.0, 6) AS mean_x_cuped
+      |FROM per_user u CROSS JOIN th t
+      |GROUP BY u.variant, t.theta, t.mean_pre
+      |ORDER BY variant""".stripMargin) { (s, d) =>
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(
+        sum(when(col("ts") >= cutoff,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x_c"),
+        sum(when(col("ts") < cutoff,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("pre_c"))
+    val g = perUser.agg(count(lit(1)).as("n"), sum("pre_c").as("sp"),
+      sum("x_c").as("sx"), sum(col("pre_c") * col("x_c")).as("spx"),
+      sum(col("pre_c") * col("pre_c")).as("spp"))
+    val th = broadcast(g.select(
+      ((col("n").cast("double") * col("spx").cast("double")
+        - col("sp").cast("double") * col("sx").cast("double"))
+        / (col("n").cast("double") * col("spp").cast("double")
+          - col("sp").cast("double") * col("sp").cast("double"))).as("theta"),
+      (col("sp").cast("double") / col("n").cast("double")).as("mean_pre")))
+    perUser.crossJoin(th)
+      .groupBy(col("variant").cast("long").as("variant"), col("theta"),
+        col("mean_pre"))
+      .agg(count(lit(1)).as("n_users"), sum("x_c").as("sum_x_c"),
+        round(sum("x_c").cast("double") / count(lit(1)).cast("double")
+          / lit(100.0), 6).as("mean_x"),
+        round((sum("x_c").cast("double") / count(lit(1)).cast("double")
+          - first(col("theta"))
+            * (sum("pre_c").cast("double") / count(lit(1)).cast("double")
+              - first(col("mean_pre")))) / lit(100.0), 6).as("mean_x_cuped"))
+      .select("variant", "n_users", "sum_x_c", "mean_x", "mean_x_cuped")
+      .orderBy("variant")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
-      q172, q180, q181, q188, q191, q192, q193, q194, q197, q199)
+      q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204)
 }
