@@ -378,6 +378,68 @@ object EventStreams {
       }
   }
 
+  /** q192's interval union as watermark-finalized custom state — each
+    * event claims [ts, ts + value minutes-scaled) ms and a user's
+    * overlapping claims coalesce into maximal islands. Unlike
+    * [[funnelSteps]] (which must buffer the event history because its
+    * fold is order-sensitive), interval union is an associative,
+    * commutative MERGE — so the state is the merged island set itself:
+    * each arriving interval absorbs every island it overlaps-or-touches
+    * (min start, max end, summed count) in one pass. State per user is
+    * bounded by the user's ISLAND count, not their event count — the
+    * 100 TB distinction, since a hot user's thousand overlapping events
+    * collapse to one (start, end, n) triple. The incremental merge
+    * yields exactly the batch sweep's partition: both compute the
+    * connected components of the overlap-or-touch relation (the sweep
+    * discovers them in sorted order, the merge discovers them
+    * arrival-incrementally; components are order-free). Emission waits
+    * for the event-time timeout past the user's horizon — a future
+    * admissible event (ts ≥ watermark − delay) could still extend or
+    * BRIDGE islands whose end lies ahead of the watermark, so per-user
+    * finalization is the earliest sound emission; the flush sentinel
+    * closes every real user at replay end (q148's invariant).
+    */
+  def intervalIslands(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("s_ms"),
+        (unix_millis(col("ts"))
+          + round(col("value") * 60000).cast("long")).as("e_ms"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Long),
+          (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, Long)], Long)]) =>
+          if (state.hasTimedOut) {
+            val islands = state.get._1
+            state.remove()
+            islands.sortBy(i => (i._1, i._2)).iterator
+              .map(i => (uid, i._1, i._2, i._3))
+          } else {
+            val rs = rows.toSeq
+            var (isl, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, Long)], Long.MinValue))
+            for ((_, _, s, e) <- rs) {
+              val (over, rest) = isl.partition(i => s <= i._2 && i._1 <= e)
+              val merged = ((s, e, 1L) +: over).reduce((a, b) =>
+                (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
+              isl = merged +: rest
+            }
+            val maxT = math.max(max0,
+              rs.iterator.map(r => math.max(r._3, r._4)).max)
+            state.update((isl, maxT))
+            state.setTimeoutTimestamp(math.max(maxT + 10L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   private val DayUs = 86400000000L
 
   private val FunnelTypes = Set("signup", "view", "click", "purchase")

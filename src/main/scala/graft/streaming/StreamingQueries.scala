@@ -633,7 +633,42 @@ object StreamingQueries {
       .orderBy("window_start_ms", "rk")
   }
 
+  /** q205: streaming interval union ≡ batch q192 — the associative-merge
+    * counterpoint to the buffering folds (q148/q149/q173): state per
+    * user is the MERGED island set itself (bounded by islands, not
+    * events — see [[EventStreams.intervalIslands]]), finalized per user
+    * by event-time timeout and gated on q192's oracle verbatim:
+    * stream == batch == DuckDB.
+    */
+  private val q205 = GraftQuery(
+    "q205_stream_interval_union",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS s_ms,
+      |    epoch_ms(ts) + CAST(round(value * 60000) AS BIGINT) AS e_ms
+      |  FROM events),
+      |mx AS (
+      |  SELECT user_id, s_ms, e_ms,
+      |    max(e_ms) OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+      |    event_id
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, s_ms, e_ms,
+      |    sum(CASE WHEN prev_max IS NULL OR s_ms > prev_max THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s_ms, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM mx)
+      |SELECT user_id, CAST(min(s_ms) AS BIGINT) AS start_ms,
+      |  CAST(max(e_ms) AS BIGINT) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM isl GROUP BY user_id, island
+      |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+    runGated(s, d)(ev => EventStreams.intervalIslands(ev)
+        .toDF("user_id", "start_ms", "end_ms", "n_events"))
+      .orderBy("user_id", "start_ms")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149, q163, q173, q189)
+      q148, q149, q163, q173, q189, q205)
 }
