@@ -4089,29 +4089,43 @@ object Similarity {
        |JOIN sz sb ON sb.doc_id = o.doc_b
        |WHERE 10 * o >= $PrefixJacTenths * (sa.sz + sb.sz - o)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val st = shingleHashes(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("hv"))).as("h"))
-    val sz = st.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // the (doc_id, token-set) table — exploded from the dedup family's
+    // shared hv artifact and materialized once: it feeds the df count,
+    // the prefix derivation, and (as arrays) the verification, and
+    // without the fence the text pipeline re-runs per plan reference
+    // (the q39 CollapseProject lesson; measured 21 s → ~4 s at sf0.1)
+    val sets = graft.Artifacts.checkpointedDf(s, s"prefix_sets:$d") {
+      shingleHashTable(s, d)
+        .select(col("doc_id"), array_sort(array_distinct(col("hv"))).as("hs"))
+    }
+    val st = sets.select(col("doc_id"), explode(col("hs")).as("h"),
+      size(col("hs")).cast("long").as("sz"))
     val dfreq = st.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "h")
     val prefLen = col("sz")
       - expr(s"($PrefixJacTenths * sz + 9) div 10") + lit(1L)
-    val pref = st.join(dfreq, "h").join(sz, "doc_id")
+    // the prefix table feeds BOTH sides of the candidate self-join —
+    // checkpoint it or the ranking window runs twice
+    val pref = st.join(dfreq, "h")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= prefLen)
-      .select("doc_id", "h")
+      .select("doc_id", "h").localCheckpoint(eager = true)
     val cand = pref.select(col("doc_id").as("doc_a"), col("h"))
       .join(pref.select(col("doc_id").as("doc_b"), col("h")),
         Seq("h"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // exact verification at PAIR grain: the candidate row meets both
+    // sorted token arrays once and the overlap is one array_intersect —
+    // never a per-token join explosion (candidates × avg-set-size rows)
     val o = cand
-      .join(st.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(st.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("o"))
-    o.join(sz.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), "doc_b")
-      .where(lit(10) * col("o")
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("o"),
+        size(col("ha")).cast("long").as("size_a"),
+        size(col("hb")).cast("long").as("size_b"))
+    o.where(lit(10) * col("o")
         >= lit(PrefixJacTenths) * (col("size_a") + col("size_b") - col("o")))
       .select(col("doc_a"), col("doc_b"), col("o"), col("size_a"),
         col("size_b"),
