@@ -422,13 +422,10 @@ object EventStreams {
               .map(i => (uid, i._1, i._2, i._3))
           } else {
             val rs = rows.toSeq
-            var (isl, max0) = state.getOption.getOrElse(
+            val (isl0, max0) = state.getOption.getOrElse(
               (Seq.empty[(Long, Long, Long)], Long.MinValue))
-            for ((_, _, s, e) <- rs) {
-              val (over, rest) = isl.partition(i => s <= i._2 && i._1 <= e)
-              val merged = ((s, e, 1L) +: over).reduce((a, b) =>
-                (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
-              isl = merged +: rest
+            val isl = rs.foldLeft(isl0) { case (acc, (_, _, s, e)) =>
+              mergeInterval(acc, s, e)
             }
             val maxT = math.max(max0,
               rs.iterator.map(r => math.max(r._3, r._4)).max)
@@ -438,6 +435,21 @@ object EventStreams {
             Iterator.empty
           }
       }
+  }
+
+  /** One incremental island-merge step: the arriving interval [s, e]
+    * absorbs every island it overlaps-or-touches (min start, max end,
+    * summed event count). Pure and order-free — folding any permutation
+    * of the same intervals yields the same island set (ScaleSpec pins
+    * this against the batch sweep), which is what makes it sound as
+    * streaming state under event-time disorder.
+    */
+  private[streaming] def mergeInterval(islands: Seq[(Long, Long, Long)],
+      s: Long, e: Long): Seq[(Long, Long, Long)] = {
+    val (over, rest) = islands.partition(i => s <= i._2 && i._1 <= e)
+    val merged = ((s, e, 1L) +: over).reduce((a, b) =>
+      (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3))
+    merged +: rest
   }
 
   private val DayUs = 86400000000L

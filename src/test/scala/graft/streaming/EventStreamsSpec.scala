@@ -173,4 +173,37 @@ class EventStreamsSpec extends SparkSuite {
     val batchKeys = graft.SparkEntry.queries("q21_keyed_dedup")(spark, dir).count()
     assert(keys == batchKeys) // same key universe as the batch dedup
   }
+
+  test("interval island merge is arrival-order-free and equals the batch sweep") {
+    // fixed interval multiset with overlaps, touches, containment, dups
+    val iv = Seq((0L, 5L), (7L, 9L), (4L, 8L), (20L, 25L), (25L, 30L),
+      (1L, 2L), (40L, 41L), (40L, 41L), (26L, 27L))
+    def fold(order: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      order.foldLeft(Seq.empty[(Long, Long, Long)]) {
+        case (acc, (s, e)) => EventStreams.mergeInterval(acc, s, e)
+      }.toSet
+    // reference: the batch sweep (sort by start, running max end)
+    def sweep(xs: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+      val sorted = xs.sorted
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      for ((s, e) <- sorted) {
+        if (out.nonEmpty && s <= out.last._2) {
+          val (ps, pe, pn) = out.remove(out.size - 1)
+          out += ((ps, math.max(pe, e), pn + 1))
+        } else out += ((s, e, 1L))
+      }
+      out.toSet
+    }
+    val expect = sweep(iv)
+    // bridged (0-5, 7-9 via 4-8, containing 1-2), touching (25), exact dup
+    assert(expect == Set((0L, 9L, 4L), (20L, 30L, 3L), (40L, 41L, 2L)),
+      s"sweep islands wrong: $expect")
+    // every permutation of arrivals folds to the sweep's islands
+    val rnd = new scala.util.Random(7)
+    for (k <- 1 to 50) {
+      val shuffled = rnd.shuffle(iv)
+      assert(fold(shuffled) == expect,
+        s"arrival order $shuffled diverged: ${fold(shuffled)} != $expect")
+    }
+  }
 }
