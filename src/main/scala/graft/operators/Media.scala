@@ -81,16 +81,9 @@ object Media {
     */
   private val Frames = 4
   private val Win = 8
-  private val q200 = GraftQuery(
-    "q200_frame_sample",
-    s"""SELECT doc_id AS media_id, CAST(j AS BIGINT) AS frame_idx,
-       |  CAST(1 + ((length(text) - $Win) * j) // $Frames AS BIGINT) AS byte_offset,
-       |  md5(substring(text,
-       |    CAST(1 + ((length(text) - $Win) * j) // $Frames AS INTEGER), $Win))
-       |    AS frame_md5
-       |FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) f(j)
-       |WHERE length(text) >= $Win
-       |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+
+  /** q200/q206's shared frame table: one row per sampled frame. */
+  private def frameSample(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .where(length(col("text")) >= Win)
       .select(col("doc_id").as("media_id"),
@@ -101,8 +94,51 @@ object Media {
         expr(s"md5(CAST(substring(text, " +
           s"CAST(1 + ((length(text) - $Win) * j) div $Frames AS INT), $Win) " +
           "AS BINARY))").as("frame_md5"))
-      .orderBy("media_id", "frame_idx")
+
+  /** Oracle twin of [[frameSample]] (the fr CTE body). */
+  private val frameOracle: String =
+    s"""SELECT doc_id AS media_id, CAST(j AS BIGINT) AS frame_idx,
+       |  CAST(1 + ((length(text) - $Win) * j) // $Frames AS BIGINT) AS byte_offset,
+       |  md5(substring(text,
+       |    CAST(1 + ((length(text) - $Win) * j) // $Frames AS INTEGER), $Win))
+       |    AS frame_md5
+       |FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) f(j)
+       |WHERE length(text) >= $Win""".stripMargin
+
+  private val q200 = GraftQuery(
+    "q200_frame_sample",
+    s"""$frameOracle
+       |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    frameSample(s, d).orderBy("media_id", "frame_idx")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q38, q53, q200)
+  /** q206: frame-level duplicate census — which sampled frame digests
+    * recur, how often, and across how many distinct assets. This is
+    * dedup pushed below the document boundary: near-identical documents
+    * (q31/q52's grain) share WHOLE payloads, while intros, watermarks,
+    * and template segments recur as identical FRAMES inside otherwise
+    * distinct assets — the thing a video/image corpus dedups on. One
+    * digest-grain aggregate over the q200 frame table (count +
+    * count(distinct asset) in a single partial+final pass); emitted only
+    * for digests seen more than once, the actionable slice. At 100 TB
+    * the frame table is Frames× the asset count regardless of payload
+    * bytes, and the census shuffles 16-byte digests, never content.
+    */
+  private val q206 = GraftQuery(
+    "q206_frame_dedup",
+    s"""WITH fr AS (
+       |$frameOracle)
+       |SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(count(DISTINCT media_id) AS BIGINT) AS n_assets
+       |FROM fr GROUP BY 1 HAVING count(*) > 1
+       |ORDER BY n_frames DESC, frame_md5""".stripMargin) { (s, d) =>
+    frameSample(s, d)
+      .groupBy("frame_md5")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("media_id")).as("n_assets"))
+      .where(col("n_frames") > 1)
+      .orderBy(col("n_frames").desc, col("frame_md5"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q38, q53, q200, q206)
 }

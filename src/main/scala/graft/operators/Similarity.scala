@@ -4135,9 +4135,74 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q207: retrieval quality as MRR@10 / HitRate@10 — for each query
+    * vector in the bounded batch, the exact-cosine top-10 is scanned
+    * for the first SAME-LABEL neighbor (the fixture's relevance proxy),
+    * and the mean reciprocal rank summarizes the ranking's quality.
+    * The trap in averaging reciprocals is float-summation order (no two
+    * shuffle orders agree in the last bits), dodged by EXACT ARITHMETIC:
+    * ranks are 1..10, so each contribution is the integer 2520/rank
+    * (2520 = lcm(1..10)) and the sum is a BIGINT — the single division
+    * by 2520·n happens once on the 1-row result. Same one-brute-force-
+    * pass cost as the recall audits (q79/q83); at scale the top-10
+    * comes from whatever serving tier is being evaluated — the metric
+    * definition is tier-independent.
+    */
+  private val q207 = GraftQuery(
+    "q207_retrieval_mrr",
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE vec_id < $QueryBatch),
+       |sim AS (
+       |  SELECT a.vec_id, a.label AS ql, b.vec_id AS neighbor_id,
+       |    b.label AS nl, ${cosSql("a", "b")} AS cos
+       |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |top AS (
+       |  SELECT vec_id, ql, nl, rank FROM (
+       |    SELECT vec_id, ql, nl,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM sim) t WHERE rank <= 10),
+       |firsts AS (
+       |  SELECT q.vec_id, min(CASE WHEN t.nl = t.ql THEN t.rank END) AS fr
+       |  FROM q LEFT JOIN top t ON t.vec_id = q.vec_id
+       |  GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(count(fr) AS BIGINT) AS n_hit,
+       |  CAST(sum(coalesce(2520 // fr, 0)) AS BIGINT) AS mrr_x2520,
+       |  round(CAST(sum(coalesce(2520 // fr, 0)) AS DOUBLE)
+       |    / (2520.0 * count(*)), 6) AS mrr
+       |FROM firsts""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val q = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding").as("emb_a"),
+        col("label").as("ql")))
+    val b = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"), col("label").as("nl"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc,
+      col("neighbor_id"))
+    val top = q.join(b, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+    val firsts = q.select(col("vec_id"))
+      .join(top.select(col("vec_id"), col("ql"), col("nl"), col("rank")),
+        Seq("vec_id"), "left")
+      .groupBy("vec_id")
+      .agg(min(when(col("nl") === col("ql"), col("rank"))).as("fr"))
+    firsts.agg(count(lit(1)).as("n_queries"),
+        count(col("fr")).as("n_hit"),
+        sum(coalesce(expr("2520 div fr"), lit(0L))).as("mrr_x2520"))
+      .select(col("n_queries"), col("n_hit"), col("mrr_x2520"),
+        round(col("mrr_x2520").cast("double")
+          / (lit(2520.0) * col("n_queries")), 6).as("mrr"))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
-      q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196)
+      q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
+      q207)
 }

@@ -35,7 +35,8 @@ class PlanHygieneSpec extends SparkSuite {
     "q160_bigram_lm_score", "q162_bm25_upsert_serve", "q164_dupgraph_pagerank",
     "q169_hll_merged", "q180_rolling_wau", "q188_daily_autocorr",
     "q190_nprobe_curve", "q199_histogram_quantiles", "q202_negative_sampling",
-    "q204_cuped")
+    "q204_cuped",
+    "q207_retrieval_mrr") // bounded query batch vs corpus, q44's shape
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
