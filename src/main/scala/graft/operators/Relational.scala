@@ -1421,9 +1421,83 @@ object Relational {
         .orderBy("l_returnflag", "rev_u", "l_orderkey", "l_linenumber")
   }
 
+  /** q210: market-basket co-occurrence — part pairs bought in the same
+    * order, scored by LIFT (observed co-rate over the independence
+    * expectation), minimum support 3, top 50. The recommender-adjacent
+    * "customers also bought" primitive. Scale shape: the pair expansion
+    * is WITHIN-ORDER only (an order with k parts yields C(k,2) pairs —
+    * bounded by basket size, never corpus²), per-item counts are one
+    * broadcast-size aggregate, the denominator a 1-row broadcast, and
+    * the support HAVING prunes the pair table before any join touches
+    * it. Lift is a float of three BIGINTs, identical in both engines;
+    * the top-50 cut is tie-broken on (pa, pb) so LIMIT membership is
+    * deterministic.
+    */
+  private val q210 = GraftQuery(
+    "q210_market_basket",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
+      |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM op),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS cab
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT p.pa, p.pb, p.cab, ca.c AS ca, cb.c AS cb,
+      |  round(CAST(p.cab AS DOUBLE) * CAST(n.n AS DOUBLE)
+      |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+      |FROM pairs p JOIN pc ca ON ca.pk = p.pa JOIN pc cb ON cb.pk = p.pb
+      |CROSS JOIN no n
+      |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pc = op.groupBy("pk").agg(count(lit(1)).as("c"))
+    val no = broadcast(op.agg(countDistinct(col("ok")).as("n")))
+    val pairs = op.select(col("ok"), col("pk").as("pa"))
+      .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= 3)
+    pairs
+      .join(broadcast(pc.select(col("pk").as("pa"), col("c").as("ca"))), "pa")
+      .join(broadcast(pc.select(col("pk").as("pb"), col("c").as("cb"))), "pb")
+      .crossJoin(no)
+      .select(col("pa"), col("pb"), col("cab"), col("ca"), col("cb"),
+        round(col("cab").cast("double") * col("n").cast("double")
+          / (col("ca").cast("double") * col("cb").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(50)
+  }
+
+  /** q211: k-anonymity audit — quasi-identifier groups (nation ×
+    * market segment) whose population falls below k = 10, i.e. the
+    * combinations that would re-identify customers if the table were
+    * released keyed on those attributes. The privacy front-door check
+    * before any data share: one grouped count + a HAVING on the tiny
+    * group table (the corpus pass is the single aggregate; the nation
+    * dim rides a broadcast). Flagged groups are the rows a suppression
+    * or generalization pass would then rewrite.
+    */
+  private val q211 = GraftQuery(
+    "q211_k_anonymity",
+    """SELECT n2.n_name AS nation, c.c_mktsegment AS segment,
+      |  CAST(count(*) AS BIGINT) AS group_size
+      |FROM customer c JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      |GROUP BY 1, 2 HAVING count(*) < 10
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("group_size"))
+      .where(col("group_size") < 10)
+      .orderBy("nation", "segment")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198, q201)
+      q198, q201, q210, q211)
 }

@@ -892,6 +892,28 @@ object Temporal {
       |  max(CASE WHEN 10*r >= 9*n AND 10*(r-1) < 9*n THEN vc END) AS p90_c,
       |  max(CASE WHEN 100*r >= 99*n AND 100*(r-1) < 99*n THEN vc END) AS p99_c
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    bandedTypeRanks(s, d)
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(when(lit(2) * col("r") >= col("n")
+          && lit(2) * (col("r") - 1) < col("n"), col("vc"))).as("p50_c"),
+        max(when(lit(10) * col("r") >= lit(9) * col("n")
+          && lit(10) * (col("r") - 1) < lit(9) * col("n"), col("vc")))
+          .as("p90_c"),
+        max(when(lit(100) * col("r") >= lit(99) * col("n")
+          && lit(100) * (col("r") - 1) < lit(99) * col("n"), col("vc")))
+          .as("p99_c"))
+      .orderBy("event_type")
+  }
+
+  /** q193/q209's shared banded global ranks per event type: (event_type,
+    * vc, r, n) with r the type-global value rank built from band-local
+    * windows + broadcast band offsets — never a per-type window over the
+    * corpus (q117's discipline in the group dimension; see q193's
+    * scaladoc for the scale argument).
+    */
+  private def bandedTypeRanks(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val v = Tables.events(s, d).select(col("event_type"),
       round(col("value") * 100).cast("long").as("vc"), col("event_id"))
       .withColumn("band", expr("vc div 2000"))
@@ -906,17 +928,7 @@ object Temporal {
     val wB = Window.partitionBy("event_type", "band").orderBy("vc", "event_id")
     v.join(broadcast(offs), Seq("event_type", "band"))
       .withColumn("r", col("off") + row_number().over(wB))
-      .groupBy("event_type")
-      .agg(max(col("n")).as("n"),
-        max(when(lit(2) * col("r") >= col("n")
-          && lit(2) * (col("r") - 1) < col("n"), col("vc"))).as("p50_c"),
-        max(when(lit(10) * col("r") >= lit(9) * col("n")
-          && lit(10) * (col("r") - 1) < lit(9) * col("n"), col("vc")))
-          .as("p90_c"),
-        max(when(lit(100) * col("r") >= lit(99) * col("n")
-          && lit(100) * (col("r") - 1) < lit(99) * col("n"), col("vc")))
-          .as("p99_c"))
-      .orderBy("event_type")
+      .select("event_type", "vc", "r", "n")
   }
 
   /** q194: EWMA smoothing of the daily event-count series — a 7-tap
@@ -1187,7 +1199,116 @@ object Temporal {
       .orderBy("variant")
   }
 
+  /** q208: per-type OLS trend of daily volume — slope and intercept of
+    * the least-squares line through (day index, daily count), the
+    * number a capacity forecast or drift monitor actually consumes
+    * (q167 flags anomalies against a local window; this fits the global
+    * trend). Same determinism contract as q188/q204: ONE corpus
+    * aggregate to (type, day) grain, integer sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) over the tiny day table, and the closed-form
+    * slope/intercept evaluated once per type with an identical float
+    * expression tree in both engines. Day indices are offsets from the
+    * observed min day (broadcast 1-row bound), so x stays a small exact
+    * integer regardless of epoch.
+    */
+  private val q208 = GraftQuery(
+    "q208_volume_trend",
+    """WITH dc AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |mn AS (SELECT min(day) AS d0 FROM dc),
+      |xy AS (
+      |  SELECT event_type, CAST(day - d0 AS BIGINT) AS x, cnt AS y
+      |  FROM dc CROSS JOIN mn),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT event_type, n,
+      |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) AS slope_per_day,
+      |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE), 6) AS intercept
+      |FROM st ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mn = broadcast(dc.agg(min(col("day")).as("d0")))
+    val st = dc.crossJoin(mn)
+      .select(col("event_type"), datediff(col("day"), col("d0"))
+        .cast("long").as("x"), col("cnt").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val slope = (nD * col("sxy").cast("double") - sxD * syD) /
+      (nD * col("sxx").cast("double") - sxD * sxD)
+    st.select(col("event_type"), col("n"),
+        round(slope, 6).as("slope_per_day"),
+        round((syD - slope * sxD) / nD, 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  /** q209: winsorized mean per event type — the robust center a metrics
+    * pipeline reports when tails are noisy: values clamped into the
+    * exact [p05, p95] band before averaging, so one pathological event
+    * can't move the number, while (unlike trimming) every observation
+    * still votes. The cut points come from [[bandedTypeRanks]] — the
+    * SAME banded global-rank artifact q193 serves percentiles from, so
+    * the robust mean costs one extra broadcast join + clamp over the
+    * corpus, not a second rank pass. Clamped sum is BIGINT-exact; the
+    * single division happens per type-row at the end.
+    */
+  private val q209 = GraftQuery(
+    "q209_winsorized_mean",
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc, event_id
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type, vc,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v),
+      |cuts AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN 20*r >= n AND 20*(r-1) < n THEN vc END) AS p05,
+      |    max(CASE WHEN 20*r >= 19*n AND 20*(r-1) < 19*n THEN vc END) AS p95
+      |  FROM rk GROUP BY 1)
+      |SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(least(greatest(v.vc, c.p05), c.p95)) AS BIGINT) AS wsum_c,
+      |  round(CAST(sum(least(greatest(v.vc, c.p05), c.p95)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) / 100.0, 6) AS winsorized_mean
+      |FROM v JOIN cuts c ON c.event_type = v.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val cuts = bandedTypeRanks(s, d)
+      .groupBy("event_type")
+      .agg(
+        max(when(lit(20) * col("r") >= col("n")
+          && lit(20) * (col("r") - 1) < col("n"), col("vc"))).as("p05"),
+        max(when(lit(20) * col("r") >= lit(19) * col("n")
+          && lit(20) * (col("r") - 1) < lit(19) * col("n"), col("vc")))
+          .as("p95"))
+    val v = Tables.events(s, d).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val clamped = least(greatest(col("vc"), col("p05")), col("p95"))
+    v.join(broadcast(cuts), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(clamped).as("wsum_c"),
+        round(sum(clamped).cast("double") / count(lit(1)).cast("double")
+          / lit(100.0), 6).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
-      q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204)
+      q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
+      q208, q209)
 }

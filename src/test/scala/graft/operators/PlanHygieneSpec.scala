@@ -36,7 +36,9 @@ class PlanHygieneSpec extends SparkSuite {
     "q169_hll_merged", "q180_rolling_wau", "q188_daily_autocorr",
     "q190_nprobe_curve", "q199_histogram_quantiles", "q202_negative_sampling",
     "q204_cuped",
-    "q207_retrieval_mrr") // bounded query batch vs corpus, q44's shape
+    "q207_retrieval_mrr", // bounded query batch vs corpus, q44's shape
+    "q208_volume_trend",  // 1-row min-day bound broadcast
+    "q210_market_basket") // 1-row basket-count denominator broadcast
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
