@@ -1435,7 +1435,75 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** q214: per-source distribution drift as a chi-square statistic —
+    * each source's document-length histogram (200-char bins) tested
+    * against the corpus-wide distribution, the drift monitor a
+    * multi-feed ingest runs to catch a feed whose content silently
+    * changed shape. Chosen over PSI/KL because chi-square is RATIONAL
+    * in the counts: each cell term is (o·t − g·n)²/(g·n·t) with an
+    * exact BIGINT numerator and denominator, so the only float per
+    * cell is one division of identical integers. The per-source sum is
+    * an ORDER-PINNED fold over the bin-sorted cell list (q164's
+    * determinism trick — a grouped float sum would vary with shuffle
+    * order), and the full source×bin grid (including zero-observed
+    * cells, which DO contribute) comes from a broadcast cross of the
+    * two metadata-sized dimension tables. The corpus pass is the one
+    * (source, bin) count.
+    */
+  private val q214 = GraftQuery(
+    "q214_source_drift_chi2",
+    """WITH b AS (SELECT source, n_chars // 200 AS bin FROM documents),
+      |gc AS (SELECT bin, CAST(count(*) AS BIGINT) AS g FROM b GROUP BY 1),
+      |sc AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS o
+      |  FROM b GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM b),
+      |cells AS (
+      |  SELECT s.source, g.bin,
+      |    coalesce(o.o, 0) * t.t - g.g * s.n AS num_root,
+      |    g.g * s.n * t.t AS den
+      |  FROM ns s CROSS JOIN gc g CROSS JOIN nt t
+      |  LEFT JOIN sc o ON o.source = s.source AND o.bin = g.bin),
+      |folded AS (
+      |  SELECT source,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(num_root * num_root AS DOUBLE) / CAST(den AS DOUBLE)
+      |        ORDER BY bin)),
+      |      (a, x) -> a + x) AS chi2,
+      |    CAST(count(*) AS BIGINT) AS n_bins
+      |  FROM cells GROUP BY 1)
+      |SELECT f.source AS source, s.n AS n_docs, f.n_bins - 1 AS dof,
+      |  round(f.chi2, 6) AS chi2
+      |FROM folded f JOIN ns s ON s.source = f.source
+      |ORDER BY f.source""".stripMargin) { (s, d) =>
+    val b = Tables.documents(s, d)
+      .select(col("source"), expr("n_chars div 200").as("bin"))
+    val gc = b.groupBy("bin").agg(count(lit(1)).as("g"))
+    val sc = b.groupBy("source", "bin").agg(count(lit(1)).as("o"))
+    val ns = b.groupBy("source").agg(count(lit(1)).as("n"))
+    val nt = broadcast(b.agg(count(lit(1)).as("t")))
+    val cells = ns.crossJoin(broadcast(gc)).crossJoin(nt)
+      .join(sc, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"),
+        (coalesce(col("o"), lit(0L)) * col("t") - col("g") * col("n"))
+          .as("num_root"),
+        (col("g") * col("n") * col("t")).as("den"))
+    val folded = cells
+      .groupBy("source")
+      .agg(sort_array(collect_list(struct(col("bin"),
+        ((col("num_root") * col("num_root")).cast("double")
+          / col("den").cast("double")).as("term")))).as("cs"),
+        count(lit(1)).as("n_bins"))
+      .select(col("source"),
+        expr("aggregate(cs, 0D, (a, x) -> a + x.term)").as("chi2"),
+        col("n_bins"))
+    folded.join(ns, "source")
+      .select(col("source"), col("n").as("n_docs"),
+        (col("n_bins") - 1).as("dof"), round(col("chi2"), 6).as("chi2"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
-      q139, q140, q141, q143, q144, q150, q162, q169, q171)
+      q139, q140, q141, q143, q144, q150, q162, q169, q171, q214)
 }

@@ -4199,10 +4199,34 @@ object Similarity {
           / (lit(2520.0) * col("n_queries")), 6).as("mrr"))
   }
 
+  /** q215: duplicate-cluster size distribution — how much of the corpus
+    * sits in singletons vs pairs vs boilerplate families, the one-table
+    * summary a dedup report leads with (expected token savings = Σ
+    * (size−1)·docs-per-cluster, read straight off this histogram).
+    * Rides q52's cluster assignment artifact; two metadata-light
+    * aggregates on top (cluster grain, then size grain — the second
+    * input is one row per cluster).
+    */
+  private val q215 = GraftQuery(
+    "q215_cluster_sizes",
+    s"""$clusterOracleChain,
+       |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+       |  FROM clus GROUP BY 1)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(size * count(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY size ORDER BY size""".stripMargin) { (s, d) =>
+    clusterAssignments(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+      .orderBy("size")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207)
+      q207, q215)
 }

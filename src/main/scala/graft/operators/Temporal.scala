@@ -1307,8 +1307,87 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** q212: time-weighted average (TWAP) per user — each event's value
+    * "holds" from its timestamp until the user's next event, and the
+    * average weights by holding duration, not by observation count (the
+    * metric finance quotes prices with and ops dashboards use for gauge
+    * series — a value that held for an hour counts 3600× one that held
+    * a second). One lead() pass on the shared per-user (ts, event_id)
+    * sort; weighted sum and total duration are exact BIGINT µs products
+    * AT USER GRAIN (per-user Σ value·Δt stays orders of magnitude under
+    * 2⁶³ for any realistic per-user history — the per-key aggregate is
+    * what makes the integer path safe, a corpus-global sum would not
+    * be); one division per user-row at the end.
+    */
+  private val q212 = GraftQuery(
+    "q212_user_twap",
+    """WITH seg AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS vc,
+      |    epoch_ns(ts)//1000 AS t_us,
+      |    lead(epoch_ns(ts)//1000)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id,
+      |    CAST(sum(vc * (nxt_us - t_us)) AS BIGINT) AS wsum,
+      |    CAST(sum(nxt_us - t_us) AS BIGINT) AS dur_us,
+      |    CAST(count(*) AS BIGINT) AS n_seg
+      |  FROM seg WHERE nxt_us IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_seg, dur_us,
+      |  round(CAST(wsum AS DOUBLE) / CAST(dur_us AS DOUBLE) / 100.0, 6)
+      |    AS twap
+      |FROM st ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("vc"),
+        unix_micros(col("ts")).as("t_us"), col("ts"), col("event_id"))
+      .withColumn("nxt_us", lead(col("t_us"), 1).over(w))
+      .where(col("nxt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("vc") * (col("nxt_us") - col("t_us"))).as("wsum"),
+        sum(col("nxt_us") - col("t_us")).as("dur_us"),
+        count(lit(1)).as("n_seg"))
+      .select(col("user_id"), col("n_seg"), col("dur_us"),
+        round(col("wsum").cast("double") / col("dur_us").cast("double")
+          / lit(100.0), 6).as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** q213: inactivity churn flags — per user, hours since their last
+    * event relative to the corpus horizon, flagged churned at ≥ 24 h.
+    * The hour-grain µs arithmetic (not day-floor) decides boundaries
+    * identically in both engines and keeps the signal meaningful on any
+    * observation window. One user-grain aggregate + a 1-row horizon
+    * broadcast — the churn model's label generator, feeding the same
+    * per-user grain q127's cohorts and q181's latencies key on.
+    */
+  private val q213 = GraftQuery(
+    "q213_churn_flags",
+    """WITH mx AS (SELECT max(epoch_ns(ts)//1000) AS h_us FROM events),
+      |ls AS (
+      |  SELECT user_id, max(epoch_ns(ts)//1000) AS last_us,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT l.user_id, l.n_events,
+      |  CAST((m.h_us - l.last_us) // 3600000000 AS BIGINT) AS hours_inactive,
+      |  CASE WHEN m.h_us - l.last_us >= 86400000000 THEN 1 ELSE 0 END
+      |    AS churned
+      |FROM ls l CROSS JOIN mx m ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val mx = broadcast(ev.agg(max(col("t_us")).as("h_us")))
+    ev.groupBy("user_id")
+      .agg(max(col("t_us")).as("last_us"), count(lit(1)).as("n_events"))
+      .crossJoin(mx)
+      .select(col("user_id"), col("n_events"),
+        expr("(h_us - last_us) div 3600000000").as("hours_inactive"),
+        when(col("h_us") - col("last_us") >= 86400000000L, 1).otherwise(0)
+          .as("churned"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
-      q208, q209)
+      q208, q209, q212, q213)
 }

@@ -38,7 +38,9 @@ class PlanHygieneSpec extends SparkSuite {
     "q204_cuped",
     "q207_retrieval_mrr", // bounded query batch vs corpus, q44's shape
     "q208_volume_trend",  // 1-row min-day bound broadcast
-    "q210_market_basket") // 1-row basket-count denominator broadcast
+    "q210_market_basket", // 1-row basket-count denominator broadcast
+    "q213_churn_flags",   // 1-row corpus-horizon broadcast
+    "q214_source_drift_chi2") // bin-table × 1-row-total broadcast grid
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
