@@ -1503,7 +1503,54 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** q216: exact PHRASE search over positional postings — documents
+    * containing the consecutive token sequence "row column sort", with
+    * match count and first position. This is the lexical capability the
+    * BM25 tier (bag-of-words postings, q90/q122) cannot express:
+    * phrases need POSITIONS, and the standard positional-index query is
+    * two self-equi-joins on (doc, pos+offset) over the postings of the
+    * query's terms only. Scale shape: the term filter lands BEFORE the
+    * joins (three term-selected posting slices, each df-sized — the
+    * corpus-length postings table is never self-joined wholesale), the
+    * joins are equi on (doc_id, pos), and in the written-index
+    * composition the same slices come off q122's term-range layout with
+    * the `In` probe pushed to the files. Tokenization is q90's
+    * whitespace contract, positions 1-based in both engines.
+    */
+  private val q216 = GraftQuery(
+    "q216_phrase_search",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+      |  FROM documents),
+      |flat AS (
+      |  SELECT doc_id, s.p AS p, s.t AS t FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+      |      i -> {'p': i, 't': ts[i]})) AS s
+      |    FROM toks) z),
+      |m AS (
+      |  SELECT a.doc_id, a.p
+      |  FROM flat a
+      |  JOIN flat b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      |  JOIN flat c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+      |  WHERE a.t = 'row' AND b.t = 'column' AND c.t = 'sort')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+      |  CAST(min(p) AS BIGINT) AS first_pos
+      |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val flat = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("t"))
+    def slice(term: String, off: Int) = flat.where(col("t") === term)
+      .select(col("doc_id"), (col("p") - off).as("p"))
+    slice("row", 0)
+      .join(slice("column", 1), Seq("doc_id", "p"))
+      .join(slice("sort", 2), Seq("doc_id", "p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
-      q139, q140, q141, q143, q144, q150, q162, q169, q171, q214)
+      q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216)
 }

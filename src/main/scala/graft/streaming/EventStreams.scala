@@ -437,6 +437,60 @@ object EventStreams {
       }
   }
 
+  /** q191's SCD2 build as watermark-finalized custom state — per-user
+    * attribute change intervals from an out-of-order event stream. The
+    * fold is ORDER-SENSITIVE (a change row exists only relative to the
+    * previous value in (ts, event_id) order, and late data can insert
+    * BETWEEN two buffered events, splitting or erasing a change), so
+    * unlike [[intervalIslands]] the state must buffer the (t_us,
+    * event_id, k) history — q148's payload bound — and the dimension
+    * rows are only emittable once the watermark proves the user's
+    * history complete. At event-time timeout the group sorts once and
+    * runs the IDENTICAL change-detect + interval-close logic as the
+    * batch lag/lead passes, then evicts.
+    */
+  def scd2Intervals(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Option[Long])] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("k"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Long),
+          (Long, Long, Long, Option[Long])](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, Long)], Long)]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get._1.sortBy(r => (r._1, r._2))
+            state.remove()
+            // change rows: first, or k differs from the previous event
+            val changes = hist.iterator.zipWithIndex.collect {
+              case ((t, _, k), i) if i == 0 || hist(i - 1)._3 != k => (t, k)
+            }.toSeq
+            changes.iterator.zipWithIndex.map { case ((t, k), i) =>
+              val to = if (i + 1 < changes.size)
+                Some(changes(i + 1)._1 / 1000L) else None
+              (uid, k, t / 1000L, to)
+            }
+          } else {
+            val rs = rows.toSeq
+            val (buf0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, Long)], Long.MinValue))
+            val buf = buf0 ++ rs.map(r => (r._3, r._4, r._5))
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            state.update((buf, maxT))
+            state.setTimeoutTimestamp(math.max(maxT / 1000L + 10L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One incremental island-merge step: the arriving interval [s, e]
     * absorbs every island it overlaps-or-touches (min start, max end,
     * summed event count). Pure and order-free — folding any permutation

@@ -668,7 +668,36 @@ object StreamingQueries {
       .orderBy("user_id", "start_ms")
   }
 
+  /** q217: streaming SCD2 build ≡ batch q191 — the order-sensitive
+    * counterpart to q205's associative merge: per-user attribute change
+    * intervals require the full (ts, event_id)-ordered history, so the
+    * state buffers events (q148's bound) and the dimension rows emit
+    * only at watermark finality. Gated on q191's oracle verbatim:
+    * stream == batch == DuckDB.
+    */
+  private val q217 = GraftQuery(
+    "q217_stream_scd2",
+    """WITH kv AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, k,
+      |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+      |  FROM kv),
+      |scd AS (
+      |  SELECT user_id, k, epoch_ms(ts) AS valid_from_ms,
+      |    lead(epoch_ms(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ms
+      |  FROM ch WHERE pk IS NULL OR k <> pk)
+      |SELECT user_id, k, valid_from_ms, valid_to_ms
+      |FROM scd ORDER BY user_id, valid_from_ms""".stripMargin) { (s, d) =>
+    runGated(s, d)(ev => EventStreams.scd2Intervals(ev)
+        .toDF("user_id", "k", "valid_from_ms", "valid_to_ms"))
+      .orderBy("user_id", "valid_from_ms")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149, q163, q173, q189, q205)
+      q148, q149, q163, q173, q189, q205, q217)
 }
