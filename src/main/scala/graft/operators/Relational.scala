@@ -1495,9 +1495,93 @@ object Relational {
       .orderBy("nation", "segment")
   }
 
+  /** q218: join-cardinality statistics — the numbers a cost-based
+    * optimizer (or a capacity planner sizing a shuffle) needs about the
+    * orders⋈lineitem equi-join, computed WITHOUT running the join:
+    * per-side row counts and key NDVs, the common-key count, and the
+    * EXACT join output size as Σ_k cnt_a(k)·cnt_b(k) over the two
+    * key-count tables — a count-table join (NDV-sized inputs) instead
+    * of a row-level join (corpus-sized output). At 100 TB this is how
+    * you decide broadcast vs SMJ vs pre-bucketing before paying for the
+    * wrong plan; the count tables are also exactly what feeds the skew
+    * detection q86 salts against (the max per-key product is the
+    * largest post-join partition).
+    */
+  private val q218 = GraftQuery(
+    "q218_join_stats",
+    """WITH ca AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |cb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS joined,
+      |    CAST(count(*) AS BIGINT) AS common,
+      |    CAST(max(ca.c * cb.c) AS BIGINT) AS max_key_rows
+      |  FROM ca JOIN cb ON cb.k = ca.k)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_a,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS rows_b,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ca) AS ndv_a,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM cb) AS ndv_b,
+      |  j.common AS ndv_common, j.joined AS exact_join_rows,
+      |  j.max_key_rows
+      |FROM j""".stripMargin) { (s, d) =>
+    val ca = Tables.orders(s, d).groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val j = ca.join(cb, "k")
+      .agg(sum(col("ca") * col("cb")).as("exact_join_rows"),
+        count(lit(1)).as("ndv_common"),
+        max(col("ca") * col("cb")).as("max_key_rows"))
+    val ra = Tables.orders(s, d).agg(count(lit(1)).as("rows_a"))
+    val rb = Tables.lineitem(s, d).agg(count(lit(1)).as("rows_b"))
+    val na = ca.agg(count(lit(1)).as("ndv_a"))
+    val nb = cb.agg(count(lit(1)).as("ndv_b"))
+    ra.crossJoin(rb).crossJoin(na).crossJoin(nb).crossJoin(broadcast(j))
+      .select("rows_a", "rows_b", "ndv_a", "ndv_b", "ndv_common",
+        "exact_join_rows", "max_key_rows")
+  }
+
+  /** q219: dictionary-encoding audit — per string column of `orders`:
+    * total vs distinct byte volume, i.e. the exact payoff of dictionary
+    * encoding (the decision parquet writers and a 100 TB layout tuner
+    * make per column chunk). `plain_bytes` is what a plain encoding
+    * ships; `dict_bytes` is the dictionary page; the ratio is the
+    * compression headroom — a near-1 ratio (high-NDV column) says skip
+    * the dictionary. Two aggregates per column from ONE corpus pass
+    * each (value grain then distinct grain); all integers.
+    */
+  private val q219 = GraftQuery(
+    "q219_encoding_audit",
+    """SELECT 'o_orderpriority' AS col, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv,
+      |  CAST(sum(length(o_orderpriority)) AS BIGINT) AS plain_bytes,
+      |  (SELECT CAST(sum(length(v)) AS BIGINT) FROM
+      |    (SELECT DISTINCT o_orderpriority AS v FROM orders) t) AS dict_bytes
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus),
+      |  CAST(sum(length(o_orderstatus)) AS BIGINT),
+      |  (SELECT CAST(sum(length(v)) AS BIGINT) FROM
+      |    (SELECT DISTINCT o_orderstatus AS v FROM orders) t)
+      |FROM orders
+      |ORDER BY col""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def audit(c: String) = {
+      val base = o.agg(count(lit(1)).as("n"),
+        countDistinct(col(c)).as("ndv"),
+        sum(length(col(c))).as("plain_bytes"))
+      val dict = o.select(col(c).as("v")).distinct()
+        .agg(sum(length(col("v"))).as("dict_bytes"))
+      base.crossJoin(broadcast(dict)).select(lit(c).as("col"),
+        col("n"), col("ndv"), col("plain_bytes"), col("dict_bytes"))
+    }
+    audit("o_orderpriority").unionByName(audit("o_orderstatus"))
+      .orderBy("col")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198, q201, q210, q211)
+      q198, q201, q210, q211, q218, q219)
 }

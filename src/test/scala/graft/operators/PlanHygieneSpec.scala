@@ -40,7 +40,9 @@ class PlanHygieneSpec extends SparkSuite {
     "q208_volume_trend",  // 1-row min-day bound broadcast
     "q210_market_basket", // 1-row basket-count denominator broadcast
     "q213_churn_flags",   // 1-row corpus-horizon broadcast
-    "q214_source_drift_chi2") // bin-table × 1-row-total broadcast grid
+    "q214_source_drift_chi2", // bin-table × 1-row-total broadcast grid
+    "q218_join_stats",    // five 1-row stat frames crossed
+    "q219_encoding_audit") // 1-row dictionary-size frame per column
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
