@@ -1386,8 +1386,97 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** The WRITTEN SCD2 dimension over pre-cut history (q220's state
+    * artifact, q137's cut) — (user_id, k, from_us, to_us NULL-open) at
+    * µs grain so the merge path orders on the same precision the build
+    * did. Cached per (session, dir); cleaned with the registry.
+    */
+  private[operators] def writtenScd2State(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"scd2State:$d") {
+      val base = java.nio.file.Files.createTempDirectory("graft_scd2_state")
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      Tables.events(s, d)
+        .where(col("ts") < timestamp_micros(lit(IvmCutUs)))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"),
+          regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("k"))
+        .withColumn("pk", lag(col("k"), 1).over(w))
+        .where(col("pk").isNull || col("k") =!= col("pk"))
+        .withColumn("to_us", lead(col("t_us"), 1).over(w))
+        .select(col("user_id"), col("k"), col("t_us").as("from_us"),
+          col("to_us"))
+        .repartition(4, col("user_id"))
+        .write.mode("overwrite").parquet(s"$base/dim")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** q220: SCD2 incremental UPSERT — apply a day's delta of events to
+    * the WRITTEN dimension (q137's cut) and produce the refreshed
+    * dimension, gated against q191's full-recompute oracle: merge ==
+    * rebuild, the IVM invariant carried to the temporal-table family
+    * (the agg view has q137/q170; this is the dimension's turn). The
+    * merge touches history ZERO times: unaffected users' rows pass
+    * through from the files; for delta users, change detection needs
+    * only the OPEN stored row's value as the lag seed (every pre-cut
+    * event after the last change shares its k, so the open row IS the
+    * state the next comparison needs), and the interval chain is
+    * re-closed by one lead() over (stored ∪ new) change rows for those
+    * users only. Cost at 100 TB: O(delta) + O(affected users' dimension
+    * rows) — a dimension refresh that reads neither the event history
+    * nor the unaffected 99% of the dimension (the pass-through is a
+    * file read, not a rewrite). New-in-delta users seed with NULL and
+    * chain from their first event, same as the batch build.
+    */
+  private val q220 = GraftQuery(
+    "q220_scd2_upsert",
+    """WITH kv AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, k,
+      |    lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+      |  FROM kv),
+      |scd AS (
+      |  SELECT user_id, k, epoch_ms(ts) AS valid_from_ms,
+      |    lead(epoch_ms(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ms
+      |  FROM ch WHERE pk IS NULL OR k <> pk)
+      |SELECT user_id, k, valid_from_ms, valid_to_ms
+      |FROM scd ORDER BY user_id, valid_from_ms""".stripMargin) { (s, d) =>
+    val state = s.read.parquet(s"${writtenScd2State(s, d)}/dim")
+    val delta = Tables.events(s, d)
+      .where(col("ts") >= timestamp_micros(lit(IvmCutUs)))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("k"))
+    val affected = delta.select("user_id").distinct()
+    val openSeed = state.where(col("to_us").isNull)
+      .select(col("user_id"), col("k").as("k0"))
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val newChanges = delta.join(openSeed, Seq("user_id"), "left")
+      .withColumn("pk", lag(col("k"), 1).over(w))
+      .where((col("pk").isNull
+          && (col("k0").isNull || col("k") =!= col("k0")))
+        || (col("pk").isNotNull && col("k") =!= col("pk")))
+      .select(col("user_id"), col("k"), col("t_us").as("from_us"))
+    val wC = Window.partitionBy("user_id").orderBy("from_us")
+    val mergedAffected = state.join(affected, "user_id")
+      .select("user_id", "k", "from_us")
+      .unionByName(newChanges)
+      .withColumn("to_us", lead(col("from_us"), 1).over(wC))
+    val untouched = state.join(affected, Seq("user_id"), "left_anti")
+    untouched.unionByName(mergedAffected)
+      .select(col("user_id"), col("k"),
+        expr("from_us div 1000").as("valid_from_ms"),
+        expr("to_us div 1000").as("valid_to_ms"))
+      .orderBy("user_id", "valid_from_ms")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
-      q208, q209, q212, q213)
+      q208, q209, q212, q213, q220)
 }

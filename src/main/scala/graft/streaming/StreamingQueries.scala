@@ -697,7 +697,57 @@ object StreamingQueries {
       .orderBy("user_id", "valid_from_ms")
   }
 
+  /** q221: streaming histogram-sketch maintenance ≡ batch q199 — the
+    * fixed-width value histogram as ONLINE state (q163's Complete-mode
+    * discipline applied to the quantile sketch): the stream maintains
+    * the ≤1000-bucket count table — bounded state by construction, no
+    * watermark needed for an ever-growing monotone sketch — and the
+    * percentile read runs as a batch epilogue over the final snapshot,
+    * exactly how a serving layer reads a live sketch. Gated on q199's
+    * oracle verbatim: stream == batch == DuckDB.
+    */
+  private val q221 = GraftQuery(
+    "q221_stream_histogram",
+    """WITH vc AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |sk AS (
+      |  SELECT c // 50 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM vc GROUP BY 1),
+      |cum AS (
+      |  SELECT bucket, cnt,
+      |    sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+      |    sum(cnt) OVER () AS n
+      |  FROM sk),
+      |pcts AS (SELECT * FROM (VALUES (25), (50), (90), (99)) p(pct))
+      |SELECT CAST(p.pct AS BIGINT) AS pct,
+      |  CAST(min(c.bucket) AS BIGINT) AS bucket,
+      |  CAST(min(c.bucket) * 50 AS BIGINT) AS bucket_lo_c
+      |FROM pcts p JOIN cum c ON 100 * c.cum_n >= p.pct * c.n
+      |GROUP BY p.pct ORDER BY pct""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val staged = stagedWithFlush(s, d)
+    val events = readStaged(s, d, staged).where(col("user_id") >= 0)
+    val sk = events
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .withColumn("bucket", expr("c div 50"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val snap = EventStreams.runToMemory(s, sk,
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = snap
+      .withColumn("cum_n", sum(col("cnt"))
+        .over(w.orderBy("bucket").rowsBetween(w.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy()))
+    broadcast(Seq(25, 50, 90, 99).toDF("pct"))
+      .join(cum, lit(100) * col("cum_n") >= col("pct") * col("n"))
+      .groupBy(col("pct").cast("long").as("pct"))
+      .agg(min(col("bucket")).as("bucket"),
+        (min(col("bucket")) * 50).as("bucket_lo_c"))
+      .orderBy("pct")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149, q163, q173, q189, q205, q217)
+      q148, q149, q163, q173, q189, q205, q217, q221)
 }
