@@ -749,6 +749,19 @@ class PlanSpec extends SparkSuite {
       s"delta cut not pushed to the lineitem scan:\n$p")
   }
 
+  test("q220 SCD2 upsert reads the written dimension and prunes pre-cut events") {
+    val p = plan("q220_scd2_upsert")
+    assert(p.contains("graft_scd2_state"), s"dimension artifact not read:\n$p")
+    // every events scan in the refresh is the DELTA read — the cut
+    // reaches the scan as a pushed predicate, so folded history row
+    // groups are never re-read
+    val eventScans = p.linesIterator.filter(l =>
+      l.contains("events.parquet")).toSeq
+    assert(eventScans.nonEmpty, s"no delta scan found:\n$p")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"delta cut not pushed to the events scan:\n$p")
+  }
+
   test("q172 attribution is one window pass — no timeline self-join") {
     val p = plan("q172_last_touch")
     assert(!p.contains("Join"), s"attribution fell back to a self-join:\n$p")
