@@ -57,12 +57,17 @@ def main():
 
     suite = json.load(open(suite_path))
     sf_dir = f"/root/testdata/{suite['sf']}"
-    # suite keys may be shortened ("qNN"); recover full names from the repo
+    # suite keys may be shortened ("qNN"); recover full names from the
+    # registry. Only the quoted name right after `GraftQuery(` counts —
+    # a bare repo-wide grep also matches observe() metric names etc.
+    # (q77_train_grams once shadowed q77_bloom_decontaminate and nulled
+    # a whole bench group when Bench rejected the unknown name).
     names = {}
     reg = subprocess.run(
-        "grep -rho '\"q[0-9]*_[a-z0-9_]*\"' src/main/scala/graft --include=*.scala",
+        "grep -rhoPzo 'GraftQuery\\(\\s*\"\\Kq[0-9]+_[a-z0-9_]+' "
+        "src/main/scala/graft --include=*.scala | tr '\\0' '\\n'",
         shell=True, capture_output=True, text=True).stdout.split()
-    for n in set(x.strip('"') for x in reg):
+    for n in set(reg):
         names[n.split("_")[0]] = n
     full = {names.get(k, k): v for k, v in suite["queries"].items()}
 
