@@ -1395,6 +1395,121 @@ object CorpusStats {
         col("sum_source_distinct").cast("long").as("sum_source_distinct"))
   }
 
+  /** q225: pairwise source overlap by HLL inclusion-exclusion — the
+    * audience-overlap construction: for every pair of sources sharing at
+    * least one token, estimate |A∩B| as est(A) + est(B) − est(A∪B),
+    * where the union estimate comes from the CELL-WISE MAX of the two
+    * register tables (the merge q169 proves) — no rescan of either
+    * source, no pairwise data pass. This is why sketch STATE (not
+    * counts) is what a 100 TB pipeline persists: overlap between any
+    * two shards/days/feeds is answerable later from k-cell tables. The
+    * exact overlap rides along as the error audit (a production run
+    * drops it — it's the quadratic pass the sketches exist to avoid).
+    * Same integer-state discipline as q141: the pair expansion runs on
+    * the (sources × 64)-cell register table, the harmonic denominators
+    * are exact power-of-two BIGINT sums, and every float is a division
+    * or ±-chain over identical doubles in a fixed expression shape —
+    * bit-deterministic in both engines. The one corpus-grain pass is
+    * the shared (source, token) dedup.
+    */
+  private val q225 = GraftQuery(
+    "q225_hll_overlap",
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (
+       |  SELECT DISTINCT source, w FROM toks WHERE w <> ''),
+       |hashed AS (
+       |  SELECT source, ${polyHashDuck("w")} AS h
+       |  FROM dw),
+       |rr AS (
+       |  SELECT source, h % $HllM AS reg,
+       |    ${hllRankArith(s"(h // $HllM)")} AS rank
+       |  FROM hashed),
+       |regs AS (
+       |  SELECT source, reg, max(rank) AS mx FROM rr GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source, count(*) AS regs_hit,
+       |    CAST(sum(CAST(${1L << 25} AS BIGINT) // CAST(power(2, mx) AS BIGINT))
+       |      AS BIGINT) AS denom_hit
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT source, 0.709 * $HllM * $HllM * ${1L << 25}
+       |    / (denom_hit + ($HllM - regs_hit) * ${1L << 25}) AS e
+       |  FROM agg),
+       |ex AS (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |    CAST(count(*) AS BIGINT) AS exact_overlap
+       |  FROM dw a JOIN dw b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT p.sa, p.sb, r.reg, r.mx
+       |  FROM (SELECT sa, sb FROM ex) p JOIN regs r ON r.source = p.sa
+       |  UNION ALL
+       |  SELECT p.sa, p.sb, r.reg, r.mx
+       |  FROM (SELECT sa, sb FROM ex) p JOIN regs r ON r.source = p.sb),
+       |mm AS (SELECT sa, sb, reg, max(mx) AS mx FROM m GROUP BY 1, 2, 3),
+       |aggu AS (
+       |  SELECT sa, sb, count(*) AS regs_hit,
+       |    CAST(sum(CAST(${1L << 25} AS BIGINT) // CAST(power(2, mx) AS BIGINT))
+       |      AS BIGINT) AS denom_hit
+       |  FROM mm GROUP BY 1, 2),
+       |estu AS (
+       |  SELECT sa, sb, 0.709 * $HllM * $HllM * ${1L << 25}
+       |    / (denom_hit + ($HllM - regs_hit) * ${1L << 25}) AS eu
+       |  FROM aggu)
+       |SELECT ex.sa AS source_a, ex.sb AS source_b,
+       |  round(ea.e, 4) AS est_a, round(eb.e, 4) AS est_b,
+       |  round(eu.eu, 4) AS est_union,
+       |  round(ea.e + eb.e - eu.eu, 4) AS est_overlap,
+       |  ex.exact_overlap
+       |FROM ex JOIN est ea ON ea.source = ex.sa
+       |JOIN est eb ON eb.source = ex.sb
+       |JOIN estu eu ON eu.sa = ex.sa AND eu.sb = ex.sb
+       |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val dw = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+    val regs = dw
+      .select(col("source"), PolyHash.hash(col("w")).as("h"))
+      .select(col("source"), pmod(col("h"), lit(HllM.toLong)).as("reg"),
+        expr(hllRankArith(s"(h div $HllM)")).as("rank"))
+      .groupBy("source", "reg").agg(max(col("rank")).as("mx"))
+    val denomHit =
+      sum(expr(s"CAST(${1L << 25} AS BIGINT) div CAST(power(2, mx) AS BIGINT)"))
+    def estCol: org.apache.spark.sql.Column =
+      lit(0.709 * HllM * HllM * (1L << 25)) /
+        (col("denom_hit") + (lit(HllM.toLong) - col("regs_hit")) * lit(1L << 25))
+    val est = regs.groupBy("source")
+      .agg(count(lit(1)).as("regs_hit"), denomHit.as("denom_hit"))
+      .select(col("source"), estCol.as("e"))
+    val ex = dw.as("a")
+      .join(dw.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val pairs = ex.select("sa", "sb")
+    val m = pairs
+      .join(regs.withColumnRenamed("source", "sa"), "sa")
+      .select(col("sa"), col("sb"), col("reg"), col("mx"))
+      .unionByName(pairs
+        .join(regs.withColumnRenamed("source", "sb"), "sb")
+        .select(col("sa"), col("sb"), col("reg"), col("mx")))
+    val estU = m.groupBy("sa", "sb", "reg").agg(max(col("mx")).as("mx"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("regs_hit"), denomHit.as("denom_hit"))
+      .select(col("sa"), col("sb"), estCol.as("eu"))
+    ex.join(est.select(col("source").as("sa"), col("e").as("ea")), "sa")
+      .join(est.select(col("source").as("sb"), col("e").as("eb")), "sb")
+      .join(estU, Seq("sa", "sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        round(col("ea"), 4).as("est_a"), round(col("eb"), 4).as("est_b"),
+        round(col("eu"), 4).as("est_union"),
+        round(col("ea") + col("eb") - col("eu"), 4).as("est_overlap"),
+        col("exact_overlap"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q171: EXACT distributed weighted median — per source, the document
     * length at which half the corpus BYTES are in shorter documents (the
     * capacity-planning number a packing/sharding config keys on; the
@@ -1552,5 +1667,6 @@ object CorpusStats {
 
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
-      q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216)
+      q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
+      q225)
 }

@@ -3615,6 +3615,54 @@ object Similarity {
       .orderBy("source")
   }
 
+  /** q224: blocked record linkage — entity resolution by the classic
+    * blocking + verify decomposition (Fellegi-Sunter practice): candidate
+    * pairs come from an EQUI self-join on a cheap blocking key (first
+    * name token + brand), a length-difference prefilter discards pairs
+    * that cannot be within the edit-distance threshold (|len(a)−len(b)|
+    * ≤ τ is a necessary condition of Levenshtein ≤ τ), and only
+    * survivors pay the quadratic Levenshtein verify (Spark's codegen'd
+    * built-in). This is the short-string complement to q196's
+    * set-similarity join — token sets can't see single-character typos;
+    * edit distance can. Scale shape: ONE shuffle on the blocking key,
+    * pair expansion bounded by block size (production blocks on
+    * higher-cardinality keys — sorted q-grams — exactly like q85 caps
+    * minhash buckets; the fixture's key keeps blocks small at every SF),
+    * and the verify is a narrow per-pair map. The oracle is the same
+    * blocked join in DuckDB — both engines' unit-cost Levenshtein agree
+    * by definition.
+    */
+  private val q224 = GraftQuery(
+    "q224_blocked_linkage",
+    s"""WITH p AS (
+       |  SELECT p_partkey, concat(p_name, ' ', p_brand, ' ', p_type) AS nm,
+       |    string_split(p_name, ' ')[1] AS w, p_brand AS b
+       |  FROM part)
+       |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_dist
+       |FROM p a JOIN p b
+       |  ON a.w = b.w AND a.b = b.b AND a.p_partkey < b.p_partkey
+       |WHERE abs(len(a.nm) - len(b.nm)) <= 2
+       |  AND levenshtein(a.nm, b.nm) <= 2
+       |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("nm"),
+        split(col("p_name"), " ").getItem(0).as("w"),
+        col("p_brand").as("b"))
+    val a = p.select(col("p_partkey").as("key_a"), col("nm").as("nm_a"),
+      col("w"), col("b"))
+    val bb = p.select(col("p_partkey").as("key_b"), col("nm").as("nm_b"),
+      col("w"), col("b"))
+    a.join(bb, Seq("w", "b"))
+      .where(col("key_a") < col("key_b")
+        && abs(length(col("nm_a")) - length(col("nm_b"))) <= 2)
+      .where(levenshtein(col("nm_a"), col("nm_b")) <= 2)
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("nm_a"), col("nm_b")).cast("long").as("edit_dist"))
+      .orderBy("key_a", "key_b")
+  }
+
   /** Bucket predicate over an arbitrary id expression (SQL twin of
     * [[shardBucket]]) — the snapshot oracles restrict both probe and
     * candidate sides by shard bucket.
@@ -4292,5 +4340,5 @@ object Similarity {
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222)
+      q207, q215, q222, q224)
 }

@@ -1068,4 +1068,18 @@ class PlanSpec extends SparkSuite {
     assert(aggIdx >= 0 && winIdx >= 0,
       s"q223 plan missing rollup or rank window:\n$tree")
   }
+
+  test("q224 linkage blocks with an equi join; verify never goes nested-loop") {
+    val p = plan("q224_blocked_linkage")
+    assert(!p.contains("CartesianProduct"), s"q224 plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q224 plans a BNLJ:\n$p")
+    // the Levenshtein verify must be a post-join filter, not a join key —
+    // the join itself keys on the cheap blocking columns only
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.nonEmpty, s"q224 lost its blocked equi join:\n$p")
+    assert(!joinLines.exists(_.contains("levenshtein")),
+      s"q224 pushed the verify into the join keys:\n${joinLines.mkString("\n")}")
+  }
 }

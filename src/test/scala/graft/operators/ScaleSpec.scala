@@ -587,4 +587,32 @@ class ScaleSpec extends SparkSuite {
       assert(r.getLong(4) >= 0 && r.getLong(4) < 1000000L, "saved_ppm out of range")
     }
   }
+
+  test("q225 overlap estimates respect the register-merge dominance bound") {
+    // cell-wise max-merge dominates each input table, so the union
+    // estimate is mathematically >= each single-source estimate (up to
+    // the 1e-4 output rounding); inclusion-exclusion must also reconcile
+    val rows = graft.SparkEntry
+      .queries("q225_hll_overlap")(spark, dir).collect()
+    assert(rows.length == 190, s"expected 190 source pairs, got ${rows.length}")
+    for (r <- rows) {
+      val (ea, eb, eu, eo) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(eu >= math.max(ea, eb) - 1e-3,
+        s"union est $eu below max($ea, $eb) for ${r.get(0)}/${r.get(1)}")
+      assert(math.abs(eo - (ea + eb - eu)) <= 2e-4,
+        s"inclusion-exclusion drift: $eo vs ${ea + eb - eu}")
+      assert(r.getLong(6) >= 0L)
+    }
+  }
+
+  test("q224 blocked linkage returns ordered pairs within the distance bound") {
+    val rows = graft.SparkEntry
+      .queries("q224_blocked_linkage")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture has near-identical part descriptors")
+    for (r <- rows) {
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered")
+      assert(r.getLong(2) <= 2L, s"distance ${r.getLong(2)} above threshold")
+    }
+  }
 }
