@@ -3650,8 +3650,17 @@ object Similarity {
         concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("nm"),
         split(col("p_name"), " ").getItem(0).as("w"),
         col("p_brand").as("b"))
+    // the dimension reads as ONE file split, which would run the whole
+    // verify in a single task behind the broadcast join — spread the
+    // probe side across blocks first (at scale this is the same
+    // blocking-key exchange a shuffled join pays anyway). The partition
+    // count is pinned: the frame is tiny in BYTES, so AQE would coalesce
+    // a column-only repartition back to one partition — but the work is
+    // quadratic in block size, not linear in bytes
+    val par = s.sparkContext.defaultParallelism
     val a = p.select(col("p_partkey").as("key_a"), col("nm").as("nm_a"),
       col("w"), col("b"))
+      .repartition(par, col("w"), col("b"))
     val bb = p.select(col("p_partkey").as("key_b"), col("nm").as("nm_b"),
       col("w"), col("b"))
     a.join(bb, Seq("w", "b"))

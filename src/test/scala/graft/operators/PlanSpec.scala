@@ -1081,5 +1081,11 @@ class PlanSpec extends SparkSuite {
     assert(joinLines.nonEmpty, s"q224 lost its blocked equi join:\n$p")
     assert(!joinLines.exists(_.contains("levenshtein")),
       s"q224 pushed the verify into the join keys:\n${joinLines.mkString("\n")}")
+    // the probe side must be spread across blocks before the verify —
+    // the dimension is one file split and the verify is quadratic per
+    // block, so without this exchange the whole join runs in one task
+    assert(p.linesIterator.exists(l =>
+        l.contains("hashpartitioning(w#")),
+      s"q224 lost the blocking-key probe repartition:\n$p")
   }
 }
