@@ -1579,9 +1579,157 @@ object Relational {
       .orderBy("col")
   }
 
+  /** q227: l-diversity audit — the second privacy gate after q211's
+    * k-anonymity: a quasi-identifier group can be large (k-anonymous)
+    * yet still leak if everyone in it shares the same SENSITIVE value
+    * (homogeneity attack — Machanavajjhala et al.'s motivating case).
+    * Per (nation, segment) group, count the distinct sensitive-value
+    * bands (account balance in 1000-unit bands) and flag groups below
+    * l = 5. Same shape and cost as q211 — one grouped aggregate with a
+    * broadcast dim, the distinct running as a two-phase partial — so a
+    * release pipeline runs both gates in one pass over the table. The
+    * band is floor(balance/1000): a float floor at an exact-double
+    * boundary, identical in both engines. Every group is reported with
+    * its l (flagged below l = 5) rather than HAVING-filtered: at larger
+    * scales violations naturally vanish, and the audit's consumer wants
+    * the worst-l table either way.
+    */
+  private val q227 = GraftQuery(
+    "q227_l_diversity",
+    """SELECT n2.n_name AS nation, c.c_mktsegment AS segment,
+      |  CAST(count(*) AS BIGINT) AS group_size,
+      |  CAST(count(DISTINCT CAST(floor(c.c_acctbal / 1000.0) AS BIGINT))
+      |    AS BIGINT) AS l_distinct,
+      |  count(DISTINCT CAST(floor(c.c_acctbal / 1000.0) AS BIGINT)) < 5
+      |    AS flagged
+      |FROM customer c JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+          .as("l_distinct"))
+      .withColumn("flagged", col("l_distinct") < 5)
+      .orderBy("nation", "segment")
+  }
+
+  /** q228: run-length layout audit — q219 answers "dictionary or
+    * plain?"; this answers the OTHER parquet layout decision, "what does
+    * the current sort order buy RLE?": per column, the number of value
+    * RUNS in the table's key order versus the best case (= NDV, the run
+    * count sorting by that column would achieve). A column whose
+    * key-order runs sit near row count gains nothing from RLE under the
+    * current sort key; one near its NDV is already optimally laid out.
+    * Runs are an ORDER-SENSITIVE global statistic, so the repo's banded
+    * discipline applies (q117/q193): per (column, band) windows count
+    * interior value changes in parallel, band-EDGE rows (first/last per
+    * band, picked by deterministic rank) are compared across adjacent
+    * bands on the metadata-sized edge table, and runs = interior +
+    * boundary changes + 1 — never a single-task global window. The
+    * fixture's (orderkey, linenumber) key is NOT unique, so the scan
+    * order appends the value itself as the tie-break — ties with equal
+    * values can't affect run counts, which makes the statistic
+    * deterministic in both engines.
+    */
+  private val q228 = GraftQuery(
+    "q228_rle_runs_audit",
+    """WITH u AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS k, l_orderkey // 1024 AS band,
+      |    'l_returnflag' AS cname, l_returnflag AS val FROM lineitem
+      |  UNION ALL SELECT l_orderkey * 8 + l_linenumber, l_orderkey // 1024,
+      |    'l_linestatus', l_linestatus FROM lineitem
+      |  UNION ALL SELECT l_orderkey * 8 + l_linenumber, l_orderkey // 1024,
+      |    'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT l_orderkey * 8 + l_linenumber, l_orderkey // 1024,
+      |    'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem),
+      |ch AS (
+      |  SELECT cname, band,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> val
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+      |    CAST(count(*) AS BIGINT) AS nrows
+      |  FROM (SELECT cname, band, val,
+      |      lag(val) OVER (PARTITION BY cname, band ORDER BY k, val) AS prev
+      |    FROM u) GROUP BY 1, 2),
+      |fe AS (
+      |  SELECT cname, band, val AS first_val FROM (
+      |    SELECT cname, band, val, row_number() OVER (
+      |      PARTITION BY cname, band ORDER BY k, val) AS rn FROM u)
+      |  WHERE rn = 1),
+      |le AS (
+      |  SELECT cname, band, val AS last_val FROM (
+      |    SELECT cname, band, val, row_number() OVER (
+      |      PARTITION BY cname, band ORDER BY k DESC, val DESC) AS rn FROM u)
+      |  WHERE rn = 1),
+      |bd AS (
+      |  SELECT cname, CAST(sum(CASE WHEN prev_last IS NOT NULL
+      |    AND prev_last <> first_val THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS boundary_changes
+      |  FROM (SELECT f.cname, f.first_val,
+      |      lag(l.last_val) OVER (PARTITION BY f.cname ORDER BY f.band)
+      |        AS prev_last
+      |    FROM fe f JOIN le l ON l.cname = f.cname AND l.band = f.band)
+      |  GROUP BY 1),
+      |nd AS (SELECT cname, CAST(count(DISTINCT val) AS BIGINT) AS ndv
+      |  FROM u GROUP BY 1),
+      |tot AS (SELECT cname, CAST(sum(changes) AS BIGINT) AS internal,
+      |  CAST(sum(nrows) AS BIGINT) AS nrows FROM ch GROUP BY 1)
+      |SELECT t.cname AS column_name, t.nrows AS n_rows,
+      |  t.internal + b2.boundary_changes + 1 AS runs_in_key_order,
+      |  n2.ndv AS best_case_runs
+      |FROM tot t JOIN bd b2 ON b2.cname = t.cname
+      |JOIN nd n2 ON n2.cname = t.cname
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+    val audited = Seq(
+      "l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"),
+      "l_quantity" -> col("l_quantity").cast("long").cast("string"),
+      "l_shipdate" -> col("l_shipdate").cast("string"))
+    val u = li.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+        expr("l_orderkey div 1024").as("band"),
+        explode(array(audited.map { case (n, c) =>
+          struct(lit(n).as("cname"), c.as("val"))
+        }: _*)).as("p"))
+      .select(col("k"), col("band"), col("p.cname").as("cname"),
+        col("p.val").as("val"))
+    // ONE banded exchange carries everything order-sensitive: the lag
+    // window and the deterministic (k, val)-ordered band edges come out
+    // of the same grouped aggregation (min_by/max_by on the composite
+    // key), so the only other corpus pass is the NDV rollup
+    val wLag = Window.partitionBy("cname", "band").orderBy(col("k"), col("val"))
+    val ch = u
+      .withColumn("prev", lag(col("val"), 1).over(wLag))
+      .groupBy("cname", "band")
+      .agg(sum(when(col("prev").isNotNull && col("prev") =!= col("val"), 1L)
+          .otherwise(0L)).as("changes"),
+        count(lit(1)).as("nrows"),
+        min_by(col("val"), struct(col("k"), col("val"))).as("first_val"),
+        max_by(col("val"), struct(col("k"), col("val"))).as("last_val"))
+    val wBand = Window.partitionBy("cname").orderBy("band")
+    val bd = ch
+      .withColumn("prev_last", lag(col("last_val"), 1).over(wBand))
+      .groupBy("cname")
+      .agg(sum(when(col("prev_last").isNotNull
+          && col("prev_last") =!= col("first_val"), 1L).otherwise(0L))
+        .as("boundary_changes"),
+        sum(col("changes")).as("internal"), sum(col("nrows")).as("nrows"))
+    val nd = u.groupBy("cname").agg(countDistinct(col("val")).as("ndv"))
+    bd.join(nd, "cname")
+      .select(col("cname").as("column_name"), col("nrows").as("n_rows"),
+        (col("internal") + col("boundary_changes") + 1)
+          .as("runs_in_key_order"),
+        col("ndv").as("best_case_runs"))
+      .orderBy("column_name")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198, q201, q210, q211, q218, q219)
+      q198, q201, q210, q211, q218, q219, q227, q228)
 }

@@ -1475,8 +1475,98 @@ object Temporal {
       .orderBy("user_id", "valid_from_ms")
   }
 
+  /** q226: Theil-Sen robust trend of daily volume — the median-of-
+    * pairwise-slopes estimator (up to 29% outlier breakdown vs OLS's
+    * zero): one corrupted day drags q208's least-squares line arbitrarily
+    * far, while the pairwise-slope median barely moves. Determinism is
+    * the design problem for a median of FRACTIONS — float slopes can
+    * compare differently across engines near ties — so every pairwise
+    * slope is truncated to an exact integer MICRO-slope (toward-zero
+    * division, spelled as a sign-split CASE because the two dialects'
+    * integer divisions disagree on negatives), and both medians (slope,
+    * then intercept residual) are picked by q171's all-integer
+    * rank-crossing selection with pinned tie-breaks — the upper median,
+    * identical in any engine and shuffle order. Scale shape: the one
+    * corpus pass is the (type, day) count; the pair table is
+    * O(days²) per type — calendar-bounded (a decade is ~6.7M pairs),
+    * partitioned by type, and never touches event grain.
+    */
+  private val q226 = GraftQuery(
+    "q226_theil_sen_trend",
+    """WITH dc AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |mn AS (SELECT min(day) AS d0 FROM dc),
+      |xy AS (
+      |  SELECT event_type, CAST(day - d0 AS BIGINT) AS x, cnt AS y
+      |  FROM dc CROSS JOIN mn),
+      |pr AS (
+      |  SELECT a.event_type, a.x AS x1, b.x AS x2,
+      |    CASE WHEN b.y >= a.y THEN ((b.y - a.y) * 1000000) // (b.x - a.x)
+      |         ELSE -(((a.y - b.y) * 1000000) // (b.x - a.x)) END AS sm
+      |  FROM xy a JOIN xy b ON a.event_type = b.event_type AND a.x < b.x),
+      |rk AS (
+      |  SELECT event_type, sm,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY sm, x1, x2) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM pr),
+      |med AS (
+      |  SELECT event_type, CAST(n AS BIGINT) AS n_pairs, sm AS slope_micro
+      |  FROM rk WHERE 2*rn >= n + 1 AND 2*(rn-1) < n + 1),
+      |res AS (
+      |  SELECT xy.event_type, xy.x, m.n_pairs, m.slope_micro,
+      |    xy.y * 1000000 - m.slope_micro * xy.x AS r
+      |  FROM xy JOIN med m ON m.event_type = xy.event_type),
+      |rr2 AS (
+      |  SELECT event_type, n_pairs, slope_micro, r,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY r, x) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM res)
+      |SELECT event_type, n_pairs, slope_micro, r AS intercept_micro
+      |FROM rr2 WHERE 2*rn >= n + 1 AND 2*(rn-1) < n + 1
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dc = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mn = broadcast(dc.agg(min(col("day")).as("d0")))
+    val xy = dc.crossJoin(mn)
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("cnt").as("y"))
+    val pr = xy.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
+      .join(xy.select(col("event_type"), col("x").as("x2"), col("y").as("y2")),
+        Seq("event_type"))
+      .where(col("x1") < col("x2"))
+      .selectExpr("event_type", "x1", "x2",
+        """CASE WHEN y2 >= y1 THEN ((y2 - y1) * 1000000) div (x2 - x1)
+          |ELSE -(((y1 - y2) * 1000000) div (x2 - x1)) END AS sm""".stripMargin)
+    val wRank = Window.partitionBy("event_type").orderBy(col("sm"), col("x1"), col("x2"))
+    val wAll = Window.partitionBy("event_type")
+    val med = pr
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .where(lit(2) * col("rn") >= col("n") + 1
+        && lit(2) * (col("rn") - 1) < col("n") + 1)
+      .select(col("event_type"), col("n").cast("long").as("n_pairs"),
+        col("sm").as("slope_micro"))
+    val res = xy.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("x"), col("n_pairs"), col("slope_micro"),
+        (col("y") * lit(1000000L) - col("slope_micro") * col("x")).as("r"))
+    val wRank2 = Window.partitionBy("event_type").orderBy(col("r"), col("x"))
+    res
+      .withColumn("rn", row_number().over(wRank2))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .where(lit(2) * col("rn") >= col("n") + 1
+        && lit(2) * (col("rn") - 1) < col("n") + 1)
+      .select(col("event_type"), col("n_pairs"), col("slope_micro"),
+        col("r").as("intercept_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
-      q208, q209, q212, q213, q220)
+      q208, q209, q212, q213, q220, q226)
 }

@@ -1088,4 +1088,18 @@ class PlanSpec extends SparkSuite {
         l.contains("hashpartitioning(w#")),
       s"q224 lost the blocking-key probe repartition:\n$p")
   }
+
+  test("q228 runs audit: banded windows only, never a global corpus window") {
+    val p = plan("q228_rle_runs_audit")
+    // the order-sensitive lag must be partitioned by (cname, band) — an
+    // unpartitioned (or cname-only) window serializes the corpus pass
+    assert(p.linesIterator.exists(l =>
+        l.contains("windowspecdefinition(cname") && l.contains("band")),
+      s"q228 lost the (cname, band) window partitioning:\n$p")
+    // the corpus is scanned at most twice: the banded change/edge pass
+    // and the NDV rollup — u must not be re-derived per consumer
+    val scans = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans <= 2, s"q228 scans lineitem $scans times:\n$p")
+  }
 }

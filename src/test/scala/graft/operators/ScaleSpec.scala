@@ -615,4 +615,42 @@ class ScaleSpec extends SparkSuite {
       assert(r.getLong(2) <= 2L, s"distance ${r.getLong(2)} above threshold")
     }
   }
+
+  test("q226 Theil-Sen medians come from complete pair sets") {
+    val rows = graft.SparkEntry
+      .queries("q226_theil_sen_trend")(spark, dir).collect()
+    val days = spark.read.parquet(s"$dir/events.parquet")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"), col("event_type"))
+      .distinct().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val d = days(r.getString(0))
+      assert(r.getLong(1) == d * (d - 1) / 2,
+        s"${r.getString(0)}: n_pairs ${r.getLong(1)} != C($d,2)")
+    }
+  }
+
+  test("q228 run counts sit between NDV and row count") {
+    val rows = graft.SparkEntry
+      .queries("q228_rle_runs_audit")(spark, dir).collect()
+    assert(rows.length == 4)
+    for (r <- rows) {
+      val (n, runs, ndv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(runs >= ndv && runs <= n,
+        s"${r.getString(0)}: runs $runs outside [$ndv, $n]")
+    }
+  }
+
+  test("q227 l-diversity flags are consistent with the reported l") {
+    val rows = graft.SparkEntry
+      .queries("q227_l_diversity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getBoolean(4) == (r.getLong(3) < 5L), "flag mismatch")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(2),
+        "l outside [1, group_size]")
+    }
+  }
 }
