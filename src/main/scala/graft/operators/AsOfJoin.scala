@@ -68,6 +68,54 @@ object AsOfJoin {
           rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of: for each left row, attach the EARLIEST right row with
+    * `right(rightTime) >= left(leftTime)` within the same `key` group
+    * (inclusive) — "the next quote/delivery/purchase at or after", the
+    * mirror of [[asOf]]'s latest-at-or-before and the second of the two
+    * standard as-of directions (pandas merge_asof backward/forward).
+    * Same single-shuffle union+window construction, traversed in
+    * DESCENDING time order so `last(_, ignoreNulls)` carries the nearest
+    * FOLLOWING right payload: right rows sort before left rows at equal
+    * times (inclusive >=), and ties among right rows at identical
+    * (key, time) resolve deterministically to the greatest payload
+    * struct, matching [[asOf]]. Null-key/null-time right rows are
+    * dropped; unmatched left rows get nulls (left-outer).
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(structType(right, rightPayload)))
+      .select(col(key).as("__k"), col("__t"), col("__side"),
+        struct(leftCols.map(col): _*).as("__row"), col("__payload"))
+    val r = right
+      .where(col(key).isNotNull && col(rightTime).isNotNull)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(col(key).as("__k"), col("__t"), col("__side"),
+        lit(null).cast(structTypeOf(left)).as("__row"),
+        struct(rightPayload.map(col): _*).as("__payload"))
+    // descending time: the last non-null payload before a left row is the
+    // smallest right time >= the left time; among equal right times the
+    // ascending payload order makes `last` pick the greatest payload
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").desc, col("__side"), col("__payload"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__row.$c").as(c)) ++
+          rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
   private def structTypeOf(df: DataFrame) =
     org.apache.spark.sql.types.StructType(df.schema.fields)
 

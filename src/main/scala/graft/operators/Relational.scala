@@ -1727,9 +1727,70 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** q230: functional-dependency audit — for candidate FDs X→Y, the
+    * exact violation count: the minimum number of rows that must change
+    * for the dependency to hold, computed as n − Σ_x max_y cnt(x, y)
+    * (every x keeps its plurality y; everything else is a violation).
+    * This is the constraint-discovery/data-quality primitive behind
+    * schema inference and "is this column derivable?" questions — q198
+    * profiles columns in isolation; this measures their pairwise
+    * determinism. Scale shape: ONE corpus pass per column PAIR builds
+    * the (x, y) count table (partial+final), and BOTH directions of the
+    * FD derive from that same NDV²-bounded table — the per-x rollup and
+    * the final sum are metadata-sized. All integers.
+    */
+  private val q230 = GraftQuery(
+    "q230_fd_audit",
+    """WITH dc AS (
+      |  SELECT source AS x, lang AS y, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cc AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS x, c_mktsegment AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM customer GROUP BY 1, 2),
+      |f1 AS (SELECT 'documents: source -> lang' AS fd,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(sum(c) - sum(mx) AS BIGINT) AS violations FROM (
+      |    SELECT x, sum(c) AS c, max(c) AS mx FROM dc GROUP BY 1)),
+      |f2 AS (SELECT 'documents: lang -> source' AS fd,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(sum(c) - sum(mx) AS BIGINT) AS violations FROM (
+      |    SELECT y, sum(c) AS c, max(c) AS mx FROM dc GROUP BY 1)),
+      |f3 AS (SELECT 'customer: nation -> segment' AS fd,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(sum(c) - sum(mx) AS BIGINT) AS violations FROM (
+      |    SELECT x, sum(c) AS c, max(c) AS mx FROM cc GROUP BY 1)),
+      |f4 AS (SELECT 'customer: segment -> nation' AS fd,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(sum(c) - sum(mx) AS BIGINT) AS violations FROM (
+      |    SELECT y, sum(c) AS c, max(c) AS mx FROM cc GROUP BY 1)),
+      |uni AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      |  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+      |SELECT fd, n_rows, violations, violations = 0 AS holds
+      |FROM uni ORDER BY fd""".stripMargin) { (s, d) =>
+    def pairCounts(df: org.apache.spark.sql.DataFrame,
+        x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      df.groupBy(x.as("x"), y.as("y")).agg(count(lit(1)).as("c"))
+    def direction(cnt: org.apache.spark.sql.DataFrame, det: String,
+        label: String) =
+      cnt.groupBy(col(det)).agg(sum(col("c")).as("c"), max(col("c")).as("mx"))
+        .agg(sum(col("c")).cast("long").as("n_rows"),
+          (sum(col("c")) - sum(col("mx"))).cast("long").as("violations"))
+        .select(lit(label).as("fd"), col("n_rows"), col("violations"))
+    val dc = pairCounts(Tables.documents(s, d), col("source"), col("lang"))
+    val cc = pairCounts(Tables.customer(s, d),
+      col("c_nationkey").cast("string"), col("c_mktsegment"))
+    direction(dc, "x", "documents: source -> lang")
+      .unionByName(direction(dc, "y", "documents: lang -> source"))
+      .unionByName(direction(cc, "x", "customer: nation -> segment"))
+      .unionByName(direction(cc, "y", "customer: segment -> nation"))
+      .withColumn("holds", col("violations") === 0L)
+      .orderBy("fd")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198, q201, q210, q211, q218, q219, q227, q228)
+      q198, q201, q210, q211, q218, q219, q227, q228, q230)
 }

@@ -1565,8 +1565,40 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** q229: FORWARD as-of join — each click paired with the same user's
+    * NEXT purchase at or after it, the time-to-convert lookup q16's
+    * backward direction cannot express (and the primitive under
+    * time-to-event analyses: next delivery after an order, next quote
+    * after a request). Same single-shuffle union+window plan as q16,
+    * traversed in descending time ([[AsOfJoin.asOfForward]]); the
+    * payload is the timestamp itself, so duplicate purchases at one
+    * (user, ts) cannot make either engine's pick ambiguous. Oracle is
+    * DuckDB's native ASOF JOIN with the <= inequality.
+    */
+  private val q229 = GraftQuery(
+    "q229_asof_forward",
+    """SELECT c.event_id, c.user_id,
+      |  epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS next_purchase_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts", "purchase_ts",
+        Seq("purchase_ts"))
+      .where(col("purchase_ts").isNotNull) // inner as-of
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("next_purchase_ms"))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
-      q208, q209, q212, q213, q220, q226)
+      q208, q209, q212, q213, q220, q226, q229)
 }

@@ -40,4 +40,28 @@ class AsOfJoinSpec extends SparkSuite {
     val out = AsOfJoin.asOf(l, r, "k", "t", "rt", Seq("price")).collect()
     assert(out.length == 1 && out.head.isNullAt(3))
   }
+
+  test("asOfForward picks the earliest right row at or after the left time") {
+    val l = df(leftSchema, Row(1L, 10L, "a"), Row(1L, 20L, "b"), Row(1L, 25L, "c"))
+    val r = df(rightSchema, Row(1L, 8L, 100.0), Row(1L, 15L, 200.0), Row(1L, 20L, 300.0))
+    val out = AsOfJoin.asOfForward(l, r, "k", "t", "rt", Seq("price"))
+      .collect().map(x => (x.getString(2), if (x.isNullAt(3)) null else x.getDouble(3))).toMap
+    assert(out("a") == 200.0) // t=10 -> rt=15 (next at or after)
+    assert(out("b") == 300.0) // t=20 -> rt=20 (inclusive)
+    assert(out("c") == null)  // t=25 -> nothing at or after
+  }
+
+  test("asOfForward ties at identical right times resolve to the greatest payload") {
+    val l = df(leftSchema, Row(1L, 10L, "a"))
+    val r = df(rightSchema, Row(1L, 12L, 100.0), Row(1L, 12L, 250.0))
+    val out = AsOfJoin.asOfForward(l, r, "k", "t", "rt", Seq("price")).collect()
+    assert(out.length == 1 && out.head.getDouble(3) == 250.0)
+  }
+
+  test("asOfForward null keys and missing keys stay left-outer") {
+    val l = df(leftSchema, Row(null, 10L, "a"), Row(2L, 10L, "solo"))
+    val r = df(rightSchema, Row(null, 15L, 50.0), Row(1L, 15L, 60.0))
+    val out = AsOfJoin.asOfForward(l, r, "k", "t", "rt", Seq("price")).collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(3)))
+  }
 }

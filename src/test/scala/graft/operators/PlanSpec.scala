@@ -1102,4 +1102,15 @@ class PlanSpec extends SparkSuite {
       l.trim.startsWith("(") && l.contains("Scan parquet"))
     assert(scans <= 2, s"q228 scans lineitem $scans times:\n$p")
   }
+
+  test("q229 forward as-of: one key shuffle, no range join blow-up") {
+    val p = plan("q229_asof_forward")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q229 plans a nested loop:\n$p")
+    // the union+window construction: exactly one hash exchange on the key
+    // (plus the presentation range sort)
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning(__k"))
+    assert(hashEx >= 1, s"q229 lost the single key shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) >= 1)
+  }
 }
