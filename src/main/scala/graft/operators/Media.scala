@@ -140,5 +140,84 @@ object Media {
       .orderBy(col("n_frames").desc, col("frame_md5"))
   }
 
-  val queries: Seq[GraftQuery] = Seq(q38, q53, q200, q206)
+  /** q231: scene-cut segmentation — the classic shot-boundary detector
+    * (threshold on inter-frame feature difference) over the stand-in
+    * payloads: 8 evenly-spaced frames per asset, each reduced to a
+    * scalar feature (mean code point of its window in micro-units, the
+    * [[graft.functions.BytePool]] codegen kernel with one pool — a real
+    * pipeline swaps in a frame histogram/embedding distance behind the
+    * same scalar-per-frame contract), a CUT wherever the feature jumps
+    * by more than the threshold, and scenes emitted as frame INTERVALS
+    * via a cumulative cut count. The frame-interval output is what
+    * downstream samplers consume (sample k frames per SCENE, not per
+    * asset — q200's uniform sampling oversamples static segments).
+    * Scale shape: frame grain is Frames× the asset count regardless of
+    * payload bytes; ONE exchange on media_id serves both windows (lag +
+    * running sum share the sort) and the per-partition window length is
+    * bounded by Frames; the grouped interval rollup rides the same
+    * partitioning. All integer comparisons.
+    */
+  private val SceneFrames = 8
+  private val CutThreshMicro = 5000000L // 5 mean-code-point units
+
+  private val q231 = GraftQuery(
+    "q231_scene_cuts",
+    s"""WITH fr AS (
+       |  SELECT doc_id AS media_id, CAST(j AS BIGINT) AS frame_idx,
+       |    CAST(1 + ((length(text) - $Win) * j) // $SceneFrames AS BIGINT)
+       |      AS off
+       |  FROM documents CROSS JOIN
+       |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) f(j)
+       |  WHERE length(text) >= $Win),
+       |ft AS (
+       |  SELECT fr.media_id, fr.frame_idx,
+       |    (CAST(list_sum(list_transform(range(0, $Win),
+       |      i -> ascii(d.text[CAST(fr.off + i AS INTEGER)]))) AS BIGINT)
+       |      * 1000000) // $Win AS feat_micro
+       |  FROM fr JOIN documents d ON d.doc_id = fr.media_id),
+       |fl AS (
+       |  SELECT media_id, frame_idx,
+       |    CASE WHEN prev IS NOT NULL AND abs(feat_micro - prev)
+       |      > $CutThreshMicro THEN 1 ELSE 0 END AS cut
+       |  FROM (SELECT media_id, frame_idx, feat_micro,
+       |      lag(feat_micro) OVER (PARTITION BY media_id ORDER BY frame_idx)
+       |        AS prev
+       |    FROM ft)),
+       |sc AS (
+       |  SELECT media_id, frame_idx,
+       |    CAST(sum(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_idx
+       |  FROM fl)
+       |SELECT media_id, scene_idx,
+       |  CAST(min(frame_idx) AS BIGINT) AS start_frame,
+       |  CAST(max(frame_idx) AS BIGINT) AS end_frame,
+       |  CAST(count(*) AS BIGINT) AS n_frames
+       |FROM sc GROUP BY 1, 2
+       |ORDER BY media_id, scene_idx""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.BytePool.register(s)
+    val ft = Tables.documents(s, d)
+      .where(length(col("text")) >= Win)
+      .select(col("doc_id").as("media_id"),
+        explode(expr(s"sequence(0, ${SceneFrames - 1})")).as("j"), col("text"))
+      .select(col("media_id"), col("j").cast("long").as("frame_idx"),
+        element_at(graft.functions.BytePool.pool(
+          expr(s"substring(text, CAST(1 + ((length(text) - $Win) * j) " +
+            s"div $SceneFrames AS INT), $Win)"), 1), 1).as("feat_micro"))
+    val wLag = Window.partitionBy("media_id").orderBy("frame_idx")
+    val wCum = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ft.withColumn("prev", lag(col("feat_micro"), 1).over(wLag))
+      .withColumn("cut",
+        when(col("prev").isNotNull
+          && abs(col("feat_micro") - col("prev")) > CutThreshMicro, 1L)
+          .otherwise(0L))
+      .withColumn("scene_idx", sum(col("cut")).over(wCum))
+      .groupBy("media_id", "scene_idx")
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy("media_id", "scene_idx")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q38, q53, q200, q206, q231)
 }

@@ -653,4 +653,23 @@ class ScaleSpec extends SparkSuite {
         "l outside [1, group_size]")
     }
   }
+
+  test("q231 scenes tile each asset's frames exactly") {
+    // segmentation must be a PARTITION of the frame sequence: scenes per
+    // asset are contiguous, non-overlapping, cover frames 0..7, and
+    // scene indices are dense from 0
+    val rows = graft.SparkEntry
+      .queries("q231_scene_cuts")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val scenes = grp.sortBy(_._2)
+      assert(scenes.map(_._2).toSeq == scenes.indices.map(_.toLong).toSeq,
+        "scene indices not dense")
+      assert(scenes.head._3 == 0L && scenes.last._4 == 7L, "frames not covered")
+      for (Array(a, b) <- scenes.sliding(2).map(_.toArray) if b != null && a != null)
+        assert(b._3 == a._4 + 1, s"gap/overlap between scenes $a and $b")
+      assert(scenes.forall(x => x._5 == x._4 - x._3 + 1), "n_frames mismatch")
+    }
+  }
 }
