@@ -116,6 +116,67 @@ object AsOfJoin {
           rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** NEAREST as-of: for each left row, the right row minimizing
+    * |rightTime − leftTime| within the key group, ties to the at-or-
+    * before side (pandas merge_asof direction='nearest'). ONE union +
+    * ONE key shuffle + ONE sort serves BOTH directions: on the ascending
+    * time sort, `last(_, ignoreNulls)` over the preceding frame carries
+    * the latest at-or-before payload and `first(_, ignoreNulls)` over
+    * the strictly-following frame carries the earliest after payload.
+    * The following frame is EXCLUSIVE of equal-time right rows (they
+    * sort before the left row for the backward window's benefit), which
+    * cannot change the result: an equal-time match is a gap-0 backward
+    * match, and ties resolve backward anyway. The matched right TIME
+    * rides inside the internal payload so the gap comparison needs no
+    * re-join.
+    */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val innerType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__rt", right.schema(rightTime).dataType),
+      org.apache.spark.sql.types.StructField(
+        "__p", structType(right, rightPayload))))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(innerType))
+      .select(col(key).as("__k"), col("__t"), col("__side"),
+        struct(leftCols.map(col): _*).as("__row"), col("__payload"))
+    val r = right
+      .where(col(key).isNotNull && col(rightTime).isNotNull)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(col(key).as("__k"), col("__t"), col("__side"),
+        lit(null).cast(structTypeOf(left)).as("__row"),
+        struct(col(rightTime).as("__rt"),
+          struct(rightPayload.map(col): _*).as("__p")).as("__payload"))
+    val ord = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__payload"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(1, Window.unboundedFollowing)
+    val backGap = col("__t") - col("__b.__rt")
+    val fwdGap = col("__f.__rt") - col("__t")
+    l.unionByName(r)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(wF))
+      .where(col("__side") === 1)
+      .withColumn("__asof",
+        when(col("__b").isNull, col("__f.__p"))
+          .when(col("__f").isNull, col("__b.__p"))
+          .when(backGap <= fwdGap, col("__b.__p"))
+          .otherwise(col("__f.__p")))
+      .select(
+        leftCols.map(c => col(s"__row.$c").as(c)) ++
+          rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
   private def structTypeOf(df: DataFrame) =
     org.apache.spark.sql.types.StructType(df.schema.fields)
 

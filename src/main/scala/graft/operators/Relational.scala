@@ -1788,9 +1788,69 @@ object Relational {
       .orderBy("fd")
   }
 
+  /** Benford first-digit expected shares in parts-per-million,
+    * floor(log10(1 + 1/d)·1e6) — computed ONCE in Scala and interpolated
+    * into both dialects as literals, so neither engine's log10
+    * last-ulp behavior can enter the comparison.
+    */
+  private val BenfordPpm: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1000000).toLong)
+
+  /** q233: Benford's-law first-digit audit — the classic forensic check
+    * on a monetary column: natural multiplicative data has first digit d
+    * with probability log10(1+1/d); uniform, capped, or fabricated data
+    * deviates hard (the fixture's uniform prices flag every digit, which
+    * is the point — the audit detects synthetic amounts). Expected
+    * counts are EXACT integers ((n·ppm) div 1e6) from the shared literal
+    * share table; the observed side is one grouped count with the digit
+    * extracted by integer/string arithmetic. One corpus pass; the 9-row
+    * expectation table and the 1-row total ride as broadcasts.
+    */
+  private val q233 = GraftQuery(
+    "q233_benford_audit",
+    s"""WITH dg AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem WHERE l_extendedprice >= 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
+       |ob AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+       |  FROM dg GROUP BY 1),
+       |e AS (SELECT * FROM (VALUES ${BenfordPpm.map { case (d, p) =>
+            s"(CAST($d AS BIGINT), CAST($p AS BIGINT))" }.mkString(", ")})
+       |  t(digit, ppm))
+       |SELECT e.digit, coalesce(ob.observed, 0) AS observed,
+       |  (n.n * e.ppm) // 1000000 AS expected,
+       |  coalesce(ob.observed, 0) - (n.n * e.ppm) // 1000000 AS excess
+       |FROM e LEFT JOIN ob ON ob.digit = e.digit CROSS JOIN n
+       |ORDER BY e.digit""".stripMargin) { (s, d) =>
+    val dg = Tables.lineitem(s, d)
+      .where(col("l_extendedprice") >= 1)
+      .select(substring(floor(col("l_extendedprice")).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+    val n = broadcast(dg.agg(count(lit(1)).as("n")))
+    val ob = dg.groupBy("digit").agg(count(lit(1)).as("observed"))
+    val e = s.createDataFrame(
+      java.util.Arrays.asList(BenfordPpm.map { case (dd, p) =>
+        org.apache.spark.sql.Row(dd.toLong, p)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("digit",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ppm",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    e.join(ob, Seq("digit"), "left")
+      .crossJoin(n)
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        expr("(n * ppm) div 1000000").as("expected"),
+        (coalesce(col("observed"), lit(0L))
+          - expr("(n * ppm) div 1000000")).as("excess"))
+      .orderBy("digit")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198, q201, q210, q211, q218, q219, q227, q228, q230)
+      q198, q201, q210, q211, q218, q219, q227, q228, q230, q233)
 }

@@ -1597,8 +1597,53 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** q232: NEAREST as-of join — the third standard as-of direction
+    * (pandas merge_asof 'nearest'): each click paired with the purchase
+    * closest in time either way, ties to the at-or-before side. The
+    * engine's [[AsOfJoin.asOfNearest]] fuses both directions into ONE
+    * key shuffle + ONE sort (backward `last` + forward `first` over the
+    * same ordered partition); the oracle composes DuckDB's two native
+    * ASOF directions and picks by gap — two different constructions,
+    * one answer.
+    */
+  private val q232 = GraftQuery(
+    "q232_asof_nearest",
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT c.event_id, p.ts AS bt FROM c ASOF LEFT JOIN p
+      |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+      |f AS (
+      |  SELECT c.event_id, p.ts AS ft FROM c ASOF LEFT JOIN p
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ms,
+      |  CASE
+      |    WHEN b.bt IS NULL AND f.ft IS NULL THEN NULL
+      |    WHEN f.ft IS NULL THEN epoch_ms(b.bt)
+      |    WHEN b.bt IS NULL THEN epoch_ms(f.ft)
+      |    WHEN epoch_ms(c.ts) - epoch_ms(b.bt)
+      |      <= epoch_ms(f.ft) - epoch_ms(c.ts)
+      |      THEN epoch_ms(b.bt) ELSE epoch_ms(f.ft) END
+      |    AS nearest_purchase_ms
+      |FROM c JOIN b ON b.event_id = c.event_id
+      |JOIN f ON f.event_id = c.event_id
+      |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    AsOfJoin.asOfNearest(clicks, purchases, "user_id", "ts", "purchase_ts",
+        Seq("purchase_ts"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("nearest_purchase_ms"))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
-      q208, q209, q212, q213, q220, q226, q229)
+      q208, q209, q212, q213, q220, q226, q229, q232)
 }

@@ -64,4 +64,31 @@ class AsOfJoinSpec extends SparkSuite {
     val out = AsOfJoin.asOfForward(l, r, "k", "t", "rt", Seq("price")).collect()
     assert(out.length == 2 && out.forall(_.isNullAt(3)))
   }
+
+  test("asOfNearest picks the closer side and breaks ties backward") {
+    val l = df(leftSchema, Row(1L, 10L, "a"), Row(1L, 21L, "b"), Row(1L, 30L, "c"))
+    val r = df(rightSchema, Row(1L, 8L, 100.0), Row(1L, 26L, 200.0))
+    val out = AsOfJoin.asOfNearest(l, r, "k", "t", "rt", Seq("price"))
+      .collect().map(x => (x.getString(2), x.getDouble(3))).toMap
+    assert(out("a") == 100.0) // gap 2 back vs 16 fwd
+    assert(out("b") == 200.0) // gap 13 back vs 5 fwd
+    assert(out("c") == 200.0) // nothing after -> backward
+    val tie = df(leftSchema, Row(1L, 17L, "t"))
+    val outTie = AsOfJoin.asOfNearest(tie, r, "k", "t", "rt", Seq("price")).collect()
+    assert(outTie.head.getDouble(3) == 100.0) // 9 back == 9 fwd -> backward
+  }
+
+  test("asOfNearest equal-time right rows match with gap zero") {
+    val l = df(leftSchema, Row(1L, 12L, "x"))
+    val r = df(rightSchema, Row(1L, 12L, 300.0), Row(1L, 13L, 400.0))
+    val out = AsOfJoin.asOfNearest(l, r, "k", "t", "rt", Seq("price")).collect()
+    assert(out.head.getDouble(3) == 300.0)
+  }
+
+  test("asOfNearest stays left-outer with no right rows in the key group") {
+    val l = df(leftSchema, Row(9L, 10L, "lone"))
+    val r = df(rightSchema, Row(1L, 5L, 50.0))
+    val out = AsOfJoin.asOfNearest(l, r, "k", "t", "rt", Seq("price")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
 }

@@ -1113,4 +1113,13 @@ class PlanSpec extends SparkSuite {
     assert(hashEx >= 1, s"q229 lost the single key shuffle:\n$p")
     assert(p.linesIterator.count(_.contains("Window")) >= 1)
   }
+
+  test("q232 nearest as-of fuses both directions into one key exchange") {
+    val p = plan("q232_asof_nearest")
+    assert(!p.contains("CartesianProduct"), s"q232 plans a cartesian:\n$p")
+    // the whole point of asOfNearest vs composing asOf + asOfForward:
+    // ONE shuffle and ONE sort serve the backward and forward windows
+    val keyEx = p.linesIterator.count(_.contains("hashpartitioning(__k"))
+    assert(keyEx == 1, s"q232 shuffles the union $keyEx times, not once:\n$p")
+  }
 }
