@@ -1061,6 +1061,53 @@ object Pipeline {
       .orderBy("source", "status")
   }
 
+  /** q234: CDC MERGE apply — the inverse of q177's diff: given the old
+    * snapshot and a change feed (D/U/I ops, the shape a CDC source or
+    * q177's diff emits), produce the new snapshot. Semantics are MERGE's:
+    * deletes and updates retire the old image via ONE anti join on the
+    * change ids, then the new images (U + I rows) union in — no
+    * full-outer pass, and the delta side is broadcastable whenever the
+    * feed is small relative to the corpus (the usual CDC shape; the
+    * corpus is never shuffled at all in that case). The GATE is the
+    * inverse-pair property itself: the engine computes apply(old,
+    * changes) while the oracle derives the new snapshot DIRECTLY from
+    * q177's transform — row-for-row md5 equality proves diff/apply
+    * compose to the identity.
+    */
+  private val q234 = GraftQuery(
+    "q234_cdc_apply",
+    s"""SELECT doc_id, source, md5(text) AS text_md5
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CASE WHEN (${lcgSql("doc_id", SplitA, SplitC)}) % 10 = 8
+       |         THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents
+       |  WHERE (${lcgSql("doc_id", SplitA, SplitC)}) % 10 <> 9
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, text FROM documents
+       |  WHERE (${lcgSql("doc_id", SplitA, SplitC)}) % 10 = 7)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bucket = lcg(col("doc_id"), SplitA, SplitC) % 10
+    val docs = Tables.documents(s, d)
+    // the change feed a CDC source (or q177's diff) would deliver
+    val changes = docs.where(bucket === 9)
+      .select(lit("D").as("op"), col("doc_id"),
+        col("source"), lit(null).cast("string").as("text"))
+      .unionByName(docs.where(bucket === 8)
+        .select(lit("U").as("op"), col("doc_id"), col("source"),
+          concat(col("text"), lit(" rev2")).as("text")))
+      .unionByName(docs.where(bucket === 7)
+        .select(lit("I").as("op"), (col("doc_id") + 1000000L).as("doc_id"),
+          col("source"), col("text")))
+    val retired = changes.where(col("op").isin("D", "U")).select("doc_id")
+    docs.select("doc_id", "source", "text")
+      .join(broadcast(retired), Seq("doc_id"), "left_anti")
+      .unionByName(changes.where(col("op").isin("U", "I"))
+        .select("doc_id", "source", "text"))
+      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Bucketed corpus layout — the one join co-location mechanism Spark
     * persists ACROSS jobs: both tables are written `bucketBy(nBuckets,
     * joinKey)` (hash-partitioned into the same bucket count on the keys
@@ -1369,5 +1416,5 @@ object Pipeline {
 
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142, q161, q165, q177, q202, q223)
+      q138, q142, q161, q165, q177, q202, q223, q234)
 }

@@ -1122,4 +1122,13 @@ class PlanSpec extends SparkSuite {
     val keyEx = p.linesIterator.count(_.contains("hashpartitioning(__k"))
     assert(keyEx == 1, s"q232 shuffles the union $keyEx times, not once:\n$p")
   }
+
+  test("q234 CDC apply: broadcast anti join, no full-outer corpus pass") {
+    val p = plan("q234_cdc_apply")
+    assert(!p.contains("FullOuter"), s"q234 regressed to a full-outer diff:\n$p")
+    assert(p.contains("LeftAnti"), s"q234 lost the retire anti join:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"q234 shuffles the corpus to retire a broadcastable delta:\n$p")
+  }
 }
