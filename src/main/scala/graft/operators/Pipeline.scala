@@ -1061,6 +1061,72 @@ object Pipeline {
       .orderBy("source", "status")
   }
 
+  /** Poisson(1) inverse-CDF thresholds in uniform-ppm space, computed
+    * once and interpolated into both dialects: k = #{thresholds <= u}
+    * gives a deterministic Poisson(1) draw from a seeded uniform.
+    */
+  private val PoissonPpm: Seq[Long] = {
+    var acc = 0.0
+    (0 until 9).map { k =>
+      acc += math.exp(-1.0) / (1 to k).product.toDouble.max(1.0)
+      math.floor(acc * 1000000).toLong
+    }
+  }
+  private val BootReps = 32
+
+  /** Shared dialect-neutral Poisson draw: CASE-chain count of thresholds
+    * at or below the uniform `u`.
+    */
+  private def poissonK(u: String): String =
+    PoissonPpm.map(t => s"(CASE WHEN $u >= $t THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** q235: Poisson bootstrap — the confidence-interval construction that
+    * actually works distributed: classical bootstrap resampling needs
+    * global coordinated draws, but giving every (row, replicate) an
+    * INDEPENDENT Poisson(1) weight approximates multinomial resampling
+    * with no coordination at all — one pass, any partitioning. Each of
+    * the 32 replicates' weighted (count, sum) comes from a seeded-LCG
+    * uniform pushed through the literal Poisson inverse-CDF (shared
+    * ppm thresholds, pure integer comparisons), so every replicate is
+    * bit-reproducible in both engines; the spread of the 32 replicate
+    * means IS the sampling distribution of the corpus mean. Scale
+    * shape: ONE corpus pass with a constant 32× map-side expansion that
+    * partial aggregation collapses to 32 rows per partition before the
+    * one metadata-sized shuffle — the plan a naive per-replicate
+    * resample (32 corpus passes) can't touch.
+    */
+  private val q235 = GraftQuery(
+    "q235_poisson_bootstrap",
+    s"""WITH r AS (
+       |  SELECT d.n_chars, b.b,
+       |    ((d.doc_id * $BootReps + b.b) * $SampleA + $SampleC)
+       |      % 2147483648 % 1000000 AS u
+       |  FROM documents d CROSS JOIN
+       |    (SELECT unnest(range(0, $BootReps)) AS b) b),
+       |w AS (SELECT b, n_chars, ${poissonK("u")} AS k FROM r),
+       |rep AS (
+       |  SELECT b, CAST(sum(k) AS BIGINT) AS n_eff,
+       |    CAST(sum(k * n_chars) AS BIGINT) AS sum_chars
+       |  FROM w GROUP BY 1)
+       |SELECT CAST(b AS BIGINT) AS b, n_eff, sum_chars,
+       |  (sum_chars * 1000000) // n_eff AS mean_micro
+       |FROM rep ORDER BY b""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select("doc_id", "n_chars")
+      .crossJoin(broadcast(s.range(0, BootReps)
+        .select(col("id").cast("long").as("b"))))
+      .selectExpr("b", "n_chars",
+        s"((doc_id * $BootReps + b) * $SampleA + $SampleC)" +
+          " % 2147483648 % 1000000 AS u")
+      .selectExpr("b", "n_chars", s"${poissonK("u")} AS k")
+      .groupBy("b")
+      .agg(sum(col("k")).as("n_eff"),
+        sum(col("k") * col("n_chars")).as("sum_chars"))
+      .selectExpr("b", "n_eff", "sum_chars",
+        "(sum_chars * 1000000) div n_eff AS mean_micro")
+      .orderBy("b")
+  }
+
   /** q234: CDC MERGE apply — the inverse of q177's diff: given the old
     * snapshot and a change feed (D/U/I ops, the shape a CDC source or
     * q177's diff emits), produce the new snapshot. Semantics are MERGE's:
@@ -1416,5 +1482,5 @@ object Pipeline {
 
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142, q161, q165, q177, q202, q223, q234)
+      q138, q142, q161, q165, q177, q202, q223, q234, q235)
 }

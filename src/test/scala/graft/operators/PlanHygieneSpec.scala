@@ -45,7 +45,8 @@ class PlanHygieneSpec extends SparkSuite {
     "q219_encoding_audit", // 1-row dictionary-size frame per column
     "q223_proportional_alloc", // 1-row total + 1-row remainder broadcasts
     "q226_theil_sen_trend", // 1-row min-day bound broadcast, q208's shape
-    "q233_benford_audit") // 1-row total x 9-row literal share table
+    "q233_benford_audit", // 1-row total x 9-row literal share table
+    "q235_poisson_bootstrap") // constant 32-row replicate frame crossed
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet

@@ -672,4 +672,21 @@ class ScaleSpec extends SparkSuite {
       assert(scenes.forall(x => x._5 == x._4 - x._3 + 1), "n_frames mismatch")
     }
   }
+
+  test("q235 bootstrap replicates are unbiased and actually vary") {
+    val rows = graft.SparkEntry
+      .queries("q235_poisson_bootstrap")(spark, dir).collect()
+    assert(rows.length == 32)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val means = rows.map(_.getLong(3))
+    // Poisson(1) weights: every replicate's effective n is within a few
+    // sigma of the corpus size, and the means are not all identical
+    // (a broken seed collapses every replicate to the same draw)
+    for (r <- rows) {
+      val nEff = r.getLong(1)
+      assert(math.abs(nEff - docs) < 6 * math.sqrt(docs.toDouble) + 1,
+        s"replicate ${r.getLong(0)}: n_eff $nEff vs n $docs")
+    }
+    assert(means.distinct.length > 16, "replicate means barely vary")
+  }
 }
