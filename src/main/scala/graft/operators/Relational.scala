@@ -1848,9 +1848,76 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** The star schema's foreign-key edges: (child table, child key column,
+    * parent table, parent key column). Shared by the engine and oracle
+    * sides of q236 so both enumerate the identical census.
+    */
+  private val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** q236: referential-integrity audit — the orphan census over every
+    * foreign-key edge of the star schema, the constraint-discovery
+    * companion to q230's functional dependencies: per edge, how many
+    * child ROWS (and distinct child KEYS) reference a parent key that
+    * does not exist. The 100 TB shape is the point: the child side is
+    * pre-aggregated to KEY grain first (one shuffle to NDV-sized keys,
+    * map-side combined), and the orphan probe is a key-to-key LEFT join
+    * against the parent's DISTINCT-key projection — a one-column pruned
+    * scan that broadcasts for dimensions and sort-merges key-grain (not
+    * row-grain) frames for the fact-fact edge. The census never joins at
+    * child-row grain, so a 100 TB lineitem contributes one key-grain
+    * aggregate, not a 100 TB join probe. Output is 7 one-row aggregates
+    * unioned — metadata-sized regardless of corpus.
+    */
+  private val q236 = GraftQuery(
+    "q236_ref_integrity", {
+      val arms = FkEdges.zipWithIndex.map { case ((ct, ck, pt, pk), i) =>
+        s"""ck$i AS (SELECT $ck AS k, CAST(count(*) AS BIGINT) AS c
+           |  FROM $ct GROUP BY 1),
+           |j$i AS (SELECT ck$i.c, p.$pk IS NULL AS orphan
+           |  FROM ck$i LEFT JOIN (SELECT DISTINCT $pk FROM $pt) p
+           |  ON ck$i.k = p.$pk),
+           |e$i AS (SELECT '$ct.$ck -> $pt.$pk' AS edge,
+           |  CAST(sum(c) AS BIGINT) AS child_rows,
+           |  CAST(coalesce(sum(c) FILTER (WHERE orphan), 0) AS BIGINT)
+           |    AS orphan_rows,
+           |  CAST(count(*) FILTER (WHERE orphan) AS BIGINT) AS orphan_keys
+           |  FROM j$i)""".stripMargin
+      }
+      val uni = FkEdges.indices.map(i => s"SELECT * FROM e$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ${arms.mkString(",\n")}
+         |SELECT edge, child_rows, orphan_rows, orphan_keys,
+         |  orphan_rows = 0 AS holds
+         |FROM ($uni) ORDER BY edge""".stripMargin
+    }) { (s, d) =>
+    val edges = FkEdges.map { case (ct, ck, pt, pk) =>
+      val childKeys = Tables.table(s, d, ct)
+        .groupBy(col(ck).as("k")).agg(count(lit(1)).as("c"))
+      val parentKeys = Tables.table(s, d, pt)
+        .select(col(pk).as("pk")).distinct()
+      childKeys.join(parentKeys, col("k") === col("pk"), "left")
+        .agg(sum(col("c")).cast("long").as("child_rows"),
+          coalesce(sum(when(col("pk").isNull, col("c"))), lit(0L))
+            .cast("long").as("orphan_rows"),
+          count(when(col("pk").isNull, lit(1))).as("orphan_keys"))
+        .select(lit(s"$ct.$ck -> $pt.$pk").as("edge"),
+          col("child_rows"), col("orphan_rows"), col("orphan_keys"))
+    }
+    edges.reduce(_.unionByName(_))
+      .withColumn("holds", col("orphan_rows") === 0L)
+      .orderBy("edge")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198, q201, q210, q211, q218, q219, q227, q228, q230, q233)
+      q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236)
 }

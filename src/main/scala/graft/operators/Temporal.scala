@@ -1642,8 +1642,117 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** q237: exact two-sample Kolmogorov–Smirnov drift — the continuous-
+    * column complement to q214's categorical chi-square: are 'purchase'
+    * and 'click' event values drawn from the same distribution? The KS
+    * statistic D = sup|F1−F2| is computed EXACTLY and integer-decided:
+    * at value-cent grain, D's numerator is max|n2·C1(v) − n1·C2(v)| over
+    * the merged distinct values (cross-multiplied cumulative counts —
+    * no float CDFs, so the argmax and the reported ppm are shuffle-order
+    * independent). The scale discipline is q117/q193's banded cumulative
+    * sum: one corpus shuffle to value-cent grain, band-local windows on
+    * the monotone `vc div 2000` key + a broadcast band-offset table —
+    * never a single-partition global window over the value domain. The
+    * argmax location rides a lexicographic max(struct) aggregate
+    * (largest D, then smallest vc) so ties are pinned. Cross-multiplied
+    * BIGINTs bound exactness to n1·n2 < 2^63 (~3·10^9 rows per side);
+    * past that the same plan runs on DECIMAL(38,0).
+    */
+  private val q237 = GraftQuery(
+    "q237_ks_drift",
+    """WITH v AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s2
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |g AS (SELECT vc, CAST(sum(s1) AS BIGINT) AS c1,
+      |    CAST(sum(s2) AS BIGINT) AS c2 FROM v GROUP BY 1),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+      |cum AS (SELECT vc, sum(c1) OVER (ORDER BY vc) AS f1,
+      |    sum(c2) OVER (ORDER BY vc) AS f2 FROM g),
+      |dd AS (SELECT cum.vc,
+      |    abs(n.n2 * cum.f1 - n.n1 * cum.f2) AS dn
+      |  FROM cum CROSS JOIN n),
+      |mx AS (SELECT CAST(max(dn) AS BIGINT) AS d_num FROM dd)
+      |SELECT n.n1, n.n2, mx.d_num,
+      |  CAST(1000000 * mx.d_num // (n.n1 * n.n2) AS BIGINT) AS ks_ppm,
+      |  (SELECT CAST(min(vc) AS BIGINT) FROM dd WHERE dn = mx.d_num)
+      |    AS at_vc
+      |FROM n CROSS JOIN mx""".stripMargin) { (s, d) =>
+    val v = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(round(col("value") * 100).cast("long").as("vc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("s1"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("s2"))
+    val g = v.groupBy("vc")
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+      .withColumn("band", expr("vc div 2000"))
+    // band offsets + grand totals computed on the metadata-sized band table
+    val bc = g.groupBy("band")
+      .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+    val wOff = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bc
+      .withColumn("off1", coalesce(sum(col("b1")).over(wOff), lit(0L)))
+      .withColumn("off2", coalesce(sum(col("b2")).over(wOff), lit(0L)))
+      .select("band", "off1", "off2")
+    val n = broadcast(g.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2")))
+    val wB = Window.partitionBy("band").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = g.join(broadcast(offs), Seq("band"))
+      .withColumn("f1", col("off1") + sum(col("c1")).over(wB))
+      .withColumn("f2", col("off2") + sum(col("c2")).over(wB))
+      .crossJoin(n)
+      .withColumn("dn", abs(col("n2") * col("f1") - col("n1") * col("f2")))
+    dd.groupBy("n1", "n2")
+      .agg(max(struct(col("dn").as("dn"), (-col("vc")).as("nvc"))).as("top"))
+      .select(col("n1"), col("n2"), col("top.dn").as("d_num"),
+        expr("1000000 * top.dn div (n1 * n2)").as("ks_ppm"),
+        (-col("top.nvc")).as("at_vc"))
+  }
+
+  /** q238: day-of-week seasonality index per event type — the weekly
+    * seasonal profile under capacity planning and anomaly baselines:
+    * index = 7 · share(type, dow) in ppm (1,000,000 = flat), with a
+    * `peak` flag above 1.1×. The day-of-week is integer-derived from
+    * epoch microseconds ((days + 4) mod 7, 0 = Monday) in BOTH dialects
+    * so no calendar/locale function can disagree. One corpus pass to the
+    * 35-row (type, dow) grain (partial+final hash agg); the per-type
+    * totals come from a second rollup OF THAT GRAIN (never a second
+    * corpus scan) joined back as a broadcast.
+    */
+  private val q238 = GraftQuery(
+    "q238_dow_seasonality",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(((epoch_ns(ts) // 1000) // 86400000000 + 4) % 7 AS BIGINT)
+      |      AS dow
+      |  FROM events),
+      |c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+      |  FROM c GROUP BY 1)
+      |SELECT c.event_type, c.dow, c.cnt,
+      |  CAST(7000000 * c.cnt // t.total AS BIGINT) AS index_ppm,
+      |  7000000 * c.cnt // t.total > 1100000 AS peak
+      |FROM c JOIN t ON c.event_type = t.event_type
+      |ORDER BY c.event_type, c.dow""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy("event_type").agg(sum(col("cnt")).as("total"))
+    c.join(broadcast(t), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("cnt"),
+        expr("7000000 * cnt div total").as("index_ppm"),
+        (expr("7000000 * cnt div total") > 1100000L).as("peak"))
+      .orderBy("event_type", "dow")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
-      q208, q209, q212, q213, q220, q226, q229, q232)
+      q208, q209, q212, q213, q220, q226, q229, q232, q237, q238)
 }
