@@ -1915,9 +1915,73 @@ object Relational {
       .orderBy("edge")
   }
 
+  /** q240: equi-depth decile binning of order value — the feature-
+    * engineering quantile binner (and the optimizer's equi-depth
+    * histogram): decile edges are the EXACT order statistics at ranks
+    * ceil(k·n/10), every row is assigned bin = 1 + #(edges < value), and
+    * the audit reports per-bin occupancy and value range. Ties sit
+    * entirely in one bin (assignment depends on the VALUE, never on row
+    * order), so the result is deterministic under any shuffle. The scale
+    * shape: one corpus shuffle to value-cent grain, edges found by
+    * q193's rank-crossing selection over BANDED cumulative counts (band
+    * key `pc div 5000000`, band-local windows + broadcast offsets — no
+    * global single-partition window), and the 9-edge row rides every
+    * downstream step as a broadcast. Bin assignment then happens at
+    * value grain too — a 100 TB orders table contributes NDV-sized work
+    * after the first aggregate.
+    */
+  private val q240 = GraftQuery(
+    "q240_equidepth_bins",
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders),
+      |rk AS (SELECT pc, row_number() OVER (ORDER BY pc) AS r,
+      |    count(*) OVER () AS n FROM v),
+      |ed AS (SELECT k, max(CASE WHEN r = (k*n+9)//10 THEN pc END) AS v
+      |  FROM rk CROSS JOIN (SELECT unnest(range(1, 10)) AS k) GROUP BY k),
+      |g AS (SELECT pc, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+      |bn AS (SELECT g.pc, g.c,
+      |    1 + count(ed.v) FILTER (WHERE ed.v < g.pc) AS bin
+      |  FROM g LEFT JOIN ed ON ed.v < g.pc GROUP BY 1, 2)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(c) AS BIGINT) AS n_rows,
+      |  min(pc) AS min_pc, max(pc) AS max_pc
+      |FROM bn GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val g = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("pc"))
+      .groupBy("pc").agg(count(lit(1)).as("c"))
+      .withColumn("band", expr("pc div 5000000"))
+    val bc = g.groupBy("band").agg(sum(col("c")).as("b"))
+    val wOff = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bc
+      .withColumn("off", coalesce(sum(col("b")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("b")).over(
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select("band", "off", "n")
+    val wB = Window.partitionBy("band").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.join(broadcast(offs), Seq("band"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wB))
+    val edgeCols = (1 to 9).map { k =>
+      max(when(lit(10) * col("cum") >= lit(k.toLong) * col("n")
+        && lit(10) * (col("cum") - col("c")) < lit(k.toLong) * col("n"),
+        col("pc"))).as(s"e$k")
+    }
+    val edges = cum.agg(edgeCols.head, edgeCols.tail: _*)
+    val binExpr = (1 to 9).map(k =>
+      when(col(s"e$k") < col("pc"), 1L).otherwise(0L)).reduce(_ + _)
+    g.crossJoin(broadcast(edges))
+      .withColumn("bin", lit(1L) + binExpr)
+      .groupBy("bin")
+      .agg(sum(col("c")).cast("long").as("n_rows"),
+        min(col("pc")).as("min_pc"), max(col("pc")).as("max_pc"))
+      .orderBy("bin")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236)
+      q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240)
 }

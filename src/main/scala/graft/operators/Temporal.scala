@@ -1751,8 +1751,133 @@ object Temporal {
       .orderBy("event_type", "dow")
   }
 
+  /** q239: MAD-based robust anomaly flags on the daily event-count
+    * series per type — the heavy-tail-safe complement to q167's
+    * mean/σ z-flags: median and median-absolute-deviation shrug off the
+    * very outliers a mean-based control chart lets contaminate its own
+    * threshold. Everything is integer-exact at doubled scales so even-n
+    * medians never touch floats: med2 = lower+upper middle order stats
+    * (2× the true median), dev2 = |2·cnt − med2| (2× the deviation),
+    * mad4 = med2 over the dev2 values (4× the true MAD), and the flag
+    * dev > 2·1.4826·MAD becomes the pure-integer 20000·dev2 >
+    * 29652·mad4. The corpus-sized op is the one pass to (type, day)
+    * grain; every window and join after it runs on that metadata-sized
+    * series (the q194 exemption), with the two medians by the same
+    * rank-crossing selection as q171/q174. Degenerate mad4 = 0 (over
+    * half the days identical) flags any deviation — the documented MAD
+    * edge case, stated rather than hidden.
+    */
+  private val q239 = GraftQuery(
+    "q239_mad_anomaly",
+    """WITH dc AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (SELECT event_type, day, cnt,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cnt, day) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM dc),
+      |med AS (SELECT event_type,
+      |    CAST(max(CASE WHEN r = (n+1)//2 THEN cnt END)
+      |      + max(CASE WHEN r = n//2+1 THEN cnt END) AS BIGINT) AS med2
+      |  FROM rk GROUP BY 1),
+      |dev AS (SELECT rk.event_type, rk.day, rk.cnt, m.med2,
+      |    abs(2*rk.cnt - m.med2) AS dev2
+      |  FROM rk JOIN med m ON rk.event_type = m.event_type),
+      |drk AS (SELECT event_type, day, cnt, med2, dev2,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dev2, day) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM dev),
+      |mad AS (SELECT event_type,
+      |    CAST(max(CASE WHEN r = (n+1)//2 THEN dev2 END)
+      |      + max(CASE WHEN r = n//2+1 THEN dev2 END) AS BIGINT) AS mad4
+      |  FROM drk GROUP BY 1)
+      |SELECT d.event_type, d.day, d.cnt, d.med2, CAST(d.dev2 AS BIGINT)
+      |    AS dev2, m.mad4,
+      |  20000*d.dev2 > 29652*m.mad4 AS outlier
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |ORDER BY d.event_type, d.day""".stripMargin) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    // (type, day) grain is metadata-sized at any corpus scale — the
+    // per-type windows below run on it, never on events (q194 exemption)
+    def med2(df: org.apache.spark.sql.DataFrame, v: String,
+        out: String): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(v), col("day"))
+      val wn = Window.partitionBy("event_type")
+      df.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg((max(when(col("r") === expr("(n+1) div 2"), col(v)))
+          + max(when(col("r") === expr("n div 2 + 1"), col(v))))
+          .cast("long").as(out))
+    }
+    val med = med2(dc, "cnt", "med2")
+    val dev = dc.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(lit(2) * col("cnt") - col("med2")))
+    val mad = med2(dev, "dev2", "mad4")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cnt"), col("med2"),
+        col("dev2").cast("long").as("dev2"), col("mad4"),
+        (lit(20000L) * col("dev2") > lit(29652L) * col("mad4"))
+          .as("outlier"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q241: top event paths — the product-analytics "top user flows"
+    * report: sessionize each user's timeline (6-hour inactivity gap,
+    * q20's break-and-running-sum island construction), slide a 3-event
+    * window along each session (two `lead`s over the SAME (user,
+    * session, ts, event_id) sort — no self-joins), and count every
+    * observed 3-step path. ONE shuffle on user_id covers sessionization
+    * AND the leads (same window ordering, one sort); path counts
+    * aggregate to TYPE³-bounded grain (metadata-sized forever) and the
+    * top-10 is a TakeOrdered with the (count desc, path asc) tie-break
+    * pinned. The general-flow complement to q126's fixed-sequence
+    * funnel and q197's bigram transitions.
+    */
+  private val q241 = GraftQuery(
+    "q241_session_paths",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS t
+      |  FROM events),
+      |brk AS (SELECT *, CASE WHEN t - lag(t) OVER w > 21600000000
+      |      OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS b
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |ses AS (SELECT *, sum(b) OVER (PARTITION BY user_id
+      |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM brk),
+      |tri AS (SELECT event_type AS e1, lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM ses WINDOW w AS (PARTITION BY user_id, sid
+      |    ORDER BY t, event_id)),
+      |pc AS (SELECT e1 || '>' || e2 || '>' || e3 AS path,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tri WHERE e3 IS NOT NULL GROUP BY 1)
+      |SELECT path, cnt FROM pc
+      |ORDER BY cnt DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val ses = ev
+      .withColumn("pt", lag(col("t"), 1).over(w))
+      .withColumn("b",
+        when(col("pt").isNull || col("t") - col("pt") > 21600000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wS = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    ses
+      .withColumn("e2", lead(col("event_type"), 1).over(wS))
+      .withColumn("e3", lead(col("event_type"), 2).over(wS))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
-      q208, q209, q212, q213, q220, q226, q229, q232, q237, q238)
+      q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241)
 }
