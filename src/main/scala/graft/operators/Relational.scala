@@ -756,7 +756,7 @@ object Relational {
         |    AND l_shipdate < DATE '1996-04-01'
         |  GROUP BY l_suppkey)
         |SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
-        |  round(r.rev_u / 10000.0, 2) AS total_revenue
+        |  CAST(round(r.rev_u / 10000.0, 2) AS DOUBLE) AS total_revenue
         |FROM graft_supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
         |WHERE r.rev_u = (SELECT max(rev_u) FROM rev)
         |ORDER BY s_suppkey""".stripMargin)
@@ -887,7 +887,7 @@ object Relational {
         |  FROM graft_lineitem GROUP BY l_partkey, l_suppkey)
         |SELECT p.p_partkey AS p_partkey, p.p_brand AS p_brand,
         |  s.s_suppkey AS s_suppkey, s.s_name AS s_name, n.n_name AS n_name,
-        |  round(c.min_c / 100.0, 2) AS best_price
+        |  CAST(round(c.min_c / 100.0, 2) AS DOUBLE) AS best_price
         |FROM cost c
         |JOIN graft_part p ON p.p_partkey = c.l_partkey
         |JOIN graft_supplier s ON s.s_suppkey = c.l_suppkey
@@ -926,7 +926,8 @@ object Relational {
         |  SELECT l_partkey,
         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v_u
         |  FROM graft_lineitem GROUP BY l_partkey)
-        |SELECT l_partkey AS p_partkey, round(v_u / 100.0, 2) AS part_value
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(round(v_u / 100.0, 2) AS DOUBLE) AS part_value
         |FROM val
         |WHERE v_u * 10000 > 7 * (SELECT sum(v_u) FROM val)
         |ORDER BY part_value DESC, p_partkey""".stripMargin)
@@ -961,9 +962,9 @@ object Relational {
     subqueryViews(s, d)
     s.sql(
       """SELECT p.p_brand AS p_brand, CAST(count(*) AS BIGINT) AS n_li,
-        |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
         |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0,
-        |    2) AS revenue
+        |    2) AS DOUBLE) AS revenue
         |FROM graft_lineitem l JOIN graft_part p ON p.p_partkey = l.l_partkey
         |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
         |       AND p.p_size BETWEEN 1 AND 5)
@@ -1028,7 +1029,7 @@ object Relational {
         |    AND l.l_shipdate < DATE '1997-01-01'
         |  GROUP BY supp_nation, cust_nation, l_year)
         |SELECT supp_nation, cust_nation, l_year, n_li,
-        |  round(rev_u / 10000.0, 2) AS revenue
+        |  CAST(round(rev_u / 10000.0, 2) AS DOUBLE) AS revenue
         |FROM rev ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
 
@@ -1087,9 +1088,10 @@ object Relational {
         |  JOIN graft_nation n2 ON n2.n_nationkey = s.s_nationkey
         |  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
         |  GROUP BY year(o.o_orderdate))
-        |SELECT o_year, round(total_u / 10000.0, 2) AS total_revenue,
-        |  round(nation_u / 10000.0, 2) AS nation_revenue,
-        |  round(nation_u * 1.0 / total_u, 6) AS mkt_share
+        |SELECT o_year,
+        |  CAST(round(total_u / 10000.0, 2) AS DOUBLE) AS total_revenue,
+        |  CAST(round(nation_u / 10000.0, 2) AS DOUBLE) AS nation_revenue,
+        |  CAST(round(nation_u * 1.0 / total_u, 6) AS DOUBLE) AS mkt_share
         |FROM rev ORDER BY o_year""".stripMargin)
   }
 
@@ -1124,10 +1126,11 @@ object Relational {
       """SELECT n.n_name AS nation,
         |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
         |  CAST(count(*) AS BIGINT) AS n_li,
-        |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
         |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
         |    - CAST(round(p.p_retailprice * 100) AS BIGINT)
-        |      * CAST(l.l_quantity AS BIGINT) * 100) / 10000.0, 2) AS profit
+        |      * CAST(l.l_quantity AS BIGINT) * 100) / 10000.0, 2)
+        |    AS DOUBLE) AS profit
         |FROM graft_lineitem l
         |JOIN graft_part p ON p.p_partkey = l.l_partkey
         |JOIN graft_supplier s ON s.s_suppkey = l.l_suppkey
@@ -1183,7 +1186,7 @@ object Relational {
           |    AND o.o_orderdate < DATE '1995-07-01'
           |  GROUP BY c.c_custkey, c.c_name, n.n_name)
           |SELECT c_custkey, c_name, nation, n_li,
-          |  round(rev_u / 10000.0, 2) AS revenue
+          |  CAST(round(rev_u / 10000.0, 2) AS DOUBLE) AS revenue
           |FROM rev ORDER BY rev_u DESC, c_custkey LIMIT 20""".stripMargin)
   }
 
@@ -1258,7 +1261,7 @@ object Relational {
         |  WHERE l.l_shipdate >= DATE '1995-03-01'
         |    AND l.l_shipdate < DATE '1995-04-01')
         |SELECT promo_u AS promo_u_int,
-        |  round(100.0 * promo_u / total_u, 6) AS promo_share
+        |  CAST(round(100.0 * promo_u / total_u, 6) AS DOUBLE) AS promo_share
         |FROM u""".stripMargin)
   }
 

@@ -1655,8 +1655,12 @@ object Temporal {
     * never a single-partition global window over the value domain. The
     * argmax location rides a lexicographic max(struct) aggregate
     * (largest D, then smallest vc) so ties are pinned. Cross-multiplied
-    * BIGINTs bound exactness to n1·n2 < 2^63 (~3·10^9 rows per side);
-    * past that the same plan runs on DECIMAL(38,0).
+    * BIGINTs bound exactness to n1·n2 < 2^63 (~3·10⁹ rows per side);
+    * the final ppm multiply (×10⁶, which would overflow BIGINT already
+    * at n1·n2 > ~9.2·10¹²) runs in DECIMAL(38,0) on the Spark side and
+    * HUGEINT in the oracle, so the full 2^63 bound holds end to end.
+    * On empty input both dialects emit ONE all-NULL row (global
+    * aggregates, no grouped-empty asymmetry).
     */
   private val q237 = GraftQuery(
     "q237_ks_drift",
@@ -1676,7 +1680,8 @@ object Temporal {
       |  FROM cum CROSS JOIN n),
       |mx AS (SELECT CAST(max(dn) AS BIGINT) AS d_num FROM dd)
       |SELECT n.n1, n.n2, mx.d_num,
-      |  CAST(1000000 * mx.d_num // (n.n1 * n.n2) AS BIGINT) AS ks_ppm,
+      |  CAST(1000000 * CAST(mx.d_num AS HUGEINT)
+      |    // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS ks_ppm,
       |  (SELECT CAST(min(vc) AS BIGINT) FROM dd WHERE dn = mx.d_num)
       |    AS at_vc
       |FROM n CROSS JOIN mx""".stripMargin) { (s, d) =>
@@ -1706,10 +1711,16 @@ object Temporal {
       .withColumn("f2", col("off2") + sum(col("c2")).over(wB))
       .crossJoin(n)
       .withColumn("dn", abs(col("n2") * col("f1") - col("n1") * col("f2")))
-    dd.groupBy("n1", "n2")
-      .agg(max(struct(col("dn").as("dn"), (-col("vc")).as("nvc"))).as("top"))
+    // global (ungrouped) argmax so empty input yields one NULL row, matching
+    // the oracle's n CROSS JOIN mx; ppm multiply in DECIMAL(38,0) so the
+    // ×10⁶ step cannot overflow BIGINT under the n1·n2 < 2^63 bound
+    val top = dd.agg(
+      max(struct(col("dn").as("dn"), (-col("vc")).as("nvc"))).as("top"))
+    n.crossJoin(broadcast(top))
       .select(col("n1"), col("n2"), col("top.dn").as("d_num"),
-        expr("1000000 * top.dn div (n1 * n2)").as("ks_ppm"),
+        expr("""CAST(CAST(top.dn AS DECIMAL(38,0)) * 1000000
+               |  div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+          .stripMargin).as("ks_ppm"),
         (-col("top.nvc")).as("at_vc"))
   }
 
@@ -1717,7 +1728,8 @@ object Temporal {
     * seasonal profile under capacity planning and anomaly baselines:
     * index = 7 · share(type, dow) in ppm (1,000,000 = flat), with a
     * `peak` flag above 1.1×. The day-of-week is integer-derived from
-    * epoch microseconds ((days + 4) mod 7, 0 = Monday) in BOTH dialects
+    * epoch microseconds ((days + 4) mod 7, 0 = Sunday — epoch day 0 was
+    * a Thursday, so +4 maps Thursday→4) in BOTH dialects
     * so no calendar/locale function can disagree. One corpus pass to the
     * 35-row (type, dow) grain (partial+final hash agg); the per-type
     * totals come from a second rollup OF THAT GRAIN (never a second
@@ -1835,8 +1847,11 @@ object Temporal {
     * pinned. The general-flow complement to q126's fixed-sequence
     * funnel and q197's bigram transitions.
     */
-  private val q241 = GraftQuery(
-    "q241_session_paths",
+  /** q241's oracle, shared verbatim with its streaming twin
+    * ([[graft.streaming.StreamingQueries]] q244) — the stream==batch==
+    * DuckDB triangle the other temporal families pin.
+    */
+  private[graft] val sessionPathsOracleSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS t
       |  FROM events),
@@ -1853,7 +1868,10 @@ object Temporal {
       |    CAST(count(*) AS BIGINT) AS cnt
       |  FROM tri WHERE e3 IS NOT NULL GROUP BY 1)
       |SELECT path, cnt FROM pc
-      |ORDER BY cnt DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      |ORDER BY cnt DESC, path LIMIT 10""".stripMargin
+
+  private val q241 = GraftQuery(
+    "q241_session_paths", sessionPathsOracleSql) { (s, d) =>
     val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("t"))
     val w = Window.partitionBy("user_id").orderBy("t", "event_id")
@@ -1869,8 +1887,8 @@ object Temporal {
       .withColumn("e2", lead(col("event_type"), 1).over(wS))
       .withColumn("e3", lead(col("event_type"), 2).over(wS))
       .where(col("e3").isNotNull)
-      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
-        .as("path"))
+      .select(concat(col("event_type"), lit(">"), col("e2"), lit(">"),
+        col("e3")).as("path"))
       .groupBy("path").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("path"))
       .limit(10)

@@ -46,7 +46,9 @@ class PlanHygieneSpec extends SparkSuite {
     "q223_proportional_alloc", // 1-row total + 1-row remainder broadcasts
     "q226_theil_sen_trend", // 1-row min-day bound broadcast, q208's shape
     "q233_benford_audit", // 1-row total x 9-row literal share table
-    "q235_poisson_bootstrap") // constant 32-row replicate frame crossed
+    "q235_poisson_bootstrap", // constant 32-row replicate frame crossed
+    "q237_ks_drift",      // 1-row (n1,n2) totals + 1-row argmax crossed
+    "q240_equidepth_bins") // 1-row 9-edge frame crossed onto value grain
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
