@@ -1665,8 +1665,111 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q246: intra-document repetition audit — the within-document quality
+    * signal next to q89's cross-document one: per doc, total word
+    * bigrams (WITH repeats — unlike the dedup family's distinct-gram
+    * tables), distinct bigrams, the hottest bigram's count, and two ppm
+    * ratios (top-bigram share, repeated-bigram share). High values mark
+    * boilerplate/looping text that repetition-based quality filters
+    * (the published LM-corpus heuristics) drop before training. Grams
+    * ride as 8-byte poly-hashes (hash-as-identity, the q89 contract);
+    * the (doc, hash) aggregate collapses repeats map-side before its
+    * one exchange, and the per-doc rollup rides the same partitioning.
+    * All ratios are BIGINT div — no float decides a value.
+    */
+  private val q246 = GraftQuery(
+    "q246_repetition_audit",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+       |    THEN list_transform(range(1, len(ts)), i -> ts[i]||' '||ts[i+1])
+       |    ELSE [] END) AS g
+       |  FROM toks),
+       |h AS (SELECT doc_id, ${PolyHash.oracleSql("g")} AS hg FROM bg),
+       |c AS (SELECT doc_id, hg, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM h GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(max(cnt) AS BIGINT) AS top_cnt
+       |  FROM c GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_distinct, top_cnt,
+       |  top_cnt * 1000000 // n_bigrams AS top_ppm,
+       |  (n_bigrams - n_distinct) * 1000000 // n_bigrams AS rep_ppm
+       |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+      .select(col("doc_id"), explode(when(size(col("ts")) >= 2,
+        expr("""transform(sequence(1, size(ts) - 1),
+               |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"""
+          .stripMargin))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
+    bg.select(col("doc_id"), PolyHash.hash(col("g")).as("hg"))
+      .groupBy("doc_id", "hg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        col("top_cnt"),
+        expr("(top_cnt * 1000000) div n_bigrams").as("top_ppm"),
+        expr("((n_bigrams - n_distinct) * 1000000) div n_bigrams")
+          .as("rep_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** q247: source novelty attribution — the marginal-coverage table a
+    * curation pipeline reads to decide which sources still add content:
+    * every distinct word-8-gram is attributed to its FIRST source in a
+    * fixed ingestion order (alphabetical source name here — any total
+    * order works, and the fixture's is deterministic), and each source
+    * reports how many of its distinct grams it was first to contribute
+    * (novelty_ppm = first-contributed / carried). A source near 0 is
+    * pure re-crawl of earlier sources; near 10⁶, fresh text. Scale
+    * shape: the only corpus-sized work is the (source, gram-hash)
+    * distinct — partial-aggregated map-side — and the gram-grain
+    * `min(source)` election; both are single hash exchanges on the
+    * 8-byte gram hash, with the final report at source grain. This is
+    * the submodular-coverage measurement (greedy marginal gain under a
+    * fixed order) without any sequential driver loop.
+    */
+  private val q247 = GraftQuery(
+    "q247_source_novelty",
+    s"""WITH ${oracleGrams(GramN)},
+       |h AS (SELECT DISTINCT d.source AS source,
+       |    ${PolyHash.oracleSql("g")} AS hg
+       |  FROM grams JOIN documents d USING (doc_id)),
+       |f AS (SELECT hg, min(source) AS first_source FROM h GROUP BY 1),
+       |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM h GROUP BY 1),
+       |nov AS (SELECT first_source AS source,
+       |    CAST(count(*) AS BIGINT) AS n_novel
+       |  FROM f GROUP BY 1)
+       |SELECT t.source AS source, t.n_grams,
+       |  coalesce(n.n_novel, 0) AS n_novel,
+       |  coalesce(n.n_novel, 0) * 1000000 // t.n_grams AS novelty_ppm
+       |FROM tot t LEFT JOIN nov n ON n.source = t.source
+       |ORDER BY t.source""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val h = docGrams(s, d, GramN)
+      .join(broadcast(src), Seq("doc_id"))
+      .select(col("source"), PolyHash.hash(col("g")).as("hg"))
+      .distinct()
+    val f = h.groupBy("hg").agg(min(col("source")).as("first_source"))
+    val tot = h.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val nov = f.groupBy("first_source").agg(count(lit(1)).as("n_novel"))
+    tot.join(nov, tot("source") === nov("first_source"), "left")
+      .select(tot("source").as("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
-      q225)
+      q225, q246, q247)
 }

@@ -647,19 +647,11 @@ object Pipeline {
     val base = TextAnalysis.qualityBase(s, d)
       .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"),
         col("n_tokens").cast("long").as("n_tokens"))
-      .withColumn("band", floor(col("quality_micro") / QBandWidth).cast("long"))
-    // cross-band offsets: band totals (metadata-sized), cumulated over
-    // the ≤1e6/width-row table, broadcast back to the corpus
-    val wOff = Window.orderBy(col("band").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("band").agg(sum(col("n_tokens")).as("band_tokens"))
-      .withColumn("offset", coalesce(sum(col("band_tokens")).over(wOff), lit(0L)))
-      .select("band", "offset")
-    val wIn = Window.partitionBy("band")
-      .orderBy(col("quality_micro").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(offsets), "band")
-      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
+    // descending bands: the cut walks quality best-first ([[Banded]])
+    Banded.cumSums(base, Nil,
+        Seq(col("quality_micro").desc, col("doc_id")),
+        floor(col("quality_micro") / QBandWidth).cast("long"),
+        Seq(Banded.CumSpec("cum_tokens", col("n_tokens"))), bandDesc = true)
       .where(col("cum_tokens") <= TokenBudget)
       .select(col("doc_id"), col("quality_micro"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("quality_micro").desc, col("doc_id"))
@@ -822,6 +814,13 @@ object Pipeline {
     *
     *   v1 = [base]          — the accumulated corpus (q129's store)
     *   v2 = [base, delta1]  — after committing today's new spans
+    *   v3 = [compact1]      — v2 folded to one range-laid segment
+    *   v4 = [compact1] − tomb1 — right-to-erasure: the erased docs'
+    *        EXCLUSIVE fingerprints tombstoned (spans still referenced
+    *        by a surviving document are NOT erased — the store keeps
+    *        the last reference alive)
+    *   v5 = [compact2]      — v4 compacted: tombstoned rows physically
+    *        dropped in one fingerprint-column rewrite
     *
     * The commit protocol is the 100 TB one: nothing in the base segment
     * is rewritten OR copied — the manifest's absolute-path row adopts
@@ -850,10 +849,37 @@ object Pipeline {
         .repartitionByRange(4, col("chunk_fp"))
         .sortWithinPartitions("chunk_fp")
         .write.mode("overwrite").parquet(s"$base/segments/compact1")
+      // v4 = erasure commit: tombstone the fingerprints ONLY the erased
+      // documents (doc_id % 20 == 3, a base-corpus subset) contributed.
+      // A span shared with any surviving base document keeps its store
+      // entry — erasing it would misclassify the survivor's span as
+      // `new` and re-admit text the corpus still holds. The tombstone
+      // write is O(erased docs' chunks), never a store rewrite.
+      val baseChunks =
+        cdcChunks(Tables.documents(s, d).where(col("doc_id") % 4 =!= 0))
+      baseChunks.where(col("doc_id") % 20 === 3)
+        .select("chunk_fp").distinct()
+        .join(baseChunks.where(col("doc_id") % 20 =!= 3)
+          .select("chunk_fp").distinct(), Seq("chunk_fp"), "left_anti")
+        .repartitionByRange(1, col("chunk_fp"))
+        .sortWithinPartitions("chunk_fp")
+        .write.mode("overwrite").parquet(s"$base/segments/tomb1")
+      // v5 = post-erase compaction: physically drop tombstoned rows in
+      // one sorted fingerprint-column rewrite, restoring the serve path
+      // to a single segment scan with no anti-join mask
+      s.read.parquet(s"$base/segments/compact1")
+        .join(s.read.parquet(s"$base/segments/tomb1"),
+          Seq("chunk_fp"), "left_anti")
+        .repartitionByRange(4, col("chunk_fp"))
+        .sortWithinPartitions("chunk_fp")
+        .write.mode("overwrite").parquet(s"$base/segments/compact2")
       val mf = s.createDataFrame(Seq(
         (1, "segment", baseSeg),
         (2, "segment", baseSeg), (2, "segment", "segments/delta1"),
-        (3, "segment", "segments/compact1")))
+        (3, "segment", "segments/compact1"),
+        (4, "segment", "segments/compact1"),
+        (4, "tombstone", "segments/tomb1"),
+        (5, "segment", "segments/compact2")))
         .toDF("version", "kind", "path")
       mf.coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
       (base.toString, () => {
@@ -868,13 +894,21 @@ object Pipeline {
     */
   private[graft] def chunkStoreResolve(s: SparkSession, base: String,
       version: Int): org.apache.spark.sql.DataFrame = {
-    val paths = s.read.parquet(s"$base/manifest")
-      .where(col("version") === version && col("kind") === "segment")
-      .select("path").collect().map(_.getString(0)).toSeq
-    require(paths.nonEmpty, s"no chunk-store segments for version $version")
-    paths.map(p =>
-        s.read.parquet(if (p.startsWith("/")) p else s"$base/$p"))
-      .reduce(_.unionByName(_))
+    val rows = s.read.parquet(s"$base/manifest")
+      .where(col("version") === version)
+      .select("kind", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val segs = rows.collect { case ("segment", p) => p }
+    val tombs = rows.collect { case ("tombstone", p) => p }
+    require(segs.nonEmpty, s"no chunk-store segments for version $version")
+    def read(p: String) =
+      s.read.parquet(if (p.startsWith("/")) p else s"$base/$p")
+    val live = segs.map(read).reduce(_.unionByName(_))
+    // tombstones mask at serve time (broadcast anti: the tombstone side
+    // is erased-docs-sized, never store-sized); compaction removes them
+    if (tombs.isEmpty) live
+    else live.join(broadcast(tombs.map(read).reduce(_.unionByName(_))),
+      Seq("chunk_fp"), "left_anti")
   }
 
   /** q142: the CLOSED ingest loop — re-classify the SAME delivery after
@@ -950,6 +984,100 @@ object Pipeline {
        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
     classifyDelivery(s, d,
       chunkStoreResolve(s, versionedChunkStore(s, d), version = 3))
+  }
+
+  /** q242: chunk-store RIGHT-TO-ERASURE — the lifecycle verb the dedup
+    * tier lacked while the vector (q110) and BM25 (q150) tiers had it: a
+    * document set (doc_id % 20 == 3, a base-corpus subset) is erased, so
+    * its spans must classify as `new` again on the next delivery —
+    * EXCEPT spans a surviving document also holds, which the store must
+    * keep (erasing a shared span would re-admit text the corpus still
+    * contains — the reference-counting subtlety that distinguishes span
+    * erasure from doc erasure). The commit is v4 in the manifest: the
+    * compacted segment untouched plus one tombstone segment holding the
+    * erased docs' EXCLUSIVE fingerprints; serve-time masking is a
+    * broadcast anti join (tombstone side is erased-docs-sized). The
+    * oracle recomputes the masked store set-theoretically — (base ∪
+    * delta) minus (erased-only fps) — and classifies the same delivery
+    * against it, so the gate proves both the erasure (spans flip to
+    * `new`/`dup_shard`) and the retention (shared spans stay
+    * `dup_store`) by value.
+    */
+  private val q242 = GraftQuery(
+    "q242_chunkstore_erase",
+    s"""WITH $cdcOracleCtes,
+       |base AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
+       |delta AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks
+       |  WHERE doc_id % 4 = 0
+       |    AND chunk_fp NOT IN (SELECT chunk_fp FROM base)),
+       |tomb AS (
+       |  SELECT chunk_fp FROM (
+       |    SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 20 = 3
+       |    EXCEPT
+       |    SELECT DISTINCT chunk_fp FROM allchunks
+       |    WHERE doc_id % 4 <> 0 AND doc_id % 20 <> 3)),
+       |store AS (
+       |  SELECT chunk_fp FROM (
+       |    SELECT chunk_fp FROM base UNION SELECT chunk_fp FROM delta)
+       |  WHERE chunk_fp NOT IN (SELECT chunk_fp FROM tomb)),
+       |arr AS (
+       |  SELECT doc_id, chunk_id, chunk_fp,
+       |    row_number() OVER (PARTITION BY chunk_fp
+       |      ORDER BY doc_id, chunk_id) AS rn
+       |  FROM allchunks WHERE doc_id % 4 = 0)
+       |SELECT a.doc_id, a.chunk_id, a.chunk_fp,
+       |  CASE WHEN s.chunk_fp IS NOT NULL THEN 'dup_store'
+       |       WHEN a.rn > 1 THEN 'dup_shard' ELSE 'new' END AS status
+       |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    classifyDelivery(s, d,
+      chunkStoreResolve(s, versionedChunkStore(s, d), version = 4))
+  }
+
+  /** q243: post-erase COMPACTION serving — classification at v5 (one
+    * segment, tombstoned rows physically dropped) must be value-
+    * indistinguishable from v4 (segment + tombstone mask), on q242's
+    * oracle verbatim — the same rewrite-changes-layout-not-values
+    * contract q161≡q142 pins for commit-compaction, applied to the
+    * erasure verb. Compaction is what makes erasure durable AND cheap
+    * at serve time: the tombstone anti-join disappears from the probe
+    * plan, the erased bytes leave storage (the actual right-to-erasure
+    * obligation — masking alone keeps the data on disk), and the
+    * rewrite touches only the sorted 8-byte fingerprint column.
+    */
+  private val q243 = GraftQuery(
+    "q243_chunkstore_erase_compacted",
+    s"""WITH $cdcOracleCtes,
+       |base AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
+       |delta AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks
+       |  WHERE doc_id % 4 = 0
+       |    AND chunk_fp NOT IN (SELECT chunk_fp FROM base)),
+       |tomb AS (
+       |  SELECT chunk_fp FROM (
+       |    SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 20 = 3
+       |    EXCEPT
+       |    SELECT DISTINCT chunk_fp FROM allchunks
+       |    WHERE doc_id % 4 <> 0 AND doc_id % 20 <> 3)),
+       |store AS (
+       |  SELECT chunk_fp FROM (
+       |    SELECT chunk_fp FROM base UNION SELECT chunk_fp FROM delta)
+       |  WHERE chunk_fp NOT IN (SELECT chunk_fp FROM tomb)),
+       |arr AS (
+       |  SELECT doc_id, chunk_id, chunk_fp,
+       |    row_number() OVER (PARTITION BY chunk_fp
+       |      ORDER BY doc_id, chunk_id) AS rn
+       |  FROM allchunks WHERE doc_id % 4 = 0)
+       |SELECT a.doc_id, a.chunk_id, a.chunk_fp,
+       |  CASE WHEN s.chunk_fp IS NOT NULL THEN 'dup_store'
+       |       WHEN a.rn > 1 THEN 'dup_shard' ELSE 'new' END AS status
+       |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    classifyDelivery(s, d,
+      chunkStoreResolve(s, versionedChunkStore(s, d), version = 5))
   }
 
   /** The two-generation corpus layout behind q165 — the schema-evolution
@@ -1482,5 +1610,5 @@ object Pipeline {
 
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142, q161, q165, q177, q202, q223, q234, q235)
+      q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243)
 }

@@ -1952,20 +1952,10 @@ object Relational {
     val g = Tables.orders(s, d)
       .select(round(col("o_totalprice") * 100).cast("long").as("pc"))
       .groupBy("pc").agg(count(lit(1)).as("c"))
-      .withColumn("band", expr("pc div 5000000"))
-    val bc = g.groupBy("band").agg(sum(col("c")).as("b"))
-    val wOff = Window.orderBy("band")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = bc
-      .withColumn("off", coalesce(sum(col("b")).over(wOff), lit(0L)))
-      .withColumn("n", sum(col("b")).over(
-        Window.orderBy("band").rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .select("band", "off", "n")
-    val wB = Window.partitionBy("band").orderBy("pc")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = g.join(broadcast(offs), Seq("band"))
-      .withColumn("cum", col("off") + sum(col("c")).over(wB))
+    // banded cumulative rank over the price domain ([[Banded]])
+    val cum = Banded.cumSums(g, Nil, Seq(col("pc")),
+      expr("pc div 5000000"),
+      Seq(Banded.CumSpec("cum", col("c"), Some("n"))))
     val edgeCols = (1 to 9).map { k =>
       max(when(lit(10) * col("cum") >= lit(k.toLong) * col("n")
         && lit(10) * (col("cum") - col("c")) < lit(k.toLong) * col("n"),

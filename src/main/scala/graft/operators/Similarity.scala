@@ -4344,10 +4344,67 @@ object Similarity {
       .orderBy("size")
   }
 
+  /** q245: per-dimension embedding drift audit — the monitoring table an
+    * embedding pipeline reads before trusting a re-embedded batch (model
+    * upgrade, feature skew, silent preprocessing change): for every
+    * vector dimension, count and micro-unit coordinate sum of an "old"
+    * and a "new" batch (vec_id parity as the fixture's batch split), and
+    * a drift flag where the mean shift exceeds 0.02. The decision is
+    * EXACT and engine-independent: coordinates are fixed-pointed to
+    * BIGINT micro-units once (`round(x·10⁶)`, one IEEE-identical
+    * rounding in both dialects) and the mean comparison is the
+    * cross-multiplied |sum_b·n_a − sum_a·n_b| > thr·n_a·n_b — no float
+    * division anywhere, with the multiply in DECIMAL(38,0)/HUGEINT so
+    * it cannot overflow at any corpus size (sum ~ n·10⁶ · n would pass
+    * 2^63 near ~3·10⁶ vectors per side otherwise). Scale shape: one
+    * `posexplode` (row count = corpus × dims, map-side) collapsed by
+    * partial aggregation to dims-grain BEFORE the single exchange —
+    * the final table is 64 rows at any corpus scale.
+    */
+  private val q245 = GraftQuery(
+    "q245_embedding_dim_drift",
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS qm
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT CAST(dim AS BIGINT) AS dim,
+      |    CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_a,
+      |    CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN qm ELSE 0 END) AS BIGINT)
+      |      AS sum_a,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN qm ELSE 0 END) AS BIGINT)
+      |      AS sum_b
+      |  FROM e GROUP BY 1)
+      |SELECT dim, n_a, n_b, sum_a, sum_b,
+      |  abs(CAST(sum_b AS HUGEINT) * n_a - CAST(sum_a AS HUGEINT) * n_b)
+      |    > CAST(20000 AS HUGEINT) * n_a * n_b AS drift
+      |FROM g ORDER BY dim""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("qm"))
+      .groupBy("dim")
+      .agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("vec_id") % 2 === 0, col("qm")).otherwise(0L))
+          .as("sum_a"),
+        sum(when(col("vec_id") % 2 === 1, col("qm")).otherwise(0L))
+          .as("sum_b"))
+      .withColumn("drift",
+        expr("""abs(CAST(sum_b AS DECIMAL(38,0)) * n_a
+               |  - CAST(sum_a AS DECIMAL(38,0)) * n_b)
+               |  > CAST(20000 AS DECIMAL(38,0)) * n_a * n_b""".stripMargin))
+      .select("dim", "n_a", "n_b", "sum_a", "sum_b", "drift")
+      .orderBy("dim")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222, q224)
+      q207, q215, q222, q224, q245)
 }

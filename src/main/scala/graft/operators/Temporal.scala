@@ -675,18 +675,10 @@ object Temporal {
       .where(col("s_us").isNotNull && col("p_us").isNotNull
         && col("p_us") >= col("s_us"))
       .select(col("user_id"), (col("p_us") - col("s_us")).as("lat_us"))
-      .withColumn("band", expr("lat_us div 3600000000"))
-    val bandCounts = conv.groupBy("band").agg(count(lit(1)).as("bc"))
-    val wOff = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy()
-    // band-table-sized windows: offsets + global n ride a broadcast
-    val offs = bandCounts
-      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
-      .withColumn("n", sum(col("bc")).over(wTot))
-      .select(col("band"), col("off"), col("n"))
-    val wB = Window.partitionBy("band").orderBy("lat_us", "user_id")
-    conv.join(broadcast(offs), "band")
-      .withColumn("rk", col("off") + row_number().over(wB))
+    // banded global rank over the latency domain ([[Banded]]; 1h bands)
+    Banded.cumSums(conv, Nil, Seq(col("lat_us"), col("user_id")),
+        expr("lat_us div 3600000000"),
+        Seq(Banded.CumSpec("rk", lit(1L), Some("n"))))
       .agg(max(col("n")).as("n_converted"),
         max(when(lit(4) * col("rk") >= col("n")
           && lit(4) * (col("rk") - 1) < col("n"), col("lat_us"))).as("p25_us"),
@@ -916,18 +908,9 @@ object Temporal {
       : org.apache.spark.sql.DataFrame = {
     val v = Tables.events(s, d).select(col("event_type"),
       round(col("value") * 100).cast("long").as("vc"), col("event_id"))
-      .withColumn("band", expr("vc div 2000"))
-    val bc = v.groupBy("event_type", "band").agg(count(lit(1)).as("bc"))
-    val wOff = Window.partitionBy("event_type").orderBy("band")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy("event_type")
-    val offs = bc
-      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
-      .withColumn("n", sum(col("bc")).over(wTot))
-      .select("event_type", "band", "off", "n")
-    val wB = Window.partitionBy("event_type", "band").orderBy("vc", "event_id")
-    v.join(broadcast(offs), Seq("event_type", "band"))
-      .withColumn("r", col("off") + row_number().over(wB))
+    Banded.cumSums(v, Seq("event_type"), Seq(col("vc"), col("event_id")),
+        expr("vc div 2000"),
+        Seq(Banded.CumSpec("r", lit(1L), Some("n"))))
       .select("event_type", "vc", "r", "n")
   }
 
@@ -1692,23 +1675,12 @@ object Temporal {
         when(col("event_type") === "click", 1L).otherwise(0L).as("s2"))
     val g = v.groupBy("vc")
       .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
-      .withColumn("band", expr("vc div 2000"))
-    // band offsets + grand totals computed on the metadata-sized band table
-    val bc = g.groupBy("band")
-      .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
-    val wOff = Window.orderBy("band")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = bc
-      .withColumn("off1", coalesce(sum(col("b1")).over(wOff), lit(0L)))
-      .withColumn("off2", coalesce(sum(col("b2")).over(wOff), lit(0L)))
-      .select("band", "off1", "off2")
     val n = broadcast(g.agg(sum(col("c1")).cast("long").as("n1"),
       sum(col("c2")).cast("long").as("n2")))
-    val wB = Window.partitionBy("band").orderBy("vc")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val dd = g.join(broadcast(offs), Seq("band"))
-      .withColumn("f1", col("off1") + sum(col("c1")).over(wB))
-      .withColumn("f2", col("off2") + sum(col("c2")).over(wB))
+    // both cumulative CDFs ride one banded pass ([[Banded]]; vc grain is
+    // unique per band, so `vc` alone is a total order)
+    val dd = Banded.cumSums(g, Nil, Seq(col("vc")), expr("vc div 2000"),
+        Seq(Banded.CumSpec("f1", col("c1")), Banded.CumSpec("f2", col("c2"))))
       .crossJoin(n)
       .withColumn("dn", abs(col("n2") * col("f1") - col("n1") * col("f2")))
     // global (ungrouped) argmax so empty input yields one NULL row, matching

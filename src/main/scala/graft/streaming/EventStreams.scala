@@ -437,6 +437,106 @@ object EventStreams {
       }
   }
 
+  /** q241's session 3-gram paths as watermark-finalized custom state —
+    * the streaming side of the "top user flows" report. Per user the
+    * state buffers (t_us, event_id, event_type) rows plus a max-ts
+    * high-water mark, and sessions (6-hour inactivity gap, q241's
+    * constant) are finalized INCREMENTALLY: on every batch, any session
+    * whose last event sits more than the gap behind the watermark is
+    * provably complete — no future event can extend it (anything new
+    * has ts ≥ watermark > last + gap) and no late event can land inside
+    * it (that would be beyond-watermark-late, dropped by contract) — so
+    * its 3-grams are emitted and its rows EVICTED. State is therefore
+    * bounded by the open session tail, not the user's event history
+    * (the q205 bounded-state discipline applied to an order-sensitive
+    * fold). Path strings null-propagate exactly like the batch side's
+    * `concat` (a NULL event_type yields a NULL path, grouped as such).
+    * The event-time timeout sweeps users whose stream simply ended.
+    */
+  def sessionPathRows(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[String] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, String)], Long), String](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, String)], Long)]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get._1
+            state.remove()
+            sessionTrigrams(buf).iterator
+          } else {
+            val rs = rows.toSeq
+            val (buf0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, String)], Long.MinValue))
+            val buf = (buf0 ++ rs.map { case (_, _, t, eid, et) => (t, eid, et) })
+              .sortBy(r => (r._1, r._2))
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            // split the sorted buffer at the last PROVABLY-final session
+            // boundary: every session ending > gap before the watermark
+            // is closed — emit and evict it, keep the open tail
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // sorted buffer ⇒ a session's end is its last row's t, and
+            // session ends increase along the buffer, so the LAST session
+            // boundary whose preceding end sits > gap behind the watermark
+            // cuts off every closed session at once
+            var cut = 0
+            var i = 1
+            while (i < buf.length) {
+              if (buf(i)._1 - buf(i - 1)._1 > SessionGapUs &&
+                  buf(i - 1)._1 + SessionGapUs < wmUs)
+                cut = i
+              i += 1
+            }
+            val (closed, open) = buf.splitAt(cut)
+            state.update((open, maxT))
+            state.setTimeoutTimestamp(math.max(
+              maxT / 1000L + SessionGapUs / 1000L + 10L,
+              state.getCurrentWatermarkMs() + 1L))
+            sessionTrigrams(closed).iterator
+          }
+      }
+  }
+
+  private val SessionGapUs = 21600000000L
+
+  /** Sessionize an already-sorted (t, event_id, event_type) buffer on the
+    * 6-hour gap and emit every intra-session 3-gram path — the exact fold
+    * the batch q241 runs as window `lead`s. Null event types propagate to
+    * a null path (the batch `concat` contract).
+    */
+  private[streaming] def sessionTrigrams(
+      buf: Seq[(Long, Long, String)]): Seq[String] = {
+    if (buf.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var session = List.empty[String]
+    def flush(): Unit = {
+      val evs = session.reverse.toArray
+      var k = 0
+      while (k + 2 < evs.length) {
+        out += (if (evs(k) == null || evs(k + 1) == null || evs(k + 2) == null)
+          null
+        else s"${evs(k)}>${evs(k + 1)}>${evs(k + 2)}")
+        k += 1
+      }
+      session = Nil
+    }
+    var prevT = buf.head._1
+    buf.foreach { case (t, _, et) =>
+      if (t - prevT > SessionGapUs) flush()
+      session ::= et
+      prevT = t
+    }
+    flush()
+    out.result()
+  }
+
   /** q191's SCD2 build as watermark-finalized custom state — per-user
     * attribute change intervals from an out-of-order event stream. The
     * fold is ORDER-SENSITIVE (a change row exists only relative to the

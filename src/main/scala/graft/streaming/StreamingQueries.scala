@@ -747,7 +747,28 @@ object StreamingQueries {
       .orderBy("pct")
   }
 
+  /** q244: streaming session-path mining ≡ batch q241 — top 10 3-event
+    * paths within 6-hour-gap sessions. The labor split is q189's: the
+    * STREAM owns the per-user sessionization and trigram extraction
+    * ([[EventStreams.sessionPathRows]] — closed sessions finalized
+    * incrementally against the watermark, state bounded by the open
+    * tail), and the top-10 rank runs over the finalized emissions, a
+    * TYPE³-bounded count table. The flush sentinel closes every real
+    * session; its own single-event '__flush' session never finalizes
+    * (the watermark never passes it) and a 1-event session emits no
+    * trigram anyway. Gated on q241's oracle verbatim: stream == batch ==
+    * DuckDB.
+    */
+  private val q244 = GraftQuery(
+    "q244_stream_session_paths",
+    graft.operators.Temporal.sessionPathsOracleSql) { (s, d) =>
+    val paths = runGated(s, d)(EventStreams.sessionPathRows(_).toDF("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149, q163, q173, q189, q205, q217, q221)
+      q148, q149, q163, q173, q189, q205, q217, q221, q244)
 }
