@@ -828,7 +828,7 @@ object Pipeline {
     * bytes are the delta fingerprints (range-laid on `chunk_fp` like the
     * base, so the per-segment probe stays a sorted one-column scan).
     */
-  private[operators] def versionedChunkStore(s: SparkSession, d: String): String =
+  private[graft] def versionedChunkStore(s: SparkSession, d: String): String =
     graft.Artifacts.cached[String](s, s"chunkStoreVersions:$d") {
       val baseSeg = s"${writtenChunkStore(s, d)}/fingerprints"
       val base = java.nio.file.Files.createTempDirectory("graft_chunk_versions")
@@ -1078,6 +1078,51 @@ object Pipeline {
        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
     classifyDelivery(s, d,
       chunkStoreResolve(s, versionedChunkStore(s, d), version = 5))
+  }
+
+  /** q248: order-invariant corpus content digest — the anti-entropy /
+    * replica-consistency primitive: per source, a row count plus two
+    * independent commutative accumulators (bitwise XOR and a modular sum
+    * of the per-row content hash). Because every aggregate is
+    * commutative-associative, the digest is IDENTICAL under any
+    * partitioning, file layout, compaction, shuffle order, or engine —
+    * which is exactly what makes it usable: two replicas (or a table
+    * before and after a rewrite like q114/q161's compactions) compare
+    * equal iff their logical content matches, with no sort and no
+    * row-level diff. The row hash is the shared PolyHash over a
+    * null-propagating field concatenation, so both dialects hash the
+    * same bytes; the sum rides DECIMAL(38,0)/HUGEINT reduced mod
+    * 2^61−1 (a Mersenne prime) so it never overflows and keeps a full
+    * 61-bit collision surface beside the XOR (XOR alone is weak —
+    * duplicated row pairs cancel; the modular sum does not). Scale
+    * shape: one map-side hash per row, partial aggregation to source
+    * grain, one exchange of (source, 3 longs).
+    */
+  private val q248 = GraftQuery(
+    "q248_corpus_digest",
+    s"""WITH r AS (
+       |  SELECT source,
+       |    ${PolyHash.oracleSql(
+              "(CAST(doc_id AS VARCHAR)||'|'||lang||'|'||" +
+                "CAST(n_chars AS VARCHAR)||'|'||text)")} AS h
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(bit_xor(h) AS BIGINT) AS xor_h,
+       |  CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+       |    AS sum_h_mod
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    Tables.documents(s, d)
+      .select(col("source"),
+        PolyHash.hash(concat(col("doc_id").cast("string"), lit("|"),
+          col("lang"), lit("|"), col("n_chars").cast("string"), lit("|"),
+          col("text"))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_h"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+          .as("sum_h_mod"))
+      .orderBy("source")
   }
 
   /** The two-generation corpus layout behind q165 — the schema-evolution
@@ -1610,5 +1655,6 @@ object Pipeline {
 
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
-      q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243)
+      q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
+      q248)
 }

@@ -4344,6 +4344,82 @@ object Similarity {
       .orderBy("size")
   }
 
+  /** q249: minhash calibration audit — the empirical check of the theorem
+    * the whole LSH tier rests on (P[minhash agreement] = Jaccard): over
+    * every banded candidate pair, group by the number of agreeing
+    * minhash positions (0..12; candidates have ≥3 by construction — one
+    * full band) and report the pair count and the exact-Jaccard
+    * micro-unit sum/mean/min/max per agreement level. A healthy tier
+    * shows mean Jaccard rising with agreement — this table is how a
+    * pipeline picks [[MatchThreshold]] from its own corpus instead of
+    * trusting the default, and how it detects a broken hash family
+    * (agreement decorrelated from Jaccard). Rides the shared signature
+    * and shingle artifacts; the exact Jaccard joins shingle arrays back
+    * per SIDE after candidate dedup (q40's payload discipline — arrays
+    * never ride the 4× band explode), and the report is a ≤13-row
+    * aggregate. Mean is BIGINT floor-div; Jaccard micro-units are
+    * floor()'d like q40 so no rounding mode can differ.
+    */
+  private val q249 = GraftQuery(
+    "q249_minhash_calibration",
+    s"""$shingleCtes, sig AS (
+       |  SELECT doc_id, shingles, $oracleSigList AS sig FROM hs
+       |), bands AS (
+       |  ${oracleMinhashBands(", shingles")}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sig AS sa, b.sig AS sb, a.shingles AS sha, b.shingles AS shb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+       |   AND a.doc_id < b.doc_id
+       |), scored AS (
+       |  SELECT CAST(len(list_filter(range(1, ${NumHashes + 1}),
+       |      i -> sa[i] = sb[i])) AS BIGINT) AS agree,
+       |    CAST(floor(CAST(len(list_intersect(sha, shb)) AS DOUBLE) * 1000000
+       |      / len(list_distinct(list_concat(sha, shb)))) AS BIGINT) AS j_micro
+       |  FROM pairs)
+       |SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(j_micro) AS BIGINT) AS sum_j_micro,
+       |  CAST(sum(j_micro) // count(*) AS BIGINT) AS mean_j_micro,
+       |  CAST(min(j_micro) AS BIGINT) AS min_j_micro,
+       |  CAST(max(j_micro) AS BIGINT) AS max_j_micro
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val sigs = minhashSigs(s, d)
+    val pairs = minhashCandidates(sigs)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val sg = sigs.repartition(col("doc_id"))
+    val sh = shingleHashes(s, d).select(col("doc_id"), col("shingles"))
+      .repartition(col("doc_id"))
+    pairs
+      .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("shingles").as("shingles_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shingles").as("shingles_b")), "doc_b")
+      .withColumn("agree", expr(
+        """aggregate(zip_with(sig_a, sig_b,
+          |  (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("j_micro", floor(
+        size(array_intersect(col("shingles_a"), col("shingles_b")))
+          .cast("double") * 1000000 /
+          size(array_union(col("shingles_a"), col("shingles_b"))))
+        .cast("long"))
+      .groupBy("agree")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("j_micro")).as("sum_j_micro"),
+        min(col("j_micro")).as("min_j_micro"),
+        max(col("j_micro")).as("max_j_micro"))
+      .select(col("agree"), col("n_pairs"), col("sum_j_micro"),
+        expr("sum_j_micro div n_pairs").as("mean_j_micro"),
+        col("min_j_micro"), col("max_j_micro"))
+      .orderBy("agree")
+  }
+
   /** q245: per-dimension embedding drift audit — the monitoring table an
     * embedding pipeline reads before trusting a re-embedded batch (model
     * upgrade, feature skew, silent preprocessing change): for every
@@ -4406,5 +4482,5 @@ object Similarity {
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222, q224, q245)
+      q207, q215, q222, q224, q245, q249)
 }

@@ -417,6 +417,117 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** One BPE round's oracle CTEs: pair counts over the `||`-delimited
+    * symbol strings of w{r-1}, the deterministic top pair (count desc,
+    * then pair), the merged representation, and the post-merge token
+    * count. The double-delimiter encoding (`|s|` per symbol) makes the
+    * merge a plain left-to-right non-overlapping string `replace` with
+    * identical semantics in both engines — each symbol carries its own
+    * boundaries, so consecutive merge sites never share a delimiter and
+    * greedy replacement matches true BPE merging (aaaa → [aa][aa], not
+    * [aa]a a).
+    */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (
+       |  SELECT syms[CAST(i AS INTEGER)] AS s1,
+       |    syms[CAST(i AS INTEGER) + 1] AS s2,
+       |    CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT f, syms, unnest(range(1, len(syms))) AS i
+       |    FROM (SELECT f,
+       |      string_split(substr(repr, 2, length(repr) - 2), '||') AS syms
+       |      FROM $prev))
+       |  GROUP BY 1, 2),
+       |t$r AS (SELECT s1, s2, cnt FROM p$r
+       |  ORDER BY cnt DESC, s1, s2 LIMIT 1),
+       |w$r AS (
+       |  SELECT replace(repr,
+       |    '|' || (SELECT s1 FROM t$r) || '||' || (SELECT s2 FROM t$r) || '|',
+       |    '|' || (SELECT s1 FROM t$r) || (SELECT s2 FROM t$r) || '|') AS repr,
+       |    f
+       |  FROM $prev),
+       |n$r AS (
+       |  SELECT CAST(sum(f * len(string_split(
+       |      substr(repr, 2, length(repr) - 2), '||'))) AS BIGINT) AS n_tokens
+       |  FROM w$r)""".stripMargin
+  }
+
+  /** q252: BPE merge APPLICATION — the iterative loop q133's pair counts
+    * feed: three full merge rounds (count adjacent symbol pairs → elect
+    * the top pair under the (count desc, pair) total order → merge every
+    * left-to-right non-overlapping occurrence corpus-wide → recount),
+    * emitting per round the merged pair, its pre-merge count, and the
+    * post-merge corpus token count (which must strictly shrink — the
+    * compression BPE exists to deliver). The scale shape is the one
+    * production BPE trainers actually use: the corpus is reduced ONCE to
+    * the (word, freq) vocabulary table (q133's aggregate-first
+    * discipline — the only corpus-sized shuffle), and every round after
+    * that is a map + aggregate over VOCAB grain plus a 1-row driver
+    * scalar (the elected pair — the same bounded-collect contract as the
+    * k-means centroid loop). Symbols ride a `|s|` double-delimited
+    * string so the merge is a plain `replace` with byte-identical
+    * left-to-right semantics in both engines (see [[bpeRoundCtes]]).
+    */
+  private val q252 = GraftQuery(
+    "q252_bpe_merge_rounds",
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM words
+       |  WHERE length(w) > 1 GROUP BY 1),
+       |w0 AS (
+       |  SELECT list_reduce(list_transform(range(1, length(w) + 1),
+       |      i -> '|' || w[i] || '|'), (a, b) -> a || b) AS repr, f
+       |  FROM wf),
+       |${bpeRoundCtes(1)},
+       |${bpeRoundCtes(2)},
+       |${bpeRoundCtes(3)}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, s1, s2, cnt,
+       |    (SELECT n_tokens FROM n1) AS n_tokens_after FROM t1
+       |  UNION ALL SELECT 2, s1, s2, cnt,
+       |    (SELECT n_tokens FROM n2) FROM t2
+       |  UNION ALL SELECT 3, s1, s2, cnt,
+       |    (SELECT n_tokens FROM n3) FROM t3)
+       |ORDER BY round""".stripMargin) { (s, d) =>
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var repr = wf.select(expr(
+      """aggregate(transform(sequence(1, length(w)),
+        |  i -> concat('|', substring(w, i, 1), '|')),
+        |  '', (a, b) -> concat(a, b))""".stripMargin).as("repr"), col("f"))
+    val symsCol = split(expr("substring(repr, 2, length(repr) - 2)"), "\\|\\|")
+    val rows = (1 to 3).map { r =>
+      val top = repr
+        .select(col("f"), symsCol.as("syms"))
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS s1,
+            |              element_at(syms, i + 1) AS s2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()(0)
+      val (s1v, s2v, cnt) =
+        (top.getString(0), top.getString(1), top.getLong(2))
+      // charset is delimiter-free by construction (symbols never contain
+      // '|'), so literal embedding into the replace expression is safe
+      repr = repr.select(
+        expr(s"replace(repr, '|$s1v||$s2v|', '|$s1v$s2v|')").as("repr"),
+        col("f"))
+      val nTokens = repr
+        .select(sum(col("f") * size(symsCol)).as("n"))
+        .collect()(0).getLong(0)
+      (r.toLong, s1v, s2v, cnt, nTokens)
+    }
+    s.createDataFrame(rows)
+      .toDF("round", "s1", "s2", "cnt", "n_tokens_after")
+      .orderBy("round")
+  }
+
   /** q134: vocabulary coverage audit — per-source OOV token rate against
     * the corpus top-K vocabulary, the go/no-go metric for a fixed
     * tokenizer vocabulary over a new source mix. Same aggregate-first
@@ -624,5 +735,6 @@ object TextAnalysis {
   }
 
   val queries: Seq[GraftQuery] =
-    Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160, q174, q175)
+    Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160, q174, q175,
+      q252)
 }

@@ -768,7 +768,106 @@ object StreamingQueries {
       .limit(10)
   }
 
+  /** q250: STREAMING serve against the post-erasure chunk store — the
+    * dedup tier's q121 (the vector tier's stream-vs-delete-snapshot
+    * gate): arriving documents are CDC-chunked in-stream and each chunk
+    * probed against the v4 manifest snapshot (compacted segment minus
+    * the erasure tombstones, resolved through
+    * [[graft.operators.Pipeline.chunkStoreResolve]]). Stateless
+    * stream-static left join — membership probing is the serving path's
+    * job; intra-delivery dup_shard splitting needs cross-row state and
+    * belongs to the batch commit (q242), so this gate classifies
+    * dup_store vs new only and the oracle states exactly that. An
+    * erased-then-redelivered span classifying `new` IN-STREAM is the
+    * operational point: the erasure verb is visible to the live ingest
+    * path, not just tomorrow's batch.
+    */
+  private val q250 = GraftQuery(
+    "q250_stream_erased_serve",
+    s"""WITH ${graft.operators.Pipeline.cdcOracleCtes},
+       |base AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
+       |delta AS (
+       |  SELECT DISTINCT chunk_fp FROM allchunks
+       |  WHERE doc_id % 4 = 0
+       |    AND chunk_fp NOT IN (SELECT chunk_fp FROM base)),
+       |tomb AS (
+       |  SELECT chunk_fp FROM (
+       |    SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 20 = 3
+       |    EXCEPT
+       |    SELECT DISTINCT chunk_fp FROM allchunks
+       |    WHERE doc_id % 4 <> 0 AND doc_id % 20 <> 3)),
+       |store AS (
+       |  SELECT chunk_fp FROM (
+       |    SELECT chunk_fp FROM base UNION SELECT chunk_fp FROM delta)
+       |  WHERE chunk_fp NOT IN (SELECT chunk_fp FROM tomb)),
+       |arr AS (
+       |  SELECT doc_id, chunk_id, chunk_fp FROM allchunks
+       |  WHERE doc_id % 4 = 0)
+       |SELECT a.doc_id, a.chunk_id, a.chunk_fp,
+       |  CASE WHEN s.chunk_fp IS NOT NULL THEN 'dup_store' ELSE 'new' END
+       |    AS status
+       |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    val P = graft.operators.Pipeline
+    val store = P.chunkStoreResolve(s, P.versionedChunkStore(s, d), 4)
+      .withColumn("in_store", lit(true))
+    val chunks = P.cdcChunks(
+        EventStreams.readDocuments(s, d).where(col("doc_id") % 4 === 0))
+      .select("doc_id", "chunk_id", "chunk_fp")
+    val out = chunks.join(store, Seq("chunk_fp"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_fp"),
+        when(col("in_store"), "dup_store").otherwise("new").as("status"))
+    EventStreams.runToMemory(s, out,
+        s"stream_gate_${memorySinkId.incrementAndGet()}")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q251: STREAMING corpus digest maintenance ≡ batch q248 — the
+    * anti-entropy digest as ONLINE state (q163's Complete-mode
+    * discipline applied to the consistency primitive): the stream
+    * maintains per-source (count, XOR, modular sum) as documents
+    * arrive. Every accumulator is commutative-associative, so the
+    * digest is arrival-order-independent BY CONSTRUCTION — the property
+    * that makes a streaming replica's digest comparable against a batch
+    * replica's without any coordination. State is one 3-long row per
+    * source (bounded by source cardinality, no watermark needed for a
+    * monotone digest). Gated on q248's oracle verbatim: stream == batch
+    * == DuckDB.
+    */
+  private val q251 = GraftQuery(
+    "q251_stream_corpus_digest",
+    s"""WITH r AS (
+       |  SELECT source,
+       |    ${graft.functions.PolyHash.oracleSql(
+              "(CAST(doc_id AS VARCHAR)||'|'||lang||'|'||" +
+                "CAST(n_chars AS VARCHAR)||'|'||text)")} AS h
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(bit_xor(h) AS BIGINT) AS xor_h,
+       |  CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+       |    AS sum_h_mod
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    val digest = EventStreams.readDocuments(s, d)
+      .select(col("source"),
+        graft.functions.PolyHash.hash(concat(
+          col("doc_id").cast("string"), lit("|"), col("lang"), lit("|"),
+          col("n_chars").cast("string"), lit("|"), col("text"))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_h"),
+        expr(
+          "CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+          .as("sum_h_mod"))
+    EventStreams.runToMemory(s, digest,
+        s"stream_gate_${memorySinkId.incrementAndGet()}",
+        outputMode = "complete")
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149, q163, q173, q189, q205, q217, q221, q244)
+      q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251)
 }

@@ -1131,4 +1131,23 @@ class PlanSpec extends SparkSuite {
         l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       s"q234 shuffles the corpus to retire a broadcastable delta:\n$p")
   }
+
+  test("q242 erased serving masks via broadcast anti; q243 compaction retires it") {
+    // v4: the tombstone mask is a broadcast anti join (erased-docs-sized
+    // build side, never a store shuffle)
+    val p4 = plan("q242_chunkstore_erase")
+    assert(p4.contains("LeftAnti"), s"q242 lost the tombstone mask:\n$p4")
+    assert(p4.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"q242 shuffles the store to apply a broadcastable tombstone set:\n$p4")
+    // v5: physical compaction retired the mask — no anti join, and the
+    // probe reads ONLY the compacted segment (tombstone files untouched)
+    val p5 = plan("q243_chunkstore_erase_compacted")
+    assert(!p5.contains("LeftAnti"),
+      s"q243 still masks at read time after the rewrite:\n$p5")
+    assert(!p5.contains("tomb1"),
+      s"q243 reads the tombstone segment after compaction:\n$p5")
+    assert(!p5.contains("delta1") && !p5.contains("compact1"),
+      s"q243 reads a pre-compaction segment:\n$p5")
+  }
 }

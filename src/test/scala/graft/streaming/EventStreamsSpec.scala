@@ -206,4 +206,28 @@ class EventStreamsSpec extends SparkSuite {
         s"arrival order $shuffled diverged: ${fold(shuffled)} != $expect")
     }
   }
+
+  test("sessionTrigrams: gap split, 3-gram emission, null propagation") {
+    val H = 3600000000L // 1h in µs; the session gap is 6h
+    def row(t: Long, id: Long, et: String) = (t * H, id, et)
+    // one 5-event session -> 3 trigrams, in timeline order
+    assert(EventStreams.sessionTrigrams(
+      Seq(row(0, 1, "a"), row(1, 2, "b"), row(2, 3, "c"),
+        row(3, 4, "d"), row(4, 5, "e"))) ==
+      Seq("a>b>c", "b>c>d", "c>d>e"))
+    // a 7h gap splits sessions; 2-event fragments emit nothing
+    assert(EventStreams.sessionTrigrams(
+      Seq(row(0, 1, "a"), row(1, 2, "b"),
+        row(9, 3, "c"), row(10, 4, "d"), row(11, 5, "e"))) ==
+      Seq("c>d>e"))
+    // exactly-6h gap does NOT split (strict > in both stream and batch)
+    assert(EventStreams.sessionTrigrams(
+      Seq(row(0, 1, "a"), row(6, 2, "b"), row(7, 3, "c"))) ==
+      Seq("a>b>c"))
+    // a NULL event_type propagates to a null path, matching batch concat
+    assert(EventStreams.sessionTrigrams(
+      Seq(row(0, 1, "a"), row(1, 2, null), row(2, 3, "c"), row(3, 4, "d"))) ==
+      Seq(null, null))
+    assert(EventStreams.sessionTrigrams(Nil).isEmpty)
+  }
 }
