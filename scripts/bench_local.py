@@ -68,7 +68,9 @@ def main():
         "src/main/scala/graft --include=*.scala | tr '\\0' '\\n'",
         shell=True, capture_output=True, text=True).stdout.split()
     for n in set(reg):
-        names[n.split("_")[0]] = n
+        qnum = n.split("_")[0]
+        names[qnum] = n          # "q146" (keyMode 1)
+        names[qnum[1:]] = n      # bare "146" (keyMode 2)
     full = {names.get(k, k): v for k, v in suite["queries"].items()}
 
     slow = sorted(((k, v) for k, v in full.items() if v >= threshold),

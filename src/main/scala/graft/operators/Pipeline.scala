@@ -1098,8 +1098,23 @@ object Pipeline {
     * shape: one map-side hash per row, partial aggregation to source
     * grain, one exchange of (source, 3 longs).
     */
-  private val q248 = GraftQuery(
-    "q248_corpus_digest",
+  /** Per-source digest of a documents frame — q248's three commutative
+    * accumulators, shared with the digest-IVM query (q253) and the
+    * streaming twin's batch shape. */
+  private[graft] def digestOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("source"),
+        PolyHash.hash(concat(col("doc_id").cast("string"), lit("|"),
+          col("lang"), lit("|"), col("n_chars").cast("string"), lit("|"),
+          col("text"))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_h"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+          .as("sum_h_mod"))
+
+  private[graft] val digestOracleSql: String =
     s"""WITH r AS (
        |  SELECT source,
        |    ${PolyHash.oracleSql(
@@ -1110,17 +1125,53 @@ object Pipeline {
        |  CAST(bit_xor(h) AS BIGINT) AS xor_h,
        |  CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
        |    AS sum_h_mod
-       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q248 = GraftQuery(
+    "q248_corpus_digest", digestOracleSql) { (s, d) =>
     PolyHash.register(s)
-    Tables.documents(s, d)
-      .select(col("source"),
-        PolyHash.hash(concat(col("doc_id").cast("string"), lit("|"),
-          col("lang"), lit("|"), col("n_chars").cast("string"), lit("|"),
-          col("text"))).as("h"))
+    digestOf(Tables.documents(s, d)).orderBy("source")
+  }
+
+  /** The WRITTEN base-corpus digest behind q253 — the accumulated
+    * corpus' (doc_id % 4 != 0) per-source digest persisted as a tiny
+    * parquet state table, mirroring the agg-IVM state of q137. Built
+    * once per (session, dir); release deletes the files.
+    */
+  private[operators] def writtenDigestStore(s: SparkSession, d: String): String =
+    graft.Artifacts.cached[String](s, s"digestStore:$d") {
+      val base = java.nio.file.Files.createTempDirectory("graft_digest_store")
+      PolyHash.register(s)
+      digestOf(Tables.documents(s, d).where(col("doc_id") % 4 =!= 0))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/state")
+      (base.toString, () => {
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
+      })
+    }
+
+  /** q253: INCREMENTAL digest maintenance — q137's IVM invariant applied
+    * to the anti-entropy digest: the accumulated corpus' digest is a
+    * WRITTEN state table ([[writtenDigestStore]]); a new delivery
+    * (doc_id % 4 == 0) digests ONLY its own rows; and the merge (count:
+    * sum, XOR: xor, modular sum: modular add — every accumulator
+    * commutative) must equal the full-corpus digest recomputed from
+    * scratch, which is exactly q248's oracle. At 100 TB this is the
+    * entire point of the digest's algebra: a daily append updates the
+    * consistency state by digesting the delta alone — the accumulated
+    * exabytes are never re-read (DigestSpec pins the same law, plus its
+    * erasure-side inverse, at unit scale).
+    */
+  private val q253 = GraftQuery(
+    "q253_digest_ivm", digestOracleSql) { (s, d) =>
+    PolyHash.register(s)
+    val state = s.read.parquet(s"${writtenDigestStore(s, d)}/state")
+    val delta = digestOf(Tables.documents(s, d).where(col("doc_id") % 4 === 0))
+    state.unionByName(delta)
       .groupBy("source")
-      .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(h)").as("xor_h"),
-        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        expr("bit_xor(xor_h)").as("xor_h"),
+        expr("CAST(sum(sum_h_mod) % 2305843009213693951 AS BIGINT)")
           .as("sum_h_mod"))
       .orderBy("source")
   }
@@ -1656,5 +1707,5 @@ object Pipeline {
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248)
+      q248, q253)
 }

@@ -482,6 +482,114 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** q255: quality×duplication calibration — the curation cross-check
+    * between the two independent per-document signals: are the
+    * documents the quality score ranks lowest also the ones the minhash
+    * tier finds duplicated? Per exact quality DECILE (equi-depth, via
+    * the banded global rank — never a single-task corpus window), the
+    * document count, duplicate-cluster-member count, and dup_ppm. A
+    * monotone-decreasing dup_ppm over deciles means the quality filter
+    * already catches much of what dedup would remove (cheap pre-filter
+    * before the expensive minhash pass); a flat profile means the two
+    * signals are orthogonal and BOTH passes earn their cost. Everything
+    * is integer-decided: decile = ((r−1)·10) div n from the banded rank,
+    * ratios are BIGINT div.
+    */
+  private val q255 = GraftQuery(
+    "q255_quality_dup_calibration",
+    s"""$clusterOracleChain,
+       |${TextAnalysis.qualityOracleCte},
+       |cs AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY 1),
+       |dup AS (
+       |  SELECT c.doc_id, cs.sz >= 2 AS is_dup
+       |  FROM clus c JOIN cs USING (cluster_id)),
+       |rk AS (
+       |  SELECT q.quality_micro, d.is_dup,
+       |    row_number() OVER (ORDER BY q.quality_micro, q.doc_id) AS r,
+       |    count(*) OVER () AS n
+       |  FROM qual q JOIN dup d ON q.doc_id = d.doc_id),
+       |dec AS (SELECT ((r - 1) * 10) // n + 1 AS decile, is_dup FROM rk)
+       |SELECT CAST(decile AS BIGINT) AS decile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup,
+       |  count(*) FILTER (WHERE is_dup) * 1000000 // count(*) AS dup_ppm
+       |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val qual = TextAnalysis.qualityBase(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"))
+    val cs = clusterAssignments(s, d)
+    val dup = cs
+      .join(cs.groupBy("cluster_id").agg(count(lit(1)).as("sz")),
+        "cluster_id")
+      .select(col("doc_id"), (col("sz") >= 2).as("is_dup"))
+    Banded.cumSums(qual.join(dup, "doc_id"), Nil,
+        Seq(col("quality_micro"), col("doc_id")),
+        expr("quality_micro div 100000"),
+        Seq(Banded.CumSpec("r", lit(1L), Some("n"))))
+      .select(expr("((r - 1) * 10) div n + 1").as("decile"), col("is_dup"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("decile"), col("n_docs"), col("n_dup"),
+        expr("(n_dup * 1000000) div n_docs").as("dup_ppm"))
+      .orderBy("decile")
+  }
+
+  /** q257: directional duplication matrix — "who copies whom": for
+    * every non-canonical member of a duplicate cluster, attribute the
+    * dropped document to its cluster's KEEPER (q116's quality-pinned
+    * survivor) and count by (keeper_source, dropped_source). The
+    * diagonal is intra-source duplication (boilerplate within a crawl);
+    * off-diagonal mass is cross-source copying with a DIRECTION the
+    * symmetric overlap measures (q88 minhash-union, q225 HLL
+    * inclusion-exclusion) cannot express — the table a licensing or
+    * provenance review actually reads. Scale shape: the survivor pick
+    * is q116's order-pinned min(struct) aggregate (one cluster_id
+    * shuffle); the two source lookups are broadcast joins of the tiny
+    * (doc_id, source) projection; the matrix is source²-bounded.
+    */
+  private val q257 = GraftQuery(
+    "q257_copy_direction_matrix",
+    s"""$clusterOracleChain,
+       |${TextAnalysis.qualityOracleCte},
+       |j AS (
+       |  SELECT c.cluster_id, c.doc_id, q.quality_micro
+       |  FROM clus c JOIN qual q ON c.doc_id = q.doc_id),
+       |r AS (
+       |  SELECT cluster_id, doc_id, quality_micro,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_micro DESC, doc_id) AS rn
+       |  FROM j),
+       |keep AS (SELECT cluster_id, doc_id AS keeper FROM r WHERE rn = 1),
+       |dropped AS (
+       |  SELECT k.keeper, c.doc_id
+       |  FROM clus c JOIN keep k ON c.cluster_id = k.cluster_id
+       |  WHERE c.doc_id <> k.keeper)
+       |SELECT ks.source AS keeper_source, ds.source AS dropped_source,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM dropped m
+       |JOIN documents ks ON ks.doc_id = m.keeper
+       |JOIN documents ds ON ds.doc_id = m.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val qual = TextAnalysis.qualityBase(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val keep = clusterAssignments(s, d).join(qual, "doc_id")
+      .groupBy("cluster_id")
+      .agg(min(struct((col("quality_micro") * -1).as("nq"),
+        col("doc_id").as("d"))).as("pick"))
+      .select(col("cluster_id"), col("pick.d").as("keeper"))
+    clusterAssignments(s, d)
+      .join(keep, "cluster_id")
+      .where(col("doc_id") =!= col("keeper"))
+      .join(broadcast(src.select(col("doc_id").as("keeper"),
+        col("source").as("keeper_source"))), "keeper")
+      .join(broadcast(src.select(col("doc_id"),
+        col("source").as("dropped_source"))), "doc_id")
+      .groupBy("keeper_source", "dropped_source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("keeper_source", "dropped_source")
+  }
+
   /** q164: PageRank over the duplicate-candidate graph — 3 unrolled
     * power iterations (damping 0.85, no dangling redistribution — the
     * simplified variant, stated) ranking documents by how central they
@@ -4482,5 +4590,5 @@ object Similarity {
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222, q224, q245, q249)
+      q207, q215, q222, q224, q245, q249, q255, q257)
 }

@@ -1751,8 +1751,10 @@ object Temporal {
     * half the days identical) flags any deviation — the documented MAD
     * edge case, stated rather than hidden.
     */
-  private val q239 = GraftQuery(
-    "q239_mad_anomaly",
+  /** q239's oracle, shared verbatim with its streaming twin
+    * ([[graft.streaming.StreamingQueries]] q254).
+    */
+  private[graft] val madOracleSql: String =
     """WITH dc AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,
       |    CAST(count(*) AS BIGINT) AS cnt
@@ -1778,12 +1780,15 @@ object Temporal {
       |    AS dev2, m.mad4,
       |  20000*d.dev2 > 29652*m.mad4 AS outlier
       |FROM dev d JOIN mad m ON d.event_type = m.event_type
-      |ORDER BY d.event_type, d.day""".stripMargin) { (s, d) =>
-    val dc = Tables.events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("cnt"))
-    // (type, day) grain is metadata-sized at any corpus scale — the
-    // per-type windows below run on it, never on events (q194 exemption)
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  /** q239's MAD epilogue over a (event_type, day, cnt) series — shared
+    * with the streaming twin, which feeds it finalized window counts.
+    * The series is metadata-sized at any corpus scale (the q194
+    * exemption), so the per-type windows here never touch events.
+    */
+  private[graft] def madFlags(
+      dc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def med2(df: org.apache.spark.sql.DataFrame, v: String,
         out: String): org.apache.spark.sql.DataFrame = {
       val w = Window.partitionBy("event_type").orderBy(col(v), col("day"))
@@ -1805,6 +1810,13 @@ object Temporal {
         (lit(20000L) * col("dev2") > lit(29652L) * col("mad4"))
           .as("outlier"))
       .orderBy("event_type", "day")
+  }
+
+  private val q239 = GraftQuery(
+    "q239_mad_anomaly", madOracleSql) { (s, d) =>
+    madFlags(Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")))
   }
 
   /** q241: top event paths — the product-analytics "top user flows"

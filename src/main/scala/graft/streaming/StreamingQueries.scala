@@ -838,36 +838,46 @@ object StreamingQueries {
     */
   private val q251 = GraftQuery(
     "q251_stream_corpus_digest",
-    s"""WITH r AS (
-       |  SELECT source,
-       |    ${graft.functions.PolyHash.oracleSql(
-              "(CAST(doc_id AS VARCHAR)||'|'||lang||'|'||" +
-                "CAST(n_chars AS VARCHAR)||'|'||text)")} AS h
-       |  FROM documents)
-       |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-       |  CAST(bit_xor(h) AS BIGINT) AS xor_h,
-       |  CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
-       |    AS sum_h_mod
-       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.Pipeline.digestOracleSql) { (s, d) =>
     graft.functions.PolyHash.register(s)
-    val digest = EventStreams.readDocuments(s, d)
-      .select(col("source"),
-        graft.functions.PolyHash.hash(concat(
-          col("doc_id").cast("string"), lit("|"), col("lang"), lit("|"),
-          col("n_chars").cast("string"), lit("|"), col("text"))).as("h"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(h)").as("xor_h"),
-        expr(
-          "CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
-          .as("sum_h_mod"))
+    val digest =
+      graft.operators.Pipeline.digestOf(EventStreams.readDocuments(s, d))
     EventStreams.runToMemory(s, digest,
         s"stream_gate_${memorySinkId.incrementAndGet()}",
         outputMode = "complete")
       .orderBy("source")
   }
 
+  /** q254: streaming MAD anomaly flags ≡ batch q239 — q189's labor
+    * split applied to the robust control chart: the STREAM owns the
+    * watermarked 1-day tumbling counts per event type (the only
+    * corpus-sized state, bounded by watermark retention; the flush
+    * sentinel closes every real day, its own '__flush' day never
+    * emits), and the median/MAD epilogue
+    * ([[graft.operators.Temporal.madFlags]] — integer-exact doubled
+    * scales, rank-crossing medians) runs over the finalized
+    * (type, day) emissions, a metadata-sized series forever. Gated on
+    * q239's oracle verbatim: stream == batch == DuckDB.
+    */
+  private val q254 = GraftQuery(
+    "q254_stream_mad_anomaly",
+    graft.operators.Temporal.madOracleSql) { (s, d) =>
+    val dc = runGated(s, d)(ev => ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("w.start").cast("date").as("day"),
+        col("cnt")))
+    // the MAD epilogue self-joins its input, and the memory-sink view is
+    // not a multi-instance relation (the analyzer cannot dedup its
+    // attributes across join sides) — re-root the finalized metadata-
+    // sized series under fresh attribute ids first
+    graft.operators.Temporal.madFlags(
+      s.createDataFrame(dc.rdd, dc.schema))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
-      q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251)
+      q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
+      q254)
 }

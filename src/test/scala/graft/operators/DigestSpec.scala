@@ -48,5 +48,17 @@ class DigestSpec extends SparkSuite {
     }.toMap
     assert(merged == full,
       s"shard-merged digest diverged from the direct one:\n$merged\nvs\n$full")
+
+    // the same algebra runs BACKWARD — the erasure-side law: the digest
+    // of the surviving corpus equals the full digest with the erased
+    // shard's digest subtracted out (XOR is its own inverse; the modular
+    // sum subtracts mod M). A right-to-erasure job can therefore prove
+    // its post-delete state without re-digesting the survivors.
+    val unmerged = full.map { case (src, (n, x, m)) =>
+      val (n1, x1, m1) = s1.getOrElse(src, (0L, 0L, 0L))
+      src -> (n - n1, x ^ x1, ((m - m1) % M + M) % M)
+    }.filter(_._2._1 > 0L)
+    assert(unmerged == s2.filter(_._2._1 > 0L),
+      s"digest subtraction diverged from the survivors' digest:\n$unmerged\nvs\n$s2")
   }
 }
