@@ -1677,8 +1677,10 @@ object CorpusStats {
     * one exchange, and the per-doc rollup rides the same partitioning.
     * All ratios are BIGINT div — no float decides a value.
     */
-  private val q246 = GraftQuery(
-    "q246_repetition_audit",
+  /** q246's oracle, shared verbatim with its streaming twin
+    * ([[graft.streaming.StreamingQueries]] q256).
+    */
+  private[graft] val repetitionOracleSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
        |  FROM documents),
@@ -1697,7 +1699,10 @@ object CorpusStats {
        |SELECT doc_id, n_bigrams, n_distinct, top_cnt,
        |  top_cnt * 1000000 // n_bigrams AS top_ppm,
        |  (n_bigrams - n_distinct) * 1000000 // n_bigrams AS rep_ppm
-       |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  private val q246 = GraftQuery(
+    "q246_repetition_audit", repetitionOracleSql) { (s, d) =>
     PolyHash.register(s)
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))

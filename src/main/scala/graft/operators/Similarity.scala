@@ -4545,8 +4545,10 @@ object Similarity {
     * partial aggregation to dims-grain BEFORE the single exchange —
     * the final table is 64 rows at any corpus scale.
     */
-  private val q245 = GraftQuery(
-    "q245_embedding_dim_drift",
+  /** q245's oracle, shared verbatim with its streaming twin
+    * ([[graft.streaming.StreamingQueries]] q258).
+    */
+  private[graft] val dimDriftOracleSql: String =
     """WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
@@ -4564,9 +4566,15 @@ object Similarity {
       |SELECT dim, n_a, n_b, sum_a, sum_b,
       |  abs(CAST(sum_b AS HUGEINT) * n_a - CAST(sum_a AS HUGEINT) * n_b)
       |    > CAST(20000 AS HUGEINT) * n_a * n_b AS drift
-      |FROM g ORDER BY dim""".stripMargin) { (s, d) =>
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      |FROM g ORDER BY dim""".stripMargin
+
+  /** q245's engine side over any embeddings frame (batch or stream) —
+    * the drift epilogue is a per-row projection, so the whole shape
+    * runs inside a streaming plan unchanged.
+    */
+  private[graft] def dimDriftOf(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"),
         round(col("x").cast("double") * 1000000).cast("long").as("qm"))
       .groupBy("dim")
@@ -4582,7 +4590,10 @@ object Similarity {
                |  - CAST(sum_a AS DECIMAL(38,0)) * n_b)
                |  > CAST(20000 AS DECIMAL(38,0)) * n_a * n_b""".stripMargin))
       .select("dim", "n_a", "n_b", "sum_a", "sum_b", "drift")
-      .orderBy("dim")
+
+  private val q245 = GraftQuery(
+    "q245_embedding_dim_drift", dimDriftOracleSql) { (s, d) =>
+    dimDriftOf(Tables.embeddings(s, d)).orderBy("dim")
   }
 
   val queries: Seq[GraftQuery] =

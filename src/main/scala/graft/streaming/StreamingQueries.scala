@@ -876,8 +876,76 @@ object StreamingQueries {
       s.createDataFrame(dc.rdd, dc.schema))
   }
 
+  /** q256: STREAMING per-document repetition metrics ≡ batch q246 —
+    * the per-doc quality signals computed AT INGEST with ZERO state and
+    * ZERO shuffle: a document's bigram statistics depend only on its own
+    * text, so the streaming form is a pure per-row fold — bigram hashes
+    * (the registered `poly_hash` kernel inside a higher-order lambda),
+    * sorted so equal hashes are adjacent, then one `aggregate` pass
+    * counting the longest run (= the hottest bigram's count) and
+    * distinct via `array_distinct`. This is the map-only plan a 100 TB
+    * ingest actually wants for per-doc metrics (the batch q246's
+    * (doc, hash)-grain aggregate exists for when the grain must be
+    * queryable); the gate pins the two formulations equal on q246's
+    * oracle verbatim.
+    */
+  private val q256 = GraftQuery(
+    "q256_stream_repetition",
+    graft.operators.CorpusStats.repetitionOracleSql) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    val out = EventStreams.readDocuments(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), expr(
+        """sort_array(transform(sequence(1, size(ts) - 1),
+          |  i -> poly_hash(concat_ws(' ', element_at(ts, i),
+          |                 element_at(ts, i + 1)))))""".stripMargin)
+        .as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_bigrams"),
+        expr("CAST(size(array_distinct(hs)) AS BIGINT)").as("n_distinct"),
+        expr(
+          """aggregate(hs,
+            |  named_struct('prev', CAST(NULL AS BIGINT),
+            |               'run', 0L, 'best', 0L),
+            |  (acc, x) -> named_struct(
+            |    'prev', x,
+            |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+            |              acc.run + 1L, 1L),
+            |    'best', GREATEST(acc.best,
+            |              IF(acc.prev IS NOT NULL AND x = acc.prev,
+            |                 acc.run + 1L, 1L))),
+            |  acc -> acc.best)""".stripMargin).as("top_cnt"))
+      .withColumn("top_ppm", expr("(top_cnt * 1000000) div n_bigrams"))
+      .withColumn("rep_ppm",
+        expr("((n_bigrams - n_distinct) * 1000000) div n_bigrams"))
+    EventStreams.runToMemory(s, out,
+        s"stream_gate_${memorySinkId.incrementAndGet()}")
+      .orderBy("doc_id")
+  }
+
+  /** q258: STREAMING embedding-dimension drift ≡ batch q245 — the
+    * monitoring table maintained ONLINE (q163/q251's Complete-mode
+    * discipline): the stream keeps the per-dimension (n, Σqm) pairs for
+    * both batches — 64 rows of bounded state no matter the vector
+    * volume — and the exact cross-multiplied drift decision is a per-row
+    * projection that runs inside the streaming plan unchanged
+    * ([[graft.operators.Similarity.dimDriftOf]], shared verbatim with
+    * batch). Gated on q245's oracle: stream == batch == DuckDB.
+    */
+  private val q258 = GraftQuery(
+    "q258_stream_dim_drift",
+    graft.operators.Similarity.dimDriftOracleSql) { (s, d) =>
+    val drift =
+      graft.operators.Similarity.dimDriftOf(EventStreams.readEmbeddings(s, d))
+    EventStreams.runToMemory(s, drift,
+        s"stream_gate_${memorySinkId.incrementAndGet()}",
+        outputMode = "complete")
+      .orderBy("dim")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254)
+      q254, q256, q258)
 }
