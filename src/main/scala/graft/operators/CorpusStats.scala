@@ -1773,8 +1773,178 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** q259: duplicated-SPAN masking — the span-level form of exact-
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" §ExactSubstr): q89 counts how many of a
+    * document's grams are shared; this query resolves WHERE — each
+    * positional word-8-gram occurring in ≥2 distinct documents marks the
+    * token interval [i, i+7], overlapping/adjacent intervals are merged
+    * into maximal spans (one interval-union window per document), and the
+    * output is the per-document masking report a span-removal pass acts
+    * on: token count, merged-span count, masked tokens, masked ppm.
+    *
+    * Scale shape: positional grams are O(tokens) rows riding the 8-byte
+    * poly-hash (never the gram string); "duplicated" is decided by ONE
+    * (hash, doc) distinct + hash aggregate (partial aggs collapse
+    * per-partition repeats before each exchange); the join back to
+    * positions is an equi-join on the hash with no fanout (the dup side
+    * is distinct hashes). The interval union is a per-document window —
+    * partitioned by doc_id, so 100 TB of documents union in parallel and
+    * no document's span state crosses an executor. All ratios are BIGINT
+    * div; no float decides a value.
+    */
+  /** Shared by q259/q260: the maximal cross-document duplicated spans —
+    * (doc_id, s, e2) token intervals, 1-based inclusive — from the
+    * positional-8-gram duplication decision + per-document interval
+    * union described on q259.
+    */
+  private def dupSpans(sp: SparkSession, d: String): DataFrame = {
+    PolyHash.register(sp)
+    val toks = Tables.documents(sp, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+    val joined = (0 until GramN).map(j => s"element_at(ts, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val pg = toks.where(size(col("ts")) >= GramN)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ts) - ${GramN - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS i, $joined AS g))"""
+          .stripMargin)).as("pg"))
+      .select(col("doc_id"), col("pg.i").as("i"),
+        PolyHash.hash(col("pg.g")).as("h"))
+    val dup = pg.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ddf"))
+      .where(col("ddf") >= 2).select("h")
+    val hit = pg.join(dup, Seq("h"))
+      .select(col("doc_id"), col("i"), (col("i") + (GramN - 1)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hit
+      .withColumn("isnew",
+        when(col("i") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("isnew")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("i")).as("s"), max(col("e")).as("e2"))
+      .select("doc_id", "s", "e2")
+  }
+
+  /** The span-derivation CTE chain shared verbatim by the q259 and q260
+    * oracles, ending at `spans(doc_id, island, s, e2)`.
+    */
+  private val spanOracleCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+       |  FROM documents),
+       |doctok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens
+       |  FROM toks),
+       |pg AS (
+       |  SELECT doc_id, i, ${(0 until GramN).map(j =>
+             if (j == 0) "ts[i]" else s"ts[i+$j]").mkString("||' '||")} AS g
+       |  FROM (SELECT doc_id, unnest(range(1, len(ts) - ${GramN - 2})) AS i, ts
+       |        FROM toks WHERE len(ts) >= $GramN)),
+       |hashed AS (SELECT doc_id, i, ${PolyHash.oracleSql("g")} AS h FROM pg),
+       |dup AS (SELECT h FROM (
+       |    SELECT h, count(DISTINCT doc_id) AS ddf FROM hashed GROUP BY 1)
+       |  WHERE ddf >= 2),
+       |hit AS (SELECT doc_id, i, i + ${GramN - 1} AS e
+       |  FROM hashed JOIN dup USING (h)),
+       |mark AS (
+       |  SELECT doc_id, i, e,
+       |    CASE WHEN i > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS isnew
+       |  FROM hit),
+       |isl AS (SELECT doc_id, i, e,
+       |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM mark),
+       |spans AS (SELECT doc_id, island, min(i) AS s, max(e) AS e2
+       |  FROM isl GROUP BY 1, 2)""".stripMargin
+
+  private val q259 = GraftQuery(
+    "q259_dup_span_mask",
+    s"""WITH $spanOracleCtes,
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(e2 - s + 1) AS BIGINT) AS masked_tokens
+       |  FROM spans GROUP BY 1)
+       |SELECT d.doc_id AS doc_id, d.n_tokens,
+       |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(p.masked_tokens, 0) AS BIGINT) AS masked_tokens,
+       |  CAST(coalesce(p.masked_tokens, 0) * 1000000 // d.n_tokens AS BIGINT)
+       |    AS masked_ppm
+       |FROM doctok d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docTok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val perdoc = dupSpans(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e2") - col("s") + 1).as("masked_tokens"))
+    docTok.join(perdoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("masked_tokens"), lit(0L)).as("masked_tokens"))
+      .withColumn("masked_ppm",
+        expr("(masked_tokens * 1000000L) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q260: duplicated-span REMOVAL — the pass q259's report describes,
+    * actually applied: every token inside a merged duplicated span is
+    * dropped, survivors are rejoined in position order, and the cleaned
+    * corpus is gated on (kept token count, poly-hash of the cleaned
+    * text) per document. Documents that are duplicated END TO END keep
+    * zero tokens and leave the corpus entirely (they are absent from the
+    * output — whole-document dedup falls out of span removal as the
+    * degenerate case), which is exactly ExactSubstr's behavior on full
+    * copies.
+    *
+    * Scale shape: the span table (metadata-sized — merged intervals, not
+    * tokens) joins the positional token table on doc_id; the anti
+    * condition `p BETWEEN s AND e2` rides that equi-join, so the pairing
+    * never leaves the document. Reassembly is one per-doc aggregate
+    * (order restored by sorting the collected (p, token) structs — no
+    * global sort), and the gate carries an 8-byte hash per document, not
+    * the rebuilt text.
+    */
+  private val q260 = GraftQuery(
+    "q260_dup_span_scrub",
+    s"""WITH $spanOracleCtes,
+       |flat AS (
+       |  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS p, ts FROM toks),
+       |tok AS (SELECT doc_id, p, ts[p] AS t FROM flat),
+       |kept AS (
+       |  SELECT k.doc_id, k.p, k.t FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = k.doc_id AND k.p BETWEEN sp.s AND sp.e2)),
+       |clean AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+       |    string_agg(t, ' ' ORDER BY p) AS ct
+       |  FROM kept GROUP BY 1)
+       |SELECT doc_id, kept_tokens, ${PolyHash.oracleSql("ct")} AS clean_hash
+       |FROM clean ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("t"))
+    val spans = dupSpans(s, d)
+    val kept = tok.join(spans,
+      tok("doc_id") === spans("doc_id") &&
+        col("p") >= col("s") && col("p") <= col("e2"), "left_anti")
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, t))), x -> x.t)"))
+          .as("ct"))
+      .select(col("doc_id"), col("kept_tokens"),
+        PolyHash.hash(col("ct")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
-      q225, q246, q247)
+      q225, q246, q247, q259, q260)
 }
