@@ -1704,8 +1704,105 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** q261's mixture knobs: selection-LCG constants (distinct from the
+    * split/sample streams so mixture membership is independent of both)
+    * and the slot budget — odd, non-divisible, so the largest-remainder
+    * arm is exercised at every SF.
+    */
+  private val MixA = 1103515245L
+  private val MixC = 77L
+  private val MixN = 199L
+
+  /** q261: temperature-based mixture sampling — the multilingual-corpus
+    * rebalancing op (sampling probability ∝ share^α with α = 1/2, the
+    * XLM-R/mBERT recipe): each source's mixture weight is isqrt(n_docs)
+    * (exact integer sqrt — a float sqrt seeds it, then one integer
+    * correction step decides, so no float decides a value), the slot
+    * budget [[MixN]] is apportioned over those weights by the same
+    * Hamilton largest-remainder arithmetic q223 gates, and each source's
+    * quota is filled deterministically by LCG rank (lowest mixed hash
+    * first, doc_id tiebreak). Upweighted small sources can be allocated
+    * more slots than they have documents; the take is capped at n_docs
+    * and the cap is NOT silent — alloc and taken are both output, so the
+    * shortfall (repeat-epochs a trainer would schedule) is visible. The
+    * gate carries the selected SET, not just its size: sum of taken
+    * doc_ids per source.
+    *
+    * Scale shape: one count rollup to source grain; all apportionment on
+    * the source-cardinality frame (k-row window, 1-row broadcast
+    * totals); selection is one per-source rank window over (id, source)
+    * pairs — no row carries text, and the digest collapses map-side.
+    */
+  private val q261 = GraftQuery(
+    "q261_temperature_mixture",
+    s"""WITH ns AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1),
+       |w0 AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS g FROM ns),
+       |w AS (SELECT source, n,
+       |    CASE WHEN (g+1)*(g+1) <= n THEN g+1
+       |         WHEN g*g > n THEN g-1 ELSE g END AS w
+       |  FROM w0),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM w),
+       |q AS (SELECT source, n, w, ($MixN * w) // t.total AS fl,
+       |    ($MixN * w) % t.total AS frac FROM w CROSS JOIN t),
+       |k AS (SELECT $MixN - CAST(sum(fl) AS BIGINT) AS rem FROM q),
+       |rk AS (SELECT source, n, w, fl, frac,
+       |    row_number() OVER (ORDER BY frac DESC, source) AS r FROM q),
+       |alloc AS (
+       |  SELECT rk.source, rk.n, rk.w,
+       |    CAST(rk.fl + CASE WHEN rk.r <= k.rem THEN 1 ELSE 0 END AS BIGINT)
+       |      AS alloc
+       |  FROM rk CROSS JOIN k),
+       |ranked AS (
+       |  SELECT d.source, d.doc_id,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY ${lcgSql("d.doc_id", MixA, MixC)}, d.doc_id) AS r
+       |  FROM documents d)
+       |SELECT a.source, a.n AS n_docs, a.w AS weight, a.alloc,
+       |  CAST(count(rn.doc_id) AS BIGINT) AS taken,
+       |  CAST(coalesce(sum(rn.doc_id), 0) AS BIGINT) AS sum_taken_ids
+       |FROM alloc a LEFT JOIN ranked rn
+       |  ON rn.source = a.source AND rn.r <= least(a.alloc, a.n)
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY a.source""".stripMargin) { (s, d) =>
+    val ns = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val w = ns
+      .withColumn("g", floor(sqrt(col("n"))).cast("long"))
+      .withColumn("w",
+        when((col("g") + 1) * (col("g") + 1) <= col("n"), col("g") + 1)
+          .when(col("g") * col("g") > col("n"), col("g") - 1)
+          .otherwise(col("g")))
+      .select("source", "n", "w")
+    val quotas = w.crossJoin(broadcast(w.agg(sum(col("w")).as("total"))))
+      .select(col("source"), col("n"), col("w"),
+        expr(s"($MixN * w) div total").as("fl"),
+        (lit(MixN) * col("w") % col("total")).as("frac"))
+    val rem = quotas.agg((lit(MixN) - sum(col("fl"))).as("rem"))
+    val alloc = quotas
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("frac").desc, col("source"))))
+      .crossJoin(broadcast(rem))
+      .select(col("source"), col("n"), col("w"),
+        (col("fl") + when(col("r") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc"))
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("r", row_number().over(Window.partitionBy("source")
+        .orderBy(lcg(col("doc_id"), MixA, MixC), col("doc_id"))))
+    alloc.join(ranked,
+        ranked("source") === alloc("source") &&
+          ranked("r") <= least(col("alloc"), col("n")), "left")
+      .groupBy(alloc("source").as("source"), col("n").as("n_docs"),
+        col("w").as("weight"), col("alloc"))
+      .agg(count(ranked("doc_id")).as("taken"),
+        coalesce(sum(ranked("doc_id")), lit(0L)).as("sum_taken_ids"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248, q253)
+      q248, q253, q261)
 }

@@ -1878,8 +1878,125 @@ object Temporal {
       .limit(10)
   }
 
+  /** q262: FIFO queue matching — the exact lot-matching kernel behind
+    * cost-basis accounting, metered-credit billing, and inventory aging,
+    * computed set-at-a-time (the published cumulative-interval technique)
+    * instead of the per-row queue loop a single-node engine would run.
+    * Per user, `purchase` events SUPPLY integer units (value in cents —
+    * fixed point, `floor(v*100 + 0.5)`, so no float decides a match) and
+    * `click` events CONSUME units; FIFO order is (ts, event_id). Each
+    * supply occupies the cumulative unit interval [cs, cs+units) and each
+    * demand [ds, ds+units); a demand consumes exactly the supplies whose
+    * intervals overlap its own, `overlap = least(ce,de) - greatest(cs,ds)`
+    * — the FIFO queue never materializes. Output per user: supply/demand
+    * totals, matched units, unmatched demand (demand beyond all supply),
+    * and matched age in unit-seconds Σ overlap·(t_demand − t_supply) —
+    * negative when demand precedes its FIFO-matched supply (backorder
+    * lead), positive for aged inventory.
+    *
+    * Scale shape: two per-user cumulative windows (each one exchange on
+    * user_id), then a pair join that RIDES the user_id equi-join with the
+    * interval overlap as a join residual — FIFO overlap is structurally
+    * near-linear (interval endpoints interleave, so total pairs ≈
+    * n_supply + n_demand per user, never the quadratic all-pairs). Age
+    * bound: units ≤ 2·10^4 (cents of a ≤ 200 value), horizons in
+    * seconds ≤ 3·10^7, so Σ overlap·dt stays ~10^16 per user at any
+    * fixture SF — inside BIGINT; a deployment with decades-long horizons
+    * or larger denominations moves the product to DECIMAL(38,0) the way
+    * q237's ppm multiply does.
+    */
+  /** q262's oracle, shared verbatim with its streaming twin
+    * ([[graft.streaming.StreamingQueries]] q263).
+    */
+  private[graft] val fifoOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS units,
+       |    epoch_us(ts) // 1000000 AS sec
+       |  FROM events
+       |  WHERE event_type IN ('purchase', 'click') AND value > 0),
+       |sup AS (
+       |  SELECT user_id, units, sec,
+       |    coalesce(sum(units) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+       |  FROM ev WHERE event_type = 'purchase'),
+       |dem AS (
+       |  SELECT user_id, units, sec,
+       |    coalesce(sum(units) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ds
+       |  FROM ev WHERE event_type = 'click'),
+       |pairs AS (
+       |  SELECT s.user_id,
+       |    least(s.cs + s.units, d.ds + d.units) - greatest(s.cs, d.ds) AS ov,
+       |    d.sec - s.sec AS dt
+       |  FROM sup s JOIN dem d ON d.user_id = s.user_id
+       |    AND d.ds < s.cs + s.units AND s.cs < d.ds + d.units),
+       |tot AS (
+       |  SELECT user_id,
+       |    CAST(sum(ov) AS BIGINT) AS matched_units,
+       |    CAST(sum(ov * dt) AS BIGINT) AS age_unit_seconds
+       |  FROM pairs GROUP BY 1),
+       |su AS (SELECT user_id, CAST(sum(units) AS BIGINT) AS supply_units
+       |  FROM sup GROUP BY 1),
+       |du AS (SELECT user_id, CAST(sum(units) AS BIGINT) AS demand_units
+       |  FROM dem GROUP BY 1)
+       |SELECT coalesce(su.user_id, du.user_id) AS user_id,
+       |  CAST(coalesce(su.supply_units, 0) AS BIGINT) AS supply_units,
+       |  CAST(coalesce(du.demand_units, 0) AS BIGINT) AS demand_units,
+       |  CAST(coalesce(t.matched_units, 0) AS BIGINT) AS matched_units,
+       |  CAST(coalesce(du.demand_units, 0) - coalesce(t.matched_units, 0)
+       |    AS BIGINT) AS unmatched_demand,
+       |  CAST(coalesce(t.age_unit_seconds, 0) AS BIGINT) AS age_unit_seconds
+       |FROM su FULL JOIN du ON du.user_id = su.user_id
+       |LEFT JOIN tot t ON t.user_id = coalesce(su.user_id, du.user_id)
+       |ORDER BY 1""".stripMargin
+
+  private val q262 = GraftQuery(
+    "q262_fifo_match", fifoOracleSql) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "click") && col("value") > 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("units"),
+        (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("sec"))
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def side(tpe: String, cum: String) = ev
+      .where(col("event_type") === tpe)
+      .select(col("user_id"), col("units"), col("sec"),
+        coalesce(sum(col("units")).over(w), lit(0L)).as(cum))
+    val sup = side("purchase", "cs")
+    val dem = side("click", "ds")
+      .withColumnRenamed("units", "dunits").withColumnRenamed("sec", "dsec")
+    val pairs = sup.join(dem,
+      sup("user_id") === dem("user_id") &&
+        col("ds") < col("cs") + col("units") &&
+        col("cs") < col("ds") + col("dunits"))
+      .select(sup("user_id").as("user_id"),
+        (least(col("cs") + col("units"), col("ds") + col("dunits")) -
+          greatest(col("cs"), col("ds"))).as("ov"),
+        (col("dsec") - col("sec")).as("dt"))
+    val tot = pairs.groupBy("user_id")
+      .agg(sum(col("ov")).as("matched_units"),
+        sum(col("ov") * col("dt")).as("age_unit_seconds"))
+    val su = sup.groupBy("user_id").agg(sum(col("units")).as("supply_units"))
+    val du = dem.groupBy("user_id").agg(sum(col("dunits")).as("demand_units"))
+    su.join(du, Seq("user_id"), "full")
+      .join(tot, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("supply_units"), lit(0L)).as("supply_units"),
+        coalesce(col("demand_units"), lit(0L)).as("demand_units"),
+        coalesce(col("matched_units"), lit(0L)).as("matched_units"),
+        (coalesce(col("demand_units"), lit(0L)) -
+          coalesce(col("matched_units"), lit(0L))).as("unmatched_demand"),
+        coalesce(col("age_unit_seconds"), lit(0L)).as("age_unit_seconds"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
-      q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241)
+      q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
+      q262)
 }

@@ -725,6 +725,118 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** q262's FIFO matching maintained ONLINE — per user, `purchase` rows
+    * supply integer cent-units and `click` rows consume them FIFO; the
+    * state is (a) the watermark-ordering buffer (rows not yet provably
+    * in final FIFO order) and (b) the UNMATCHED lot queue — and because
+    * FIFO matching always drains one side, at most one of the supply /
+    * demand queues is non-empty at any time, so the retained state is
+    * exactly the user's open imbalance (the customer's credit balance in
+    * the billing reading), not their event history. Rows are folded once
+    * their whole SECOND sits behind the watermark (the batch FIFO order
+    * key is (sec, event_id); folding whole seconds atomically preserves
+    * the event_id tiebreak — a sub-second reorder across the watermark
+    * boundary is beyond-late by the watermark contract, same as every
+    * twin here). One final totals row per user emits on event-time
+    * timeout: supply/demand/matched/unmatched units + matched age in
+    * unit-seconds — q262's exact output, so the batch oracle gates the
+    * stream verbatim. Non-qualifying rows (other types, value ≤ 0, the
+    * '__flush' sentinel) advance event time but carry no units; a user
+    * with no qualifying rows emits nothing (the sentinel's own group
+    * among them).
+    */
+  def fifoTotalsRows(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state: (buffer rows (sec, event_id, isSupply 1/0, units),
+    //         unmatched supply lots (units, sec), unmatched demand lots,
+    //         totals [nRows, supTot, demTot, matched, age], max event µs)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"),
+        when(col("event_type") === "purchase" && col("value") > 0, 1L)
+          .when(col("event_type") === "click" && col("value") > 0, 0L)
+          .otherwise(-1L).as("side"),
+        coalesce(floor(col("value") * 100 + 0.5).cast("long"), lit(0L))
+          .as("units"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, Long, Long)], Seq[(Long, Long)], Seq[(Long, Long)], Seq[Long], Long),
+          (Long, Long, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, Long, Long)], Seq[(Long, Long)], Seq[(Long, Long)], Seq[Long], Long)]) =>
+          if (state.hasTimedOut) {
+            val (buf, supQ, demQ, tot, _) = state.get
+            state.remove()
+            // everything buffered is behind the watermark now — fold it
+            val (_, _, t2) = fifoFold(buf.sortBy(r => (r._1, r._2)),
+              supQ, demQ, tot)
+            if (t2(0) == 0L) Iterator.empty
+            else Iterator((uid, t2(1), t2(2), t2(3), t2(2) - t2(3), t2(4)))
+          } else {
+            val rs = rows.toSeq
+            val (buf0, supQ0, demQ0, tot0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, Long, Long)], Seq.empty[(Long, Long)],
+                Seq.empty[(Long, Long)], Seq(0L, 0L, 0L, 0L, 0L),
+                Long.MinValue))
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            val buf = (buf0 ++ rs.filter(_._5 >= 0).map(r =>
+              (r._3 / 1000000L, r._4, r._5, r._6)))
+              .sortBy(r => (r._1, r._2))
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            val (closed, open) = buf.partition(_._1 < wmSec)
+            val (supQ, demQ, tot) = fifoFold(closed, supQ0, demQ0, tot0)
+            state.update((open, supQ, demQ, tot, maxT))
+            state.setTimeoutTimestamp(math.max(maxT / 1000L + 10L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Fold FIFO-ordered (sec, event_id, isSupply, units) rows into the
+    * lot queues + running totals — the sequential matcher whose
+    * set-at-a-time equivalent is batch q262's cumulative-interval
+    * overlap join. Totals layout: [nRows, supTot, demTot, matched, age].
+    */
+  private[streaming] def fifoFold(
+      rows: Seq[(Long, Long, Long, Long)],
+      supQ0: Seq[(Long, Long)], demQ0: Seq[(Long, Long)], tot0: Seq[Long])
+      : (Seq[(Long, Long)], Seq[(Long, Long)], Seq[Long]) = {
+    var supQ = scala.collection.immutable.Queue(supQ0: _*)
+    var demQ = scala.collection.immutable.Queue(demQ0: _*)
+    var nRows = tot0(0); var supTot = tot0(1); var demTot = tot0(2)
+    var matched = tot0(3); var age = tot0(4)
+    rows.foreach { case (sec, _, side, units) =>
+      nRows += 1L
+      var u = units
+      if (side == 1L) {
+        supTot += units
+        while (u > 0L && demQ.nonEmpty) {
+          val ((du, dsec), rest) = demQ.dequeue
+          val m = math.min(u, du)
+          matched += m; age += m * (dsec - sec); u -= m
+          demQ = if (du - m > 0L) (du - m, dsec) +: rest else rest
+        }
+        if (u > 0L) supQ = supQ.enqueue((u, sec))
+      } else {
+        demTot += units
+        while (u > 0L && supQ.nonEmpty) {
+          val ((su, ssec), rest) = supQ.dequeue
+          val m = math.min(u, su)
+          matched += m; age += m * (sec - ssec); u -= m
+          supQ = if (su - m > 0L) (su - m, ssec) +: rest else rest
+        }
+        if (u > 0L) demQ = demQ.enqueue((u, sec))
+      }
+    }
+    (supQ, demQ, Seq(nRows, supTot, demTot, matched, age))
+  }
+
   /** Gate-scale default for [[runToMemory]]'s state partitions (env
     * override for experiments; a real deployment passes it explicitly).
     */

@@ -944,8 +944,28 @@ object StreamingQueries {
       .orderBy("dim")
   }
 
+  /** q263: streaming FIFO matching ≡ batch q262 — per-user
+    * supply/demand/matched/unmatched/age totals maintained online
+    * ([[EventStreams.fifoTotalsRows]]: the retained state is the
+    * watermark-ordering buffer plus the single non-empty unmatched lot
+    * queue — the user's open imbalance, not their history), one final
+    * row per user on event-time timeout. This is the exactly-once
+    * metered-billing/cost-basis stream; gated on q262's oracle verbatim:
+    * stream == batch == DuckDB. The sentinel's group has no qualifying
+    * rows and emits nothing; the `user_id >= 0` guard is defensive.
+    */
+  private val q263 = GraftQuery(
+    "q263_stream_fifo_match",
+    graft.operators.Temporal.fifoOracleSql) { (s, d) =>
+    runGated(s, d)(EventStreams.fifoTotalsRows(_)
+        .toDF("user_id", "supply_units", "demand_units", "matched_units",
+          "unmatched_demand", "age_unit_seconds"))
+      .where(col("user_id") >= 0)
+      .orderBy("user_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258)
+      q254, q256, q258, q263)
 }

@@ -48,7 +48,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q233_benford_audit", // 1-row total x 9-row literal share table
     "q235_poisson_bootstrap", // constant 32-row replicate frame crossed
     "q237_ks_drift",      // 1-row (n1,n2) totals + 1-row argmax crossed
-    "q240_equidepth_bins") // 1-row 9-edge frame crossed onto value grain
+    "q240_equidepth_bins", // 1-row 9-edge frame crossed onto value grain
+    "q261_temperature_mixture") // 1-row weight-total + 1-row remainder
+                                // broadcasts, q223's audited shape; the
+                                // quota-fill join itself is a BHJ on source
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
