@@ -1972,9 +1972,109 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** q265: t-closeness audit — the third verb of the k-anonymity trio
+    * (size q211, diversity q227, now DISTRIBUTION): per quasi-identifier
+    * group (nation, segment), the Earth Mover's Distance between the
+    * group's sensitive-attribute distribution (the q227 acctbal-bucket
+    * domain) and the global one, under the ordered-attribute ground
+    * distance of the t-closeness paper (Li, Li, Venkatasubramanian
+    * 2007): EMD = Σᵢ|cumP_g(i) − cumP(i)| / (m−1). Exact integers via
+    * cross-multiplication — |cum_g·N − cumC·n_g| summed over the global
+    * bucket domain, normalized to ppm through HUGEINT/DECIMAL(38,0)
+    * (Σ|D| ≤ (m−1)·n_g·N, so the multiply needs 128-bit headroom).
+    * Flag at t = 0.2 (200000 ppm). A single-bucket domain (m = 1) has
+    * identical distributions by construction — emd_ppm 0, not a
+    * division by zero.
+    *
+    * Scale shape: two hash aggregates (group-bucket, global-bucket); the
+    * global bucket table + its 1-row (N, m) totals are metadata-sized
+    * (the attribute DOMAIN, not rows) and broadcast onto the group
+    * frame; the per-group cumulative is a window over that bounded
+    * domain, partitioned by group — parallel across groups, m rows each.
+    */
+  private val q265 = GraftQuery(
+    "q265_t_closeness",
+    """WITH rows_ AS (
+      |  SELECT n2.n_name AS nation, c.c_mktsegment AS segment,
+      |    CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS b
+      |  FROM customer c JOIN nation n2 ON n2.n_nationkey = c.c_nationkey),
+      |gb AS (SELECT nation, segment, b, CAST(count(*) AS BIGINT) AS cgj
+      |  FROM rows_ GROUP BY 1, 2, 3),
+      |gtab AS (SELECT b, CAST(count(*) AS BIGINT) AS cj
+      |  FROM rows_ GROUP BY 1),
+      |gcum AS (SELECT b, cj,
+      |    sum(cj) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      |  FROM gtab),
+      |tot AS (SELECT CAST(sum(cj) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS m FROM gtab),
+      |grp AS (SELECT nation, segment, CAST(sum(cgj) AS BIGINT) AS ng
+      |  FROM gb GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.nation, g.segment, g.ng, u.b, u.cumc,
+      |    coalesce(x.cgj, 0) AS cgj
+      |  FROM grp g CROSS JOIN gcum u
+      |  LEFT JOIN gb x ON x.nation = g.nation AND x.segment = g.segment
+      |    AND x.b = u.b),
+      |cums AS (
+      |  SELECT nation, segment, ng, b, cumc,
+      |    sum(cgj) OVER (PARTITION BY nation, segment ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+      |  FROM grid),
+      |emd AS (
+      |  SELECT c2.nation, c2.segment, c2.ng,
+      |    CAST(sum(abs(c2.cumg * t.n - c2.cumc * c2.ng)) AS BIGINT) AS sd,
+      |    t.n, t.m
+      |  FROM cums c2 CROSS JOIN tot t
+      |  GROUP BY 1, 2, 3, 5, 6)
+      |SELECT nation, segment, ng AS group_size,
+      |  CASE WHEN m > 1 THEN
+      |    CAST(CAST(sd AS HUGEINT) * 1000000
+      |      // (CAST(m - 1 AS HUGEINT) * ng * n) AS BIGINT)
+      |  ELSE 0 END AS emd_ppm,
+      |  CASE WHEN m > 1 THEN
+      |    CAST(CAST(sd AS HUGEINT) * 1000000
+      |      // (CAST(m - 1 AS HUGEINT) * ng * n) AS BIGINT)
+      |  ELSE 0 END > 200000 AS flagged
+      |FROM emd ORDER BY nation, segment""".stripMargin) { (s, d) =>
+    val rows = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("b"))
+    val gb = rows.groupBy("nation", "segment", "b")
+      .agg(count(lit(1)).as("cgj"))
+    val gtab = rows.groupBy("b").agg(count(lit(1)).as("cj"))
+    val gcum = gtab.withColumn("cumc",
+      sum(col("cj")).over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = gtab.agg(sum(col("cj")).as("n"), count(lit(1)).as("m"))
+    val grp = gb.groupBy("nation", "segment").agg(sum(col("cgj")).as("ng"))
+    val grid = grp.crossJoin(broadcast(gcum.select("b", "cumc")))
+      .join(gb, Seq("nation", "segment", "b"), "left")
+      .select(col("nation"), col("segment"), col("ng"), col("b"),
+        col("cumc"), coalesce(col("cgj"), lit(0L)).as("cgj"))
+    val cums = grid.withColumn("cumg",
+      sum(col("cgj")).over(Window.partitionBy("nation", "segment")
+        .orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+    val ppm = expr(
+      """CASE WHEN m > 1 THEN
+        |  CAST(CAST(sd AS DECIMAL(38,0)) * 1000000
+        |    div (CAST(m - 1 AS DECIMAL(38,0)) * ng * n) AS BIGINT)
+        |ELSE 0L END""".stripMargin)
+    cums.crossJoin(broadcast(tot))
+      .groupBy("nation", "segment", "ng", "n", "m")
+      .agg(sum(abs(col("cumg") * col("n") - col("cumc") * col("ng")))
+        .as("sd"))
+      .select(col("nation"), col("segment"), col("ng").as("group_size"),
+        ppm.as("emd_ppm"), (ppm > 200000L).as("flagged"))
+      .orderBy("nation", "segment")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
-      q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240)
+      q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240,
+      q265)
 }

@@ -1994,9 +1994,150 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** q264: exact Mann-Whitney U (Wilcoxon rank-sum) — the
+    * distribution-drift test that complements q237's KS: KS asks "are
+    * the two CDFs ever far apart", Mann-Whitney asks "does one sample
+    * stochastically dominate" (its normalized U IS the AUC of
+    * rank-discriminating the samples). Computed EXACTLY in integers:
+    * average ranks under ties are half-integers, so everything carries
+    * DOUBLED ranks — for a distinct value with combined count c starting
+    * at rank s, each occurrence's doubled average rank is 2s + c − 1,
+    * and sample 1's doubled rank-sum is Σ c1·(2·cum − c + 1) over the
+    * value-grain table. U₁×2 = R₁×2 − n₁(n₁+1); AUC ppm divides through
+    * DECIMAL(38,0)/HUGEINT so the full n₁·n₂ < 2^63 bound holds (q237's
+    * lesson applied from day one).
+    *
+    * Scale shape: one hash aggregate to DISTINCT-value grain, then the
+    * banded global cumulative ([[Banded.cumSums]], band = ⌊v⌋ — the
+    * value domain buckets monotonically) — no single-task global window
+    * — and a 1-row global rollup. Empty input emits one NULL row in both
+    * dialects (global aggregates, no groupBy — q237's degenerate-case
+    * lesson, also applied from day one).
+    */
+  private val q264 = GraftQuery(
+    "q264_mann_whitney",
+    s"""WITH s AS (
+       |  SELECT value AS v,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1
+       |  FROM events
+       |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+       |g AS (SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1),
+       |c AS (SELECT v, c1, c,
+       |    sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM g),
+       |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+       |    CAST(sum(c - c1) AS BIGINT) AS n2,
+       |    CAST(sum(c1 * (2*cum - c + 1)) AS BIGINT) AS r1_x2
+       |  FROM c)
+       |SELECT n1, n2, r1_x2,
+       |  CAST(r1_x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
+       |  CAST(2*n1*n2 - (r1_x2 - n1*(n1+1)) AS BIGINT) AS u2_x2,
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    CAST(CAST(r1_x2 - n1*(n1+1) AS HUGEINT) * 1000000
+       |      // (CAST(2 AS HUGEINT) * n1 * n2) AS BIGINT) END AS auc_ppm
+       |FROM a""".stripMargin) { (s, d) =>
+    val sm = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+      .select(col("value").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is1"))
+    val g = sm.groupBy("v")
+      .agg(sum(col("is1")).as("c1"), count(lit(1)).as("c"))
+    val c = Banded.cumSums(g, Seq.empty, Seq(col("v")),
+      floor(col("v")).cast("long"), Seq(Banded.CumSpec("cum", col("c"))))
+    c.agg(sum(col("c1")).as("n1"),
+        sum(col("c") - col("c1")).as("n2"),
+        sum(col("c1") * (lit(2L) * col("cum") - col("c") + 1)).as("r1_x2"))
+      .select(col("n1"), col("n2"), col("r1_x2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        (lit(2L) * col("n1") * col("n2") -
+          (col("r1_x2") - col("n1") * (col("n1") + 1))).as("u2_x2"),
+        when(col("n1") > 0 && col("n2") > 0, expr(
+          """CAST(CAST(r1_x2 - n1*(n1+1) AS DECIMAL(38,0)) * 1000000
+            |  div (CAST(2 AS DECIMAL(38,0)) * n1 * n2) AS BIGINT)"""
+            .stripMargin)).as("auc_ppm"))
+  }
+
+  /** q266: CUSUM changepoint detection — where did the level SHIFT?
+    * q239's MAD flags answer "which days are anomalous"; CUSUM answers
+    * the complementary monitoring question "when did the mean change":
+    * per event type over the daily-count series, S_i = Σ_{j≤i}(x_j − x̄)
+    * peaks at the most likely single changepoint (Page 1954 / the
+    * standard offline CUSUM estimator). Exact integers by scaling
+    * through n: S'_i = n·cum_i − i·T (so no x̄ division), the
+    * changepoint is the EARLIEST day attaining max|S'| (deterministic
+    * tie-break), and the reported magnitude is max|S'|/(n·T) in ppm via
+    * HUGEINT/DECIMAL(38,0).
+    *
+    * Scale shape: one shuffle to (type, day) grain with map-side partial
+    * counts; everything after — index/cumulative windows, per-type
+    * totals, the argmax join — runs on the metadata-sized daily series
+    * (days × types rows), partitioned by type.
+    */
+  private val q266 = GraftQuery(
+    "q266_cusum_changepoint",
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+       |      AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+       |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM daily),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS t FROM daily GROUP BY 1),
+       |s AS (
+       |  SELECT ix.event_type, ix.day, tt.n, tt.t,
+       |    abs(tt.n * ix.cum - ix.i * tt.t) AS sabs
+       |  FROM idx ix JOIN tot tt ON tt.event_type = ix.event_type),
+       |mx AS (SELECT event_type, n, t, CAST(max(sabs) AS BIGINT) AS smax
+       |  FROM s GROUP BY 1, 2, 3)
+       |SELECT m.event_type, m.n AS n_days, m.t AS total,
+       |  CAST(min(s2.day) AS BIGINT) AS cp_day,
+       |  CAST(CAST(m.smax AS HUGEINT) * 1000000
+       |    // (CAST(m.n AS HUGEINT) * m.t) AS BIGINT) AS cusum_ppm
+       |FROM mx m JOIN s s2 ON s2.event_type = m.event_type
+       |  AND s2.sabs = m.smax
+       |GROUP BY 1, 2, 3, m.smax
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val idx = daily
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("x"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val sTab = idx.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("t"),
+        abs(col("n") * col("cum") - col("i") * col("t")).as("sabs"))
+    val mx = sTab.groupBy("event_type", "n", "t")
+      .agg(max(col("sabs")).as("smax"))
+    mx.join(sTab.select(col("event_type"), col("day"),
+          col("sabs").as("sabs2")),
+        Seq("event_type"))
+      .where(col("sabs2") === col("smax"))
+      .groupBy("event_type", "n", "t", "smax")
+      .agg(min(col("day")).as("cp_day"))
+      .select(col("event_type"), col("n").as("n_days"), col("t").as("total"),
+        col("cp_day"),
+        expr("""CAST(CAST(smax AS DECIMAL(38,0)) * 1000000
+               |  div (CAST(n AS DECIMAL(38,0)) * t) AS BIGINT)"""
+          .stripMargin).as("cusum_ppm"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262)
+      q262, q264, q266)
 }

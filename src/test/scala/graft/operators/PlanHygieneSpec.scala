@@ -49,9 +49,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q235_poisson_bootstrap", // constant 32-row replicate frame crossed
     "q237_ks_drift",      // 1-row (n1,n2) totals + 1-row argmax crossed
     "q240_equidepth_bins", // 1-row 9-edge frame crossed onto value grain
-    "q261_temperature_mixture") // 1-row weight-total + 1-row remainder
+    "q261_temperature_mixture", // 1-row weight-total + 1-row remainder
                                 // broadcasts, q223's audited shape; the
                                 // quota-fill join itself is a BHJ on source
+    "q265_t_closeness") // bucket-DOMAIN table (attribute domain, not rows)
+                        // + 1-row (N,m) totals, both broadcast crosses
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
