@@ -1801,8 +1801,70 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** q268: training-sequence packing report — the dataloader stage AFTER
+    * q128's shuffle: within each shard, documents in permutation order
+    * are concatenated and cut into fixed 512-token training sequences
+    * (concat-and-chunk, the standard LM packing; [[ChunkTokens]] is the
+    * same constant the CDC chunker uses). All packing facts fall out of
+    * ONE within-shard cumulative token sum: a document occupies token
+    * interval [cum−tok, cum), its sequence ids are that interval div
+    * 512, it is SPLIT iff its first and last token land in different
+    * sequences, and the shard's sequence count / tail fill are
+    * ceil/mod of the final cumulative. Per shard: docs, tokens,
+    * sequences, tail tokens, boundary-split docs — the waste/fragmenta-
+    * tion report that decides packing strategy (pure concat vs
+    * best-fit) before a training run.
+    *
+    * Scale shape: q128's contract — shard count IS the dataloader
+    * parallelism knob (8 here; a 100 TB run uses thousands), so the
+    * within-shard window is per-shard-bounded by construction, and the
+    * rollup is one hash aggregate at shard grain.
+    */
+  private val q268 = GraftQuery(
+    "q268_sequence_packing",
+    s"""WITH p AS (
+       |  SELECT ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards AS shard,
+       |    doc_id,
+       |    row_number() OVER (
+       |      PARTITION BY ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards
+       |      ORDER BY ${lcgSql("doc_id", ShufOrdA, ShufOrdC)}, doc_id) AS pos,
+       |    len(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents),
+       |c AS (SELECT shard, doc_id, pos, tok,
+       |    sum(tok) OVER (PARTITION BY shard ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM p)
+       |SELECT CAST(shard AS INTEGER) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+       |  CAST((max(cum) + ${ChunkTokens - 1}) // $ChunkTokens AS BIGINT)
+       |    AS n_seqs,
+       |  CAST(max(cum) % $ChunkTokens AS BIGINT) AS tail_tokens,
+       |  CAST(sum(CASE WHEN (cum - tok) // $ChunkTokens
+       |      <> (cum - 1) // $ChunkTokens THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS split_docs
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val shard = (lcg(col("doc_id"), SampleA, SampleC) % ShufShards).cast("int")
+    Tables.documents(s, d)
+      .select(shard.as("shard"), col("doc_id"),
+        lcg(col("doc_id"), ShufOrdA, ShufOrdC).as("o2"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok"))
+        .over(Window.partitionBy("shard").orderBy(col("o2"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"),
+        expr(s"CAST((max(cum) + ${ChunkTokens - 1}) div $ChunkTokens AS BIGINT)")
+          .as("n_seqs"),
+        expr(s"max(cum) % $ChunkTokens").as("tail_tokens"),
+        sum(when(expr(s"(cum - tok) div $ChunkTokens") =!=
+          expr(s"(cum - 1) div $ChunkTokens"), 1L).otherwise(0L))
+          .as("split_docs"))
+      .orderBy("shard")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248, q253, q261)
+      q248, q253, q261, q268)
 }

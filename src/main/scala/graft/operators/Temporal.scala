@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2076,8 +2076,10 @@ object Temporal {
     * totals, the argmax join — runs on the metadata-sized daily series
     * (days × types rows), partitioned by type.
     */
-  private val q266 = GraftQuery(
-    "q266_cusum_changepoint",
+  /** q266's oracle, shared verbatim with its streaming twin
+    * ([[graft.streaming.StreamingQueries]] q267).
+    */
+  private[graft] val cusumOracleSql: String =
     s"""WITH daily AS (
        |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
        |      AS day,
@@ -2104,11 +2106,22 @@ object Temporal {
        |FROM mx m JOIN s s2 ON s2.event_type = m.event_type
        |  AND s2.sabs = m.smax
        |GROUP BY 1, 2, 3, m.smax
-       |ORDER BY 1""".stripMargin) { (s, d) =>
-    val daily = Tables.events(s, d)
+       |ORDER BY 1""".stripMargin
+
+  private val q266 = GraftQuery(
+    "q266_cusum_changepoint", cusumOracleSql) { (s, d) =>
+    cusumOf(Tables.events(s, d)
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+  }
+
+  /** q266's CUSUM epilogue over a finalized (event_type, day, x) daily
+    * series — shared verbatim with the streaming twin q267, which feeds
+    * it watermark-finalized tumbling-day counts instead of a batch
+    * rollup. Metadata-sized input by contract (days × types).
+    */
+  private[graft] def cusumOf(daily: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("event_type").orderBy("day")
     val idx = daily
       .withColumn("i", row_number().over(wOrd).cast("long"))

@@ -964,8 +964,35 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q267: streaming CUSUM changepoint monitor ≡ batch q266 — q254's
+    * labor split applied to the changepoint estimator: the stream owns
+    * the watermarked 1-day tumbling counts per type (bounded state, the
+    * day windows), and the integer-exact CUSUM epilogue — factored to
+    * [[graft.operators.Temporal.cusumOf]], shared verbatim with batch —
+    * runs on the finalized metadata-sized series. Window starts are
+    * midnight UTC, so `unix_micros(start) div 86400000000` IS the batch
+    * side's epoch day. The epilogue self-joins its input, so the
+    * memory-sink view is re-rooted under fresh attribute ids first
+    * (q254's analyzer note). The sentinel's own day window never closes
+    * and is never emitted. Gated on q266's oracle verbatim: stream ==
+    * batch == DuckDB.
+    */
+  private val q267 = GraftQuery(
+    "q267_stream_cusum",
+    graft.operators.Temporal.cusumOracleSql) { (s, d) =>
+    val dc = runGated(s, d)(ev => ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 86400000000").as("day"),
+        col("cnt").as("x")))
+    graft.operators.Temporal.cusumOf(
+      s.createDataFrame(dc.rdd, dc.schema))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258, q263)
+      q254, q256, q258, q263, q267)
 }
