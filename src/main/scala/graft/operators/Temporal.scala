@@ -2148,9 +2148,166 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** q269: position-based (U-shaped, 40/20/40) multi-touch attribution —
+    * the credit model between q172's last-touch and linear: every
+    * non-purchase touch in the 24h window before a purchase earns ppm
+    * credit by POSITION — 40% first, 40% last, the middle 20% split
+    * evenly. Credit is exact integer ppm with a deterministic remainder
+    * rule (k=1 → 10⁶, k=2 → 5·10⁵ each, k≥3 → the division remainder of
+    * the middle pool goes to the FIRST middle), so Σ credit = 10⁶ ×
+    * purchases-with-touches EXACTLY — attribution that doesn't conserve
+    * credit is a reporting bug, and float splits never conserve.
+    *
+    * Scale shape: the purchase×touch pairing rides the user_id equi-join
+    * with the 24h bound as a residual (per-user-bounded, q262's
+    * contract); position/k are one window per purchase over its own
+    * touches; the rollup is a hash aggregate at touch-type grain.
+    */
+  private val q269 = GraftQuery(
+    "q269_position_attribution",
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+       |  FROM events),
+       |pur AS (SELECT event_id AS pid, user_id, us AS pus FROM ev
+       |  WHERE event_type = 'purchase'),
+       |tch AS (SELECT event_id AS tid, user_id, event_type AS ttype, us AS tus
+       |  FROM ev WHERE event_type <> 'purchase'),
+       |pairs AS (
+       |  SELECT p.pid, t.tid, t.ttype,
+       |    row_number() OVER (PARTITION BY p.pid ORDER BY t.tus, t.tid) AS pos,
+       |    count(*) OVER (PARTITION BY p.pid) AS k
+       |  FROM pur p JOIN tch t ON t.user_id = p.user_id
+       |    AND t.tus < p.pus AND t.tus >= p.pus - 86400000000),
+       |credit AS (
+       |  SELECT pid, tid, ttype,
+       |    CASE
+       |      WHEN k = 1 THEN 1000000
+       |      WHEN k = 2 THEN 500000
+       |      WHEN pos = 1 OR pos = k THEN 400000
+       |      ELSE 200000 // (k - 2)
+       |        + CASE WHEN pos = 2 THEN 200000 % (k - 2) ELSE 0 END
+       |    END AS ppm
+       |  FROM pairs)
+       |SELECT ttype AS touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+       |  CAST(sum(ppm) AS BIGINT) AS credit_ppm
+       |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val pur = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("us").as("pus"))
+    val tch = ev.where(col("event_type") =!= "purchase")
+      .select(col("event_id").as("tid"), col("user_id"),
+        col("event_type").as("ttype"), col("us").as("tus"))
+    val wP = Window.partitionBy("pid")
+    val pairs = pur.join(tch,
+        pur("user_id") === tch("user_id") &&
+          col("tus") < col("pus") &&
+          col("tus") >= col("pus") - 86400000000L)
+      .select(col("pid"), col("tid"), col("ttype"), col("tus"))
+      .withColumn("pos",
+        row_number().over(wP.orderBy("tus", "tid")).cast("long"))
+      .withColumn("k", count(lit(1)).over(wP))
+    pairs
+      .withColumn("ppm",
+        when(col("k") === 1, 1000000L)
+          .when(col("k") === 2, 500000L)
+          .when(col("pos") === 1 || col("pos") === col("k"), 400000L)
+          .otherwise(expr("200000 div (k - 2)") +
+            when(col("pos") === 2, expr("200000 % (k - 2)")).otherwise(0L)))
+      .groupBy(col("ttype").as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("ppm")).as("credit_ppm"))
+      .orderBy("touch_type")
+  }
+
+  /** q270: RFM quintile segmentation — the classic customer-value
+    * segmentation (recency / frequency / monetary, each scored 1–5,
+    * quintile 5 best on every axis: most recent, most frequent, highest
+    * purchase cents). Quintiles are EXACT global ranks — ties broken by
+    * user_id to a total order, q = ((rank−1)·5) div n + 1 — not
+    * approximate percentiles, so the segment assignment is deterministic
+    * and engine-agnostic. Monetary is fixed-point cents (q262's
+    * contract); no float decides a boundary.
+    *
+    * Scale shape: one rollup to user grain, then THREE banded global
+    * ranks ([[Banded.cumSums]], summand 1; bands: recency-day directly,
+    * f div 8, m div 100000) — a user-grain frame is corpus-sized at
+    * 100 TB, so none of the three rankings may be a single-task global
+    * window. The 1-row max-day and count frames broadcast; the output is
+    * the ≤125-cell segment matrix.
+    */
+  private val q270 = GraftQuery(
+    "q270_rfm_segments",
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |mx AS (SELECT max(day) AS gmax FROM ev),
+       |u AS (
+       |  SELECT user_id,
+       |    CAST(count(*) AS BIGINT) AS f,
+       |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents
+       |      ELSE 0 END), 0) AS BIGINT) AS m,
+       |    CAST(max(day) AS BIGINT) AS lastday
+       |  FROM ev GROUP BY 1),
+       |ur AS (SELECT u.user_id, (mx.gmax - u.lastday) AS r, u.f, u.m
+       |  FROM u CROSS JOIN mx),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ur),
+       |ranked AS (
+       |  SELECT user_id, r, f, m,
+       |    row_number() OVER (ORDER BY r DESC, user_id) AS rr,
+       |    row_number() OVER (ORDER BY f, user_id) AS fr,
+       |    row_number() OVER (ORDER BY m, user_id) AS mr
+       |  FROM ur),
+       |q AS (
+       |  SELECT user_id,
+       |    ((rr - 1) * 5) // n.n + 1 AS r_q,
+       |    ((fr - 1) * 5) // n.n + 1 AS f_q,
+       |    ((mr - 1) * 5) // n.n + 1 AS m_q
+       |  FROM ranked CROSS JOIN n)
+       |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       |  CAST(m_q AS BIGINT) AS m_q,
+       |  CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(min(user_id) AS BIGINT) AS min_user
+       |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val mx = ev.agg(max(col("day")).as("gmax"))
+    val u = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("f"),
+        coalesce(sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)), lit(0L)).as("m"),
+        max(col("day")).as("lastday"))
+    val ur = u.crossJoin(broadcast(mx))
+      .select(col("user_id"), (col("gmax") - col("lastday")).as("r"),
+        col("f"), col("m"))
+    val n = ur.agg(count(lit(1)).as("n"))
+    val withRr = Banded.cumSums(ur, Seq.empty,
+      Seq(col("r").desc, col("user_id")), col("r"),
+      Seq(Banded.CumSpec("rr", lit(1L))), bandDesc = true)
+    val withFr = Banded.cumSums(withRr, Seq.empty,
+      Seq(col("f"), col("user_id")), expr("f div 8"),
+      Seq(Banded.CumSpec("fr", lit(1L))))
+    val withMr = Banded.cumSums(withFr, Seq.empty,
+      Seq(col("m"), col("user_id")), expr("m div 100000"),
+      Seq(Banded.CumSpec("mr", lit(1L))))
+    withMr.crossJoin(broadcast(n))
+      .select(col("user_id"),
+        (expr("((rr - 1) * 5) div n") + 1).as("r_q"),
+        (expr("((fr - 1) * 5) div n") + 1).as("f_q"),
+        (expr("((mr - 1) * 5) div n") + 1).as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("min_user"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262, q264, q266)
+      q262, q264, q266, q269, q270)
 }

@@ -52,8 +52,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q261_temperature_mixture", // 1-row weight-total + 1-row remainder
                                 // broadcasts, q223's audited shape; the
                                 // quota-fill join itself is a BHJ on source
-    "q265_t_closeness") // bucket-DOMAIN table (attribute domain, not rows)
+    "q265_t_closeness", // bucket-DOMAIN table (attribute domain, not rows)
                         // + 1-row (N,m) totals, both broadcast crosses
+    "q270_rfm_segments") // 1-row max-day + 1-row user-count broadcasts,
+                         // re-occurring through the three banded ranks
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
