@@ -2163,8 +2163,10 @@ object Temporal {
     * contract); position/k are one window per purchase over its own
     * touches; the rollup is a hash aggregate at touch-type grain.
     */
-  private val q269 = GraftQuery(
-    "q269_position_attribution",
+  /** q269's oracle, shared verbatim with its streaming twin
+    * ([[graft.streaming.StreamingQueries]] q271).
+    */
+  private[graft] val positionAttributionOracleSql: String =
     s"""WITH ev AS (
        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
        |  FROM events),
@@ -2190,7 +2192,10 @@ object Temporal {
        |  FROM pairs)
        |SELECT ttype AS touch_type, CAST(count(*) AS BIGINT) AS n_credits,
        |  CAST(sum(ppm) AS BIGINT) AS credit_ppm
-       |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+       |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q269 = GraftQuery(
+    "q269_position_attribution", positionAttributionOracleSql) { (s, d) =>
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))

@@ -837,6 +837,91 @@ object EventStreams {
     (supQ, demQ, Seq(nRows, supTot, demTot, matched, age))
   }
 
+  /** q269's position-based attribution maintained ONLINE — the real-time
+    * multi-touch credit stream. Per user the state buffers (t_µs,
+    * event_id, event_type) rows; a purchase is PROVABLY attributable
+    * once the watermark passes it (every touch candidate has tus < pus ≤
+    * watermark, and anything arriving later has ts ≥ watermark — so its
+    * touch set is complete), at which point its 40/20/40 ppm credits
+    * (q269's exact CASE, [[positionCredit]]) are emitted and the
+    * purchase row evicted. Touch rows evict once older than watermark −
+    * 24h: no unfinalized purchase (all have pus ≥ watermark) can look
+    * back past that. State is therefore bounded by the 24h lookback
+    * window per user — the attribution system's inherent state, not the
+    * user's history. Emits one (touch_type, ppm) row per credit; the
+    * caller aggregates to q269's per-type totals, gated on q269's
+    * oracle verbatim.
+    */
+  def positionCreditRows(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, String)], Long),
+          (String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, String)], Long)]) =>
+          if (state.hasTimedOut) {
+            // timeout fires only after the watermark passed maxT, so
+            // every buffered purchase was already finalized; drop state
+            val buf = state.get._1
+            state.remove()
+            creditsFor(buf, Long.MaxValue).iterator
+          } else {
+            val rs = rows.toSeq
+            val (buf0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, String)], Long.MinValue))
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            val buf = (buf0 ++ rs.map(r => (r._3, r._4, r._5)))
+              .sortBy(r => (r._1, r._2))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val out = creditsFor(buf, wmUs)
+            val kept = buf.filter { case (t, _, tp) =>
+              if (tp == "purchase") t >= wmUs
+              else t >= wmUs - AttributionWindowUs
+            }
+            state.update((kept, maxT))
+            state.setTimeoutTimestamp(math.max(maxT / 1000L + 10L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
+  private val AttributionWindowUs = 86400000000L
+
+  /** Emit q269's (touch_type, ppm) credits for every purchase in `buf`
+    * with t < `finalBefore` — buf sorted by (t, event_id), so the touch
+    * ranking (tus, tid) matches the batch window order.
+    */
+  private[streaming] def creditsFor(buf: Seq[(Long, Long, String)],
+      finalBefore: Long): Seq[(String, Long)] =
+    buf.iterator
+      .filter { case (t, _, tp) => tp == "purchase" && t < finalBefore }
+      .flatMap { case (pus, _, _) =>
+        val touches = buf.filter { case (t, _, tp) =>
+          tp != "purchase" && t < pus && t >= pus - AttributionWindowUs
+        }
+        val k = touches.length
+        touches.zipWithIndex.map { case ((_, _, tp), i) =>
+          (tp, positionCredit(k, i + 1))
+        }
+      }.toSeq
+
+  /** q269's exact 40/20/40 ppm CASE (k touches, 1-based position). */
+  private[streaming] def positionCredit(k: Int, pos: Int): Long =
+    if (k == 1) 1000000L
+    else if (k == 2) 500000L
+    else if (pos == 1 || pos == k) 400000L
+    else 200000L / (k - 2) + (if (pos == 2) 200000L % (k - 2) else 0L)
+
   /** Gate-scale default for [[runToMemory]]'s state partitions (env
     * override for experiments; a real deployment passes it explicitly).
     */

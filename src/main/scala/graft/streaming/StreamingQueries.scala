@@ -991,8 +991,27 @@ object StreamingQueries {
       s.createDataFrame(dc.rdd, dc.schema))
   }
 
+  /** q271: streaming position-based attribution ≡ batch q269 — the
+    * real-time multi-touch credit feed
+    * ([[EventStreams.positionCreditRows]]: purchases finalize the moment
+    * the watermark proves their touch set complete; state is the 24h
+    * lookback window per user, the attribution system's inherent state).
+    * The per-type rollup runs over the emitted credits; gated on q269's
+    * oracle verbatim: stream == batch == DuckDB, including the exact
+    * credit-conservation invariant (Σ = 10⁶ × purchases-with-touches).
+    */
+  private val q271 = GraftQuery(
+    "q271_stream_attribution",
+    graft.operators.Temporal.positionAttributionOracleSql) { (s, d) =>
+    val credits = runGated(s, d)(
+      EventStreams.positionCreditRows(_).toDF("touch_type", "ppm"))
+    credits.groupBy("touch_type")
+      .agg(count(lit(1)).as("n_credits"), sum(col("ppm")).as("credit_ppm"))
+      .orderBy("touch_type")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258, q263, q267)
+      q254, q256, q258, q263, q267, q271)
 }
