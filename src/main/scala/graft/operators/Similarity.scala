@@ -4596,10 +4596,140 @@ object Similarity {
     dimDriftOf(Tables.embeddings(s, d)).orderBy("dim")
   }
 
+  /** q272: EXACT isotonic calibration (PAVA) of the quality→duplication
+    * curve — q255 measures P(dup | quality decile); this fits the
+    * monotone NON-INCREASING curve a calibrated quality score implies
+    * ("higher quality ⇒ no more duplication"), the isotonic-regression
+    * step every score-calibration pipeline runs (Zadrozny & Elkan's
+    * method, over deciles). Computed EXACTLY: the pool-adjacent-
+    * violators solution equals the minimax characterization fit_i =
+    * min_{j≤i} max_{k≥i} avg(y_j..y_k) (Barlow et al. 1972) — validated
+    * against a reference PAVA in fractions — and every avg comparison is
+    * a HUGEINT/DECIMAL(38,0) cross-multiplication of (Σdup, Σdocs)
+    * rationals, so no float ever decides a pool boundary; the reported
+    * fit is the exact rational floored to ppm. Where observed dup_ppm
+    * zig-zags, fit_ppm is the isotonic pool average — the gap between
+    * them IS the calibration error.
+    *
+    * Scale shape: everything after q255's decile rollup runs on the
+    * 10-row decile frame (pairs ≤ 55, candidate grids ≤ 10³ — metadata
+    * by construction); the corpus-scale work is exactly q255's (shared
+    * cluster/quality artifacts + one banded global rank).
+    */
+  private val q272 = GraftQuery(
+    "q272_isotonic_calibration",
+    s"""$clusterOracleChain,
+       |${TextAnalysis.qualityOracleCte},
+       |cs AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY 1),
+       |dup AS (
+       |  SELECT c.doc_id, cs.sz >= 2 AS is_dup
+       |  FROM clus c JOIN cs USING (cluster_id)),
+       |rk AS (
+       |  SELECT q.quality_micro, d.is_dup,
+       |    row_number() OVER (ORDER BY q.quality_micro, q.doc_id) AS r,
+       |    count(*) OVER () AS n
+       |  FROM qual q JOIN dup d ON q.doc_id = d.doc_id),
+       |dec AS (SELECT ((r - 1) * 10) // n + 1 AS decile, is_dup FROM rk),
+       |dtab AS (SELECT decile, CAST(count(*) AS BIGINT) AS w,
+       |    CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS y
+       |  FROM dec GROUP BY 1),
+       |cums AS (SELECT decile, w, y,
+       |    sum(w) OVER (ORDER BY decile) AS cw,
+       |    sum(y) OVER (ORDER BY decile) AS cy
+       |  FROM dtab),
+       |pv AS (
+       |  SELECT j.decile AS j, k.decile AS k,
+       |    k.cy - j.cy + j.y AS num, k.cw - j.cw + j.w AS den
+       |  FROM cums j JOIN cums k ON k.decile >= j.decile),
+       |imax AS (
+       |  SELECT i.decile AS i, p.j, p.k, p.num, p.den,
+       |    row_number() OVER (PARTITION BY i.decile, p.j ORDER BY p.k) AS rn
+       |  FROM cums i JOIN pv p ON p.j <= i.decile AND p.k >= i.decile
+       |  WHERE NOT EXISTS (SELECT 1 FROM pv p2
+       |    WHERE p2.j = p.j AND p2.k >= i.decile
+       |      AND CAST(p2.num AS HUGEINT) * p.den
+       |        > CAST(p.num AS HUGEINT) * p2.den)),
+       |imax1 AS (SELECT i, j, num, den FROM imax WHERE rn = 1),
+       |fmin AS (
+       |  SELECT x.i, x.j, x.num, x.den,
+       |    row_number() OVER (PARTITION BY x.i ORDER BY x.j) AS rn
+       |  FROM imax1 x
+       |  WHERE NOT EXISTS (SELECT 1 FROM imax1 x2
+       |    WHERE x2.i = x.i
+       |      AND CAST(x2.num AS HUGEINT) * x.den
+       |        < CAST(x.num AS HUGEINT) * x2.den)),
+       |fit AS (SELECT i, num, den FROM fmin WHERE rn = 1)
+       |SELECT d.decile AS decile, d.w AS n_docs, d.y AS n_dup,
+       |  CAST(d.y * 1000000 // d.w AS BIGINT) AS dup_ppm,
+       |  CAST(CAST(f.num AS HUGEINT) * 1000000 // f.den AS BIGINT) AS fit_ppm
+       |FROM dtab d JOIN fit f ON f.i = d.decile
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val qual = TextAnalysis.qualityBase(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"))
+    val ca = clusterAssignments(s, d)
+    val dupDf = ca
+      .join(ca.groupBy("cluster_id").agg(count(lit(1)).as("sz")),
+        "cluster_id")
+      .select(col("doc_id"), (col("sz") >= 2).as("is_dup"))
+    val dtab = Banded.cumSums(qual.join(dupDf, "doc_id"), Nil,
+        Seq(col("quality_micro"), col("doc_id")),
+        expr("quality_micro div 100000"),
+        Seq(Banded.CumSpec("r", lit(1L), Some("n"))))
+      .select(expr("((r - 1) * 10) div n + 1").as("decile"), col("is_dup"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("w"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("y"))
+    // decile-grain from here down: ≤10 rows, windows/joins metadata-sized
+    val cums = dtab
+      .withColumn("cw", sum(col("w")).over(Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cy", sum(col("y")).over(Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    // decile-grid joins are broadcast crosses (≤10×10 build sides) so the
+    // planner can never fall back to a CartesianProduct exchange
+    val pairs = cums.select(col("decile").as("j"), col("w").as("jw"),
+        col("y").as("jy"), col("cw").as("jcw"), col("cy").as("jcy"))
+      .crossJoin(broadcast(cums.select(col("decile").as("k"),
+        col("cw").as("kcw"), col("cy").as("kcy"))))
+      .where(col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        (col("kcy") - col("jcy") + col("jy")).as("num"),
+        (col("kcw") - col("jcw") + col("jw")).as("den"))
+    val iGrid = cums.select(col("decile").as("i"))
+      .crossJoin(broadcast(pairs))
+      .where(col("j") <= col("i") && col("k") >= col("i"))
+    val beatMax = pairs.select(col("j").as("j2"), col("k").as("k2"),
+      col("num").as("num2"), col("den").as("den2"))
+    val imax1 = iGrid.join(beatMax,
+        col("j2") === col("j") && col("k2") >= col("i") &&
+          expr("""CAST(num2 AS DECIMAL(38,0)) * den
+                 |  > CAST(num AS DECIMAL(38,0)) * den2""".stripMargin),
+        "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("i", "j").orderBy("k")))
+      .where(col("rn") === 1).select("i", "j", "num", "den")
+    val beatMin = imax1.select(col("i").as("i2"), col("num").as("num2"),
+      col("den").as("den2"))
+    val fit = imax1.join(beatMin,
+        col("i2") === col("i") &&
+          expr("""CAST(num2 AS DECIMAL(38,0)) * den
+                 |  < CAST(num AS DECIMAL(38,0)) * den2""".stripMargin),
+        "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("i").orderBy("j")))
+      .where(col("rn") === 1).select(col("i"), col("num"), col("den"))
+    dtab.join(fit, col("i") === col("decile"))
+      .select(col("decile"), col("w").as("n_docs"), col("y").as("n_dup"),
+        expr("CAST(y * 1000000 div w AS BIGINT)").as("dup_ppm"),
+        expr("""CAST(CAST(num AS DECIMAL(38,0)) * 1000000
+               |  div den AS BIGINT)""".stripMargin).as("fit_ppm"))
+      .orderBy("decile")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222, q224, q245, q249, q255, q257)
+      q207, q215, q222, q224, q245, q249, q255, q257, q272)
 }
