@@ -1863,8 +1863,97 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** q273: rendezvous-hash shard assignment + rebalance audit — the
+    * consistent-placement decision behind every distributed store: when
+    * the shard count grows 8 → 10, mod-hashing reassigns ~everything
+    * (every residue class reshuffles) while rendezvous/HRW hashing
+    * (Thaler & Ravishankar 1996: place on argmax over shards of
+    * h(key, shard)) moves EXACTLY the keys whose new argmax is a new
+    * shard — 2/10 in expectation. Both schemes measured side by side:
+    * moved count/ppm plus the 10-shard load peak (ppm of ideal, 10⁶ =
+    * perfectly balanced).
+    *
+    * The per-(key, shard) hash must be NON-AFFINE in the shard id: any
+    * chain of affine LCG steps mod 2^31 stays affine in s, making the
+    * argmax structurally biased (one shard absorbs multiples of the
+    * whole corpus — measured before this mix landed); squaring the
+    * combined word introduces the key·s cross term that decorrelates
+    * the per-shard ranking (same family of pitfall as q128's
+    * no-wraparound multiplier). Packing trick: argmax over s of
+    * (h·16 + s) mod 16 recovers the winning shard with a deterministic
+    * larger-s tie-break, no argmax aggregate needed. Bounds: ids < 2^31
+    * keep every product in BIGINT (a 64-bit-id deployment mod-reduces
+    * the key first).
+    *
+    * Scale shape: the 10× row expansion is a map-side generate at
+    * (key, shard) grain feeding ONE hash aggregate back to key grain;
+    * the two scheme reports aggregate a 2×10-row load table.
+    */
+  private val q273 = GraftQuery(
+    "q273_rendezvous_rebalance",
+    s"""WITH ds AS (
+       |  SELECT d.doc_id, t.s,
+       |    (d.doc_id * 2654435761 + t.s * 40503 + 1) % 2147483648 AS x
+       |  FROM documents d, range(0, 10) t(s)),
+       |h AS (SELECT doc_id, s,
+       |    ((x * x) % 2147483648 * 1588635695 + x) % 2147483648 AS hv
+       |  FROM ds),
+       |asg AS (
+       |  SELECT doc_id,
+       |    ${lcgSql("doc_id", SplitA, SplitC)} % 8 AS mod8,
+       |    ${lcgSql("doc_id", SplitA, SplitC)} % 10 AS mod10,
+       |    max(CASE WHEN s < 8 THEN hv * 16 + s END) % 16 AS hrw8,
+       |    max(hv * 16 + s) % 16 AS hrw10
+       |  FROM h GROUP BY 1),
+       |m AS (
+       |  SELECT 'mod' AS scheme, mod10 AS shard10,
+       |    CASE WHEN mod8 <> mod10 THEN 1 ELSE 0 END AS moved FROM asg
+       |  UNION ALL
+       |  SELECT 'hrw', hrw10,
+       |    CASE WHEN hrw8 <> hrw10 THEN 1 ELSE 0 END FROM asg),
+       |loads AS (SELECT scheme, shard10, CAST(count(*) AS BIGINT) AS ld
+       |  FROM m GROUP BY 1, 2),
+       |agg AS (SELECT scheme, CAST(sum(moved) AS BIGINT) AS n_moved,
+       |    CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY 1)
+       |SELECT a.scheme, a.n_docs, a.n_moved,
+       |  CAST(a.n_moved * 1000000 // a.n_docs AS BIGINT) AS moved_ppm,
+       |  CAST(max(l.ld) * 10000000 // a.n_docs AS BIGINT) AS max_load_ppm
+       |FROM agg a JOIN loads l ON l.scheme = a.scheme
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin) { (s, d) =>
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, 9)")).as("s"))
+      .withColumn("x",
+        pmod(col("doc_id") * 2654435761L + col("s") * 40503L + 1,
+          lit(2147483648L)))
+      .withColumn("hv",
+        pmod(pmod(col("x") * col("x"), lit(2147483648L)) * 1588635695L
+          + col("x"), lit(2147483648L)))
+    val asg = h.groupBy("doc_id")
+      .agg(
+        (max(when(col("s") < 8, col("hv") * 16 + col("s"))) % 16).as("hrw8"),
+        (max(col("hv") * 16 + col("s")) % 16).as("hrw10"))
+      .withColumn("mod8", lcg(col("doc_id"), SplitA, SplitC) % 8)
+      .withColumn("mod10", lcg(col("doc_id"), SplitA, SplitC) % 10)
+    val m = asg.select(lit("mod").as("scheme"), col("mod10").as("shard10"),
+        when(col("mod8") =!= col("mod10"), 1L).otherwise(0L).as("moved"))
+      .unionAll(asg.select(lit("hrw").as("scheme"),
+        col("hrw10").as("shard10"),
+        when(col("hrw8") =!= col("hrw10"), 1L).otherwise(0L).as("moved")))
+    val loads = m.groupBy("scheme", "shard10").agg(count(lit(1)).as("ld"))
+    val agg = m.groupBy("scheme")
+      .agg(sum(col("moved")).as("n_moved"), count(lit(1)).as("n_docs"))
+    agg.join(loads, Seq("scheme"))
+      .groupBy("scheme", "n_docs", "n_moved")
+      .agg(max(col("ld")).as("mld"))
+      .select(col("scheme"), col("n_docs"), col("n_moved"),
+        expr("(n_moved * 1000000) div n_docs").as("moved_ppm"),
+        expr("(mld * 10000000) div n_docs").as("max_load_ppm"))
+      .orderBy("scheme")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248, q253, q261, q268)
+      q248, q253, q261, q268, q273)
 }

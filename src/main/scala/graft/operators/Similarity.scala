@@ -4726,10 +4726,73 @@ object Similarity {
       .orderBy("decile")
   }
 
+  /** q274: DIVERSIFIED top-k serving — the search-result-diversity
+    * re-rank every production retrieval layer runs between scoring and
+    * response: per query, candidates from the probed IVF cells are
+    * capped at 2 PER LABEL (the source/site/domain cap that stops one
+    * cluster from monopolizing a result page) and the survivors
+    * re-ranked into a top-5. Two window passes — per-(query, label)
+    * rank then per-query rank — both deterministic ((cos desc,
+    * neighbor_id) total order). The cap is join-free bookkeeping on the
+    * already-probed candidate set: diversity costs two windows, not a
+    * second retrieval.
+    *
+    * Scale shape: q103's serving contract — probes ride the broadcast
+    * centroid table, candidates come cell-pruned from the labeled index
+    * artifact (label materialized at build, no per-query metadata
+    * join), and both windows partition by query so the re-rank
+    * parallelizes across the batch.
+    */
+  private val q274 = GraftQuery(
+    "q274_diversified_topk",
+    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")}, sim AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    lb.label AS label, ${cosSql("p", "b")} AS cos
+       |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
+       |  JOIN embeddings lb ON lb.vec_id = b.vec_id),
+       |capped AS (
+       |  SELECT vec_id, neighbor_id, label, cos,
+       |    row_number() OVER (PARTITION BY vec_id, label
+       |      ORDER BY cos DESC, neighbor_id) AS lr
+       |  FROM sim),
+       |topd AS (
+       |  SELECT vec_id, neighbor_id, label, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM capped WHERE lr <= 2)
+       |SELECT vec_id, neighbor_id, label, rank, round(cos, 6) AS cos_sim
+       |FROM topd WHERE rank <= 5
+       |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, _) = kmTrained(s, d)
+    val idx = kmTrainedLabeled(s, d)
+    val probes = probeSelection(
+      Tables.embeddings(s, d).select("vec_id", "embedding")
+        .where(col("vec_id") < QueryBatch), c1)
+    val cand = idx.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("embedding").as("emb_b"),
+      col("label"))
+    val sim = probes.join(cand,
+        col("probe_cell") === col("cell_b") &&
+          col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+    val wL = Window.partitionBy("vec_id", "label")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val wQ = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    sim.withColumn("lr", row_number().over(wL))
+      .where(col("lr") <= 2)
+      .withColumn("rank", row_number().over(wQ))
+      .where(col("rank") <= 5)
+      .select(col("vec_id"), col("neighbor_id"), col("label"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222, q224, q245, q249, q255, q257, q272)
+      q207, q215, q222, q224, q245, q249, q255, q257, q272, q274)
 }

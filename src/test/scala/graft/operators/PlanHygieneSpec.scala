@@ -56,8 +56,10 @@ class PlanHygieneSpec extends SparkSuite {
                         // + 1-row (N,m) totals, both broadcast crosses
     "q270_rfm_segments", // 1-row max-day + 1-row user-count broadcasts,
                          // re-occurring through the three banded ranks
-    "q272_isotonic_calibration") // decile-grid crosses: ≤10-row cums and
+    "q272_isotonic_calibration", // decile-grid crosses: ≤10-row cums and
                                  // ≤55-row pairs broadcast builds
+    "q274_diversified_topk") // probe × k-row centroid broadcast, q103's
+                             // audited serving shape
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
