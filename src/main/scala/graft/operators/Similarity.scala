@@ -1904,7 +1904,11 @@ object Similarity {
     * q145 quantizes the UPSERTED assignment `a2u`; the two-arg delegate
     * keeps every existing oracle's text byte-identical.
     */
-  private def int8QuantOracleTailFrom(src: String, bExtra: String): String =
+  /** The int8 code-table CTE prefix (`qv`→`nv`, ending at
+    * nv(vec_id, cell, q, nq)) — shared by [[int8QuantOracleTailFrom]]
+    * and the q275 rank-fidelity oracle.
+    */
+  private def int8CodesOracle(src: String): String =
     s"""qv AS (
        |  SELECT vec_id, cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM $src),
@@ -1920,7 +1924,10 @@ object Similarity {
        |nv AS (
        |  SELECT vec_id, cell, q,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)), (a,b) -> a+b) AS nq
-       |  FROM cv),
+       |  FROM cv)""".stripMargin
+
+  private def int8QuantOracleTailFrom(src: String, bExtra: String): String =
+    s"""${int8CodesOracle(src)},
        |sim AS (
        |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -4789,10 +4796,112 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** q275: Kendall-τ rank-fidelity audit — the ORDER-level counterpart
+    * of the set-level recall audits (q79/q83 ask "did the quantized tier
+    * find the right neighbors"; this asks "does it RANK them in the
+    * right order"): per batch query, the float-cosine top-10 candidate
+    * list is re-scored with the stored int8 codes, and every one of the
+    * ≤45 within-list pairs is classified concordant / discordant / tied
+    * against the float order. τ-a in ppm = (C − D)·10⁶ / pairs — the
+    * quantization rank-distortion number that decides whether a serving
+    * tier needs a float re-rank stage (q87's M ≫ k headroom exists
+    * precisely because τ < 1). Both engines compute the same IEEE
+    * doubles from the same integer dots, so equality/tie classification
+    * is deterministic.
+    *
+    * Scale shape: the float top-10 is q103's cell-pruned serving join;
+    * the re-score is two id equi-joins against the quantized artifact
+    * (codes, never float arrays); the pair grid is 45 rows per query BY
+    * CONSTRUCTION (top-10 self-join on the query key), so the τ stage
+    * is batch-bounded metadata work.
+    */
+  private val q275 = GraftQuery(
+    "q275_rank_fidelity_tau",
+    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")},
+       |${int8CodesOracle("a2")},
+       |fsim AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("p", "b")} AS cos
+       |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id),
+       |ftop AS (
+       |  SELECT vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, neighbor_id) AS fr
+       |  FROM fsim QUALIFY fr <= 10),
+       |scored AS (
+       |  SELECT f.vec_id, f.neighbor_id, f.fr,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(a.q)+1), i -> a.q[i] * b.q[i])),
+       |      (x,y) -> x+y) AS DOUBLE)
+       |      / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+       |      AS qcos
+       |  FROM ftop f
+       |  JOIN nv a ON a.vec_id = f.vec_id
+       |  JOIN nv b ON b.vec_id = f.neighbor_id
+       |  WHERE a.nq > 0 AND b.nq > 0),
+       |pr AS (
+       |  SELECT x.vec_id,
+       |    CASE WHEN x.qcos > y.qcos THEN 1 ELSE 0 END AS conc,
+       |    CASE WHEN x.qcos < y.qcos THEN 1 ELSE 0 END AS disc
+       |  FROM scored x JOIN scored y
+       |    ON y.vec_id = x.vec_id AND x.fr < y.fr)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(conc) AS BIGINT) AS concordant,
+       |  CAST(sum(disc) AS BIGINT) AS discordant,
+       |  CAST(count(*) - sum(conc) - sum(disc) AS BIGINT) AS ties,
+       |  CAST((sum(conc) - sum(disc)) * 1000000 // count(*) AS BIGINT)
+       |    AS tau_ppm
+       |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, _) = kmTrained(s, d)
+    val (_, a2) = kmTrained(s, d)
+    val probes = probeSelection(
+      Tables.embeddings(s, d).select("vec_id", "embedding")
+        .where(col("vec_id") < QueryBatch), c1)
+    val cand = a2.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell_b"), col("embedding").as("emb_b"))
+    val wQ = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val ftop = probes.join(cand,
+        col("probe_cell") === col("cell_b") &&
+          col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .withColumn("fr", row_number().over(wQ))
+      .where(col("fr") <= 10)
+      .select("vec_id", "neighbor_id", "fr")
+    val qidx = kmQuantized(s, d)
+    val qa = qidx.select(col("vec_id"), col("code").as("code_a"),
+      col("nq").as("nq_a"))
+    val qb = qidx.select(col("vec_id").as("neighbor_id"),
+      col("code").as("code_b"), col("nq").as("nq_b"))
+    val scored = ftop.join(qa, "vec_id").join(qb, "neighbor_id")
+      .where(col("nq_a") > 0 && col("nq_b") > 0)
+      .withColumn("qcos",
+        VectorFunctions.int8CodeDot(col("code_a"), col("code_b"))
+          .cast("double") /
+          (sqrt(col("nq_a").cast("double")) * sqrt(col("nq_b").cast("double"))))
+      .select("vec_id", "neighbor_id", "fr", "qcos")
+    val y = scored.select(col("vec_id").as("vid2"), col("fr").as("fr2"),
+      col("qcos").as("qcos2"))
+    scored.join(y, col("vid2") === col("vec_id") && col("fr") < col("fr2"))
+      .select(col("vec_id"),
+        when(col("qcos") > col("qcos2"), 1L).otherwise(0L).as("conc"),
+        when(col("qcos") < col("qcos2"), 1L).otherwise(0L).as("disc"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"),
+        sum(col("disc")).as("discordant"))
+      .select(col("vec_id"), col("n_pairs"), col("concordant"),
+        col("discordant"),
+        (col("n_pairs") - col("concordant") - col("discordant")).as("ties"),
+        expr("((concordant - discordant) * 1000000) div n_pairs")
+          .as("tau_ppm"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222, q224, q245, q249, q255, q257, q272, q274)
+      q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275)
 }

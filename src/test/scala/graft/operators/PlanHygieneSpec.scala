@@ -58,8 +58,10 @@ class PlanHygieneSpec extends SparkSuite {
                          // re-occurring through the three banded ranks
     "q272_isotonic_calibration", // decile-grid crosses: ≤10-row cums and
                                  // ≤55-row pairs broadcast builds
-    "q274_diversified_topk") // probe × k-row centroid broadcast, q103's
+    "q274_diversified_topk", // probe × k-row centroid broadcast, q103's
                              // audited serving shape
+    "q275_rank_fidelity_tau") // same probe × k-row centroid broadcast
+                              // (twice: float-top-10 + re-score branches)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
