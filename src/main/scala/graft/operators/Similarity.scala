@@ -4898,10 +4898,79 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q276: asymmetric CONTAINMENT audit — the duplication geometry
+    * symmetric Jaccard cannot see: a short document quoted wholesale
+    * inside a long one has |∩|/|A∪B| near zero but |∩|/|small| near one,
+    * so Jaccard-thresholded dedup (q31's tier) systematically misses
+    * quote-inclusion, boilerplate embedding, and partial copies
+    * (Broder's original resemblance-vs-containment distinction). For
+    * every LSH candidate pair this reports BOTH directional containments
+    * alongside Jaccard, all in exact micro-units over the shingle sets,
+    * and flags the containment-shaped pairs (either direction ≥ 0.8
+    * while Jaccard < 0.5) — the rows a span-level pass (q259) or manual
+    * review should visit next.
+    *
+    * Scale shape: q249's contract — candidates come from the shared
+    * band/signature artifacts (never all-pairs), shingle arrays join
+    * back per side after candidate dedup, and the pair table is
+    * LSH-candidate-bounded.
+    */
+  private val q276 = GraftQuery(
+    "q276_containment_audit",
+    s"""$shingleCtes, sig AS (
+       |  SELECT doc_id, shingles, $oracleSigList AS sig FROM hs
+       |), bands AS (
+       |  ${oracleMinhashBands(", shingles")}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.shingles AS sha, b.shingles AS shb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+       |   AND a.doc_id < b.doc_id
+       |), scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(sha) AS BIGINT) AS n_a, CAST(len(shb) AS BIGINT) AS n_b,
+       |    CAST(len(list_intersect(sha, shb)) AS BIGINT) AS n_common,
+       |    CAST(len(list_intersect(sha, shb)) * 1000000
+       |      // len(list_distinct(list_concat(sha, shb))) AS BIGINT) AS j_micro
+       |  FROM pairs)
+       |SELECT doc_a, doc_b, n_a, n_b, n_common, j_micro,
+       |  CAST(n_common * 1000000 // n_a AS BIGINT) AS cont_ab,
+       |  CAST(n_common * 1000000 // n_b AS BIGINT) AS cont_ba,
+       |  (greatest(n_common * 1000000 // n_a, n_common * 1000000 // n_b)
+       |    >= 800000 AND j_micro < 500000) AS flagged
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sigs = minhashSigs(s, d)
+    val pairs = minhashCandidates(sigs)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val sh = shingleHashes(s, d).select(col("doc_id"), col("shingles"))
+      .repartition(col("doc_id"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shingles").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long")
+          .as("n_common"),
+        expr("""CAST(CAST(size(array_intersect(sha, shb)) AS BIGINT) * 1000000
+               |  div size(array_union(sha, shb)) AS BIGINT)""".stripMargin)
+          .as("j_micro"))
+      .withColumn("cont_ab", expr("(n_common * 1000000) div n_a"))
+      .withColumn("cont_ba", expr("(n_common * 1000000) div n_b"))
+      .withColumn("flagged",
+        greatest(col("cont_ab"), col("cont_ba")) >= 800000L &&
+          col("j_micro") < 500000L)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275)
+      q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276)
 }
