@@ -1798,7 +1798,12 @@ object CorpusStats {
     * positional-8-gram duplication decision + per-document interval
     * union described on q259.
     */
-  private def dupSpans(sp: SparkSession, d: String): DataFrame = {
+  private def dupSpans(sp: SparkSession, d: String): DataFrame =
+    graft.Artifacts.checkpointedDf(sp, s"dup_spans:$d") {
+      dupSpansBuild(sp, d)
+    }
+
+  private def dupSpansBuild(sp: SparkSession, d: String): DataFrame = {
     PolyHash.register(sp)
     val toks = Tables.documents(sp, d)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
