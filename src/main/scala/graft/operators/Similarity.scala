@@ -4319,6 +4319,23 @@ object Similarity {
        |JOIN sz sb ON sb.doc_id = o.doc_b
        |WHERE 10 * o >= $PrefixJacTenths * (sa.sz + sb.sz - o)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    exactSimilarPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), col("o"), col("size_a"),
+        col("size_b"),
+        round(col("o").cast("double") /
+          (col("size_a") + col("size_b") - col("o")).cast("double"), 6)
+          .as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q196's exact AllPairs/PPJoin body, factored so the LSH config
+    * sweep (q277) can score candidates against the same ground truth:
+    * every pair with Jaccard >= [[PrefixJacTenths]]/10, with overlap
+    * and set sizes. Candidate generation is prefix-filter-bounded; the
+    * verification is pair-grain (q196's scaladoc carries the full
+    * mechanism).
+    */
+  private def exactSimilarPairs(s: SparkSession, d: String): DataFrame = {
     // the (doc_id, token-set) table — exploded from the dedup family's
     // shared hv artifact and materialized once: it feeds the df count,
     // the prefix derivation, and (as arrays) the verification, and
@@ -4363,12 +4380,6 @@ object Similarity {
         size(col("hb")).cast("long").as("size_b"))
     o.where(lit(10) * col("o")
         >= lit(PrefixJacTenths) * (col("size_a") + col("size_b") - col("o")))
-      .select(col("doc_a"), col("doc_b"), col("o"), col("size_a"),
-        col("size_b"),
-        round(col("o").cast("double")
-          / (col("size_a") + col("size_b") - col("o")).cast("double"), 6)
-          .as("jac"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** q207: retrieval quality as MRR@10 / HitRate@10 — for each query
@@ -4967,10 +4978,118 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The (bands, rows-per-band) configurations q277 sweeps — every
+    * factorization of the [[NumHashes]] = 12 signature, including the
+    * production (4, 3) point.
+    */
+  private val LshSweepConfs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+
+  /** q277: LSH band-configuration sweep — the S-curve tuning table,
+    * MEASURED: for every (b, r) factorization of the 12-hash signature,
+    * the candidate pairs that config would emit are scored against the
+    * EXACT Jaccard ≥ 0.6 ground truth ([[exactSimilarPairs]], q196's
+    * prefix-filter join — the truth is itself oracle-gated, not
+    * simulated). Per config: candidates, hits, precision/recall ppm —
+    * the empirical form of the 1−(1−J^r)^b tradeoff that picks b and r
+    * for a corpus, next to q249's per-agreement-level calibration of
+    * the same signatures. One signature artifact serves every config
+    * (band keys are string renders of signature slices); nothing is
+    * re-hashed per config.
+    *
+    * Scale shape: band rows are 12/r per doc per config off the cached
+    * signature table; each config's candidate join is band-bucketed
+    * (q31's contract); truth and the per-config counts meet at
+    * pair grain; the 1-row truth count broadcasts.
+    */
+  private val q277 = GraftQuery(
+    "q277_lsh_config_sweep", {
+      val bandCtes = LshSweepConfs.map { case (b, r) =>
+        s"""bt_b${b}r$r AS (
+           |  SELECT doc_id, t.b AS band,
+           |    array_to_string(sig[t.b*$r+1:t.b*$r+$r], ',') AS key
+           |  FROM sigt, range(0, $b) t(b)),
+           |cd_b${b}r$r AS (
+           |  SELECT DISTINCT 'b${b}r$r' AS conf, a.doc_id AS doc_a,
+           |    b2.doc_id AS doc_b
+           |  FROM bt_b${b}r$r a JOIN bt_b${b}r$r b2
+           |    ON a.band = b2.band AND a.key = b2.key
+           |   AND a.doc_id < b2.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val candUnion = LshSweepConfs
+        .map { case (b, r) => s"SELECT * FROM cd_b${b}r$r" }
+        .mkString("\n  UNION ALL ")
+      s"""$shingleCtes, sigt AS (
+         |  SELECT doc_id, $oracleSigList AS sig FROM hs
+         |),
+         |$bandCtes,
+         |allcand AS (
+         |  $candUnion),
+         |tst AS (SELECT doc_id, unnest(list_distinct(hv)) AS h FROM hs),
+         |tsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM tst GROUP BY 1),
+         |tov AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS o
+         |  FROM tst a JOIN tst b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT o.doc_a, o.doc_b FROM tov o
+         |  JOIN tsz sa ON sa.doc_id = o.doc_a
+         |  JOIN tsz sb ON sb.doc_id = o.doc_b
+         |  WHERE 10 * o >= $PrefixJacTenths * (sa.sz + sb.sz - o)),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |scored AS (
+         |  SELECT c.conf,
+         |    CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(count(t.doc_a) AS BIGINT) AS n_hits
+         |  FROM allcand c LEFT JOIN truth t
+         |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |  GROUP BY 1)
+         |SELECT s.conf, s.n_candidates, s.n_hits, tn.n_truth,
+         |  CAST(s.n_hits * 1000000 // s.n_candidates AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST(s.n_hits * 1000000 // tn.n_truth AS BIGINT) AS recall_ppm
+         |FROM scored s CROSS JOIN tn ORDER BY s.conf""".stripMargin
+    }) { (s, d) =>
+    val sigs = minhashSigs(s, d).select("doc_id", "sig")
+    val bandRows = LshSweepConfs.map { case (b, r) =>
+      sigs.select(lit(s"b${b}r$r").as("conf"), col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${b - 1}), i ->
+             |  struct(i AS band,
+             |    array_join(slice(sig, i*$r+1, $r), ',') AS key))"""
+            .stripMargin)).as("bk"))
+        .select(col("conf"), col("doc_id"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+    }.reduce(_ unionAll _)
+    val cand = bandRows
+      .select(col("conf"), col("band"), col("key"),
+        col("doc_id").as("doc_a"))
+      .join(bandRows.select(col("conf"), col("band"), col("key"),
+        col("doc_id").as("doc_b")), Seq("conf", "band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("conf", "doc_a", "doc_b").distinct()
+    val truth = exactSimilarPairs(s, d).select("doc_a", "doc_b")
+      .localCheckpoint(eager = true)
+    val tn = truth.agg(count(lit(1)).as("n_truth"))
+    cand.join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"),
+        "left")
+      .groupBy("conf")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(tn))
+      .select(col("conf"), col("n_candidates"), col("n_hits"),
+        col("n_truth"),
+        expr("(n_hits * 1000000) div n_candidates").as("precision_ppm"),
+        expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
+      .orderBy("conf")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
-      q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276)
+      q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
+      q277)
 }

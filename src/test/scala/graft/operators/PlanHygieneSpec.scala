@@ -60,8 +60,10 @@ class PlanHygieneSpec extends SparkSuite {
                                  // ≤55-row pairs broadcast builds
     "q274_diversified_topk", // probe × k-row centroid broadcast, q103's
                              // audited serving shape
-    "q275_rank_fidelity_tau") // same probe × k-row centroid broadcast
+    "q275_rank_fidelity_tau", // same probe × k-row centroid broadcast
                               // (twice: float-top-10 + re-score branches)
+    "q277_lsh_config_sweep") // 1-row truth-count broadcast crossed onto
+                             // the 4-row per-config score table
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
