@@ -5085,11 +5085,77 @@ object Similarity {
       .orderBy("conf")
   }
 
+  /** q278: SURVIVORSHIP merge (golden-record construction) — the MDM
+    * step after q116's canonical pick: a duplicate cluster collapses to
+    * ONE merged record whose fields follow explicit survivorship rules
+    * — keeper id by quality (q116's exact pick), first-seen id (min
+    * doc_id), recency proxy (max doc_id), best quality, total chars,
+    * source/lang coverage as counts plus a deterministic sorted-CSV
+    * lang render. Every rule is an order-pinned aggregate, so the
+    * golden record is reproducible — survivorship that depends on
+    * evaluation order is an MDM bug, and this formulation cannot
+    * express one.
+    *
+    * Scale shape: one cluster_id hash aggregate over the shared cluster
+    * artifact joined to doc metadata; singleton clusters are filtered
+    * pre-aggregate (the report is about merges); the lang CSV is a
+    * bounded-domain collect (≤5 langs) — never document text.
+    */
+  private val q278 = GraftQuery(
+    "q278_survivorship_merge",
+    s"""$clusterOracleChain,
+       |${TextAnalysis.qualityOracleCte},
+       |cs AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY 1),
+       |m AS (
+       |  SELECT c.cluster_id, d.doc_id, d.source, d.lang, d.n_chars,
+       |    q.quality_micro
+       |  FROM clus c
+       |  JOIN cs ON cs.cluster_id = c.cluster_id AND cs.sz >= 2
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  JOIN qual q ON q.doc_id = c.doc_id)
+       |SELECT cluster_id,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(min(doc_id) AS BIGINT) AS first_seen,
+       |  CAST(max(doc_id) AS BIGINT) AS last_seen,
+       |  CAST(max(quality_micro) AS BIGINT) AS best_quality,
+       |  CAST((min(struct_pack(nq := -quality_micro, d := doc_id))).d
+       |    AS BIGINT) AS keeper_doc,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val qual = TextAnalysis.qualityBase(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"))
+    val ca = clusterAssignments(s, d)
+    val members = ca
+      .join(ca.groupBy("cluster_id").agg(count(lit(1)).as("sz")),
+        "cluster_id")
+      .where(col("sz") >= 2)
+      .join(Tables.documents(s, d)
+        .select("doc_id", "source", "lang", "n_chars"), "doc_id")
+      .join(qual, "doc_id")
+    members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("first_seen"),
+        max(col("doc_id")).as("last_seen"),
+        max(col("quality_micro")).as("best_quality"),
+        min(struct((col("quality_micro") * -1).as("nq"),
+          col("doc_id").as("d"))).as("pick"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        concat_ws(",", array_sort(array_distinct(collect_list(col("lang")))))
+          .as("langs"))
+      .select(col("cluster_id"), col("n_members"), col("first_seen"),
+        col("last_seen"), col("best_quality"), col("pick.d").as("keeper_doc"),
+        col("total_chars"), col("n_sources"), col("langs"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277)
+      q277, q278)
 }

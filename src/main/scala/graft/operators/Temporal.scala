@@ -2310,9 +2310,78 @@ object Temporal {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** q279: restatement ledger — correction-aware accounting (the
+    * financial-reporting restatement flow): `purchase` events book
+    * cents; a later `error` event RESTATES its user's most recent prior
+    * purchase (backward as-of attribution, q172's single-sort window —
+    * no error×purchase pair join), and when several errors hit the same
+    * purchase the LATEST wins (one deterministic rank per purchase).
+    * Per user: bookings, corrected count, original vs restated totals —
+    * the original column is what a naive sum reports, the delta is what
+    * the restatement process exists to catch. All fixed-point cents.
+    *
+    * Scale shape: ONE per-user sort carries the as-of attribution
+    * (interleaved event stream, `last(...ignoreNulls)` over the
+    * preceding frame); the latest-wins dedup is a purchase-grain window;
+    * the rollup is a user-grain hash aggregate.
+    */
+  private val q279 = GraftQuery(
+    "q279_restatement_ledger",
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE event_type IN ('purchase', 'error') AND value > 0),
+       |attr AS (
+       |  SELECT user_id, event_id, event_type, us, cents,
+       |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_pid
+       |  FROM ev),
+       |corr AS (
+       |  SELECT prev_pid AS pid, cents AS cents_new,
+       |    row_number() OVER (PARTITION BY prev_pid
+       |      ORDER BY us DESC, event_id DESC) AS rn
+       |  FROM attr WHERE event_type = 'error' AND prev_pid IS NOT NULL),
+       |c1 AS (SELECT pid, cents_new FROM corr WHERE rn = 1),
+       |led AS (
+       |  SELECT a.user_id, a.event_id, a.cents, c1.cents_new
+       |  FROM attr a LEFT JOIN c1 ON c1.pid = a.event_id
+       |  WHERE a.event_type = 'purchase')
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       |  CAST(count(cents_new) AS BIGINT) AS n_corrected,
+       |  CAST(sum(cents) AS BIGINT) AS original_cents,
+       |  CAST(sum(coalesce(cents_new, cents)) AS BIGINT) AS restated_cents
+       |FROM led GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "error") && col("value") > 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attr = ev.withColumn("prev_pid",
+      last(when(col("event_type") === "purchase", col("event_id")),
+        ignoreNulls = true).over(w))
+    val c1 = attr.where(col("event_type") === "error" &&
+        col("prev_pid").isNotNull)
+      .withColumn("rn", row_number().over(Window.partitionBy("prev_pid")
+        .orderBy(col("us").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("prev_pid").as("pid"), col("cents").as("cents_new"))
+    attr.where(col("event_type") === "purchase")
+      .join(c1, col("pid") === col("event_id"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("cents_new")).as("n_corrected"),
+        sum(col("cents")).as("original_cents"),
+        sum(coalesce(col("cents_new"), col("cents"))).as("restated_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262, q264, q266, q269, q270)
+      q262, q264, q266, q269, q270, q279)
 }
