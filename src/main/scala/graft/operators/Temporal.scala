@@ -2379,9 +2379,65 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** q280: cohort LTV triangle — the lifetime-value report next to
+    * q127's retention counts: users cohorted by first-activity WEEK,
+    * each cohort's purchase revenue accumulated by age-week (the
+    * triangle a growth team reads cohort payback off). Revenue is
+    * fixed-point cents; active users are exact distincts at
+    * (cohort, age) grain; the cumulative is a per-cohort window over
+    * the metadata-sized triangle (weeks² cells), never over events.
+    *
+    * Scale shape: one user-grain min for the cohort map (broadcast-
+    * joined back — the classic "enrich events with user dimension"
+    * join, skew-safe since the cohort table is user-grain), one
+    * (cohort, age) hash aggregate, then triangle-grain windows.
+    */
+  private val q280 = GraftQuery(
+    "q280_ltv_triangle",
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) // 604800000000 AS wk,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |coh AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY 1),
+       |j AS (
+       |  SELECT c.cwk, e.wk - c.cwk AS age_wk, e.user_id,
+       |    CASE WHEN e.event_type = 'purchase' THEN e.cents ELSE 0 END AS rev
+       |  FROM ev e JOIN coh c ON c.user_id = e.user_id),
+       |cell AS (
+       |  SELECT cwk, age_wk, CAST(count(DISTINCT user_id) AS BIGINT)
+       |      AS n_active,
+       |    CAST(sum(rev) AS BIGINT) AS revenue_cents
+       |  FROM j GROUP BY 1, 2)
+       |SELECT CAST(cwk AS BIGINT) AS cohort_week,
+       |  CAST(age_wk AS BIGINT) AS age_week, n_active, revenue_cents,
+       |  CAST(sum(revenue_cents) OVER (PARTITION BY cwk ORDER BY age_wk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_revenue_cents
+       |FROM cell ORDER BY cohort_week, age_week""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 604800000000").as("wk"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val coh = ev.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+    val cell = ev.join(coh, "user_id")
+      .select(col("cwk"), (col("wk") - col("cwk")).as("age_wk"),
+        col("user_id"),
+        when(col("event_type") === "purchase", col("cents")).otherwise(0L)
+          .as("rev"))
+      .groupBy("cwk", "age_wk")
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("rev")).as("revenue_cents"))
+    cell.select(col("cwk").as("cohort_week"), col("age_wk").as("age_week"),
+        col("n_active"), col("revenue_cents"),
+        sum(col("revenue_cents")).over(Window.partitionBy("cwk")
+          .orderBy("age_wk").rowsBetween(Window.unboundedPreceding, 0))
+          .as("cum_revenue_cents"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262, q264, q266, q269, q270, q279)
+      q262, q264, q266, q269, q270, q279, q280)
 }
