@@ -38,39 +38,57 @@ object Banded {
   final case class CumSpec(out: String, summand: Column,
       total: Option[String] = None)
 
-  /** Append to `df` a `band` column plus every [[CumSpec]]'s cumulative
-    * (and optional total) column. `order` is the within-band row order —
-    * it must start with the banded key (same direction as `bandDesc`) so
-    * band order extends row order; ties should be broken to a total
-    * order for deterministic cumulatives.
+  /** Internal helper-column prefix. Namespaced so caller columns can
+    * never collide silently; [[cumSums]] additionally ASSERTS no input
+    * column starts with it (an input produced by a previous cumSums has
+    * had its helpers dropped, so chaining stays legal).
+    */
+  private val P = "__graft_banded_"
+
+  /** Append to `df` every [[CumSpec]]'s cumulative (and optional total)
+    * column. `order` is the within-band row order — it must start with
+    * the banded key (same direction as `bandDesc`) so band order extends
+    * row order; ties should be broken to a total order for deterministic
+    * cumulatives. All internal helper columns (the band bucket, per-band
+    * totals, cross-band offsets) use the [[P]] namespace and are dropped
+    * before returning — a caller's own `band` column passes through
+    * untouched, and the output schema is exactly input ++ spec outputs.
     */
   def cumSums(df: DataFrame, part: Seq[String], order: Seq[Column],
       band: Column, specs: Seq[CumSpec],
       bandDesc: Boolean = false): DataFrame = {
-    val b = df.withColumn("band", band)
-    val partBand = part :+ "band"
-    val bandAggs = specs.map(sp => sum(sp.summand).as(s"__bt_${sp.out}"))
+    val colliding = df.columns.filter(_.startsWith(P))
+    require(colliding.isEmpty,
+      s"cumSums input already has internal columns: ${colliding.mkString(", ")}")
+    val reserved = specs.flatMap(sp => sp.out +: sp.total.toSeq)
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"cumSums output name(s) already in input: ${reserved.mkString(", ")}")
+    val bandCol = s"${P}band"
+    val b = df.withColumn(bandCol, band)
+    val partBand = part :+ bandCol
+    val bandAggs = specs.map(sp => sum(sp.summand).as(s"${P}bt_${sp.out}"))
     val bc = b.groupBy(partBand.map(col): _*)
       .agg(bandAggs.head, bandAggs.tail: _*)
-    val bandOrd = if (bandDesc) col("band").desc else col("band").asc
+    val bandOrd = if (bandDesc) col(bandCol).desc else col(bandCol).asc
     val wOff = (if (part.isEmpty) Window.orderBy(bandOrd)
       else Window.partitionBy(part.map(col): _*).orderBy(bandOrd))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = if (part.isEmpty) Window.partitionBy()
       else Window.partitionBy(part.map(col): _*)
     val offs0 = specs.foldLeft(bc) { (d, sp) =>
-      val d1 = d.withColumn(s"__off_${sp.out}",
-        coalesce(sum(col(s"__bt_${sp.out}")).over(wOff), lit(0L)))
+      val d1 = d.withColumn(s"${P}off_${sp.out}",
+        coalesce(sum(col(s"${P}bt_${sp.out}")).over(wOff), lit(0L)))
       sp.total.fold(d1)(tn =>
-        d1.withColumn(tn, sum(col(s"__bt_${sp.out}")).over(wTot)))
+        d1.withColumn(tn, sum(col(s"${P}bt_${sp.out}")).over(wTot)))
     }
-    val keep = partBand ++ specs.map(sp => s"__off_${sp.out}") ++
+    val keep = partBand ++ specs.map(sp => s"${P}off_${sp.out}") ++
       specs.flatMap(_.total)
     val offs = offs0.select(keep.map(col): _*)
     val wB = Window.partitionBy(partBand.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     specs.foldLeft(b.join(broadcast(offs), partBand)) { (d, sp) =>
-      d.withColumn(sp.out, col(s"__off_${sp.out}") + sum(sp.summand).over(wB))
-    }.drop(specs.map(sp => s"__off_${sp.out}"): _*)
+      d.withColumn(sp.out, col(s"${P}off_${sp.out}") + sum(sp.summand).over(wB))
+    }.drop(bandCol +: specs.map(sp => s"${P}off_${sp.out}"): _*)
   }
 }

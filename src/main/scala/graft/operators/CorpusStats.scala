@@ -1759,8 +1759,11 @@ object CorpusStats {
        |ORDER BY t.source""".stripMargin) { (s, d) =>
     PolyHash.register(s)
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // src is corpus-row-count-sized (one row per document — billions at
+    // 100 TB): never broadcast it; a plain shuffled equi-join on doc_id
+    // co-partitions with the gram exchange
     val h = docGrams(s, d, GramN)
-      .join(broadcast(src), Seq("doc_id"))
+      .join(src, Seq("doc_id"))
       .select(col("source"), PolyHash.hash(col("g")).as("hg"))
       .distinct()
     val f = h.groupBy("hg").agg(min(col("source")).as("first_source"))

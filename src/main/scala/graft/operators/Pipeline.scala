@@ -1003,8 +1003,12 @@ object Pipeline {
     * `new`/`dup_shard`) and the retention (shared spans stay
     * `dup_store`) by value.
     */
-  private val q242 = GraftQuery(
-    "q242_chunkstore_erase",
+  /** Shared oracle for q242 (v4: tombstone-masked) and q243 (v5:
+    * physically compacted): the two versions must be value-
+    * indistinguishable, so they gate on ONE text — a shared val, not
+    * two copies that could silently drift (ADVICE r12).
+    */
+  private[operators] val eraseOracleSql: String =
     s"""WITH $cdcOracleCtes,
        |base AS (
        |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
@@ -1031,7 +1035,10 @@ object Pipeline {
        |  CASE WHEN s.chunk_fp IS NOT NULL THEN 'dup_store'
        |       WHEN a.rn > 1 THEN 'dup_shard' ELSE 'new' END AS status
        |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
-       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  private val q242 = GraftQuery(
+    "q242_chunkstore_erase", eraseOracleSql) { (s, d) =>
     classifyDelivery(s, d,
       chunkStoreResolve(s, versionedChunkStore(s, d), version = 4))
   }
@@ -1048,34 +1055,7 @@ object Pipeline {
     * rewrite touches only the sorted 8-byte fingerprint column.
     */
   private val q243 = GraftQuery(
-    "q243_chunkstore_erase_compacted",
-    s"""WITH $cdcOracleCtes,
-       |base AS (
-       |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
-       |delta AS (
-       |  SELECT DISTINCT chunk_fp FROM allchunks
-       |  WHERE doc_id % 4 = 0
-       |    AND chunk_fp NOT IN (SELECT chunk_fp FROM base)),
-       |tomb AS (
-       |  SELECT chunk_fp FROM (
-       |    SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 20 = 3
-       |    EXCEPT
-       |    SELECT DISTINCT chunk_fp FROM allchunks
-       |    WHERE doc_id % 4 <> 0 AND doc_id % 20 <> 3)),
-       |store AS (
-       |  SELECT chunk_fp FROM (
-       |    SELECT chunk_fp FROM base UNION SELECT chunk_fp FROM delta)
-       |  WHERE chunk_fp NOT IN (SELECT chunk_fp FROM tomb)),
-       |arr AS (
-       |  SELECT doc_id, chunk_id, chunk_fp,
-       |    row_number() OVER (PARTITION BY chunk_fp
-       |      ORDER BY doc_id, chunk_id) AS rn
-       |  FROM allchunks WHERE doc_id % 4 = 0)
-       |SELECT a.doc_id, a.chunk_id, a.chunk_fp,
-       |  CASE WHEN s.chunk_fp IS NOT NULL THEN 'dup_store'
-       |       WHEN a.rn > 1 THEN 'dup_shard' ELSE 'new' END AS status
-       |FROM arr a LEFT JOIN store s ON a.chunk_fp = s.chunk_fp
-       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    "q243_chunkstore_erase_compacted", eraseOracleSql) { (s, d) =>
     classifyDelivery(s, d,
       chunkStoreResolve(s, versionedChunkStore(s, d), version = 5))
   }

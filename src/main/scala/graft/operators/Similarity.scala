@@ -495,6 +495,37 @@ object Similarity {
     * is integer-decided: decile = ((r−1)·10) div n from the banded rank,
     * ratios are BIGINT div.
     */
+  /** The quality-decile × duplication table shared by q255 (reads it
+    * verbatim) and q272 (fits PAVA over it) — (decile, n_docs, n_dup) at
+    * ≤10 rows. Registered as a checkpointed [[graft.Artifacts]] leaf
+    * (VERDICT r12 item 3): the build plan is deep (cluster artifact +
+    * quality base + one banded global rank over the corpus), so without
+    * the leaf each consumer re-pays the corpus-scale join + rank —
+    * q272's 19 s in-suite was exactly that rebuild. In production this
+    * is the same contract as the index artifacts: a calibration table
+    * is derived once per corpus snapshot and read, not re-derived per
+    * downstream query.
+    */
+  private[operators] def dupDecileTable(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"dup_deciles:$d") {
+      val qual = TextAnalysis.qualityBase(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"))
+      val cs = clusterAssignments(s, d)
+      val dup = cs
+        .join(cs.groupBy("cluster_id").agg(count(lit(1)).as("sz")),
+          "cluster_id")
+        .select(col("doc_id"), (col("sz") >= 2).as("is_dup"))
+      Banded.cumSums(qual.join(dup, "doc_id"), Nil,
+          Seq(col("quality_micro"), col("doc_id")),
+          expr("quality_micro div 100000"),
+          Seq(Banded.CumSpec("r", lit(1L), Some("n"))))
+        .select(expr("((r - 1) * 10) div n + 1").as("decile"), col("is_dup"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+    }
+
   private val q255 = GraftQuery(
     "q255_quality_dup_calibration",
     s"""$clusterOracleChain,
@@ -514,21 +545,7 @@ object Similarity {
        |  CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup,
        |  count(*) FILTER (WHERE is_dup) * 1000000 // count(*) AS dup_ppm
        |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val qual = TextAnalysis.qualityBase(s, d)
-      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"))
-    val cs = clusterAssignments(s, d)
-    val dup = cs
-      .join(cs.groupBy("cluster_id").agg(count(lit(1)).as("sz")),
-        "cluster_id")
-      .select(col("doc_id"), (col("sz") >= 2).as("is_dup"))
-    Banded.cumSums(qual.join(dup, "doc_id"), Nil,
-        Seq(col("quality_micro"), col("doc_id")),
-        expr("quality_micro div 100000"),
-        Seq(Banded.CumSpec("r", lit(1L), Some("n"))))
-      .select(expr("((r - 1) * 10) div n + 1").as("decile"), col("is_dup"))
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+    dupDecileTable(s, d)
       .select(col("decile"), col("n_docs"), col("n_dup"),
         expr("(n_dup * 1000000) div n_docs").as("dup_ppm"))
       .orderBy("decile")
@@ -544,8 +561,12 @@ object Similarity {
     * inclusion-exclusion) cannot express — the table a licensing or
     * provenance review actually reads. Scale shape: the survivor pick
     * is q116's order-pinned min(struct) aggregate (one cluster_id
-    * shuffle); the two source lookups are broadcast joins of the tiny
-    * (doc_id, source) projection; the matrix is source²-bounded.
+    * shuffle); the two source lookups are plain shuffled equi-joins on
+    * doc_id — the (doc_id, source) projection is CORPUS-ROW-COUNT-sized
+    * (billions of rows at 100 TB), so it must never be broadcast; the
+    * dropped-docs side they join is duplicate-grain, far smaller, and
+    * AQE is free to pick a broadcast at runtime when the actual size
+    * permits. The output matrix is source²-bounded.
     */
   private val q257 = GraftQuery(
     "q257_copy_direction_matrix",
@@ -581,10 +602,10 @@ object Similarity {
     clusterAssignments(s, d)
       .join(keep, "cluster_id")
       .where(col("doc_id") =!= col("keeper"))
-      .join(broadcast(src.select(col("doc_id").as("keeper"),
-        col("source").as("keeper_source"))), "keeper")
-      .join(broadcast(src.select(col("doc_id"),
-        col("source").as("dropped_source"))), "doc_id")
+      .join(src.select(col("doc_id").as("keeper"),
+        col("source").as("keeper_source")), "keeper")
+      .join(src.select(col("doc_id"),
+        col("source").as("dropped_source")), "doc_id")
       .groupBy("keeper_source", "dropped_source")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("keeper_source", "dropped_source")
@@ -4631,8 +4652,9 @@ object Similarity {
     *
     * Scale shape: everything after q255's decile rollup runs on the
     * 10-row decile frame (pairs ≤ 55, candidate grids ≤ 10³ — metadata
-    * by construction); the corpus-scale work is exactly q255's (shared
-    * cluster/quality artifacts + one banded global rank).
+    * by construction); the corpus-scale work is [[dupDecileTable]], the
+    * checkpointed artifact q255 and this query SHARE — built once per
+    * (session, corpus), so this query adds only decile-grain cost.
     */
   private val q272 = GraftQuery(
     "q272_isotonic_calibration",
@@ -4682,21 +4704,10 @@ object Similarity {
        |  CAST(CAST(f.num AS HUGEINT) * 1000000 // f.den AS BIGINT) AS fit_ppm
        |FROM dtab d JOIN fit f ON f.i = d.decile
        |ORDER BY 1""".stripMargin) { (s, d) =>
-    val qual = TextAnalysis.qualityBase(s, d)
-      .select(col("doc_id"), TextAnalysis.qualityMicroCol.as("quality_micro"))
-    val ca = clusterAssignments(s, d)
-    val dupDf = ca
-      .join(ca.groupBy("cluster_id").agg(count(lit(1)).as("sz")),
-        "cluster_id")
-      .select(col("doc_id"), (col("sz") >= 2).as("is_dup"))
-    val dtab = Banded.cumSums(qual.join(dupDf, "doc_id"), Nil,
-        Seq(col("quality_micro"), col("doc_id")),
-        expr("quality_micro div 100000"),
-        Seq(Banded.CumSpec("r", lit(1L), Some("n"))))
-      .select(expr("((r - 1) * 10) div n + 1").as("decile"), col("is_dup"))
-      .groupBy("decile")
-      .agg(count(lit(1)).as("w"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("y"))
+    // the corpus-scale work is q255's SHARED decile artifact; everything
+    // below runs on its ≤10 rows
+    val dtab = dupDecileTable(s, d)
+      .select(col("decile"), col("n_docs").as("w"), col("n_dup").as("y"))
     // decile-grain from here down: ≤10 rows, windows/joins metadata-sized
     val cums = dtab
       .withColumn("cw", sum(col("w")).over(Window.orderBy("decile")
@@ -5000,6 +5011,14 @@ object Similarity {
     * signature table; each config's candidate join is band-bucketed
     * (q31's contract); truth and the per-config counts meet at
     * pair grain; the 1-row truth count broadcasts.
+    *
+    * DELIBERATELY UNCAPPED: this sweep measures each config's TRUE
+    * candidate count, so it must not apply the hot-bucket cap the
+    * production dedup path uses (q85, bandedSigs' O(width) routing) —
+    * capping here would understate candidates and overstate precision,
+    * making the tuning table lie. The audit pays the honest quadratic
+    * cost inside hot buckets ONCE per corpus; the production path it
+    * tunes stays capped. Do not "fix" this into uselessness.
     */
   private val q277 = GraftQuery(
     "q277_lsh_config_sweep", {

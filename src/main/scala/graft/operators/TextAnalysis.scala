@@ -513,10 +513,12 @@ object TextAnalysis {
         .limit(1).collect()(0)
       val (s1v, s2v, cnt) =
         (top.getString(0), top.getString(1), top.getLong(2))
-      // charset is delimiter-free by construction (symbols never contain
-      // '|'), so literal embedding into the replace expression is safe
+      // elected symbols are document text and may contain ANY character
+      // (quotes, backslashes) — they ride `lit()` Columns, never spliced
+      // into SQL text, so no elected pair can malform the expression
       repr = repr.select(
-        expr(s"replace(repr, '|$s1v||$s2v|', '|$s1v$s2v|')").as("repr"),
+        org.apache.spark.sql.functions.replace(col("repr"),
+          lit(s"|$s1v||$s2v|"), lit(s"|$s1v$s2v|")).as("repr"),
         col("f"))
       val nTokens = repr
         .select(sum(col("f") * size(symsCol)).as("n"))

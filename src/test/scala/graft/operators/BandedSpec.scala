@@ -77,7 +77,26 @@ class BandedSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     // the corpus-side running-sum window must exchange on the band key —
     // a windowspec with an empty partitionBy would be the one-task trap
-    assert(p.contains("hashpartitioning(band"),
+    assert(p.contains("hashpartitioning(__graft_banded_band"),
       s"banded window lost its band partitioning:\n$p")
+  }
+
+  test("a caller's own 'band' column passes through untouched (ADVICE r12)") {
+    val df = base.withColumn("band", col("k") * 100)
+    val out = Banded.cumSums(df, Nil, Seq(col("k"), col("id")),
+      expr("k div 3"), Seq(Banded.CumSpec("cum", col("v"))))
+    // schema is exactly input ++ outputs; no helper columns leak
+    assert(out.columns.toSeq == df.columns.toSeq :+ "cum")
+    assert(out.select("k", "band").collect()
+      .forall(r => r.getLong(1) == r.getLong(0) * 100))
+  }
+
+  test("colliding output names are rejected, not silently clobbered") {
+    val df = base.withColumn("cum", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      Banded.cumSums(df, Nil, Seq(col("k"), col("id")),
+        expr("k div 3"), Seq(Banded.CumSpec("cum", col("v"))))
+    }
+    assert(e.getMessage.contains("cum"))
   }
 }
