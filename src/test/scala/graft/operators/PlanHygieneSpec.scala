@@ -20,6 +20,23 @@ class PlanHygieneSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** One physical-plan string per registered batch query, built ONCE and
+    * shared by the hygiene census and the fingerprint gate below (plan
+    * construction for ~250 queries is the dominant cost of this spec —
+    * paying it twice would double it). A query whose plan fails to build
+    * maps to the failure message prefixed "PLAN BUILD FAILED:" so both
+    * tests report it.
+    */
+  private lazy val planStrings: Seq[(String, String)] = {
+    val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
+    graft.SparkEntry.all.filterNot(q => streaming(q.name)).map { q =>
+      val s =
+        try q.fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN BUILD FAILED: ${e.getMessage}" }
+      q.name -> s
+    }
+  }
+
   private val bnljAudited: Set[String] = Set(
     "q17_range_join", "q44_knn_bruteforce", "q67_tfidf_top_terms",
     "q70_lm_score", "q79_ann_recall", "q81_mixture_balance",
@@ -66,20 +83,88 @@ class PlanHygieneSpec extends SparkSuite {
                              // the 4-row per-config score table
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
-    val streaming = graft.streaming.StreamingQueries.queries.map(_.name).toSet
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    for (q <- graft.SparkEntry.all if !streaming(q.name)) {
-      val plan =
-        try q.fn(spark, dir).queryExecution.executedPlan.toString
-        catch { case e: Throwable =>
-          failures += s"${q.name}: plan build failed: ${e.getMessage}"; ""
-        }
+    for ((name, plan) <- planStrings) {
+      if (plan.startsWith("PLAN BUILD FAILED:"))
+        failures += s"$name: $plan"
       if (plan.contains("CartesianProduct"))
-        failures += s"${q.name}: CartesianProduct"
-      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAudited(q.name))
-        failures += s"${q.name}: unaudited BroadcastNestedLoopJoin " +
+        failures += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAudited(name))
+        failures += s"$name: unaudited BroadcastNestedLoopJoin " +
           "(audit the build side, then add to bnljAudited)"
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // ---- golden plan fingerprints (VERDICT r12 item 8) -------------------
+  //
+  // The bench catches plan drift only as a latency delta, a round later,
+  // in a crowded JVM. This gate catches it at `sbt test` time: each batch
+  // query's JOIN/EXCHANGE node multiset (the shuffle-and-join shape — the
+  // part of a plan that matters at 100 TB) is pinned against a committed
+  // golden file. An INTENTIONAL plan change regenerates the goldens with
+  //   GRAFT_REGEN_PLANS=1 sbt "testOnly graft.operators.PlanHygieneSpec"
+  // and the diff of plan_fingerprints.tsv shows the reviewer exactly
+  // which queries' shapes moved — an unintentional one fails the build.
+
+  private val goldenPath =
+    java.nio.file.Paths.get("src/test/resources/plan_fingerprints.tsv")
+
+  /** Canonical join/exchange census of one plan string. Node names only
+    * (expression ids, sizes, and stats vary run-to-run); shuffle
+    * exchanges keep their partitioning KIND (hash/range/single) because a
+    * hash→range or hash→single drift is exactly the regression class this
+    * pins. Sorted `name:count` pairs; "-" for a plan with no such nodes.
+    */
+  private def fingerprint(plan: String): String = {
+    // node name = first alphabetic token of the line (tree-art "+- :",
+    // codegen "*(3)", and AQE "!" prefixes are all non-alphabetic)
+    val kinds = plan.linesIterator.flatMap { line =>
+      line.split("[^A-Za-z]+").find(_.length > 1).collect {
+        case "Exchange" => // keep the partitioning KIND for shuffles
+          val part = line.split("[^A-Za-z]+").filter(_.length > 1).lift(1)
+          s"Exchange[${part.getOrElse("?").stripSuffix("partitioning")}]"
+        case n if n.contains("Join") || n.contains("Exchange") ||
+          n == "CartesianProduct" => n
+      }
+    }.toSeq
+    if (kinds.isEmpty) "-"
+    else kinds.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k:${v.size}" }.mkString(",")
+  }
+
+  test("join/exchange plan fingerprints match the committed goldens") {
+    val current = planStrings.collect {
+      case (n, p) if !p.startsWith("PLAN BUILD FAILED:") => n -> fingerprint(p)
+    }
+    if (sys.env.contains("GRAFT_REGEN_PLANS")) {
+      val body = current.sortBy(_._1)
+        .map { case (n, f) => s"$n\t$f" }.mkString("", "\n", "\n")
+      java.nio.file.Files.createDirectories(goldenPath.getParent)
+      java.nio.file.Files.write(goldenPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      info(s"regenerated ${current.size} fingerprints -> $goldenPath")
+    } else {
+      assert(java.nio.file.Files.exists(goldenPath),
+        s"missing $goldenPath - generate with GRAFT_REGEN_PLANS=1")
+      val golden = new String(java.nio.file.Files.readAllBytes(goldenPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(n, f) = l.split("\t", 2); n -> f
+        }.toMap
+      val failures = scala.collection.mutable.ListBuffer.empty[String]
+      for ((n, f) <- current) golden.get(n) match {
+        case None => failures += s"$n: NEW query - regenerate goldens"
+        case Some(g) if g != f => failures += s"$n: plan shape drifted\n" +
+          s"  golden:  $g\n  current: $f"
+        case _ => ()
+      }
+      for (n <- golden.keySet -- current.map(_._1).toSet)
+        failures += s"$n: in goldens but not registered - regenerate"
+      assert(failures.isEmpty,
+        "plan fingerprint drift (intentional? GRAFT_REGEN_PLANS=1 " +
+          "testOnly graft.operators.PlanHygieneSpec):\n" +
+          failures.mkString("\n"))
+    }
   }
 }
