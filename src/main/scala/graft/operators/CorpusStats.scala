@@ -1951,8 +1951,95 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  // ---- count-min JOIN-SIZE estimation (q282) ---------------------------
+
+  /** Sketch width for q282 — wider than [[CmW]] because the inner-product
+    * estimator's collision term is sum_A·sum_B/width: at 64 cells it
+    * would swamp the true join size, at 4096 it is a few-percent
+    * overestimate on this key distribution. Still 4×4096 BIGINTs per
+    * side — a driver-sized, mergeable summary.
+    */
+  private val CmJoinW = 4096
+
+  /** q282: join-cardinality estimation from count-min sketches — the
+    * optimizer-statistics primitive: |A ⋈ B on k| is estimated as
+    * min over rows r of Σ_cell cntA[r,cell]·cntB[r,cell] (the AMS/CM
+    * inner product), WITHOUT joining the fact tables. Sides here are the
+    * click and view frequency vectors of `events` keyed by user_id; each
+    * side's sketch is one map-side partial aggregate to d×w cells
+    * (mergeable across executors — the same partial+final discipline as
+    * q139), the products meet in a sketch-grain join (≤ d·w rows), and
+    * the exact join size rides along as the audit. Output pins the
+    * one-sided guarantee (est ≥ exact: collision mass only ever ADDS)
+    * and the measured overestimate in ppm — at 100 TB the exact side is
+    * the thing you no longer compute; the sketch costs two scans and a
+    * 16k-cell summary.
+    *
+    * Integer-exact in both engines: keys fold to [0, 2^31) before the
+    * affine row hash (identity for these ids; a 64-bit-id deployment
+    * swaps a full-width mix in front, same contract as [[Pipeline]]'s
+    * LCG note), counts and products are BIGINTs.
+    */
+  private val q282 = GraftQuery(
+    "q282_cm_join_size",
+    s"""WITH a AS (
+       |  SELECT user_id, count(*) AS f FROM events
+       |  WHERE event_type = 'click' GROUP BY 1),
+       |b AS (
+       |  SELECT user_id, count(*) AS f FROM events
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |seeds(r, aa, cc) AS (VALUES $cmRowsValues),
+       |ca AS (
+       |  SELECT s.r,
+       |    (((a.user_id % 2147483648) * s.aa + s.cc) % 2147483648) % $CmJoinW
+       |      AS cell,
+       |    CAST(sum(a.f) AS BIGINT) AS n
+       |  FROM a CROSS JOIN seeds s GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT s.r,
+       |    (((b.user_id % 2147483648) * s.aa + s.cc) % 2147483648) % $CmJoinW
+       |      AS cell,
+       |    CAST(sum(b.f) AS BIGINT) AS n
+       |  FROM b CROSS JOIN seeds s GROUP BY 1, 2),
+       |ip AS (
+       |  SELECT ca.r, CAST(sum(ca.n * cb.n) AS BIGINT) AS inner_product
+       |  FROM ca JOIN cb ON ca.r = cb.r AND ca.cell = cb.cell GROUP BY 1),
+       |ex AS (
+       |  SELECT CAST(sum(a.f * b.f) AS BIGINT) AS exact
+       |  FROM a JOIN b ON a.user_id = b.user_id),
+       |est AS (SELECT CAST(min(inner_product) AS BIGINT) AS est FROM ip)
+       |SELECT ip.r, ip.inner_product, est.est, ex.exact,
+       |  CAST((est.est - ex.exact) * 1000000 // ex.exact AS BIGINT)
+       |    AS over_ppm
+       |FROM ip CROSS JOIN est CROSS JOIN ex ORDER BY ip.r""".stripMargin) {
+    (s, d) =>
+      val seeds = s.createDataFrame(CmRows).toDF("r", "aa", "cc")
+      def freqs(t: String) = Tables.events(s, d)
+        .where(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as("f"))
+      def cells(df: org.apache.spark.sql.DataFrame) = df
+        .crossJoin(broadcast(seeds))
+        .select(col("r"),
+          pmod(pmod(pmod(col("user_id"), lit(2147483648L)) * col("aa")
+            + col("cc"), lit(2147483648L)), lit(CmJoinW)).as("cell"),
+          col("f"))
+        .groupBy("r", "cell").agg(sum(col("f")).as("n"))
+      val fa = freqs("click")
+      val fb = freqs("view")
+      val ip = cells(fa)
+        .join(cells(fb).withColumnRenamed("n", "nb"), Seq("r", "cell"))
+        .groupBy("r").agg(sum(col("n") * col("nb")).as("inner_product"))
+      val est = ip.agg(min(col("inner_product")).as("est"))
+      val exact = fa.join(fb.withColumnRenamed("f", "fb"), Seq("user_id"))
+        .agg(sum(col("f") * col("fb")).as("exact"))
+      ip.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+        .select(col("r"), col("inner_product"), col("est"), col("exact"),
+          expr("((est - exact) * 1000000) div exact").as("over_ppm"))
+        .orderBy("r")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
-      q225, q246, q247, q259, q260)
+      q225, q246, q247, q259, q260, q282)
 }

@@ -1932,8 +1932,169 @@ object Pipeline {
       .orderBy("scheme")
   }
 
+  // ---- small-files compaction planning (q281, q283) --------------------
+
+  /** Compaction target bytes per output group (gate-scale constant; a
+    * production run uses 128-1024 MB — the arithmetic is size-agnostic).
+    */
+  private val CompactTarget = 2000L
+
+  /** The shared "ingest wrote one file per document" manifest both
+    * compaction queries plan over: (source, file_id, bytes). The
+    * real-world shape this models is an object-store prefix full of
+    * per-record ingest files — the small-files problem a 100 TB pipeline
+    * compacts away before any scan-heavy stage.
+    */
+  private def ingestFiles(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id").as("file_id"),
+        col("n_chars").as("bytes"))
+
+  private val ingestFilesSql =
+    "SELECT source, doc_id AS file_id, n_chars AS bytes FROM documents"
+
+  /** Per-source running byte offset in file_id order — the ONE cumulative
+    * both compaction queries derive group assignment from (a file starts
+    * at offset cum−bytes; its group under target T is that offset div T —
+    * next-fit packing, the same concat-then-cut discipline as q268's
+    * sequence packing but at file grain without splitting). Banded: the
+    * per-source window never sees more than one band of files at a time,
+    * so a source with millions of small files (the pathological case
+    * compaction exists FOR) cannot pin a single window partition.
+    */
+  private def fileOffsets(s: SparkSession, d: String) =
+    Banded.cumSums(ingestFiles(s, d), part = Seq("source"),
+      order = Seq(col("file_id")), band = expr("file_id div 128"),
+      specs = Seq(Banded.CumSpec("cum", col("bytes"))))
+
+  private val fileOffsetsSql =
+    s"""c AS (
+       |  SELECT source, file_id, bytes,
+       |    sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f)""".stripMargin
+
+  /** q281: compaction PLAN — the group manifest a small-files compaction
+    * job executes: per (source, group) the member-file count, packed
+    * bytes, fill ratio vs target, and the tail flag (every source's last
+    * group is legitimately under-full; any OTHER under-full group would
+    * indicate a packing bug). Group assignment is one banded cumulative
+    * per source ([[fileOffsets]]) — no global sort, no driver loop; the
+    * plan output is group-grain (= output-file count), which is exactly
+    * the frame the rewrite job then consumes as its work list.
+    *
+    * Scale shape: one partial agg to file grain, one banded cumsum, one
+    * hash agg to group grain. The is_tail window runs at GROUP grain —
+    * bounded by the plan size, never by the input file count.
+    */
+  private val q281 = GraftQuery(
+    "q281_compaction_plan",
+    s"""WITH f AS ($ingestFilesSql),
+       |$fileOffsetsSql,
+       |g AS (
+       |  SELECT source, (cum - bytes) // $CompactTarget AS grp,
+       |    count(*) AS n_files, sum(bytes) AS group_bytes
+       |  FROM c GROUP BY 1, 2)
+       |SELECT source, CAST(grp AS BIGINT) AS grp,
+       |  CAST(n_files AS BIGINT) AS n_files,
+       |  CAST(group_bytes AS BIGINT) AS group_bytes,
+       |  CAST(group_bytes * 1000000 // $CompactTarget AS BIGINT) AS fill_ppm,
+       |  CAST(CASE WHEN grp = max(grp) OVER (PARTITION BY source)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_tail
+       |FROM g ORDER BY source, grp""".stripMargin) { (s, d) =>
+    val groups = fileOffsets(s, d)
+      .select(col("source"),
+        expr(s"(cum - bytes) div ${CompactTarget}").as("grp"),
+        col("bytes"))
+      .groupBy("source", "grp")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("group_bytes"))
+    groups
+      .select(col("source"), col("grp"), col("n_files"), col("group_bytes"),
+        expr(s"(group_bytes * 1000000) div ${CompactTarget}")
+          .as("fill_ppm"),
+        when(col("grp") === max(col("grp"))
+          .over(Window.partitionBy("source")), 1L).otherwise(0L).as("is_tail"))
+      .orderBy("source", "grp")
+  }
+
+  /** The target sizes q283 sweeps (half / design / 2× / 4× the q281
+    * constant — the knob a layout owner actually tunes).
+    */
+  private val SweepTargets = Seq(CompactTarget / 2, CompactTarget,
+    CompactTarget * 2, CompactTarget * 4)
+
+  /** q283: compaction target-size SWEEP — q277's config-sweep discipline
+    * applied to file layout: for each candidate target size, the packing
+    * outcome (groups, non-tail fill, oversize groups, files per group)
+    * that decides the target before the rewrite job runs. The per-source
+    * byte offsets are computed ONCE ([[fileOffsets]] — a file's offset
+    * does not depend on the target) and the 4-row target table is
+    * broadcast-crossed onto the group assignment, so sweeping 4 configs
+    * costs one extra small-key aggregate, not 4 corpus passes.
+    *
+    * `nontail_fill_ppm` is the tuning signal: non-tail groups should sit
+    * near 1e6 (full); a target smaller than the largest single file shows
+    * up as `oversize_groups` (a group whose FIRST file already exceeds
+    * the target — next-fit never splits a file). Tail groups are one per
+    * source by construction and excluded from the fill metric.
+    */
+  private val q283 = GraftQuery(
+    "q283_compaction_sweep",
+    s"""WITH f AS ($ingestFilesSql),
+       |$fileOffsetsSql,
+       |t(target) AS (VALUES ${SweepTargets.map(t => s"($t)").mkString(", ")}),
+       |g AS (
+       |  SELECT t.target, source, (cum - bytes) // t.target AS grp,
+       |    count(*) AS n_files, sum(bytes) AS gb
+       |  FROM c CROSS JOIN t GROUP BY 1, 2, 3),
+       |gt AS (
+       |  SELECT target, source, grp, n_files, gb,
+       |    CASE WHEN grp = max(grp) OVER (PARTITION BY target, source)
+       |      THEN 1 ELSE 0 END AS is_tail
+       |  FROM g)
+       |SELECT CAST(target AS BIGINT) AS target,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(1 - is_tail) AS BIGINT) AS nontail_groups,
+       |  CAST(CASE WHEN sum(1 - is_tail) = 0 THEN 0
+       |    ELSE sum(CASE WHEN is_tail = 0 THEN gb ELSE 0 END) * 1000000
+       |      // (sum(1 - is_tail) * target) END AS BIGINT)
+       |    AS nontail_fill_ppm,
+       |  CAST(sum(CASE WHEN gb > target THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS oversize_groups,
+       |  CAST(sum(n_files) * 100 // count(*) AS BIGINT)
+       |    AS files_per_group_x100
+       |FROM gt GROUP BY target ORDER BY target""".stripMargin) { (s, d) =>
+    val targets = s.createDataFrame(SweepTargets.map(Tuple1(_)))
+      .toDF("target")
+    val groups = fileOffsets(s, d)
+      .crossJoin(broadcast(targets))
+      .select(col("target"), col("source"),
+        expr("(cum - bytes) div target").as("grp"),
+        col("bytes"))
+      .groupBy("target", "source", "grp")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("gb"))
+      .withColumn("is_tail",
+        when(col("grp") === max(col("grp"))
+          .over(Window.partitionBy("target", "source")), 1L).otherwise(0L))
+    groups.groupBy("target")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(lit(1L) - col("is_tail")).as("nontail_groups"),
+        sum(when(col("is_tail") === 0, col("gb")).otherwise(0L))
+          .as("__nt_bytes"),
+        sum(when(col("gb") > col("target"), 1L).otherwise(0L))
+          .as("oversize_groups"),
+        sum(col("n_files")).as("__files"))
+      .select(col("target"), col("n_groups"), col("nontail_groups"),
+        when(col("nontail_groups") === 0, 0L)
+          .otherwise(expr("(__nt_bytes * 1000000) div (nontail_groups * target)"))
+          .as("nontail_fill_ppm"),
+        col("oversize_groups"),
+        expr("(__files * 100) div n_groups").as("files_per_group_x100"))
+      .orderBy("target")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248, q253, q261, q268, q273)
+      q248, q253, q261, q268, q273, q281, q283)
 }

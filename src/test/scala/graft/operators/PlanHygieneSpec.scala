@@ -79,8 +79,12 @@ class PlanHygieneSpec extends SparkSuite {
                              // audited serving shape
     "q275_rank_fidelity_tau", // same probe × k-row centroid broadcast
                               // (twice: float-top-10 + re-score branches)
-    "q277_lsh_config_sweep") // 1-row truth-count broadcast crossed onto
+    "q277_lsh_config_sweep", // 1-row truth-count broadcast crossed onto
                              // the 4-row per-config score table
+    "q282_cm_join_size", // 4-row seed table crosses (q139's audited
+                         // shape) + 1-row est/exact broadcasts
+    "q283_compaction_sweep") // 4-row sweep-target table crossed onto
+                             // the file-offset frame
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]

@@ -649,7 +649,7 @@ class PlanSpec extends SparkSuite {
     // the corpus-sized running sum must be partitioned by the quality
     // band — a windowspec with no partition key would serialize the
     // corpus through one task
-    assert(p.contains("windowspecdefinition(band"),
+    assert(p.contains("windowspecdefinition(__graft_banded_band"),
       s"q117 lost the banded window partitioning:\n$p")
     // cross-band offsets ride a broadcast, never a corpus shuffle
     assert(p.contains("BroadcastHashJoin"),
