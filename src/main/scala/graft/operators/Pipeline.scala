@@ -1937,7 +1937,7 @@ object Pipeline {
   /** Compaction target bytes per output group (gate-scale constant; a
     * production run uses 128-1024 MB — the arithmetic is size-agnostic).
     */
-  private val CompactTarget = 2000L
+  private[graft] val CompactTarget = 2000L
 
   /** The shared "ingest wrote one file per document" manifest both
     * compaction queries plan over: (source, file_id, bytes). The
@@ -1987,8 +1987,10 @@ object Pipeline {
     * hash agg to group grain. The is_tail window runs at GROUP grain —
     * bounded by the plan size, never by the input file count.
     */
-  private val q281 = GraftQuery(
-    "q281_compaction_plan",
+  /** q281's oracle, shared verbatim with its streaming twin q284 — the
+    * stream is gated stream == batch == DuckDB like every other twin.
+    */
+  private[graft] val compactionPlanOracleSql =
     s"""WITH f AS ($ingestFilesSql),
        |$fileOffsetsSql,
        |g AS (
@@ -2001,7 +2003,11 @@ object Pipeline {
        |  CAST(group_bytes * 1000000 // $CompactTarget AS BIGINT) AS fill_ppm,
        |  CAST(CASE WHEN grp = max(grp) OVER (PARTITION BY source)
        |    THEN 1 ELSE 0 END AS BIGINT) AS is_tail
-       |FROM g ORDER BY source, grp""".stripMargin) { (s, d) =>
+       |FROM g ORDER BY source, grp""".stripMargin
+
+  private val q281 = GraftQuery(
+    "q281_compaction_plan",
+    compactionPlanOracleSql) { (s, d) =>
     val groups = fileOffsets(s, d)
       .select(col("source"),
         expr(s"(cum - bytes) div ${CompactTarget}").as("grp"),

@@ -922,6 +922,90 @@ object EventStreams {
     else if (pos == 1 || pos == k) 400000L
     else 200000L / (k - 2) + (if (pos == 2) 200000L % (k - 2) else 0L)
 
+  /** q281's compaction plan maintained ONLINE — the ingest-side group
+    * assigner: as per-record files land, each source's next-fit group
+    * manifest row emits the moment the group CLOSES (the first file whose
+    * start offset crosses into a later group proves no earlier file can
+    * ever join it — offsets are monotone in the ingest order). State per
+    * source is the watermark-ordering buffer plus ONE open-group
+    * accumulator (grp, n_files, bytes, cum offset) — never the file
+    * history, so a source with millions of small files (the case
+    * compaction exists for) holds O(watermark-lag) state. The open tail
+    * group emits on event-time timeout with `is_tail = 1` — exactly
+    * batch q281's `grp = max(grp)` flag, since next-fit only ever closes
+    * a group by opening a later one. Input rows are (source, ts,
+    * file_id, bytes) with event time monotone in the ingest sequence
+    * (file_id breaks within-second ties); emits (source, grp, n_files,
+    * group_bytes, is_tail).
+    */
+  def compactionGroupRows(files: DataFrame, target: Long,
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long)] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.withWatermark("ts", watermark)
+      .select(col("source"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("file_id"), col("bytes"))
+      .as[(String, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, Long)], Seq[Long], Long),
+          (String, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (src: String,
+         rows: Iterator[(String, java.sql.Timestamp, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, Long)], Seq[Long], Long)]) =>
+          if (state.hasTimedOut) {
+            val (buf, open0, _) = state.get
+            state.remove()
+            val (closed, open) =
+              compactionFold(buf.sortBy(r => (r._1, r._2)).map(r => (r._2, r._3)),
+                open0, target)
+            val tail =
+              if (open(1) == 0L) Seq.empty
+              else Seq((src, open(0), open(1), open(2), 1L))
+            (closed.map(g => (src, g._1, g._2, g._3, 0L)) ++ tail).iterator
+          } else {
+            val rs = rows.toSeq
+            val (buf0, open0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, Long)], Seq(0L, 0L, 0L, 0L),
+                Long.MinValue))
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            // buffer (sec, file_id, bytes) — event time orders the fold
+            // frontier, file_id breaks ties within a second
+            val buf = (buf0 ++ rs.map(r => (r._3 / 1000000L, r._4, r._5)))
+              .sortBy(r => (r._1, r._2))
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            val (ready, pending) = buf.partition(_._1 < wmSec)
+            val (closed, open) =
+              compactionFold(ready.map(r => (r._2, r._3)), open0, target)
+            state.update((pending, open, maxT))
+            state.setTimeoutTimestamp(math.max(maxT / 1000L + 10L,
+              state.getCurrentWatermarkMs() + 1L))
+            closed.map(g => (src, g._1, g._2, g._3, 0L)).iterator
+          }
+      }
+  }
+
+  /** Fold ingest-ordered (file_id, bytes) rows into next-fit groups under
+    * `target`: a file whose start offset (the running cum) leaves the open
+    * group closes it. Open-group state layout: [grp, n_files, bytes, cum];
+    * returns (closed groups as (grp, n_files, bytes), new open state).
+    * The sequential twin of batch q281's `(cum − bytes) div target`.
+    */
+  private[streaming] def compactionFold(files: Seq[(Long, Long)],
+      open0: Seq[Long], target: Long): (Seq[(Long, Long, Long)], Seq[Long]) = {
+    var grp = open0(0); var nf = open0(1); var gb = open0(2); var cum = open0(3)
+    val closed = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    files.foreach { case (_, bytes) =>
+      val g = cum / target
+      if (nf > 0L && g != grp) { closed += ((grp, nf, gb)); nf = 0L; gb = 0L }
+      grp = if (nf == 0L) g else grp
+      nf += 1L; gb += bytes; cum += bytes
+    }
+    (closed.toSeq, Seq(grp, nf, gb, cum))
+  }
+
   /** Gate-scale default for [[runToMemory]]'s state partitions (env
     * override for experiments; a real deployment passes it explicitly).
     */

@@ -1010,8 +1010,89 @@ object StreamingQueries {
       .orderBy("touch_type")
   }
 
+  /** Stage `dir`/documents.parquet plus a flush sentinel for the
+    * INGEST-ORDER stateful streams (q284): event time is the ingest
+    * sequence number (doc_id seconds), and the sentinel is one row 3
+    * days of sequence past the last real file under source '__flush' —
+    * the same terminal-punctuation discipline as [[stagedWithFlush]],
+    * on the ingest-log axis instead of the event-time axis. Idempotent
+    * per input path (keyed staging dir + `_STAGED` marker).
+    */
+  private def stagedDocsWithFlush(spark: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_docs_flush_$digest")
+    val marker = new java.io.File(staged, "_STAGED")
+    if (!marker.exists()) {
+      staged.mkdirs()
+      val files =
+        if (src.isFile) Seq(src)
+        else src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      files.zipWithIndex.foreach { case (f, i) =>
+        val link = new java.io.File(staged, s"orig_$i.parquet")
+        if (!java.nio.file.Files.exists(link.toPath,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          java.nio.file.Files.createSymbolicLink(
+            link.toPath, f.toPath.toAbsolutePath)
+      }
+      val sentinel = spark.read.parquet(src.getPath)
+        .orderBy(col("doc_id").desc).limit(1)
+        .withColumn("doc_id", col("doc_id") + lit(259200L))
+        .withColumn("source", lit("__flush"))
+      val build = new java.io.File(staged, "_sentinel_build")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(build.getPath)
+      val part = build.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(staged, "sentinel.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      build.listFiles().foreach(_.delete())
+      build.delete()
+      marker.createNewFile()
+    }
+    staged.getPath
+  }
+
+  /** q284: STREAMING compaction-plan maintenance ≡ batch q281 — the
+    * small-files group manifest built AT INGEST
+    * ([[EventStreams.compactionGroupRows]]: per-source state is the
+    * watermark-ordering buffer plus one open-group accumulator; a group
+    * row emits the moment a later file proves it closed, the open tail
+    * emits on event-time timeout with `is_tail = 1`). Event time is the
+    * ingest sequence number — the contract that arrival order IS the
+    * packing order, which is what an object-store ingest log provides.
+    * The '__flush' sentinel's own group never times out before the query
+    * drains and emits nothing (the defensive filter pins it). Gated on
+    * q281's oracle verbatim: stream == batch == DuckDB.
+    */
+  private val q284 = GraftQuery(
+    "q284_stream_compaction_plan",
+    graft.operators.Pipeline.compactionPlanOracleSql) { (s, d) =>
+    val staged = stagedDocsWithFlush(s, d)
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    // +1s so the first file (sequence 0) sits strictly ABOVE the initial
+    // watermark — the stateful late-row filter drops rows at/below it
+    val files = s.readStream.schema(schema).parquet(staged)
+      .select(col("source"), col("doc_id").as("file_id"),
+        col("n_chars").as("bytes"),
+        timestamp_micros((col("doc_id") + lit(1L)) * lit(1000000L)).as("ts"))
+    val groups = EventStreams
+      .compactionGroupRows(files, graft.operators.Pipeline.CompactTarget)
+      .toDF("source", "grp", "n_files", "group_bytes", "is_tail")
+    EventStreams.runToMemory(s, groups,
+        s"stream_gate_${memorySinkId.incrementAndGet()}")
+      .where(col("source") =!= "__flush")
+      .select(col("source"), col("grp"), col("n_files"), col("group_bytes"),
+        expr(s"(group_bytes * 1000000) div ${graft.operators.Pipeline.CompactTarget}")
+          .as("fill_ppm"),
+        col("is_tail"))
+      .orderBy("source", "grp")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258, q263, q267, q271)
+      q254, q256, q258, q263, q267, q271, q284)
 }

@@ -230,4 +230,34 @@ class EventStreamsSpec extends SparkSuite {
       Seq(null, null))
     assert(EventStreams.sessionTrigrams(Nil).isEmpty)
   }
+
+  test("compactionFold: next-fit groups, split-invariance, oversize files") {
+    val zero = Seq(0L, 0L, 0L, 0L)
+    // files (id, bytes) under target 100: start offsets 0,60,120 ->
+    // files 1+2 pack group 0 (a file joins the group its START is in),
+    // file 3 opens group 1
+    val f = Seq((1L, 60L), (2L, 60L), (3L, 60L))
+    val (c1, o1) = EventStreams.compactionFold(f, zero, 100L)
+    assert(c1 == Seq((0L, 2L, 120L)) && o1 == Seq(1L, 1L, 60L, 180L),
+      s"basic next-fit wrong: $c1 / $o1")
+    // folding in two calls at ANY split point matches the one-shot fold
+    val files = Seq((1L, 30L), (2L, 90L), (3L, 10L), (4L, 250L), (5L, 40L),
+      (6L, 99L), (7L, 1L), (8L, 100L))
+    val (allC, allO) = EventStreams.compactionFold(files, zero, 100L)
+    for (k <- 0 to files.length) {
+      val (a, b) = files.splitAt(k)
+      val (ca, oa) = EventStreams.compactionFold(a, zero, 100L)
+      val (cb, ob) = EventStreams.compactionFold(b, oa, 100L)
+      assert(ca ++ cb == allC && ob == allO,
+        s"split at $k diverged: ${ca ++ cb} / $ob vs $allC / $allO")
+    }
+    // the 250-byte file never splits: its whole size lands in the group
+    // its START offset is in, making that group oversize (>target) and
+    // later files skip group indices (no group 2 exists)
+    assert(allC == Seq((0L, 2L, 120L), (1L, 2L, 260L), (3L, 1L, 40L),
+      (4L, 1L, 99L)) && allO == Seq(5L, 2L, 101L, 620L),
+      s"next-fit trace wrong: $allC / $allO")
+    // empty fold is a no-op
+    assert(EventStreams.compactionFold(Nil, allO, 100L) == (Nil, allO))
+  }
 }
