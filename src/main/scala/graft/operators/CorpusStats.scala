@@ -2038,8 +2038,210 @@ object CorpusStats {
         .orderBy("r")
   }
 
+  // ---- bloom-filter configuration sweep (q286) -------------------------
+
+  /** The (bits, hashes) grid q286 measures — one saturated corner
+    * (m=4096 at this key count), one production-healthy corner (m=65536),
+    * each at k∈{2,4}. Literal in both engines via [[bloomCfgValues]].
+    */
+  private val BloomCfgs = Seq((0L, 4096L, 2L), (1L, 4096L, 4L),
+    (2L, 65536L, 2L), (3L, 65536L, 4L))
+  private def bloomCfgValues: String =
+    BloomCfgs.map(c => s"(${c._1}, ${c._2}, ${c._3})").mkString(", ")
+
+  /** q286: bloom-filter FPR sweep — q277's config-sweep discipline
+    * applied to the q77 decontamination filter: for each (m bits,
+    * k hashes) configuration, the MEASURED false-positive rate of an
+    * explicit bloom filter (set-bit set from the held-out blocklist, the
+    * [[CmRows]] affine family as the k hash functions) probed by every
+    * train-split gram hash, with the exact membership truth riding
+    * along. `false_negatives` is pinned structurally 0 — the bloom
+    * guarantee, asserted not assumed — and `fill_ppm` explains WHY a
+    * corner misbehaves (at 4096 bits this key count saturates the
+    * filter, where adding hashes RAISES the FPR: the k=4 row measures
+    * worse than k=2 — the non-monotonicity that makes sweeping, not
+    * formula-plugging, the right sizing procedure).
+    *
+    * Scale shape: set-bits are ≤ Σm rows total and ship as ONE broadcast
+    * (a bloom probe must be map-side — the production q77 contract);
+    * probe cells fan out k-fold map-side and reduce back to probe grain;
+    * the truth join is the plain h equi-join. The blocklist and gram
+    * artifacts are shared with q77/q65.
+    */
+  private val q286 = GraftQuery(
+    "q286_bloom_fpr_sweep",
+    s"""WITH ${oracleGrams(GramN)},
+       |hashed AS (
+       |  SELECT doc_id, sb, ${PolyHash.oracleSql("g")} AS h FROM grams),
+       |blk AS (SELECT DISTINCT h FROM hashed WHERE sb >= $TestBucketFloor),
+       |probes AS (SELECT DISTINCT h FROM hashed WHERE sb < $TrainBucketCeil),
+       |seeds(r, aa, cc) AS (VALUES $cmRowsValues),
+       |cfgs(cfg, m, k) AS (VALUES $bloomCfgValues),
+       |bits AS (
+       |  SELECT DISTINCT cfg, c.m, c.k,
+       |    ((b.h * s.aa + s.cc) % 2147483648) % c.m AS cell
+       |  FROM blk b CROSS JOIN seeds s CROSS JOIN cfgs c WHERE s.r < c.k),
+       |fill AS (SELECT cfg, CAST(count(*) AS BIGINT) AS bits_set
+       |  FROM bits GROUP BY 1),
+       |pc AS (
+       |  SELECT c.cfg, p.h, ((p.h * s.aa + s.cc) % 2147483648) % c.m AS cell
+       |  FROM probes p CROSS JOIN seeds s CROSS JOIN cfgs c WHERE s.r < c.k),
+       |pv AS (
+       |  SELECT pc.cfg, pc.h, count(DISTINCT pc.cell) AS nc,
+       |    count(DISTINCT CASE WHEN bits.cell IS NOT NULL THEN pc.cell END)
+       |      AS nh
+       |  FROM pc LEFT JOIN bits ON bits.cfg = pc.cfg AND bits.cell = pc.cell
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT p.h, CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END
+       |    AS pos
+       |  FROM probes p LEFT JOIN blk b ON p.h = b.h)
+       |SELECT CAST(c.cfg AS BIGINT) AS cfg, CAST(c.m AS BIGINT) AS m,
+       |  CAST(c.k AS BIGINT) AS k,
+       |  CAST(count(*) AS BIGINT) AS n_probes,
+       |  CAST(sum(t.pos) AS BIGINT) AS n_present,
+       |  CAST(sum(CASE WHEN t.pos = 1 AND pv.nh < pv.nc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS false_negatives,
+       |  CAST(sum(CASE WHEN t.pos = 0 AND pv.nh = pv.nc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS false_positives,
+       |  CAST(sum(CASE WHEN t.pos = 0 AND pv.nh = pv.nc THEN 1 ELSE 0 END)
+       |      * 1000000
+       |    // sum(CASE WHEN t.pos = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fpr_ppm,
+       |  CAST(f.bits_set * 1000000 // c.m AS BIGINT) AS fill_ppm
+       |FROM pv JOIN truth t ON t.h = pv.h JOIN cfgs c ON c.cfg = pv.cfg
+       |  JOIN fill f ON f.cfg = pv.cfg
+       |GROUP BY c.cfg, c.m, c.k, f.bits_set
+       |ORDER BY cfg""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val seeds = s.createDataFrame(CmRows).toDF("r", "aa", "cc")
+    val cfgs = s.createDataFrame(BloomCfgs).toDF("cfg", "m", "k")
+    val blk = bloomBlocklist(s, d)
+    val probes = graft.Artifacts.cachedDf(s, s"q286_probes:$d") {
+      docGrams(s, d, GramN)
+        .where(col("sb") < TrainBucketCeil)
+        .select(PolyHash.hash(col("g")).as("h")).distinct()
+    }
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .crossJoin(broadcast(seeds)).crossJoin(broadcast(cfgs))
+      .where(col("r") < col("k"))
+      .select(col("cfg"), col("m"), col("k"), col("h"),
+        expr("((h * aa + cc) % 2147483648) % m").as("cell"))
+    val bits = cells(blk).select("cfg", "cell").distinct()
+    val fill = bits.groupBy("cfg").agg(count(lit(1)).as("bits_set"))
+    val pv = cells(probes)
+      .join(broadcast(bits.withColumn("__hit", lit(1))),
+        Seq("cfg", "cell"), "left")
+      .groupBy("cfg", "h")
+      .agg(countDistinct(col("cell")).as("nc"),
+        countDistinct(when(col("__hit").isNotNull, col("cell"))).as("nh"))
+    val truth = probes
+      .join(blk.withColumn("__pos", lit(1)), Seq("h"), "left")
+      .select(col("h"), coalesce(col("__pos"), lit(0)).as("pos"))
+    pv.join(truth, Seq("h"))
+      .groupBy("cfg")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("pos")).cast("long").as("n_present"),
+        sum(when(col("pos") === 1 && col("nh") < col("nc"), 1L)
+          .otherwise(0L)).as("false_negatives"),
+        sum(when(col("pos") === 0 && col("nh") === col("nc"), 1L)
+          .otherwise(0L)).as("false_positives"))
+      .join(broadcast(cfgs), Seq("cfg"))
+      .join(broadcast(fill), Seq("cfg"))
+      .select(col("cfg"), col("m"), col("k"), col("n_probes"),
+        col("n_present"), col("false_negatives"), col("false_positives"),
+        expr("(false_positives * 1000000) div (n_probes - n_present)")
+          .as("fpr_ppm"),
+        expr("(bits_set * 1000000) div m").as("fill_ppm"))
+      .orderBy("cfg")
+  }
+
+  // ---- greedy max-coverage source selection (q289) ---------------------
+
+  private val GreedyRounds = 5
+
+  /** Oracle CTEs for one greedy round `t`: marginal counts over the
+    * remaining pairs, the deterministic argmax (count desc, source), the
+    * winner's grams, and the next remaining set (winner's source and
+    * covered grams removed).
+    */
+  private def greedyRoundCtes(t: Int): String = {
+    val prev = if (t == 1) "p0" else s"p${t - 1}"
+    s"""r$t AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM $prev
+       |  GROUP BY 1),
+       |w$t AS (SELECT source, c FROM r$t ORDER BY c DESC, source LIMIT 1),
+       |cov$t AS (SELECT DISTINCT h FROM $prev JOIN w$t USING (source)),
+       |p$t AS (SELECT a.source, a.h FROM $prev a
+       |  WHERE a.source NOT IN (SELECT source FROM w$t)
+       |    AND a.h NOT IN (SELECT h FROM cov$t))""".stripMargin
+  }
+
+  /** q289: greedy max-coverage source selection — the submodular
+    * curation decision q247 only measures: which [[GreedyRounds]] sources
+    * to license/crawl/keep for the largest distinct-gram coverage. Each
+    * round elects the source with the largest MARGINAL gain (grams not
+    * covered by earlier picks) under the deterministic (count desc,
+    * source) order — the classic (1−1/e) greedy, the order a curation
+    * owner actually buys in. q247 answers "what did source k add in a
+    * FIXED ingestion order"; q289 answers "which order should we choose".
+    *
+    * Scale shape: the corpus reduces ONCE to distinct (source, gram-hash)
+    * pairs (the only corpus-sized shuffle, shared artifact); each round
+    * is one source-grain aggregate + a 1-row driver argmax (the k-means
+    * bounded-collect contract) + an h equi-anti-join, with the shrinking
+    * remaining set re-checkpointed so round t never replays rounds
+    * 1..t−1. Greedy set cover is inherently R-pass; R is the number of
+    * sources being bought, not a data-sized quantity.
+    */
+  private val q289 = GraftQuery(
+    "q289_greedy_coverage",
+    s"""WITH ${oracleGrams(GramN)},
+       |p0 AS (
+       |  SELECT DISTINCT d.source, ${PolyHash.oracleSql("g")} AS h
+       |  FROM grams JOIN documents d USING (doc_id)),
+       |tot AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS total FROM p0),
+       |${(1 to GreedyRounds).map(greedyRoundCtes).mkString(",\n")},
+       |picks AS (${(1 to GreedyRounds).map(t =>
+          s"SELECT $t AS round, source, c FROM w$t")
+          .mkString(" UNION ALL ")}),
+       |cum AS (SELECT round, source, c AS marginal_new_grams,
+       |    sum(c) OVER (ORDER BY round ROWS UNBOUNDED PRECEDING)
+       |      AS covered_grams
+       |  FROM picks)
+       |SELECT CAST(round AS BIGINT) AS round, source, marginal_new_grams,
+       |  CAST(covered_grams AS BIGINT) AS covered_grams,
+       |  CAST(covered_grams * 1000000 // tot.total AS BIGINT)
+       |    AS coverage_ppm
+       |FROM cum CROSS JOIN tot ORDER BY round""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val pairs = graft.Artifacts.cachedDf(s, s"q289_pairs:$d") {
+      docGrams(s, d, GramN)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"), PolyHash.hash(col("g")).as("h"))
+        .distinct()
+    }
+    val total = pairs.agg(countDistinct(col("h"))).collect()(0).getLong(0)
+    var remaining = pairs
+    var covered = 0L
+    val rows = (1 to GreedyRounds).map { t =>
+      val top = remaining.groupBy("source").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("source")).limit(1).collect()(0)
+      val (src, c) = (top.getString(0), top.getLong(1))
+      val winnerGrams = remaining.where(col("source") === src).select("h")
+      remaining = remaining.where(col("source") =!= src)
+        .join(winnerGrams, Seq("h"), "left_anti")
+        .localCheckpoint()
+      covered += c
+      (t.toLong, src, c, covered, covered * 1000000L / total)
+    }
+    s.createDataFrame(rows)
+      .toDF("round", "source", "marginal_new_grams", "covered_grams",
+        "coverage_ppm")
+      .orderBy("round")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
-      q225, q246, q247, q259, q260, q282)
+      q225, q246, q247, q259, q260, q282, q286, q289)
 }

@@ -2099,8 +2099,211 @@ object Pipeline {
       .orderBy("target")
   }
 
+  // ---- zone-map / data-skipping audit (q285) ---------------------------
+
+  /** Files per zone-map group (gate-scale stand-in for one parquet
+    * file/row-group; the arithmetic is size-agnostic).
+    */
+  private val ZoneGroup = 50L
+
+  /** The range-predicate workload q285 scores pruning against — narrow,
+    * medium, point-ish, and open-tail probes over `n_chars`.
+    */
+  private val ZonePreds = Seq((0L, 50L, 99L), (1L, 100L, 199L),
+    (2L, 250L, 260L), (3L, 400L, 10000L))
+
+  /** q285: zone-map data-skipping audit — the min/max-statistics pruning
+    * measurement behind every clustering/z-order/sort-order decision: the
+    * same corpus grouped into ZoneGroup-file groups under TWO layouts
+    * (arrival order vs clustered by the predicate column), per-group
+    * min/max zone maps, and for each workload predicate the groups a
+    * footer-stats scan must read. `skipped_ppm` is the layout's value
+    * (arrival order skips ~nothing — every group's min/max spans the
+    * domain; clustered skips all but the overlapping stripe), and
+    * `rows_scanned` vs `rows_matched` is the residual scan amplification
+    * the layout leaves on the table. The clustered rank is ONE banded
+    * global cumulative ([[Banded.cumSums]] — q270's exact-rank
+    * discipline, no single-task window); all predicate work happens at
+    * GROUP grain (corpus/ZoneGroup rows) with the 4-row workload
+    * broadcast, except the exact `rows_matched` selectivity audit — one
+    * conditional rollup over the narrow (doc_id, n_chars) projection.
+    *
+    * At 100 TB this is the audit that decides whether a rewrite
+    * (q281/q283's compaction, plus a sort) pays for itself: multiply
+    * `skipped_ppm` by the workload's scan volume.
+    */
+  private val q285 = GraftQuery(
+    "q285_zonemap_skipping",
+    s"""WITH docs AS (SELECT doc_id, n_chars FROM documents),
+       |a AS (SELECT 'arrival' AS layout, doc_id // $ZoneGroup AS grp, n_chars
+       |  FROM docs),
+       |r AS (SELECT n_chars,
+       |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk FROM docs),
+       |c AS (SELECT 'clustered' AS layout, (rk - 1) // $ZoneGroup AS grp,
+       |    n_chars FROM r),
+       |g AS (SELECT layout, grp, min(n_chars) AS mn, max(n_chars) AS mx,
+       |    count(*) AS n
+       |  FROM (SELECT * FROM a UNION ALL SELECT * FROM c) GROUP BY 1, 2),
+       |p(pid, lo, hi) AS (VALUES ${ZonePreds.map(p =>
+          s"(${p._1}, ${p._2}, ${p._3})").mkString(", ")}),
+       |m AS (SELECT pid, CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+       |  FROM docs CROSS JOIN p GROUP BY 1)
+       |SELECT layout, CAST(p.pid AS BIGINT) AS pid,
+       |  CAST(p.lo AS BIGINT) AS lo, CAST(p.hi AS BIGINT) AS hi,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS scanned_groups,
+       |  CAST((count(*) - sum(CASE WHEN mx >= lo AND mn <= hi
+       |      THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT)
+       |    AS skipped_ppm,
+       |  CAST(sum(CASE WHEN mx >= lo AND mn <= hi THEN n ELSE 0 END)
+       |    AS BIGINT) AS rows_scanned,
+       |  m.rows_matched
+       |FROM g CROSS JOIN p JOIN m ON m.pid = p.pid
+       |GROUP BY layout, p.pid, p.lo, p.hi, m.rows_matched
+       |ORDER BY layout, pid""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val preds = s.createDataFrame(ZonePreds).toDF("pid", "lo", "hi")
+    val arrival = docs.select(lit("arrival").as("layout"),
+      expr(s"doc_id div $ZoneGroup").as("grp"), col("n_chars"))
+    val clustered = Banded.cumSums(docs, Nil,
+        Seq(col("n_chars"), col("doc_id")), expr("n_chars div 64"),
+        Seq(Banded.CumSpec("rk", lit(1L))))
+      .select(lit("clustered").as("layout"),
+        expr(s"(rk - 1) div $ZoneGroup").as("grp"), col("n_chars"))
+    val zoneMaps = arrival.unionByName(clustered)
+      .groupBy("layout", "grp")
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        count(lit(1)).as("n"))
+    val matched = docs.crossJoin(broadcast(preds))
+      .groupBy("pid")
+      .agg(sum(when(col("n_chars").between(col("lo"), col("hi")), 1L)
+        .otherwise(0L)).as("rows_matched"))
+    zoneMaps.crossJoin(broadcast(preds))
+      .groupBy("layout", "pid", "lo", "hi")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("mx") >= col("lo") && col("mn") <= col("hi"), 1L)
+          .otherwise(0L)).as("scanned_groups"),
+        sum(when(col("mx") >= col("lo") && col("mn") <= col("hi"), col("n"))
+          .otherwise(0L)).as("rows_scanned"))
+      .join(broadcast(matched), Seq("pid"))
+      .select(col("layout"), col("pid"), col("lo"), col("hi"),
+        col("n_groups"), col("scanned_groups"),
+        expr("((n_groups - scanned_groups) * 1000000) div n_groups")
+          .as("skipped_ppm"),
+        col("rows_scanned"), col("rows_matched"))
+      .orderBy("layout", "pid")
+  }
+
+  // ---- max-min fair (waterfill) budget allocation (q288) ---------------
+
+  /** q288's budget as a fraction of total capacity — 95% puts the water
+    * level above the small sources' caps, exercising both regimes.
+    */
+  private val WaterfillNum = 95L
+  private val WaterfillDen = 100L
+
+  /** q288: max-min fair token-budget allocation (waterfilling) — the
+    * third mixture-budgeting verb next to proportional (q223) and
+    * temperature (q261): pour the budget into sources lowest-first until
+    * the water level λ is reached; a source holds min(cap, λ). The
+    * integer-exact election: sources sorted by (cap, source), for each
+    * boundary i the candidate level = (B − prefix_{i−1}) div (n−i+1);
+    * the FIRST i whose level undercuts its own cap is the waterline
+    * (everything before it is capped), and the division remainder goes
+    * to the first `rem` uncapped sources (+1 each) — Hamilton's rule,
+    * q223's discipline — so Σ alloc == min(B, Σ cap) EXACTLY, which
+    * float waterfilling never guarantees. B ≥ total capacity degrades
+    * to everyone-capped (the election finds no row; the LEFT join keeps
+    * the output total).
+    *
+    * Scale shape: capacity is ONE corpus rollup to source grain;
+    * everything after (windows, election, allocation) runs on the
+    * source-grain table — metadata-sized at any corpus size. The 1-row
+    * election broadcast-crosses back on, the audited q223 shape.
+    */
+  /** q288's oracle, shared verbatim with its streaming twin q290. */
+  private[graft] val waterfillOracleSql =
+    s"""WITH cap AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cap) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS n FROM cap),
+       |b AS (SELECT CAST(total * $WaterfillNum // $WaterfillDen AS BIGINT)
+       |    AS budget FROM tot),
+       |o AS (SELECT source, cap,
+       |    row_number() OVER (ORDER BY cap, source) AS i,
+       |    sum(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING)
+       |      - cap AS pprev
+       |  FROM cap),
+       |lv AS (SELECT o.i, o.cap,
+       |    (b.budget - o.pprev) // (t.n - o.i + 1) AS level,
+       |    (b.budget - o.pprev) % (t.n - o.i + 1) AS rem
+       |  FROM o CROSS JOIN b CROSS JOIN tot t),
+       |el AS (SELECT min(i) AS ei FROM lv WHERE level < cap),
+       |ew AS (SELECT lv.level, lv.rem, el.ei FROM lv JOIN el ON lv.i = el.ei)
+       |SELECT o.source, o.cap,
+       |  CAST(CASE WHEN ew.ei IS NULL OR o.i < ew.ei THEN o.cap
+       |    WHEN o.i - ew.ei < ew.rem THEN ew.level + 1
+       |    ELSE ew.level END AS BIGINT) AS alloc,
+       |  CAST(CASE WHEN ew.ei IS NULL OR o.i < ew.ei THEN 1 ELSE 0 END
+       |    AS BIGINT) AS capped,
+       |  CAST(coalesce(ew.level, 0) AS BIGINT) AS level
+       |FROM o LEFT JOIN ew ON TRUE
+       |ORDER BY source""".stripMargin
+
+  private val q288 = GraftQuery(
+    "q288_waterfill_budget", waterfillOracleSql) { (s, d) =>
+    waterfillOf(Tables.documents(s, d)
+      .groupBy("source").agg(sum(col("n_chars")).as("cap")))
+  }
+
+  /** The waterfill election epilogue on a source-grain (source, cap)
+    * frame — shared verbatim between batch q288 and streaming q290 (the
+    * q254/q267 labor split: the stream owns the capacity rollup, the
+    * metadata-sized election runs on the finalized table).
+    */
+  private[graft] def waterfillOf(
+      cap: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = cap.agg(sum(col("cap")).as("total"), count(lit(1)).as("n"))
+      .select(col("total"), col("n"),
+        expr(s"(total * $WaterfillNum) div $WaterfillDen").as("budget"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    // source-grain frame: the global window is metadata-sized by
+    // construction (one row per source), not a corpus window
+    val o = cap
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pprev",
+        coalesce(sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val lv = o.crossJoin(broadcast(tot))
+      .select(col("source"), col("cap"), col("i"),
+        expr("(budget - pprev) div (n - i + 1)").as("level"),
+        expr("(budget - pprev) % (n - i + 1)").as("rem"))
+    val el = lv.where(col("level") < col("cap"))
+      .agg(min(col("i")).as("ei"))
+    val ew = lv.join(broadcast(el), col("i") === col("ei"))
+      .select(col("level"), col("rem"), col("ei"))
+    lv.select(col("source"), col("cap"), col("i"))
+      .crossJoin(broadcast(ew))
+      .select(col("source"), col("cap"),
+        when(col("i") < col("ei"), col("cap"))
+          .when(col("i") - col("ei") < col("rem"), col("level") + 1)
+          .otherwise(col("level")).as("alloc"),
+        when(col("i") < col("ei"), 1L).otherwise(0L).as("capped"),
+        col("level"))
+      .unionByName(
+        // B >= total capacity: no election row — everyone capped
+        lv.select(col("source"), col("cap"), col("i"))
+          .join(broadcast(el.where(col("ei").isNull)), lit(true))
+          .select(col("source"), col("cap"), col("cap").as("alloc"),
+            lit(1L).as("capped"), lit(0L).as("level")))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248, q253, q261, q268, q273, q281, q283)
+      q248, q253, q261, q268, q273, q281, q283, q285, q288)
 }

@@ -75,5 +75,75 @@ object Scale {
       .orderBy("n_name")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q86)
+  /** Reducer count the q287 skew audit simulates (the gate-scale
+    * `spark.sql.shuffle.partitions`; the arithmetic is count-agnostic)
+    * and the shared affine bucket hash (CmRows seed 0 — literal in both
+    * engines so the simulated assignment is identical by construction).
+    */
+  private val SkewReducers = 32L
+  private val SkewHashA = 1588635695L
+  private val SkewHashC = 1013904223L
+
+  /** q287: shuffle-skew / salt-factor audit — the diagnostic a layout
+    * owner runs BEFORE picking q86's `numSalts`: per join key the row
+    * count, the hottest key's share, and the SIMULATED per-reducer load
+    * under hash partitioning into [[SkewReducers]] buckets (the shared
+    * affine hash, so the simulation is reproducible, not engine-luck).
+    * `bucket_skew_x100` is max-bucket load over the perfect-balance load
+    * ×100 (100 = balanced); `salt_factor` is the ceiling of the hottest
+    * key's rows over the average reducer's — the minimum salt fan-out
+    * that fits the hot key into average-sized tasks, i.e. the number q86
+    * needs. One key-grain aggregate + two metadata-grain rollups; the
+    * 1-row combines are broadcast crosses. At 100 TB this runs as a
+    * cheap pre-pass (or rides q218's join-stats collection) and decides
+    * salting/AQE-skew settings from measurement instead of folklore.
+    */
+  private val q287 = GraftQuery(
+    "q287_shuffle_skew_audit",
+    s"""WITH k AS (
+       |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |    CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(max(cnt) AS BIGINT) AS top_cnt FROM k),
+       |tk AS (SELECT CAST(min(user_id) AS BIGINT) AS top_key
+       |  FROM k, t WHERE cnt = top_cnt),
+       |b AS (
+       |  SELECT (((user_id % 2147483648) * $SkewHashA + $SkewHashC)
+       |      % 2147483648) % $SkewReducers AS bucket,
+       |    CAST(sum(cnt) AS BIGINT) AS load
+       |  FROM k GROUP BY 1),
+       |s AS (SELECT CAST(max(load) AS BIGINT) AS max_bucket_rows,
+       |    CAST(count(*) AS BIGINT) AS used_buckets FROM b)
+       |SELECT t.n_rows, t.n_keys, tk.top_key, t.top_cnt,
+       |  CAST(t.top_cnt * 1000000 // t.n_rows AS BIGINT) AS top_share_ppm,
+       |  s.used_buckets, s.max_bucket_rows,
+       |  CAST(s.max_bucket_rows * $SkewReducers * 100 // t.n_rows AS BIGINT)
+       |    AS bucket_skew_x100,
+       |  CAST((t.top_cnt * $SkewReducers + t.n_rows - 1) // t.n_rows
+       |    AS BIGINT) AS salt_factor
+       |FROM t CROSS JOIN tk CROSS JOIN s""".stripMargin) { (s, d) =>
+    val k = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val t = k.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("top_cnt"))
+    val tk = k.join(broadcast(t.select(col("top_cnt").as("__top"))),
+        col("cnt") === col("__top"))
+      .agg(min(col("user_id")).as("top_key"))
+    val b = k.groupBy(
+        expr(s"(((user_id % 2147483648) * $SkewHashA + $SkewHashC)" +
+          s" % 2147483648) % $SkewReducers").as("bucket"))
+      .agg(sum(col("cnt")).as("load"))
+    val sRoll = b.agg(max(col("load")).as("max_bucket_rows"),
+      count(lit(1)).as("used_buckets"))
+    t.crossJoin(broadcast(tk)).crossJoin(broadcast(sRoll))
+      .select(col("n_rows"), col("n_keys"), col("top_key"), col("top_cnt"),
+        expr("(top_cnt * 1000000) div n_rows").as("top_share_ppm"),
+        col("used_buckets"), col("max_bucket_rows"),
+        expr(s"(max_bucket_rows * $SkewReducers * 100) div n_rows")
+          .as("bucket_skew_x100"),
+        expr(s"(top_cnt * $SkewReducers + n_rows - 1) div n_rows")
+          .as("salt_factor"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q86, q287)
 }

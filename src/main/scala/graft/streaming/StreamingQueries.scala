@@ -1091,8 +1091,32 @@ object StreamingQueries {
       .orderBy("source", "grp")
   }
 
+  /** q290: STREAMING waterfill budget allocation ≡ batch q288 — the
+    * q254/q267 labor split applied to mixture budgeting: the ingest
+    * stream maintains the per-source capacity rollup ONLINE in Complete
+    * mode (bounded state: one row per source regardless of corpus
+    * volume, q251's discipline), and the integer-exact waterline
+    * election — factored to [[graft.operators.Pipeline.waterfillOf]],
+    * shared verbatim with batch — runs on the finalized source-grain
+    * table. The epilogue self-joins its input, so the memory-sink view
+    * is re-rooted under fresh attribute ids first (q254's analyzer
+    * note). Gated on q288's oracle verbatim: stream == batch == DuckDB.
+    */
+  private val q290 = GraftQuery(
+    "q290_stream_waterfill",
+    graft.operators.Pipeline.waterfillOracleSql) { (s, d) =>
+    val cap = EventStreams.readDocuments(s, d)
+      .groupBy("source").agg(sum(col("n_chars")).as("cap"))
+    val capT = EventStreams.runToMemory(s, cap,
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    graft.operators.Pipeline.waterfillOf(
+        s.createDataFrame(capT.rdd, capT.schema))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258, q263, q267, q271, q284)
+      q254, q256, q258, q263, q267, q271, q284, q290)
 }

@@ -83,8 +83,18 @@ class PlanHygieneSpec extends SparkSuite {
                              // the 4-row per-config score table
     "q282_cm_join_size", // 4-row seed table crosses (q139's audited
                          // shape) + 1-row est/exact broadcasts
-    "q283_compaction_sweep") // 4-row sweep-target table crossed onto
+    "q283_compaction_sweep", // 4-row sweep-target table crossed onto
                              // the file-offset frame
+    "q285_zonemap_skipping", // 4-row predicate-workload table crossed
+                             // onto group-grain zone maps + doc grain
+    "q286_bloom_fpr_sweep", // 4-row seed × 4-row config broadcasts
+                            // (q282's audited shape)
+    "q287_shuffle_skew_audit", // three 1-row stat frames crossed,
+                               // q218's audited shape
+    "q288_waterfill_budget") // 1-row totals + 1-row election broadcasts
+                             // on the source-grain frame (q223's shape);
+                             // the everyone-capped guard joins a 1-row
+                             // (usually empty) election on TRUE
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
