@@ -2240,8 +2240,82 @@ object CorpusStats {
       .orderBy("round")
   }
 
+  // ---- corpus novelty curve (q292) --------------------------------------
+
+  /** q292: corpus NOVELTY CURVE (Heaps'-law audit) — distinct-gram growth
+    * along the ingestion order, in exact doc-count deciles: per decile
+    * the gram mentions, the grams seen for the FIRST time, the cumulative
+    * distinct total, and the marginal novelty rate (new per mention).
+    * q247 attributes novelty to SOURCES in a fixed order; q292 is the
+    * TEMPORAL read of the same submodular curve — the diminishing-returns
+    * measurement behind "does the next crawl batch still pay for itself".
+    * A healthy growing corpus shows slowly decaying novelty_ppm; a
+    * plateau (novelty → repetition floor) says more of the same data
+    * buys no new coverage.
+    *
+    * Scale shape: ingestion rank is one banded global cumulative
+    * ([[graft.operators.Banded.cumSums]]); each gram reduces to its
+    * FIRST decile (one hash aggregate); everything after runs on the
+    * 10-row decile grid. The 1-row doc-count broadcast rides the rank
+    * frame (audited cross).
+    */
+  private val q292 = GraftQuery(
+    "q292_novelty_curve",
+    s"""WITH ${oracleGrams(GramN)},
+       |ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk,
+       |    count(*) OVER () AS n FROM documents),
+       |dd AS (SELECT doc_id, (rk - 1) * 10 // n AS decile FROM ord),
+       |gh AS (SELECT grams.doc_id, ${PolyHash.oracleSql("g")} AS h,
+       |    dd.decile
+       |  FROM grams JOIN dd USING (doc_id)),
+       |firstd AS (SELECT h, min(decile) AS fd FROM gh GROUP BY 1),
+       |perd AS (SELECT decile, CAST(count(*) AS BIGINT) AS gram_mentions
+       |  FROM gh GROUP BY 1),
+       |newd AS (SELECT fd AS decile, CAST(count(*) AS BIGINT) AS new_grams
+       |  FROM firstd GROUP BY 1),
+       |docs AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM dd GROUP BY 1)
+       |SELECT CAST(docs.decile AS BIGINT) AS decile, docs.n_docs,
+       |  CAST(coalesce(perd.gram_mentions, 0) AS BIGINT) AS gram_mentions,
+       |  CAST(coalesce(newd.new_grams, 0) AS BIGINT) AS new_grams,
+       |  CAST(sum(coalesce(newd.new_grams, 0)) OVER (ORDER BY docs.decile
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_cum,
+       |  CAST(CASE WHEN coalesce(perd.gram_mentions, 0) = 0 THEN 0
+       |    ELSE coalesce(newd.new_grams, 0) * 1000000 // perd.gram_mentions
+       |    END AS BIGINT) AS novelty_ppm
+       |FROM docs LEFT JOIN perd ON perd.decile = docs.decile
+       |  LEFT JOIN newd ON newd.decile = docs.decile
+       |ORDER BY decile""".stripMargin) { (s, d) =>
+    PolyHash.register(s)
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val n = ids.agg(count(lit(1)).as("n"))
+    val dd = Banded.cumSums(ids, Nil, Seq(col("doc_id")),
+        expr("doc_id div 4096"), Seq(Banded.CumSpec("rk", lit(1L))))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), expr("((rk - 1) * 10) div n").as("decile"))
+    val gh = docGrams(s, d, GramN)
+      .join(dd, Seq("doc_id"))
+      .select(PolyHash.hash(col("g")).as("h"), col("decile"))
+    val perd = gh.groupBy("decile").agg(count(lit(1)).as("gram_mentions"))
+    val newd = gh.groupBy("h").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_grams"))
+    val docs = dd.groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    // 10-row decile grid: the global window is metadata-sized
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.join(perd, Seq("decile"), "left").join(newd, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"),
+        coalesce(col("gram_mentions"), lit(0L)).as("gram_mentions"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("distinct_cum", sum(col("new_grams")).over(w))
+      .withColumn("novelty_ppm",
+        when(col("gram_mentions") === 0, 0L)
+          .otherwise(expr("(new_grams * 1000000) div gram_mentions")))
+      .orderBy("decile")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
-      q225, q246, q247, q259, q260, q282, q286, q289)
+      q225, q246, q247, q259, q260, q282, q286, q289, q292)
 }

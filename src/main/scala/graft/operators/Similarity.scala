@@ -400,8 +400,12 @@ object Similarity {
     * `clus(doc_id, cluster_id)` CTE — q52's text, composed further by
     * q116's survivor selection.
     */
-  private val clusterOracleChain: String =
-    s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, sig AS (
+  /** The minhash→candidate→SYMMETRIZED-edge oracle chain, ending in an
+    * `edges(u, v)` CTE — the duplicate graph both the transitive closure
+    * (q52) and the k-core peel (q291) read.
+    */
+  private val edgeOracleChain: String =
+    s"""$shingleCtes, sig AS (
        |  SELECT doc_id, $oracleSigList AS sig FROM hs
        |), bands AS (
        |  ${oracleMinhashBands("")}
@@ -414,7 +418,10 @@ object Similarity {
        |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE $minhashMatchSql
        |  UNION
        |  SELECT doc_b AS u, doc_a AS v FROM pairs WHERE $minhashMatchSql
-       |), reach AS (
+       |)""".stripMargin
+
+  private val clusterOracleChain: String =
+    s"""${edgeOracleChain.replaceFirst("WITH ", "WITH RECURSIVE ")}, reach AS (
        |  SELECT u, v FROM edges
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
@@ -5170,11 +5177,79 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  // ---- k-core peeling of the duplicate graph (q291) --------------------
+
+  private val KCoreK = 2
+  private val KCoreRounds = 4
+
+  /** q291: k-core PEELING of the duplicate graph — the degeneracy trim
+    * next to PageRank (q164), triangles (q187), label propagation (q195)
+    * and CC (q52): [[KCoreRounds]] simultaneous peel rounds remove every
+    * node with degree < [[KCoreK]] and re-count, converging toward the
+    * 2-core (the cyclically-duplicated backbone — template/boilerplate
+    * families — as opposed to one-off pairs, which peel off immediately).
+    * Rounds are SIMULTANEOUS (all sub-degree nodes drop together, then
+    * degrees recompute), so the round census is deterministic and
+    * engine-independent; the audit reports the per-round residual rather
+    * than claiming a fixpoint — a fifth-round candidate would show as
+    * surviving_nodes still moving.
+    *
+    * Scale shape: the corpus reduces once to the shared minhash-candidate
+    * edge artifact; each round is one key-grain degree aggregate + two
+    * semi-joins on the (shrinking, re-checkpointed) symmetric edge set —
+    * R passes over EDGES, never the corpus; the per-round survivors/edge
+    * counts are bounded driver scalars (q252's contract).
+    */
+  private val q291 = GraftQuery(
+    "q291_kcore_peeling",
+    s"""$edgeOracleChain,
+       |s0 AS (SELECT DISTINCT u AS n FROM edges),
+       |e0 AS (SELECT u, v FROM edges),
+       |${(1 to KCoreRounds).map { r =>
+          s"""s$r AS (SELECT u AS n FROM e${r - 1} GROUP BY u
+             |  HAVING count(*) >= $KCoreK),
+             |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+             |  JOIN s$r a ON e.u = a.n JOIN s$r b ON e.v = b.n)""".stripMargin
+        }.mkString(",\n")}
+       |SELECT * FROM (${(1 to KCoreRounds).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round,
+             |  CAST((SELECT count(*) FROM s$r) AS BIGINT) AS surviving_nodes,
+             |  CAST((SELECT count(*) FROM s${r - 1})
+             |    - (SELECT count(*) FROM s$r) AS BIGINT) AS removed_nodes,
+             |  CAST((SELECT count(*) FROM e$r) // 2 AS BIGINT)
+             |    AS surviving_edges""".stripMargin
+        }.mkString(" UNION ALL ")})
+       |ORDER BY round""".stripMargin) { (s, d) =>
+    val pairs = minhashCandidates(minhashSigs(s, d))
+      .where(expr(sigMatchPredicate))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    var sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var prevNodes = sym.select("u").distinct().count()
+    val rows = (1 to KCoreRounds).map { r =>
+      val surv = sym.groupBy("u").agg(count(lit(1)).as("c"))
+        .where(col("c") >= KCoreK).select(col("u").as("n"))
+        .localCheckpoint()
+      sym = sym
+        .join(surv.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(surv.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint()
+      val sn = surv.count()
+      val out = (r.toLong, sn, prevNodes - sn, sym.count() / 2)
+      prevNodes = sn
+      out
+    }
+    s.createDataFrame(rows)
+      .toDF("round", "surviving_nodes", "removed_nodes", "surviving_edges")
+      .orderBy("round")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278)
+      q277, q278, q291)
 }

@@ -91,10 +91,12 @@ class PlanHygieneSpec extends SparkSuite {
                             // (q282's audited shape)
     "q287_shuffle_skew_audit", // three 1-row stat frames crossed,
                                // q218's audited shape
-    "q288_waterfill_budget") // 1-row totals + 1-row election broadcasts
+    "q288_waterfill_budget", // 1-row totals + 1-row election broadcasts
                              // on the source-grain frame (q223's shape);
                              // the everyone-capped guard joins a 1-row
                              // (usually empty) election on TRUE
+    "q292_novelty_curve") // 1-row doc-count broadcast crossed onto the
+                          // rank frame (q270's audited shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
