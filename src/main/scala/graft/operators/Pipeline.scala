@@ -2302,8 +2302,162 @@ object Pipeline {
       .orderBy("source")
   }
 
+  // ---- z-order vs single-key skipping comparison (q293) ----------------
+
+  /** q293's predicate workload: a source-only range, an n_chars-only
+    * range (q138's box bounds), and the 2-dimensional box — NULL bound =
+    * unconstrained dimension.
+    */
+  private val ZSkipPreds = Seq(
+    (0L, Some(10L), Some(13L), None: Option[Long], None: Option[Long]),
+    (1L, None: Option[Long], None: Option[Long], Some(200L), Some(400L)),
+    (2L, Some(10L), Some(13L), Some(200L), Some(400L)))
+
+  /** Files per group and per-dimension equidepth buckets for q293. */
+  private val ZSkipGroup = 20L
+  private val ZSkipBuckets = 16L
+
+  /** q293: z-order vs single-key SKIPPING comparison — q285's zone-map
+    * audit extended to the multi-dimension decision q138's layout makes:
+    * the same corpus grouped into [[ZSkipGroup]]-file groups under THREE
+    * layouts (sorted by source index, sorted by n_chars, z-ordered on
+    * both), and per workload predicate (source-only / n_chars-only / the
+    * 2-d box) the groups a min/max-stats scan must read. The measured
+    * tradeoff IS the reason z-order exists: each single-key sort skips
+    * ~everything for its own dimension and NOTHING for the other
+    * (skipped_ppm 0), while the z-curve is the only layout that prunes
+    * on BOTH single-dimension predicates (paying a little on each).
+    *
+    * The z-value interleaves per-dimension EQUIDEPTH RANK BUCKETS
+    * ([[ZSkipBuckets]] each, q240's exact-rank discipline), not raw
+    * values — the production z-order detail (Delta's OSS z-order
+    * interleaves per-column range-partition ids the same way): raw
+    * interleave lets the wider dimension's bits dominate (n_chars spans
+    * 10 bits to the source index's 5) and the "z-order" silently
+    * degenerates into that dimension's plain sort — measured here first,
+    * fixed by normalization.
+    *
+    * Scale shape: three banded global ranks (q270's discipline — the
+    * corpus never serializes through one window task; the two
+    * normalization ranks are REUSED as the two single-key layout ranks),
+    * one group-grain min/max rollup per layout, the 3-row workload
+    * broadcast, and one conditional rows_matched rollup over the narrow
+    * (si, nc) projection.
+    */
+  private val q293 = GraftQuery(
+    "q293_zorder_skipping",
+    s"""WITH zd AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS si,
+       |    least(n_chars, ${(1 << ZBits) - 1}) AS nc
+       |  FROM documents),
+       |r AS (SELECT doc_id, si, nc,
+       |    row_number() OVER (ORDER BY si, doc_id) AS rsi,
+       |    row_number() OVER (ORDER BY nc, doc_id) AS rnc,
+       |    count(*) OVER () AS n
+       |  FROM zd),
+       |zz AS (SELECT doc_id, si, nc, rsi, rnc,
+       |    (rsi - 1) * $ZSkipBuckets // n AS bsi,
+       |    (rnc - 1) * $ZSkipBuckets // n AS bnc
+       |  FROM r),
+       |z2 AS (SELECT doc_id, si, nc, rsi, rnc,
+       |    ${zSqlDuck("bsi", "bnc")} AS z FROM zz),
+       |rs AS (SELECT 'by_source' AS layout, si, nc,
+       |    (rsi - 1) // $ZSkipGroup AS grp FROM z2),
+       |rn AS (SELECT 'by_nchars' AS layout, si, nc,
+       |    (rnc - 1) // $ZSkipGroup AS grp FROM z2),
+       |rz AS (SELECT 'zorder' AS layout, si, nc,
+       |    (row_number() OVER (ORDER BY z, doc_id) - 1) // $ZSkipGroup
+       |      AS grp FROM z2),
+       |g AS (SELECT layout, grp,
+       |    min(si) AS simin, max(si) AS simax,
+       |    min(nc) AS ncmin, max(nc) AS ncmax, count(*) AS n
+       |  FROM (SELECT * FROM rs UNION ALL SELECT * FROM rn
+       |        UNION ALL SELECT * FROM rz)
+       |  GROUP BY 1, 2),
+       |p(pid, silo, sihi, nclo, nchi) AS (VALUES ${ZSkipPreds.map { q =>
+          def f(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+          s"(${q._1}, ${f(q._2)}, ${f(q._3)}, ${f(q._4)}, ${f(q._5)})"
+        }.mkString(", ")}),
+       |m AS (SELECT pid, CAST(sum(CASE WHEN
+       |      (silo IS NULL OR (si BETWEEN silo AND sihi))
+       |      AND (nclo IS NULL OR (nc BETWEEN nclo AND nchi))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+       |  FROM zz CROSS JOIN p GROUP BY 1)
+       |SELECT layout, CAST(p.pid AS BIGINT) AS pid,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN (silo IS NULL OR (simax >= silo AND simin <= sihi))
+       |      AND (nclo IS NULL OR (ncmax >= nclo AND ncmin <= nchi))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS scanned_groups,
+       |  CAST((count(*) - sum(CASE WHEN
+       |      (silo IS NULL OR (simax >= silo AND simin <= sihi))
+       |      AND (nclo IS NULL OR (ncmax >= nclo AND ncmin <= nchi))
+       |    THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT)
+       |    AS skipped_ppm,
+       |  CAST(sum(CASE WHEN (silo IS NULL OR (simax >= silo AND simin <= sihi))
+       |      AND (nclo IS NULL OR (ncmax >= nclo AND ncmin <= nchi))
+       |    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  m.rows_matched
+       |FROM g CROSS JOIN p JOIN m ON m.pid = p.pid
+       |GROUP BY layout, p.pid, m.rows_matched
+       |ORDER BY layout, pid""".stripMargin) { (s, d) =>
+    val zd = Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(col("source"), 4, 8).cast("int").as("si"),
+        least(col("n_chars"), lit((1L << ZBits) - 1)).as("nc"))
+    val nRow = zd.agg(count(lit(1)).as("n"))
+    // the two normalization ranks double as the two single-key layouts
+    val r1 = Banded.cumSums(zd, Nil, Seq(col("si"), col("doc_id")),
+      col("si"), Seq(Banded.CumSpec("rsi", lit(1L))))
+    val r2 = Banded.cumSums(r1, Nil, Seq(col("nc"), col("doc_id")),
+      expr("nc div 64"), Seq(Banded.CumSpec("rnc", lit(1L))))
+    val zz = r2.crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("si"), col("nc"), col("rsi"), col("rnc"),
+        expr(s"((rsi - 1) * $ZSkipBuckets) div n").as("bsi"),
+        expr(s"((rnc - 1) * $ZSkipBuckets) div n").as("bnc"))
+    val z2 = zz.select(col("doc_id"), col("si"), col("nc"),
+      col("rsi"), col("rnc"),
+      expr(zSqlSpark("bsi", "bnc")).cast("long").as("z"))
+    val r3 = Banded.cumSums(z2, Nil, Seq(col("z"), col("doc_id")),
+      expr(s"z div $ZSkipBuckets"), Seq(Banded.CumSpec("rz", lit(1L))))
+    def layoutOf(name: String, rk: String) =
+      r3.select(lit(name).as("layout"),
+        expr(s"($rk - 1) div $ZSkipGroup").as("grp"),
+        col("si"), col("nc"))
+    val g = layoutOf("by_source", "rsi")
+      .unionByName(layoutOf("by_nchars", "rnc"))
+      .unionByName(layoutOf("zorder", "rz"))
+      .groupBy("layout", "grp")
+      .agg(min(col("si")).as("simin"), max(col("si")).as("simax"),
+        min(col("nc")).as("ncmin"), max(col("nc")).as("ncmax"),
+        count(lit(1)).as("n"))
+    val preds = s.createDataFrame(ZSkipPreds)
+      .toDF("pid", "silo", "sihi", "nclo", "nchi")
+    val surviveG = (col("silo").isNull ||
+        (col("simax") >= col("silo") && col("simin") <= col("sihi"))) &&
+      (col("nclo").isNull ||
+        (col("ncmax") >= col("nclo") && col("ncmin") <= col("nchi")))
+    val matchR = (col("silo").isNull ||
+        col("si").between(col("silo"), col("sihi"))) &&
+      (col("nclo").isNull || col("nc").between(col("nclo"), col("nchi")))
+    val matched = zz.crossJoin(broadcast(preds))
+      .groupBy("pid")
+      .agg(sum(when(matchR, 1L).otherwise(0L)).as("rows_matched"))
+    g.crossJoin(broadcast(preds))
+      .groupBy("layout", "pid")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(surviveG, 1L).otherwise(0L)).as("scanned_groups"),
+        sum(when(surviveG, col("n")).otherwise(0L)).as("rows_scanned"))
+      .join(broadcast(matched), Seq("pid"))
+      .select(col("layout"), col("pid"), col("n_groups"),
+        col("scanned_groups"),
+        expr("((n_groups - scanned_groups) * 1000000) div n_groups")
+          .as("skipped_ppm"),
+        col("rows_scanned"), col("rows_matched"))
+      .orderBy("layout", "pid")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248, q253, q261, q268, q273, q281, q283, q285, q288)
+      q248, q253, q261, q268, q273, q281, q283, q285, q288, q293)
 }

@@ -95,8 +95,10 @@ class PlanHygieneSpec extends SparkSuite {
                              // on the source-grain frame (q223's shape);
                              // the everyone-capped guard joins a 1-row
                              // (usually empty) election on TRUE
-    "q292_novelty_curve") // 1-row doc-count broadcast crossed onto the
+    "q292_novelty_curve", // 1-row doc-count broadcast crossed onto the
                           // rank frame (q270's audited shape)
+    "q293_zorder_skipping") // 1-row doc-count + 3-row predicate-workload
+                            // broadcasts (q285's audited shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
