@@ -5245,11 +5245,99 @@ object Similarity {
       .orderBy("round")
   }
 
+  // ---- matryoshka prefix-dimension recall sweep (q294) -----------------
+
+  /** The prefix lengths q294 sweeps; 64 is the full dimension (truth). */
+  private val MrlPrefixes = Seq(8, 16, 32, 64)
+
+  /** q294: MATRYOSHKA prefix-dimension recall sweep — the
+    * dimension-truncation audit for MRL-style embeddings (Kusupati et
+    * al.: serve the FIRST m dims of the stored vector, no projection
+    * matrix, no re-encode): per prefix length, top-10 cosine recall
+    * against the full-dimension truth over the bounded query batch
+    * (q44's contract). This is the decision input for prefix-tiered
+    * serving (coarse prefix scan → full-dim re-rank, the JL tier
+    * q154/q155's storage-free sibling) — AND the detector for whether
+    * the embedding model actually has matryoshka structure: an
+    * MRL-trained model concentrates signal in the prefix (recall@32 near
+    * 1), while these synthetic isotropic vectors measure recall ≈ m/64
+    * — the honest "do not ship prefix serving on this model" answer.
+    *
+    * One pass: pairs × the 4-row prefix broadcast, cosine over
+    * `sequence(1, m)` (prefix cosine — slice norms, not full-vector
+    * norms), one rank per (m, query); the truth tier is the m=64 slice
+    * of the SAME frame, so truth and tiers can never diverge in
+    * arithmetic.
+    */
+  private val q294 = GraftQuery(
+    "q294_matryoshka_recall",
+    s"""WITH qv AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < $QueryBatch),
+       |ms(m) AS (VALUES ${MrlPrefixes.map(m => s"($m)").mkString(", ")}),
+       |sim AS (
+       |  SELECT ms.m, qv.vec_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, ms.m + 1),
+       |      i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y)->x+y)
+       |    / (sqrt(list_reduce(list_transform(range(1, ms.m + 1),
+       |        i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(qv.embedding[i] AS DOUBLE)), (x,y)->x+y))
+       |     * sqrt(list_reduce(list_transform(range(1, ms.m + 1),
+       |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y)->x+y))) AS cos
+       |  FROM qv JOIN embeddings c ON qv.vec_id <> c.vec_id CROSS JOIN ms),
+       |top AS (SELECT m, vec_id, neighbor_id FROM (
+       |  SELECT m, vec_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY m, vec_id
+       |      ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM sim) WHERE rk <= 10),
+       |truth AS (SELECT vec_id, neighbor_id FROM top WHERE m = 64),
+       |hits AS (SELECT t.m, CAST(count(*) AS BIGINT) AS hits FROM top t
+       |  JOIN truth u USING (vec_id, neighbor_id) WHERE t.m <> 64
+       |  GROUP BY 1),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM qv)
+       |SELECT CAST(h.m AS BIGINT) AS m, nq.nq AS n_queries, h.hits,
+       |  CAST(h.hits * 1000000 // (nq.nq * 10) AS BIGINT) AS recall_ppm
+       |FROM hits h CROSS JOIN nq ORDER BY m""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val qv = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding").as("emb_q")))
+    val ms = broadcast(s.createDataFrame(MrlPrefixes.map(Tuple1(_)))
+      .toDF("m"))
+    val prefCos = expr(
+      """aggregate(sequence(1, m), 0D, (acc, i) ->
+        |  acc + CAST(element_at(emb_q, i) AS DOUBLE)
+        |      * CAST(element_at(emb_c, i) AS DOUBLE))
+        |/ (sqrt(aggregate(sequence(1, m), 0D, (acc, i) ->
+        |    acc + CAST(element_at(emb_q, i) AS DOUBLE)
+        |        * CAST(element_at(emb_q, i) AS DOUBLE)))
+        | * sqrt(aggregate(sequence(1, m), 0D, (acc, i) ->
+        |    acc + CAST(element_at(emb_c, i) AS DOUBLE)
+        |        * CAST(element_at(emb_c, i) AS DOUBLE))))""".stripMargin)
+    val w = Window.partitionBy("m", "vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val top = qv
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_c")), col("vec_id") =!= col("neighbor_id"))
+      .crossJoin(ms)
+      .withColumn("cos", prefCos)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("m"), col("vec_id"), col("neighbor_id"))
+    val truth = top.where(col("m") === 64)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hits = top.where(col("m") =!= 64)
+      .join(truth, Seq("vec_id", "neighbor_id"))
+      .groupBy("m").agg(count(lit(1)).as("hits"))
+    val nq = qv.agg(count(lit(1)).as("nq"))
+    hits.crossJoin(broadcast(nq))
+      .select(col("m").cast("long").as("m"), col("nq").as("n_queries"),
+        col("hits"), expr("(hits * 1000000) div (nq * 10)").as("recall_ppm"))
+      .orderBy("m")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278, q291)
+      q277, q278, q291, q294)
 }

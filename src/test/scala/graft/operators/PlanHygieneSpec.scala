@@ -97,8 +97,11 @@ class PlanHygieneSpec extends SparkSuite {
                              // (usually empty) election on TRUE
     "q292_novelty_curve", // 1-row doc-count broadcast crossed onto the
                           // rank frame (q270's audited shape)
-    "q293_zorder_skipping") // 1-row doc-count + 3-row predicate-workload
+    "q293_zorder_skipping", // 1-row doc-count + 3-row predicate-workload
                             // broadcasts (q285's audited shape)
+    "q294_matryoshka_recall") // bounded query-batch broadcast (q44's
+                              // audited shape) + 4-row prefix table +
+                              // 1-row query-count broadcast
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
