@@ -2038,6 +2038,121 @@ object CorpusStats {
         .orderBy("r")
   }
 
+  // ---- NDV (System-R) join-size estimation (q295) ----------------------
+
+  /** q295: join-cardinality estimation from NDV statistics — the OTHER
+    * optimizer formula, beside q282's count-min inner product, run on
+    * the SAME join (clicks ⋈ views on user_id) so the two estimators
+    * are directly comparable: System-R's |A|·|B| / max(V(A,k), V(B,k))
+    * with the NDVs coming from q141's HLL register machinery (here over
+    * the [[CmRows]] affine hash of the key — max-rank per register is
+    * duplicate-insensitive, so the frequency tables need no DISTINCT
+    * pass). This is exactly what a CBO does with column-level NDV
+    * stats; the exact join size rides along as the audit, and the
+    * honest story the output tells is the formula's known blind spot:
+    * System-R assumes uniform key frequency, so under skew it drifts
+    * where q282's frequency-weighted inner product does not — which is
+    * WHY an optimizer keeps both statistics.
+    *
+    * Scale shape: each side is one map-side partial aggregate to a
+    * 64-cell register table (mergeable by cell-wise max); every
+    * combine after that is a 1-row broadcast cross (the audited BNLJ
+    * shape). The exact side — the thing you no longer compute at
+    * 100 TB — is the q282 equi-join audit. err_ppm is signed via a
+    * CASE split so both dialects truncate a nonnegative numerator.
+    */
+  private val q295 = GraftQuery(
+    "q295_ndv_join_estimate",
+    s"""WITH a AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS f FROM events
+       |  WHERE event_type = 'click' GROUP BY 1),
+       |b AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS f FROM events
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |ra AS (
+       |  SELECT h % $HllM AS reg, ${hllRankArith(s"(h // $HllM)")} AS rank
+       |  FROM (SELECT ((user_id % 2147483648) * ${CmRows.head._2}
+       |    + ${CmRows.head._3}) % 2147483648 AS h FROM a)),
+       |rb AS (
+       |  SELECT h % $HllM AS reg, ${hllRankArith(s"(h // $HllM)")} AS rank
+       |  FROM (SELECT ((user_id % 2147483648) * ${CmRows.head._2}
+       |    + ${CmRows.head._3}) % 2147483648 AS h FROM b)),
+       |ea AS (
+       |  SELECT count(*) AS regs_hit,
+       |    CAST(sum(CAST(${1L << 25} AS BIGINT) // CAST(power(2, mx) AS BIGINT))
+       |      AS BIGINT) AS denom_hit
+       |  FROM (SELECT reg, max(rank) AS mx FROM ra GROUP BY 1)),
+       |eb AS (
+       |  SELECT count(*) AS regs_hit,
+       |    CAST(sum(CAST(${1L << 25} AS BIGINT) // CAST(power(2, mx) AS BIGINT))
+       |      AS BIGINT) AS denom_hit
+       |  FROM (SELECT reg, max(rank) AS mx FROM rb GROUP BY 1)),
+       |na AS (SELECT CAST(sum(f) AS BIGINT) AS n_a,
+       |  CAST(count(*) AS BIGINT) AS ndv_a_exact FROM a),
+       |nb AS (SELECT CAST(sum(f) AS BIGINT) AS n_b,
+       |  CAST(count(*) AS BIGINT) AS ndv_b_exact FROM b),
+       |ests AS (
+       |  SELECT
+       |    round(0.709 * $HllM * $HllM * ${1L << 25}
+       |      / (ea.denom_hit + ($HllM - ea.regs_hit) * ${1L << 25}), 4)
+       |      AS ndv_a_est,
+       |    round(0.709 * $HllM * $HllM * ${1L << 25}
+       |      / (eb.denom_hit + ($HllM - eb.regs_hit) * ${1L << 25}), 4)
+       |      AS ndv_b_est
+       |  FROM ea CROSS JOIN eb),
+       |ex AS (
+       |  SELECT CAST(sum(a.f * b.f) AS BIGINT) AS exact_join
+       |  FROM a JOIN b ON a.user_id = b.user_id),
+       |fin AS (
+       |  SELECT na.n_a, nb.n_b, na.ndv_a_exact, nb.ndv_b_exact,
+       |    e.ndv_a_est, e.ndv_b_est,
+       |    CAST(round(na.n_a * nb.n_b
+       |      / (CASE WHEN e.ndv_a_est >= e.ndv_b_est THEN e.ndv_a_est
+       |              ELSE e.ndv_b_est END)) AS BIGINT) AS est_join,
+       |    ex.exact_join
+       |  FROM na CROSS JOIN nb CROSS JOIN ests e CROSS JOIN ex)
+       |SELECT *,
+       |  CASE WHEN est_join >= exact_join
+       |    THEN ((est_join - exact_join) * 1000000) // exact_join
+       |    ELSE -(((exact_join - est_join) * 1000000) // exact_join)
+       |  END AS err_ppm
+       |FROM fin""".stripMargin) { (s, d) =>
+    def freqs(t: String) = Tables.events(s, d)
+      .where(col("event_type") === t)
+      .groupBy("user_id").agg(count(lit(1)).as("f"))
+    def hllAgg(df: DataFrame) = df
+      .select(pmod(pmod(col("user_id"), lit(2147483648L)) * lit(CmRows.head._2)
+        + lit(CmRows.head._3), lit(2147483648L)).as("h"))
+      .select(pmod(col("h"), lit(HllM.toLong)).as("reg"),
+        expr(hllRankArith(s"(h div $HllM)")).as("rank"))
+      .groupBy("reg").agg(max(col("rank")).as("mx"))
+      .agg(count(lit(1)).as("regs_hit"),
+        sum(expr(s"CAST(${1L << 25} AS BIGINT) div CAST(power(2, mx) AS BIGINT)"))
+          .as("denom_hit"))
+      .select((lit(0.709 * HllM * HllM * (1L << 25))
+        / (col("denom_hit") + (lit(HllM.toLong) - col("regs_hit")) * lit(1L << 25))))
+    val fa = freqs("click")
+    val fb = freqs("view")
+    val na = fa.agg(sum(col("f")).as("n_a"),
+      count(lit(1)).as("ndv_a_exact"))
+    val nb = fb.agg(sum(col("f")).as("n_b"),
+      count(lit(1)).as("ndv_b_exact"))
+    val ests = hllAgg(fa).toDF("ra").crossJoin(broadcast(hllAgg(fb).toDF("rb")))
+      .select(round(col("ra"), 4).as("ndv_a_est"),
+        round(col("rb"), 4).as("ndv_b_est"))
+    val exact = fa.join(fb.withColumnRenamed("f", "fb"), Seq("user_id"))
+      .agg(sum(col("f") * col("fb")).as("exact_join"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(ests))
+      .crossJoin(broadcast(exact))
+      .withColumn("est_join",
+        round(col("n_a") * col("n_b")
+          / greatest(col("ndv_a_est"), col("ndv_b_est"))).cast("long"))
+      .withColumn("err_ppm",
+        when(col("est_join") >= col("exact_join"),
+          expr("((est_join - exact_join) * 1000000) div exact_join"))
+          .otherwise(-expr("((exact_join - est_join) * 1000000) div exact_join")))
+  }
+
   // ---- bloom-filter configuration sweep (q286) -------------------------
 
   /** The (bits, hashes) grid q286 measures — one saturated corner
@@ -2317,5 +2432,5 @@ object CorpusStats {
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
-      q225, q246, q247, q259, q260, q282, q286, q289, q292)
+      q225, q246, q247, q259, q260, q282, q286, q289, q292, q295)
 }

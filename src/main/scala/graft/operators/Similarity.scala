@@ -5333,11 +5333,83 @@ object Similarity {
       .orderBy("m")
   }
 
+  // ---- k-occurrence hubness audit (q296) -------------------------------
+
+  /** q296: HUBNESS audit — the k-occurrence distribution N_10(x) = "in
+    * how many result lists does vector x appear", the classic
+    * high-dimensional ANN pathology detector (Radovanović et al.): as
+    * intrinsic dimensionality grows, a few "hub" points crowd into
+    * everyone's top-k while antihubs (k_occ = 0) never surface, which
+    * silently biases any retrieval-augmented pipeline toward the hubs.
+    * Output is the full k-occurrence histogram over the corpus
+    * (including the 0-occurrence antihub row — the left join keeps
+    * them) with each level's share of total result slots in ppm; a
+    * healthy isotropic space concentrates mass near k_occ ≈
+    * k·batch/corpus, a hubby one grows a long right tail.
+    *
+    * The result lists audited are the bounded-batch exact top-10 (the
+    * q44/q207 truth contract); at production the SAME two metadata
+    * aggregates run over the serving tier's logged result lists — the
+    * histogram is (distinct k_occ)-rows, the occurrence count is one
+    * broadcast join of the batch×10 list table against corpus ids.
+    */
+  private val q296 = GraftQuery(
+    "q296_hubness_audit",
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $QueryBatch),
+       |sim AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, ${cosSql("a", "b")} AS cos
+       |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |top AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM sim) t WHERE rk <= 10),
+       |occ AS (
+       |  SELECT e.vec_id, CAST(count(t.vec_id) AS BIGINT) AS k_occ
+       |  FROM embeddings e LEFT JOIN top t ON t.neighbor_id = e.vec_id
+       |  GROUP BY 1),
+       |hist AS (
+       |  SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors
+       |  FROM occ GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_slots FROM top)
+       |SELECT h.k_occ, h.n_vectors,
+       |  CAST(h.k_occ * h.n_vectors AS BIGINT) AS slots,
+       |  CAST((h.k_occ * h.n_vectors * 1000000) // t.total_slots AS BIGINT)
+       |    AS slots_ppm
+       |FROM hist h CROSS JOIN tot t ORDER BY k_occ""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val q = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding").as("emb_a")))
+    val b = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc,
+      col("neighbor_id"))
+    val top = q.join(b, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("vec_id"), col("neighbor_id"))
+    val occ = e.select(col("vec_id"))
+      .join(broadcast(top.select(col("neighbor_id").as("vec_id"),
+        lit(1L).as("one"))), Seq("vec_id"), "left")
+      .groupBy("vec_id").agg(count(col("one")).as("k_occ"))
+    val hist = occ.groupBy("k_occ").agg(count(lit(1)).as("n_vectors"))
+    val tot = top.agg(count(lit(1)).as("total_slots"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("k_occ"), col("n_vectors"),
+        (col("k_occ") * col("n_vectors")).as("slots"),
+        expr("(k_occ * n_vectors * 1000000) div total_slots").as("slots_ppm"))
+      .orderBy("k_occ")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278, q291, q294)
+      q277, q278, q291, q294, q296)
 }

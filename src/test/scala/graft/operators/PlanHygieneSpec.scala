@@ -99,9 +99,14 @@ class PlanHygieneSpec extends SparkSuite {
                           // rank frame (q270's audited shape)
     "q293_zorder_skipping", // 1-row doc-count + 3-row predicate-workload
                             // broadcasts (q285's audited shape)
-    "q294_matryoshka_recall") // bounded query-batch broadcast (q44's
+    "q294_matryoshka_recall", // bounded query-batch broadcast (q44's
                               // audited shape) + 4-row prefix table +
                               // 1-row query-count broadcast
+    "q295_ndv_join_estimate", // four 1-row stat/register-summary frames
+                              // crossed (q218/q282's audited shape)
+    "q296_hubness_audit") // bounded query-batch broadcast (q44's shape)
+                          // + batch×10 occurrence list + 1-row slot
+                          // total, all broadcast builds
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
