@@ -1246,12 +1246,33 @@ object CorpusStats {
     * generated as pure `% / CASE` arithmetic VALID IN BOTH DIALECTS, so
     * one string serves the Spark plan (via expr) and the oracle.
     */
-  private val HllM = 64
-  private def hllRankArith(h2: String): String = {
+  private[graft] val HllM = 64
+  private[graft] def hllRankArith(h2: String): String = {
     val terms = (1 to 24).map(i =>
       s"(CASE WHEN $h2 % ${1L << i} = 0 THEN 1 ELSE 0 END)")
     s"(1 + ${terms.mkString(" + ")})"
   }
+
+  /** The per-(source, register) max-rank table — q141's mergeable state
+    * as its own oracle, shared verbatim by the streaming twin q300 so
+    * the online register table is gated cell-for-cell against a DuckDB
+    * rebuild (q163's gate shape for the HLL sketch).
+    */
+  private[graft] val hllRegisterOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (
+       |  SELECT DISTINCT source, w FROM toks WHERE w <> ''),
+       |hashed AS (
+       |  SELECT source, ${polyHashDuck("w")} AS h
+       |  FROM dw),
+       |rr AS (
+       |  SELECT source, h % $HllM AS reg,
+       |    ${hllRankArith(s"(h // $HllM)")} AS rank
+       |  FROM hashed)
+       |SELECT source, CAST(reg AS BIGINT) AS reg,
+       |  CAST(max(rank) AS BIGINT) AS mx
+       |FROM rr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q141: HyperLogLog register table + estimate per source — the
     * mergeable distinct-count state. Per (source, register) the MAX rank

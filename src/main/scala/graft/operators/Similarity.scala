@@ -5405,11 +5405,111 @@ object Similarity {
       .orderBy("k_occ")
   }
 
+  // ---- nDCG@10 retrieval quality (q298) --------------------------------
+
+  /** Position-discount weights for q298, PRE-SCALED TO INTEGERS in the
+    * driver: w_r = round(10^9 / log2(r+1)) for r = 1..10, and their
+    * prefix sums for the ideal DCG. The float log2 is evaluated ONCE
+    * here and injected into BOTH dialects as BIGINT literals, so DCG
+    * sums are integer-exact in any shuffle order — q207's lcm trick
+    * generalized to irrational weights.
+    */
+  private val NdcgW: Seq[Long] = (1 to 10).map(r =>
+    math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+  private val NdcgPS: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+  private def ndcgWCase(rank: String): String =
+    s"CASE $rank ${(1 to 10).map(r => s"WHEN $r THEN ${NdcgW(r - 1)}")
+      .mkString(" ")} END"
+  private def ndcgPsCase(h: String): String =
+    s"CASE $h ${(1 to 10).map(r => s"WHEN $r THEN ${NdcgPS(r - 1)}")
+      .mkString(" ")} END"
+
+  /** q298: nDCG@10 — the graded companion to q207's MRR over the same
+    * bounded-batch exact top-10 (same-label = relevant, the fixture's
+    * proxy): per query, DCG = Σ_hits w_rank and IDCG = the prefix sum
+    * at min(10, corpus relevant count), both BIGINTs via [[NdcgW]], so
+    * the per-query ratio is the ONLY float op and it happens at query
+    * grain. The summary emits both averaging conventions — micro
+    * (Σdcg/Σidcg, integer-exact to the final division) and macro (mean
+    * of per-query ppm ratios, integer because each ratio is rounded to
+    * ppm BEFORE the sum) — because they genuinely differ when label
+    * frequencies are skewed and a retrieval report should say which it
+    * quotes. Corpus label counts are a label-grain aggregate broadcast
+    * onto the query batch; everything downstream of the one brute-force
+    * truth pass (the q44 contract) is metadata-sized.
+    */
+  private val q298 = GraftQuery(
+    "q298_retrieval_ndcg",
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE vec_id < $QueryBatch),
+       |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings
+       |  GROUP BY 1),
+       |sim AS (
+       |  SELECT a.vec_id, a.label AS ql, b.label AS nl, b.vec_id AS neighbor_id,
+       |    ${cosSql("a", "b")} AS cos
+       |  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |top AS (
+       |  SELECT vec_id, ql, nl, rank FROM (
+       |    SELECT vec_id, ql, nl,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM sim) t WHERE rank <= 10),
+       |dcg AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN nl = ql THEN ${ndcgWCase("rank")}
+       |      ELSE 0 END) AS BIGINT) AS dcg
+       |  FROM top GROUP BY 1),
+       |perq AS (
+       |  SELECT g.vec_id, g.dcg,
+       |    ${ndcgPsCase(
+             "(CASE WHEN lc.n - 1 < 10 THEN lc.n - 1 ELSE 10 END)")} AS idcg
+       |  FROM dcg g JOIN q ON q.vec_id = g.vec_id
+       |  JOIN lc ON lc.label = q.label)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(dcg) AS BIGINT) AS dcg_sum,
+       |  CAST(sum(idcg) AS BIGINT) AS idcg_sum,
+       |  CAST(sum(dcg) * 1000000 // sum(idcg) AS BIGINT) AS micro_ndcg_ppm,
+       |  CAST(sum((dcg * 1000000) // idcg) // count(*) AS BIGINT)
+       |    AS macro_ndcg_ppm
+       |FROM perq""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val q = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id"), col("embedding").as("emb_a"),
+        col("label").as("ql")))
+    val lc = e.groupBy("label").agg(count(lit(1)).as("n"))
+    val b = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"), col("label").as("nl"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc,
+      col("neighbor_id"))
+    val top = q.join(b, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("vec_id"), col("ql"), col("nl"), col("rank"))
+    val dcg = top.groupBy("vec_id")
+      .agg(sum(when(col("nl") === col("ql"), expr(ndcgWCase("rank")))
+        .otherwise(0L)).as("dcg"))
+    val perq = dcg
+      .join(q.select(col("vec_id"), col("ql").as("label")), "vec_id")
+      .join(broadcast(lc), "label")
+      .select(col("vec_id"), col("dcg"),
+        expr(ndcgPsCase(
+          "(CASE WHEN n - 1 < 10 THEN n - 1 ELSE 10 END)")).as("idcg"))
+    perq.agg(count(lit(1)).as("n_queries"), sum(col("dcg")).as("dcg_sum"),
+        sum(col("idcg")).as("idcg_sum"),
+        sum(expr("(dcg * 1000000) div idcg")).as("macro_sum"))
+      .select(col("n_queries"), col("dcg_sum"), col("idcg_sum"),
+        expr("(dcg_sum * 1000000) div idcg_sum").as("micro_ndcg_ppm"),
+        expr("macro_sum div n_queries").as("macro_ndcg_ppm"))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278, q291, q294, q296)
+      q277, q278, q291, q294, q296, q298)
 }

@@ -2435,9 +2435,107 @@ object Temporal {
       .orderBy("cohort_week", "age_week")
   }
 
+  // ---- watermark-delay late-data audit (q299) --------------------------
+
+  /** The delay grid q299 sweeps, in seconds; 600 is the modeled upload
+    * window, so its row pins dropped = 0 (the "safe" watermark).
+    */
+  private val LateDelays = Seq(0L, 60L, 120L, 300L, 600L)
+
+  /** q299: WATERMARK-DELAY sweep — the measurement that sizes
+    * `withWatermark` for every streaming twin in this repo, instead of
+    * guessing it: replay the corpus under a deterministic arrival model
+    * (per-user upload batches flushed once per 10-minute event-time
+    * window, batches interleaving by user id — the disorder shape
+    * mobile/edge ingestion actually produces), compute each event's
+    * LATENESS = max event time of all prior arrivals minus its own
+    * event time, and per candidate delay W count the events a
+    * `withWatermark(W)` stateful op would DROP (lateness > W). The
+    * output curve (36%% dropped at W=0 decaying to exactly 0 at the
+    * 600 s upload window on this fixture) is the watermark decision
+    * input: smallest W with acceptable loss.
+    *
+    * The running max rides the banded discipline with the upload
+    * window as the NATURAL band (arrival order is window-monotone by
+    * construction): within-window prior-max under
+    * `partitionBy(win)` — parallel across windows — plus a cross-window
+    * offset from the window-grain max table (metadata-sized, one
+    * global window THERE only), greatest(within, offset) == the global
+    * prior max, the q175/Banded associativity argument verbatim. The
+    * 5-row delay grid broadcasts onto the lateness frame; everything
+    * after is one aggregate. All arithmetic on integer micros.
+    */
+  private val q299 = GraftQuery(
+    "q299_watermark_audit",
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |    (epoch_us(ts) // 600000000) AS win
+       |  FROM events),
+       |arr AS (
+       |  SELECT event_id, us, win,
+       |    max(us) OVER (PARTITION BY win ORDER BY user_id, us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_in
+       |  FROM e),
+       |wmax AS (SELECT win, max(us) AS wmx FROM e GROUP BY 1),
+       |woff AS (
+       |  SELECT win, max(wmx) OVER (ORDER BY win
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+       |  FROM wmax),
+       |late AS (
+       |  SELECT a.event_id,
+       |    CASE WHEN greatest(coalesce(a.wm_in, 0), coalesce(w.off, 0)) > a.us
+       |      THEN greatest(coalesce(a.wm_in, 0), coalesce(w.off, 0)) - a.us
+       |      ELSE 0 END AS late_us
+       |  FROM arr a JOIN woff w ON w.win = a.win),
+       |ds(delay_s) AS (VALUES ${LateDelays.map(d => s"($d)").mkString(", ")})
+       |SELECT CAST(delay_s AS BIGINT) AS delay_s,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS dropped,
+       |  CAST(sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS dropped_ppm,
+       |  CAST(max(late_us) AS BIGINT) AS max_late_us
+       |FROM late CROSS JOIN ds GROUP BY 1 ORDER BY 1""".stripMargin) {
+    (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("win", expr("us div 600000000"))
+      val wIn = Window.partitionBy("win")
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // window-grain offset table: the only unpartitioned window runs
+      // on ~(span/10min) rows, never on events
+      val wOff = Window.orderBy(col("win"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val woff = e.groupBy("win").agg(max(col("us")).as("wmx"))
+        .withColumn("off", max(col("wmx")).over(wOff))
+        .select(col("win"), col("off"))
+      val late = e.withColumn("wm_in", max(col("us")).over(wIn))
+        .join(broadcast(woff), Seq("win"))
+        .select(col("event_id"),
+          when(greatest(coalesce(col("wm_in"), lit(0L)),
+            coalesce(col("off"), lit(0L))) > col("us"),
+            greatest(coalesce(col("wm_in"), lit(0L)),
+              coalesce(col("off"), lit(0L))) - col("us"))
+            .otherwise(0L).as("late_us"))
+      val ds = broadcast(s.createDataFrame(LateDelays.map(Tuple1(_)))
+        .toDF("delay_s"))
+      late.crossJoin(ds)
+        .groupBy("delay_s")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > col("delay_s") * 1000000L, 1L)
+            .otherwise(0L)).as("dropped"),
+          max(col("late_us")).as("max_late_us"))
+        .select(col("delay_s"), col("n_events"), col("dropped"),
+          expr("(dropped * 1000000) div n_events").as("dropped_ppm"),
+          col("max_late_us"))
+        .orderBy("delay_s")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262, q264, q266, q269, q270, q279, q280)
+      q262, q264, q266, q269, q270, q279, q280, q299)
 }

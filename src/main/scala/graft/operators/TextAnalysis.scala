@@ -736,7 +736,105 @@ object TextAnalysis {
       .orderBy(col("quality_micro").desc, col("doc_id"))
   }
 
+  // ---- split-conformal coverage audit (q297) ---------------------------
+
+  /** q297: SPLIT-CONFORMAL prediction audit — the distribution-free
+    * uncertainty wrapper (Vovk; Angelopoulos & Bates) run end-to-end on
+    * a corpus-derived predictor: fit token-count-from-char-count by
+    * closed-form OLS on the train split (doc_id%10 ∈ 0-5), take q̂ = the
+    * ⌈0.9·(n+1)⌉-th smallest absolute residual on the CALIBRATION split
+    * (6-7), and MEASURE the guarantee on the held-out test split (8-9):
+    * coverage of ŷ ± q̂ must land ≥ ~90% regardless of how wrong the
+    * linear model is — the property that makes conformal the production
+    * way to ship intervals around any scoring model. Everything is
+    * aggregates: the fit is five integer-exact sums, the quantile is
+    * ONE order statistic on the calibration-sized residual frame
+    * (banded-rank-free: calibration residuals rank under a single
+    * window ONLY at this bounded grain — at corpus scale the same rank
+    * rides [[graft.operators.Banded.cumSums]] like q193), and coverage
+    * is one test-split aggregate against the broadcast (slope,
+    * intercept, q̂) row. Both engines evaluate the IDENTICAL arithmetic
+    * shape `abs(y − (intercept + slope·x))` on IEEE doubles built from
+    * exact integer sums, so residual order and the coverage booleans
+    * are engine-exact.
+    */
+  private val q297 = GraftQuery(
+    "q297_conformal_coverage",
+    """WITH dt AS (
+      |  SELECT doc_id, doc_id % 10 AS b, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS y
+      |  FROM documents),
+      |fit AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_train,
+      |    CAST((count(*) * sum(x*y) - sum(x) * sum(y)) AS DOUBLE)
+      |      / CAST((count(*) * sum(x*x) - sum(x) * sum(x)) AS DOUBLE) AS slope,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      |  FROM dt WHERE b <= 5),
+      |model AS (
+      |  SELECT n_train, slope,
+      |    (sy - slope * sx) / n_train AS intercept FROM fit),
+      |calr AS (
+      |  SELECT d.doc_id, abs(d.y - (m.intercept + m.slope * d.x)) AS r
+      |  FROM dt d CROSS JOIN model m WHERE d.b IN (6, 7)),
+      |caln AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calr),
+      |qhat AS (
+      |  SELECT r AS qh FROM (
+      |    SELECT r, row_number() OVER (ORDER BY r, doc_id) AS rk FROM calr) t
+      |  CROSS JOIN caln
+      |  WHERE rk = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)),
+      |test AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN abs(d.y - (m.intercept + m.slope * d.x)) <= q.qh
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      |  FROM dt d CROSS JOIN model m CROSS JOIN qhat q WHERE d.b >= 8)
+      |SELECT m.n_train, c.n_cal, t.n_test,
+      |  round(m.slope, 6) AS slope, round(m.intercept, 6) AS intercept,
+      |  round(q.qh, 6) AS qhat, t.covered,
+      |  CAST((t.covered * 1000000) // t.n_test AS BIGINT) AS coverage_ppm
+      |FROM model m CROSS JOIN caln c CROSS JOIN qhat q CROSS JOIN test t"""
+      .stripMargin) { (s, d) =>
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(10L)).as("b"),
+        col("n_chars").cast("long").as("x"),
+        size(split(col("text"), "\\s+")).cast("long").as("y"))
+    val fit = dt.where(col("b") <= 5)
+      .agg(count(lit(1)).as("n_train"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+    val model = fit.select(col("n_train"),
+        ((col("n_train") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_train") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"), col("sx"), col("sy"))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n_train"))
+      .select("n_train", "slope", "intercept")
+    val calr = dt.where(col("b").isin(6L, 7L))
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        abs(col("y") - (col("intercept") + col("slope") * col("x"))).as("r"))
+    val caln = calr.agg(count(lit(1)).as("n_cal"))
+    // calibration-grain rank: bounded by the cal split, see scaladoc
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r"), col("doc_id"))
+    val qhat = calr.withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(caln))
+      .where(col("rk") === ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"))
+      .select(col("r").as("qh"))
+    val test = dt.where(col("b") >= 8)
+      .crossJoin(broadcast(model)).crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("y") - (col("intercept") + col("slope") * col("x")))
+          <= col("qh"), 1L).otherwise(0L)).as("covered"))
+    model.crossJoin(broadcast(caln)).crossJoin(broadcast(qhat))
+      .crossJoin(broadcast(test))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("qh"), 6).as("qhat"), col("covered"),
+        expr("(covered * 1000000) div n_test").as("coverage_ppm"))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160, q174, q175,
-      q252)
+      q252, q297)
 }

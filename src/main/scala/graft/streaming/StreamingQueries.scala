@@ -1115,8 +1115,45 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** q300: STREAMING HyperLogLog register maintenance — q141's mergeable
+    * distinct-count state kept ONLINE over the document stream, closing
+    * the sketch symmetry with q163 (count-min) and q251 (digest): the
+    * streaming state IS the register table — one max-rank cell per
+    * (source, register), bounded by sources × [[graft.operators
+    * .CorpusStats.HllM]], never by stream length or vocabulary size —
+    * because HLL registers merge by MAX, which is exactly what a
+    * Complete-mode grouped max does per micro-batch. The duplicate
+    * words a batch build DISTINCTs away need no dedup state here:
+    * max-rank is duplicate-insensitive BY CONSTRUCTION (the property
+    * that makes HLL mergeable at all), so the stream plan is entirely
+    * stateless until the one bounded aggregate. No watermark (registers
+    * only grow; nothing expires). Gated cell-for-cell against the
+    * DuckDB register rebuild via the shared
+    * [[graft.operators.CorpusStats.hllRegisterOracleSql]] — so q141's
+    * estimator, already pinned on this state shape, holds online too.
+    */
+  private val q300 = GraftQuery(
+    "q300_stream_hll_registers",
+    graft.operators.CorpusStats.hllRegisterOracleSql) { (s, d) =>
+    val Cs = graft.operators.CorpusStats
+    graft.functions.PolyHash.register(s)
+    val regs = EventStreams.readDocuments(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("source"), graft.functions.PolyHash.hash(col("w")).as("h"))
+      .select(col("source"), pmod(col("h"), lit(Cs.HllM.toLong)).as("reg"),
+        expr(Cs.hllRankArith(s"(h div ${Cs.HllM})")).as("rank"))
+      .groupBy("source", "reg").agg(max(col("rank")).as("mx"))
+    EventStreams.runToMemory(s, regs,
+        s"stream_gate_${memorySinkId.incrementAndGet()}",
+        outputMode = "complete")
+      .select(col("source"), col("reg").cast("long").as("reg"),
+        col("mx").cast("long").as("mx"))
+      .orderBy("source", "reg")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258, q263, q267, q271, q284, q290)
+      q254, q256, q258, q263, q267, q271, q284, q290, q300)
 }

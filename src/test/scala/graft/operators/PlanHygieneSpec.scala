@@ -104,9 +104,16 @@ class PlanHygieneSpec extends SparkSuite {
                               // 1-row query-count broadcast
     "q295_ndv_join_estimate", // four 1-row stat/register-summary frames
                               // crossed (q218/q282's audited shape)
-    "q296_hubness_audit") // bounded query-batch broadcast (q44's shape)
+    "q296_hubness_audit", // bounded query-batch broadcast (q44's shape)
                           // + batch×10 occurrence list + 1-row slot
                           // total, all broadcast builds
+    "q297_conformal_coverage", // 1-row model/quantile/count frames
+                               // crossed onto the split frames
+                               // (q218's audited shape)
+    "q298_retrieval_ndcg", // bounded query-batch broadcast (q44's
+                           // shape); label counts ride a BHJ
+    "q299_watermark_audit") // 5-row delay-grid broadcast crossed onto
+                            // the lateness frame (q285's shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
