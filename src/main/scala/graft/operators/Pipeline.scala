@@ -805,6 +805,20 @@ object Pipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The chunk-store manifest's (version, kind, segment-label) rows —
+    * ONE literal shared by [[versionedChunkStore]]'s writer (labels map
+    * to paths there) and q301's vacuum oracle, so the manifest the
+    * vacuum plans against can never drift from the manifest the store
+    * actually writes.
+    */
+  private[operators] val ChunkManifestSpec: Seq[(Int, String, String)] = Seq(
+    (1, "segment", "fingerprints"),
+    (2, "segment", "fingerprints"), (2, "segment", "delta1"),
+    (3, "segment", "compact1"),
+    (4, "segment", "compact1"),
+    (4, "tombstone", "tomb1"),
+    (5, "segment", "compact2"))
+
   /** The chunk-fingerprint store as a VERSIONED artifact — q118's
     * manifest mechanism applied to the dedup tier, closing the ingest
     * loop q129 leaves open: after a delivery is classified, its `new`
@@ -873,14 +887,9 @@ object Pipeline {
         .repartitionByRange(4, col("chunk_fp"))
         .sortWithinPartitions("chunk_fp")
         .write.mode("overwrite").parquet(s"$base/segments/compact2")
-      val mf = s.createDataFrame(Seq(
-        (1, "segment", baseSeg),
-        (2, "segment", baseSeg), (2, "segment", "segments/delta1"),
-        (3, "segment", "segments/compact1"),
-        (4, "segment", "segments/compact1"),
-        (4, "tombstone", "segments/tomb1"),
-        (5, "segment", "segments/compact2")))
-        .toDF("version", "kind", "path")
+      val mf = s.createDataFrame(ChunkManifestSpec.map { case (v, k, lbl) =>
+        (v, k, if (lbl == "fingerprints") baseSeg else s"segments/$lbl")
+      }).toDF("version", "kind", "path")
       mf.coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
       (base.toString, () => {
         org.apache.commons.io.FileUtils.deleteDirectory(base.toFile); ()
@@ -1008,20 +1017,27 @@ object Pipeline {
     * indistinguishable, so they gate on ONE text — a shared val, not
     * two copies that could silently drift (ADVICE r12).
     */
+  /** The base/delta/tomb fingerprint-set CTEs (the chunk store's three
+    * physical populations), factored for [[eraseOracleSql]] and q301's
+    * vacuum oracle — one text, no drift.
+    */
+  private val storeSetCtes: String =
+    """base AS (
+      |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
+      |delta AS (
+      |  SELECT DISTINCT chunk_fp FROM allchunks
+      |  WHERE doc_id % 4 = 0
+      |    AND chunk_fp NOT IN (SELECT chunk_fp FROM base)),
+      |tomb AS (
+      |  SELECT chunk_fp FROM (
+      |    SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 20 = 3
+      |    EXCEPT
+      |    SELECT DISTINCT chunk_fp FROM allchunks
+      |    WHERE doc_id % 4 <> 0 AND doc_id % 20 <> 3))""".stripMargin
+
   private[operators] val eraseOracleSql: String =
     s"""WITH $cdcOracleCtes,
-       |base AS (
-       |  SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 4 <> 0),
-       |delta AS (
-       |  SELECT DISTINCT chunk_fp FROM allchunks
-       |  WHERE doc_id % 4 = 0
-       |    AND chunk_fp NOT IN (SELECT chunk_fp FROM base)),
-       |tomb AS (
-       |  SELECT chunk_fp FROM (
-       |    SELECT DISTINCT chunk_fp FROM allchunks WHERE doc_id % 20 = 3
-       |    EXCEPT
-       |    SELECT DISTINCT chunk_fp FROM allchunks
-       |    WHERE doc_id % 4 <> 0 AND doc_id % 20 <> 3)),
+       |$storeSetCtes,
        |store AS (
        |  SELECT chunk_fp FROM (
        |    SELECT chunk_fp FROM base UNION SELECT chunk_fp FROM delta)
@@ -1058,6 +1074,79 @@ object Pipeline {
     "q243_chunkstore_erase_compacted", eraseOracleSql) { (s, d) =>
     classifyDelivery(s, d,
       chunkStoreResolve(s, versionedChunkStore(s, d), version = 5))
+  }
+
+  /** q301's retention floor: versions < 4 are expired, so a file
+    * referenced by NO version ≥ 4 is safe to physically delete.
+    */
+  private val VacuumRetainFloor = 4
+
+  /** q301: VACUUM planning — the garbage-collection verb the versioned
+    * chunk store's lifecycle (build q129 → commit q142 → compact q161 →
+    * erase q242/q243) has been accreting files FOR: with versions below
+    * [[VacuumRetainFloor]] expired, a physical file is deletable iff
+    * its manifest reference count at retained versions is ZERO — here
+    * the base segment (last referenced by v2) and delta1 (v2) go,
+    * while compact1 survives through v4 and tomb1/compact2 stay live.
+    * The plan is computed the way a lakehouse VACUUM must be: from the
+    * MANIFEST (reference grain — never a directory listing race), with
+    * per-file reclaim sizes measured by reading the actual segment
+    * files on disk; the oracle independently re-derives every
+    * segment's row count from the document corpus (compact1 = base ∪
+    * disjoint delta; compact2 = compact1 minus the tombstoned set,
+    * tomb ⊆ base) and the manifest from the shared
+    * [[ChunkManifestSpec]] literal, so the sizes the plan reports are
+    * gated against first principles, not against the writer. Manifest
+    * and path set are metadata-sized (the q142 resolve contract); the
+    * segment row counts are one column-pruned count per file.
+    */
+  private val q301 = GraftQuery(
+    "q301_vacuum_plan",
+    s"""WITH $cdcOracleCtes,
+       |$storeSetCtes,
+       |ns AS (
+       |  SELECT (SELECT count(*) FROM base) AS nb,
+       |    (SELECT count(*) FROM delta) AS nd,
+       |    (SELECT count(*) FROM tomb) AS nt),
+       |segs AS (
+       |  SELECT 'fingerprints' AS segment, 'segment' AS kind, nb AS n FROM ns
+       |  UNION ALL SELECT 'delta1', 'segment', nd FROM ns
+       |  UNION ALL SELECT 'compact1', 'segment', nb + nd FROM ns
+       |  UNION ALL SELECT 'tomb1', 'tombstone', nt FROM ns
+       |  UNION ALL SELECT 'compact2', 'segment', nb + nd - nt FROM ns),
+       |mfl(version, kind, segment) AS (VALUES ${ChunkManifestSpec
+          .map { case (v, k, l) => s"($v, '$k', '$l')" }.mkString(", ")}),
+       |refs AS (
+       |  SELECT segment, kind, CAST(min(version) AS BIGINT) AS first_version,
+       |    CAST(max(version) AS BIGINT) AS last_version
+       |  FROM mfl GROUP BY 1, 2)
+       |SELECT r.segment, r.kind, r.first_version, r.last_version,
+       |  CAST(CASE WHEN r.last_version < $VacuumRetainFloor THEN 1 ELSE 0 END
+       |    AS BIGINT) AS deletable,
+       |  CAST(s.n AS BIGINT) AS n_rows
+       |FROM refs r JOIN segs s ON s.segment = r.segment AND s.kind = r.kind
+       |ORDER BY r.segment""".stripMargin) { (s, d) =>
+    val base = versionedChunkStore(s, d)
+    val mf = s.read.parquet(s"$base/manifest")
+    // bounded driver read: distinct manifest paths (≤ spec size), the
+    // same contract as chunkStoreResolve; one pruned count per file
+    val paths = mf.select("path").distinct().collect().map(_.getString(0))
+    val counts = paths.toSeq.map { p =>
+      val abs = if (p.startsWith("/")) p else s"$base/$p"
+      (p, s.read.parquet(abs).count())
+    }
+    mf.groupBy("path", "kind")
+      .agg(min(col("version")).as("first_version"),
+        max(col("version")).as("last_version"))
+      .join(broadcast(s.createDataFrame(counts).toDF("path", "n_rows")),
+        Seq("path"))
+      .select(element_at(split(col("path"), "/"), -1).as("segment"),
+        col("kind"), col("first_version").cast("long").as("first_version"),
+        col("last_version").cast("long").as("last_version"),
+        when(col("last_version") < VacuumRetainFloor, 1L).otherwise(0L)
+          .as("deletable"),
+        col("n_rows"))
+      .orderBy("segment")
   }
 
   /** q248: order-invariant corpus content digest — the anti-entropy /
@@ -2459,5 +2548,5 @@ object Pipeline {
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248, q253, q261, q268, q273, q281, q283, q285, q288, q293)
+      q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301)
 }

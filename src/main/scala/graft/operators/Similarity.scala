@@ -5505,11 +5505,173 @@ object Similarity {
         expr("macro_sum div n_queries").as("macro_ndcg_ppm"))
   }
 
+  // ---- whitening-vs-raw retrieval audit (q302) -------------------------
+
+  /** q302: embedding WHITENING audit — does per-dimension
+    * standardization (x−μ)/σ change what retrieval returns, and does it
+    * help? The preprocessing decision behind "whiten before indexing"
+    * (Su et al.'s BERT-whitening line of work, diagonal case), answered
+    * by measurement on this corpus: top-10 by whitened cosine vs top-10
+    * by raw cosine over the bounded query batch, scored by (a) overlap
+    * between the two answer sets and (b) same-label precision@10 of
+    * each — so the output says both HOW MUCH the ranking moved and
+    * WHETHER it moved toward relevance.
+    *
+    * The float trap: per-dimension corpus means/variances are
+    * cross-row float sums, which no two shuffle orders reduce
+    * identically. Dodged by the repo's integer-state discipline: each
+    * value is scaled to the exact integer round(x·2^20), the per-dim
+    * sums and sums-of-squares are BIGINTs (order-free), and μ/σ come
+    * out of those exact integers through one deterministic double
+    * division each — the scale cancels in (xs−μ_s)/σ_s, so whitening
+    * runs entirely in scaled space. Stats are a 64-row aggregate
+    * collapsed to ONE broadcast row of (μ, σ) arrays; whitening is
+    * map-side; the ranking pass is the one q44-contract brute-force.
+    */
+  private val q302 = GraftQuery(
+    "q302_whitening_audit",
+    s"""WITH ds AS (
+       |  SELECT i,
+       |    sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576)
+       |      AS BIGINT)) AS s1,
+       |    sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576)
+       |      AS BIGINT) * CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576)
+       |      AS BIGINT)) AS s2,
+       |    count(*) AS n
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+       |dm AS (
+       |  SELECT i, CAST(s1 AS DOUBLE) / n AS mu,
+       |    sqrt(CAST(s2 AS DOUBLE) / n
+       |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+       |  FROM ds),
+       |st AS (SELECT list(mu ORDER BY i) AS mu, list(sd ORDER BY i) AS sd
+       |  FROM dm),
+       |wv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, 65), i ->
+       |      (round(CAST(embedding[i] AS DOUBLE) * 1048576) - st.mu[i])
+       |        / st.sd[i]) AS w
+       |  FROM embeddings CROSS JOIN st),
+       |q AS (SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE vec_id < $QueryBatch),
+       |qw AS (SELECT vec_id, label, w FROM wv WHERE vec_id < $QueryBatch),
+       |rawtop AS (
+       |  SELECT vec_id, neighbor_id, nl FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS nl,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosSql("a", "b")} DESC, b.vec_id) AS rk
+       |    FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+       |  WHERE rk <= 10),
+       |whitetop AS (
+       |  SELECT vec_id, neighbor_id, nl FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS nl,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosSql("a", "b", "w")} DESC, b.vec_id) AS rk
+       |    FROM qw a JOIN wv b ON a.vec_id <> b.vec_id) t
+       |  WHERE rk <= 10),
+       |ql AS (SELECT vec_id, label FROM q),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+       |ov AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS overlap
+       |  FROM rawtop r JOIN whitetop w
+       |    ON r.vec_id = w.vec_id AND r.neighbor_id = w.neighbor_id),
+       |rh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS raw_hits
+       |  FROM rawtop t JOIN ql ON ql.vec_id = t.vec_id
+       |  WHERE t.nl = ql.label),
+       |wh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS white_hits
+       |  FROM whitetop t JOIN ql ON ql.vec_id = t.vec_id
+       |  WHERE t.nl = ql.label)
+       |SELECT m.n_queries, ov.overlap,
+       |  CAST(ov.overlap * 1000000 // (m.n_queries * 10) AS BIGINT)
+       |    AS overlap_ppm,
+       |  rh.raw_hits,
+       |  CAST(rh.raw_hits * 1000000 // (m.n_queries * 10) AS BIGINT)
+       |    AS raw_prec_ppm,
+       |  wh.white_hits,
+       |  CAST(wh.white_hits * 1000000 // (m.n_queries * 10) AS BIGINT)
+       |    AS white_prec_ppm
+       |FROM m CROSS JOIN ov CROSS JOIN rh CROSS JOIN wh""".stripMargin) {
+    (s, d) =>
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+      val dm = e.select(posexplode(col("embedding")).as(Seq("p", "x")))
+        .select((col("p") + 1).as("i"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)").as("xs"))
+        .groupBy("i").agg(sum(col("xs")).as("s1"),
+          sum(col("xs") * col("xs")).as("s2"), count(lit(1)).as("n"))
+        .select(col("i"), (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt(col("s2").cast("double") / col("n")
+            - (col("s1").cast("double") / col("n"))
+              * (col("s1").cast("double") / col("n"))).as("sd"))
+      val st = broadcast(dm.agg(
+        expr("transform(sort_array(collect_list(struct(i, mu))), s -> s.mu)")
+          .as("mu"),
+        expr("transform(sort_array(collect_list(struct(i, sd))), s -> s.sd)")
+          .as("sd")))
+      val wv = e.crossJoin(st)
+        .select(col("vec_id"), col("label"),
+          expr("""transform(sequence(1, 64), i ->
+            |  (round(CAST(element_at(embedding, i) AS DOUBLE) * 1048576)
+            |    - element_at(mu, i)) / element_at(sd, i))""".stripMargin)
+            .as("w"))
+      val wCos = expr(
+        """aggregate(sequence(1, 64), 0D, (acc, i) ->
+          |  acc + element_at(wa, i) * element_at(wb, i))
+          |/ (sqrt(aggregate(sequence(1, 64), 0D, (acc, i) ->
+          |    acc + element_at(wa, i) * element_at(wa, i)))
+          | * sqrt(aggregate(sequence(1, 64), 0D, (acc, i) ->
+          |    acc + element_at(wb, i) * element_at(wb, i))))""".stripMargin)
+      val wr = Window.partitionBy("vec_id").orderBy(col("cos").desc,
+        col("neighbor_id"))
+      val qRaw = broadcast(e.where(col("vec_id") < QueryBatch)
+        .select(col("vec_id"), col("embedding").as("emb_a"),
+          col("label").as("ql")))
+      val rawtop = qRaw
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("emb_b"), col("label").as("nl")),
+          col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+        .withColumn("rk", row_number().over(wr)).where(col("rk") <= 10)
+        .select(col("vec_id"), col("neighbor_id"), col("nl"))
+      val qW = broadcast(wv.where(col("vec_id") < QueryBatch)
+        .select(col("vec_id"), col("w").as("wa")))
+      val whitetop = qW
+        .join(wv.select(col("vec_id").as("neighbor_id"),
+          col("w").as("wb"), col("label").as("nl")),
+          col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", wCos)
+        .withColumn("rk", row_number().over(wr)).where(col("rk") <= 10)
+        .select(col("vec_id"), col("neighbor_id"), col("nl"))
+      val ql = e.where(col("vec_id") < QueryBatch)
+        .select(col("vec_id"), col("label"))
+      val m = ql.agg(count(lit(1)).as("n_queries"))
+      val ov = rawtop.join(whitetop.select("vec_id", "neighbor_id"),
+          Seq("vec_id", "neighbor_id"))
+        .agg(count(lit(1)).as("overlap"))
+      val rh = rawtop.join(ql, "vec_id").where(col("nl") === col("label"))
+        .agg(count(lit(1)).as("raw_hits"))
+      val wh = whitetop.join(ql, "vec_id").where(col("nl") === col("label"))
+        .agg(count(lit(1)).as("white_hits"))
+      m.crossJoin(broadcast(ov)).crossJoin(broadcast(rh))
+        .crossJoin(broadcast(wh))
+        .select(col("n_queries"), col("overlap"),
+          expr("(overlap * 1000000) div (n_queries * 10)").as("overlap_ppm"),
+          col("raw_hits"),
+          expr("(raw_hits * 1000000) div (n_queries * 10)").as("raw_prec_ppm"),
+          col("white_hits"),
+          expr("(white_hits * 1000000) div (n_queries * 10)")
+            .as("white_prec_ppm"))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278, q291, q294, q296, q298)
+      q277, q278, q291, q294, q296, q298, q302)
 }

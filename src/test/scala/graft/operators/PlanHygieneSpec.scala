@@ -112,8 +112,12 @@ class PlanHygieneSpec extends SparkSuite {
                                // (q218's audited shape)
     "q298_retrieval_ndcg", // bounded query-batch broadcast (q44's
                            // shape); label counts ride a BHJ
-    "q299_watermark_audit") // 5-row delay-grid broadcast crossed onto
+    "q299_watermark_audit", // 5-row delay-grid broadcast crossed onto
                             // the lateness frame (q285's shape)
+    "q301_vacuum_plan", // ≤5-row manifest/count frames, all broadcast
+    "q302_whitening_audit") // 1-row (μ,σ)-array stat broadcast onto the
+                            // corpus + bounded query-batch broadcasts
+                            // (q44's shape, twice) + 1-row score frames
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
