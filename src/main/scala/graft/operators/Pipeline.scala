@@ -2201,6 +2201,73 @@ object Pipeline {
   private val ZonePreds = Seq((0L, 50L, 99L), (1L, 100L, 199L),
     (2L, 250L, 260L), (3L, 400L, 10000L))
 
+
+  /** floor(log2(x)) for x ≥ 1 as pure CASE arithmetic valid in both
+    * dialects (no libm, engine-exact) — the hllRankArith trick pointed
+    * at size tiers. `bits` must cover the largest value (2^bits).
+    */
+  private def log2Tier(x: String, bits: Int): String =
+    s"(${(1 to bits).map(k => s"(CASE WHEN $x >= ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")})"
+
+  /** q303's merge trigger: a (source, tier) with at least this many
+    * runs is merged this round (Cassandra STCS's min_threshold).
+    */
+  private val TierMinRuns = 4
+
+  /** q303: SIZE-TIERED merge policy — the OTHER table-maintenance verb
+    * beside q281's next-fit defrag: the LSM/STCS discipline
+    * (Cassandra size-tiered, RocksDB universal) that merges only
+    * similarly-sized runs, so total write amplification stays
+    * O(log(total/run)) instead of the rewrite-everything-per-round a
+    * naive compactor pays. Over the same ingest-file manifest as
+    * q281: tier = floor(log2(bytes)) via [[log2Tier]] (CASE
+    * arithmetic, engine-exact — no libm), a (source, tier) holding ≥
+    * [[TierMinRuns]] runs merges ALL of them into one output run whose
+    * tier is floor(log2(Σ bytes)) — the output pins the PROMOTION
+    * (out_tier > tier whenever a merge fires, which is what
+    * guarantees termination) and the round's rewrite bytes, i.e. the
+    * write-amplification denominator a policy comparison reads.
+    *
+    * Scale shape: one partial agg from file grain to (source, tier) —
+    * everything after is tier-grain metadata (≤ sources × ~log(max
+    * bytes) rows). No windows at all: unlike next-fit, STCS needs no
+    * ordering, which is exactly why LSM stores use it at ingest rates
+    * where maintaining global order is unaffordable.
+    */
+  private val q303 = GraftQuery(
+    "q303_size_tiered_merge",
+    s"""WITH f AS ($ingestFilesSql),
+       |t AS (
+       |  SELECT source, ${log2Tier("bytes", 20)} AS tier, bytes FROM f),
+       |g AS (
+       |  SELECT source, tier, CAST(count(*) AS BIGINT) AS n_runs,
+       |    CAST(sum(bytes) AS BIGINT) AS tier_bytes
+       |  FROM t GROUP BY 1, 2)
+       |SELECT source, CAST(tier AS BIGINT) AS tier, n_runs, tier_bytes,
+       |  CAST(CASE WHEN n_runs >= $TierMinRuns THEN 1 ELSE 0 END AS BIGINT)
+       |    AS merges,
+       |  CAST(CASE WHEN n_runs >= $TierMinRuns
+       |    THEN ${log2Tier("tier_bytes", 40)} ELSE tier END AS BIGINT)
+       |    AS out_tier,
+       |  CAST(CASE WHEN n_runs >= $TierMinRuns THEN tier_bytes ELSE 0 END
+       |    AS BIGINT) AS rewrite_bytes
+       |FROM g ORDER BY source, tier""".stripMargin) { (s, d) =>
+    val g = ingestFiles(s, d)
+      .withColumn("tier", expr(log2Tier("bytes", 20)))
+      .groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_runs"), sum(col("bytes")).as("tier_bytes"))
+    g.select(col("source"), col("tier").cast("long").as("tier"),
+        col("n_runs"), col("tier_bytes"),
+        when(col("n_runs") >= TierMinRuns, 1L).otherwise(0L).as("merges"),
+        when(col("n_runs") >= TierMinRuns,
+          expr(log2Tier("tier_bytes", 40)).cast("long"))
+          .otherwise(col("tier").cast("long")).as("out_tier"),
+        when(col("n_runs") >= TierMinRuns, col("tier_bytes")).otherwise(0L)
+          .as("rewrite_bytes"))
+      .orderBy("source", "tier")
+  }
+
   /** q285: zone-map data-skipping audit — the min/max-statistics pruning
     * measurement behind every clustering/z-order/sort-order decision: the
     * same corpus grouped into ZoneGroup-file groups under TWO layouts
@@ -2548,5 +2615,6 @@ object Pipeline {
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
-      q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301)
+      q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
+      q303)
 }

@@ -1933,9 +1933,13 @@ object Relational {
     * value grain too — a 100 TB orders table contributes NDV-sized work
     * after the first aggregate.
     */
-  private val q240 = GraftQuery(
-    "q240_equidepth_bins",
-    """WITH v AS (
+  /** q240's equi-depth decile histogram — the oracle CTE chain and the
+    * Spark frame factored so the selectivity audit q305 estimates from
+    * the SAME histogram q240 pins (one definition, no drift). The
+    * chain's final CTE is `bins(bin, n_rows, min_pc, max_pc)`.
+    */
+  private val equidepthBinsCtes: String =
+    """v AS (
       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc
       |  FROM orders),
       |rk AS (SELECT pc, row_number() OVER (ORDER BY pc) AS r,
@@ -1945,10 +1949,13 @@ object Relational {
       |g AS (SELECT pc, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
       |bn AS (SELECT g.pc, g.c,
       |    1 + count(ed.v) FILTER (WHERE ed.v < g.pc) AS bin
-      |  FROM g LEFT JOIN ed ON ed.v < g.pc GROUP BY 1, 2)
-      |SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(c) AS BIGINT) AS n_rows,
-      |  min(pc) AS min_pc, max(pc) AS max_pc
-      |FROM bn GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      |  FROM g LEFT JOIN ed ON ed.v < g.pc GROUP BY 1, 2),
+      |bins AS (
+      |  SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(c) AS BIGINT) AS n_rows,
+      |    min(pc) AS min_pc, max(pc) AS max_pc
+      |  FROM bn GROUP BY 1)""".stripMargin
+
+  private def equidepthBins(s: SparkSession, d: String): DataFrame = {
     val g = Tables.orders(s, d)
       .select(round(col("o_totalprice") * 100).cast("long").as("pc"))
       .groupBy("pc").agg(count(lit(1)).as("c"))
@@ -1969,7 +1976,208 @@ object Relational {
       .groupBy("bin")
       .agg(sum(col("c")).cast("long").as("n_rows"),
         min(col("pc")).as("min_pc"), max(col("pc")).as("max_pc"))
-      .orderBy("bin")
+  }
+
+  private val q240 = GraftQuery(
+    "q240_equidepth_bins",
+    s"""WITH $equidepthBinsCtes
+      |SELECT bin, n_rows, min_pc, max_pc
+      |FROM bins ORDER BY bin""".stripMargin) { (s, d) =>
+    equidepthBins(s, d).orderBy("bin")
+  }
+
+  /** The `o_totalprice < x` thresholds (cents) q305 estimates — ~10%,
+    * ~20%, ~40%, ~80% of the near-uniform price domain.
+    */
+  private val SelPreds = Seq(5000000L, 10000000L, 20000000L, 40000000L)
+
+  /** q305: histogram SELECTIVITY audit — the predicate-cardinality
+    * estimate every cost-based scan/join decision starts from, read
+    * off q240's equi-depth decile histogram (the SHARED
+    * [[equidepthBinsCtes]]/[[equidepthBins]] definition, so the
+    * statistic audited is exactly the statistic pinned): for each
+    * `o_totalprice < x` probe, est = Σ n over bins entirely below x
+    * plus uniform within-bin interpolation `n·(x−min)/(max−min)` in
+    * the straddling bin — INTEGER division, no floats anywhere — vs
+    * the measured count, signed ppm error. Equi-depth is what makes
+    * the estimate's error bounded by one bin (~10%) regardless of the
+    * value distribution — the reason optimizers store equi-depth, not
+    * equi-width, and the property the output demonstrates. The
+    * histogram is a 10-row broadcast; the actual side is one
+    * predicate-workload aggregate over value grain.
+    */
+  private val q305 = GraftQuery(
+    "q305_selectivity_audit",
+    s"""WITH $equidepthBinsCtes,
+       |ps(x) AS (VALUES ${SelPreds.map(x => s"($x)").mkString(", ")}),
+       |sel AS (
+       |  SELECT p.x,
+       |    CAST(coalesce(sum(CASE WHEN b.max_pc < p.x THEN b.n_rows END), 0)
+       |      AS BIGINT) AS full_rows,
+       |    max(CASE WHEN b.min_pc <= p.x AND b.max_pc >= p.x
+       |      THEN b.n_rows END) AS sn,
+       |    max(CASE WHEN b.min_pc <= p.x AND b.max_pc >= p.x
+       |      THEN b.min_pc END) AS smn,
+       |    max(CASE WHEN b.min_pc <= p.x AND b.max_pc >= p.x
+       |      THEN b.max_pc END) AS smx
+       |  FROM ps p CROSS JOIN bins b GROUP BY 1),
+       |est AS (
+       |  SELECT x, CAST(full_rows + coalesce(
+       |    CASE WHEN smx > smn THEN (sn * (x - smn)) // (smx - smn)
+       |      ELSE 0 END, 0) AS BIGINT) AS est_rows
+       |  FROM sel),
+       |act AS (
+       |  SELECT p.x, CAST(sum(CASE WHEN v.pc < p.x THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS actual_rows
+       |  FROM v CROSS JOIN ps p GROUP BY 1)
+       |SELECT CAST(e.x AS BIGINT) AS x, e.est_rows, a.actual_rows,
+       |  CAST(CASE WHEN e.est_rows >= a.actual_rows
+       |    THEN ((e.est_rows - a.actual_rows) * 1000000) // a.actual_rows
+       |    ELSE -(((a.actual_rows - e.est_rows) * 1000000) // a.actual_rows)
+       |  END AS BIGINT) AS err_ppm
+       |FROM est e JOIN act a ON a.x = e.x ORDER BY x""".stripMargin) {
+    (s, d) =>
+      val bins = equidepthBins(s, d)
+      val ps = broadcast(s.createDataFrame(SelPreds.map(Tuple1(_)))
+        .toDF("x"))
+      val sel = ps.crossJoin(broadcast(bins))
+        .groupBy("x")
+        .agg(coalesce(sum(when(col("max_pc") < col("x"), col("n_rows"))),
+            lit(0L)).as("full_rows"),
+          max(when(col("min_pc") <= col("x") && col("max_pc") >= col("x"),
+            col("n_rows"))).as("sn"),
+          max(when(col("min_pc") <= col("x") && col("max_pc") >= col("x"),
+            col("min_pc"))).as("smn"),
+          max(when(col("min_pc") <= col("x") && col("max_pc") >= col("x"),
+            col("max_pc"))).as("smx"))
+      val est = sel.select(col("x"),
+        (col("full_rows") + coalesce(
+          when(col("smx") > col("smn"),
+            expr("(sn * (x - smn)) div (smx - smn)")).otherwise(0L),
+          lit(0L))).as("est_rows"))
+      val act = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("pc"))
+        .crossJoin(ps)
+        .groupBy("x")
+        .agg(sum(when(col("pc") < col("x"), 1L).otherwise(0L))
+          .as("actual_rows"))
+      est.join(act, "x")
+        .select(col("x"), col("est_rows"), col("actual_rows"),
+          when(col("est_rows") >= col("actual_rows"),
+            expr("((est_rows - actual_rows) * 1000000) div actual_rows"))
+            .otherwise(
+              -expr("((actual_rows - est_rows) * 1000000) div actual_rows"))
+            .as("err_ppm"))
+        .orderBy("x")
+  }
+
+  /** q304: JOIN-ORDER estimation audit — does the System-R formula pick
+    * the right greedy starting join? For each edge of the TPC-H join
+    * graph (nation⋈customer, customer⋈orders, orders⋈lineitem), the
+    * CBO's estimate |L|·|R| / max(V(L,k), V(R,k)) from EXACT per-column
+    * NDVs (q295 audits the sketched-NDV variant of the same formula;
+    * this one isolates the FORMULA's error from the sketch's) beside
+    * the measured join cardinality, plus each side's rank under
+    * estimated vs actual size — rank agreement is the property a
+    * greedy smallest-first join enumerator actually needs from its
+    * statistics (the absolute ppm error can be large while the ORDER,
+    * the thing the optimizer consumes, is still right). All integers:
+    * counts, exact NDVs, integer-division estimates, CASE-split signed
+    * ppm; the ranking window runs on the 3-row edge table.
+    *
+    * Scale shape: the estimate side is table-stats-only (one count +
+    * one distinct per column — the stats a catalog maintains
+    * incrementally); the actual side is the audit and rides the plain
+    * equi-joins. At 100 TB you run the estimate side always and the
+    * audit on samples.
+    */
+  private val q304 = GraftQuery(
+    "q304_join_order_audit",
+    s"""WITH e1 AS (
+       |  SELECT 'nation_customer' AS edge,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_left,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_right,
+       |    (SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT) FROM nation)
+       |      AS ndv_left,
+       |    (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer)
+       |      AS ndv_right,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nation n
+       |      JOIN customer c ON c.c_nationkey = n.n_nationkey) AS actual_rows),
+       |e2 AS (
+       |  SELECT 'customer_orders' AS edge,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_left,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_right,
+       |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+       |      AS ndv_left,
+       |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+       |      AS ndv_right,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+       |      JOIN orders o ON o.o_custkey = c.c_custkey) AS actual_rows),
+       |e3 AS (
+       |  SELECT 'orders_lineitem' AS edge,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+       |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+       |      AS ndv_left,
+       |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+       |      AS ndv_right,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       |      JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS actual_rows),
+       |edges AS (
+       |  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL
+       |  SELECT * FROM e3),
+       |est AS (
+       |  SELECT *, CAST((n_left * n_right) //
+       |    (CASE WHEN ndv_left >= ndv_right THEN ndv_left ELSE ndv_right END)
+       |    AS BIGINT) AS est_rows
+       |  FROM edges)
+       |SELECT edge, n_left, n_right, ndv_left, ndv_right, est_rows,
+       |  actual_rows,
+       |  CAST(CASE WHEN est_rows >= actual_rows
+       |    THEN ((est_rows - actual_rows) * 1000000) // actual_rows
+       |    ELSE -(((actual_rows - est_rows) * 1000000) // actual_rows)
+       |  END AS BIGINT) AS err_ppm,
+       |  CAST(row_number() OVER (ORDER BY est_rows, edge) AS BIGINT)
+       |    AS est_rank,
+       |  CAST(row_number() OVER (ORDER BY actual_rows, edge) AS BIGINT)
+       |    AS actual_rank
+       |FROM est ORDER BY edge""".stripMargin) { (s, d) =>
+    def stats(df: org.apache.spark.sql.DataFrame, key: String,
+        nName: String, vName: String) =
+      df.agg(count(lit(1)).as(nName), count_distinct(col(key)).as(vName))
+    def edgeRow(name: String, l: org.apache.spark.sql.DataFrame, lk: String,
+        r: org.apache.spark.sql.DataFrame, rk: String) = {
+      val actual = l.join(r, col(lk) === col(rk))
+        .agg(count(lit(1)).as("actual_rows"))
+      stats(l, lk, "n_left", "ndv_left")
+        .crossJoin(broadcast(stats(r, rk, "n_right", "ndv_right")))
+        .crossJoin(broadcast(actual))
+        .select(lit(name).as("edge"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"), col("actual_rows"))
+    }
+    val edges = edgeRow("nation_customer", Tables.nation(s, d), "n_nationkey",
+        Tables.customer(s, d), "c_nationkey")
+      .unionByName(edgeRow("customer_orders", Tables.customer(s, d),
+        "c_custkey", Tables.orders(s, d), "o_custkey"))
+      .unionByName(edgeRow("orders_lineitem", Tables.orders(s, d),
+        "o_orderkey", Tables.lineitem(s, d), "l_orderkey"))
+    val est = edges.withColumn("est_rows",
+      expr("(n_left * n_right) div greatest(ndv_left, ndv_right)"))
+    // 3-row edge table: the ranking windows are metadata-sized
+    val wE = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est_rows"), col("edge"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(col("actual_rows"), col("edge"))
+    est.withColumn("err_ppm",
+        when(col("est_rows") >= col("actual_rows"),
+          expr("((est_rows - actual_rows) * 1000000) div actual_rows"))
+          .otherwise(
+            -expr("((actual_rows - est_rows) * 1000000) div actual_rows")))
+      .withColumn("est_rank", row_number().over(wE).cast("long"))
+      .withColumn("actual_rank", row_number().over(wA).cast("long"))
+      .select("edge", "n_left", "n_right", "ndv_left", "ndv_right",
+        "est_rows", "actual_rows", "err_ppm", "est_rank", "actual_rank")
+      .orderBy("edge")
   }
 
   /** q265: t-closeness audit — the third verb of the k-anonymity trio
@@ -2076,5 +2284,5 @@ object Relational {
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
       q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240,
-      q265)
+      q265, q304, q305)
 }

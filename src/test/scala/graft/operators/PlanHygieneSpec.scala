@@ -115,9 +115,13 @@ class PlanHygieneSpec extends SparkSuite {
     "q299_watermark_audit", // 5-row delay-grid broadcast crossed onto
                             // the lateness frame (q285's shape)
     "q301_vacuum_plan", // ≤5-row manifest/count frames, all broadcast
-    "q302_whitening_audit") // 1-row (μ,σ)-array stat broadcast onto the
+    "q302_whitening_audit", // 1-row (μ,σ)-array stat broadcast onto the
                             // corpus + bounded query-batch broadcasts
                             // (q44's shape, twice) + 1-row score frames
+    "q304_join_order_audit", // three 1-row stat/actual frames crossed
+                             // per edge (q218's audited shape)
+    "q305_selectivity_audit") // 4-row predicate grid × 10-row histogram
+                              // broadcasts (q285's audited shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
