@@ -2268,6 +2268,123 @@ object Pipeline {
       .orderBy("source", "tier")
   }
 
+  // ---- per-zone bloom skipping for point predicates (q307) -------------
+
+  /** q307's geometry: events grouped per 50-row zone (small enough that
+    * a user's ~0.7%% event share leaves most zones untouched — the
+    * regime where point-key skipping exists to be won), one 1024-bit
+    * bloom per zone over `user_id` with k=2 hashes from the shared
+    * [[graft.operators.CorpusStats.CmRows]] affine family, probed by a
+    * fixed 4-user workload.
+    */
+  private val ZoneBloomRows = 50L
+  private val ZoneBloomBits = 1024L
+  private val ZoneBloomK = 2
+  private val ZoneBloomProbes = Seq(1L, 7L, 42L, 99L)
+
+  /** q307: per-zone BLOOM skipping — the data-skipping statistic q285's
+    * zone maps structurally CANNOT provide: a point predicate
+    * (`user_id = u`) on a high-cardinality key that is UNCLUSTERED in
+    * the layout sees every zone's [min,max] straddle the probe value,
+    * so footer min/max stats prune nothing (the output's zones_minmax
+    * column measures exactly that); a small per-zone bloom over the
+    * same key prunes almost everything, at the cost of the measured
+    * false-positive zones the output pins beside the exact zone count
+    * (fp_zones ≥ 0 — one-sided, like every bloom). This is the
+    * Parquet/Delta column-bloom decision made from measurement: which
+    * keys earn a bloom = where minmax_skip ≈ 0 while bloom_skip ≈ 1.
+    *
+    * Scale shape: zone stats and set-bits are one partial aggregate
+    * each (set-bit table ≤ zones × k × probe-distinct cells, DISTINCT
+    * at zone grain); probes are a 4-row grid; every join after the
+    * first aggregate is metadata-sized. The same [[CorpusStats
+    * .cmRowsValues]] seeds serve both dialects.
+    */
+  private val q307 = GraftQuery(
+    "q307_zone_bloom_skipping",
+    s"""WITH e AS (
+       |  SELECT (event_id // $ZoneBloomRows) AS zone, user_id FROM events),
+       |zs AS (SELECT zone, min(user_id) AS mn, max(user_id) AS mx
+       |  FROM e GROUP BY 1),
+       |nz AS (SELECT CAST(count(*) AS BIGINT) AS zones_total FROM zs),
+       |seeds(r, aa, cc) AS (VALUES ${graft.operators.CorpusStats.cmRowsValues}),
+       |bits AS (
+       |  SELECT DISTINCT zone, s.r,
+       |    (((user_id % 2147483648) * s.aa + s.cc) % 2147483648)
+       |      % $ZoneBloomBits AS cell
+       |  FROM e CROSS JOIN seeds s WHERE s.r < $ZoneBloomK),
+       |ps(u) AS (VALUES ${ZoneBloomProbes.map(u => s"($u)").mkString(", ")}),
+       |pc AS (
+       |  SELECT p.u, s.r,
+       |    (((p.u % 2147483648) * s.aa + s.cc) % 2147483648)
+       |      % $ZoneBloomBits AS cell
+       |  FROM ps p CROSS JOIN seeds s WHERE s.r < $ZoneBloomK),
+       |bh AS (
+       |  SELECT p.u, b.zone FROM pc p
+       |  JOIN bits b ON b.r = p.r AND b.cell = p.cell
+       |  GROUP BY 1, 2 HAVING count(*) = $ZoneBloomK),
+       |bl AS (SELECT u, CAST(count(*) AS BIGINT) AS zones_bloom
+       |  FROM bh GROUP BY 1),
+       |ex AS (SELECT p.u, CAST(count(DISTINCT e.zone) AS BIGINT)
+       |    AS zones_exact
+       |  FROM ps p JOIN e ON e.user_id = p.u GROUP BY 1),
+       |mm AS (SELECT p.u, CAST(count(*) AS BIGINT) AS zones_minmax
+       |  FROM ps p JOIN zs z ON z.mn <= p.u AND z.mx >= p.u GROUP BY 1)
+       |SELECT CAST(p.u AS BIGINT) AS u, nz.zones_total,
+       |  coalesce(mm.zones_minmax, 0) AS zones_minmax,
+       |  coalesce(ex.zones_exact, 0) AS zones_exact,
+       |  coalesce(bl.zones_bloom, 0) AS zones_bloom,
+       |  coalesce(bl.zones_bloom, 0) - coalesce(ex.zones_exact, 0)
+       |    AS fp_zones,
+       |  CAST((nz.zones_total - coalesce(bl.zones_bloom, 0)) * 1000000
+       |    // nz.zones_total AS BIGINT) AS bloom_skip_ppm,
+       |  CAST((nz.zones_total - coalesce(mm.zones_minmax, 0)) * 1000000
+       |    // nz.zones_total AS BIGINT) AS minmax_skip_ppm
+       |FROM ps p CROSS JOIN nz
+       |LEFT JOIN bl ON bl.u = p.u LEFT JOIN ex ON ex.u = p.u
+       |LEFT JOIN mm ON mm.u = p.u ORDER BY u""".stripMargin) { (s, d) =>
+    val Cs = graft.operators.CorpusStats
+    val e = Tables.events(s, d)
+      .select(expr(s"event_id div $ZoneBloomRows").as("zone"), col("user_id"))
+    val zs = e.groupBy("zone").agg(min(col("user_id")).as("mn"),
+      max(col("user_id")).as("mx"))
+    val nz = zs.agg(count(lit(1)).as("zones_total"))
+    val seeds = broadcast(s.createDataFrame(Cs.CmRows.take(ZoneBloomK))
+      .toDF("r", "aa", "cc"))
+    def cellOf(v: org.apache.spark.sql.Column) =
+      pmod(pmod(pmod(v, lit(2147483648L)) * col("aa") + col("cc"),
+        lit(2147483648L)), lit(ZoneBloomBits))
+    val bits = e.crossJoin(seeds)
+      .select(col("zone"), col("r"), cellOf(col("user_id")).as("cell"))
+      .distinct()
+    val ps = broadcast(s.createDataFrame(ZoneBloomProbes.map(Tuple1(_)))
+      .toDF("u"))
+    val pc = ps.crossJoin(seeds)
+      .select(col("u"), col("r"), cellOf(col("u")).as("cell"))
+    val bl = pc.join(bits, Seq("r", "cell"))
+      .groupBy("u", "zone").agg(count(lit(1)).as("hits"))
+      .where(col("hits") === ZoneBloomK)
+      .groupBy("u").agg(count(lit(1)).as("zones_bloom"))
+    val ex = ps.join(e, col("user_id") === col("u"))
+      .groupBy("u").agg(count_distinct(col("zone")).as("zones_exact"))
+    val mm = ps.join(zs, col("mn") <= col("u") && col("mx") >= col("u"))
+      .groupBy("u").agg(count(lit(1)).as("zones_minmax"))
+    ps.crossJoin(broadcast(nz))
+      .join(bl, Seq("u"), "left").join(ex, Seq("u"), "left")
+      .join(mm, Seq("u"), "left")
+      .select(col("u"), col("zones_total"),
+        coalesce(col("zones_minmax"), lit(0L)).as("zones_minmax"),
+        coalesce(col("zones_exact"), lit(0L)).as("zones_exact"),
+        coalesce(col("zones_bloom"), lit(0L)).as("zones_bloom"),
+        (coalesce(col("zones_bloom"), lit(0L))
+          - coalesce(col("zones_exact"), lit(0L))).as("fp_zones"),
+        expr("((zones_total - coalesce(zones_bloom, 0)) * 1000000)"
+          + " div zones_total").as("bloom_skip_ppm"),
+        expr("((zones_total - coalesce(zones_minmax, 0)) * 1000000)"
+          + " div zones_total").as("minmax_skip_ppm"))
+      .orderBy("u")
+  }
+
   /** q285: zone-map data-skipping audit — the min/max-statistics pruning
     * measurement behind every clustering/z-order/sort-order decision: the
     * same corpus grouped into ZoneGroup-file groups under TWO layouts
@@ -2616,5 +2733,5 @@ object Pipeline {
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
       q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
-      q303)
+      q303, q307)
 }

@@ -2180,6 +2180,124 @@ object Relational {
       .orderBy("edge")
   }
 
+  /** q308: MATERIALIZED-VIEW selection — Harinarayan/Rajaraman/Ullman's
+    * greedy data-cube view selection run on measured sizes: the lattice
+    * over (custkey, order-month, priority) has 8 nodes (bitmask 1|2|4;
+    * node 7 is the base view, always materialized; a view answers a
+    * query iff the query's dims ⊆ the view's — `(q & v) = q`), node
+    * sizes come out of ONE cube pass (the same grouping-sets machinery
+    * q10/q11/q42 pin, here read as the catalog statistic it is), and
+    * two unrolled greedy rounds pick the views whose materialization
+    * most reduces total answering cost under a uniform workload —
+    * HRU's (1−1/e)-competitive procedure, the "what should we
+    * precompute" decision a reporting platform makes from exactly
+    * these numbers. Output per node: measured size, the round that
+    * selected it (0 = base, 9 = not selected), and the final per-query
+    * cost — Σ cost is the number the greedy minimized, and every
+    * non-selected node's cost names the view it would be answered
+    * from.
+    *
+    * Scale shape: the ONLY corpus-sized work is the one cube
+    * aggregate; the lattice, coverage relation, benefit sums, argmax
+    * elections, and cost tables are all ≤ 8×8-row broadcast frames.
+    */
+  private val q308 = GraftQuery(
+    "q308_view_selection",
+    """WITH cb AS (
+      |  SELECT (1 - grouping(o_custkey)) * 1 + (1 - grouping(mo)) * 2
+      |      + (1 - grouping(o_orderpriority)) * 4 AS mask
+      |  FROM (SELECT o_custkey, date_trunc('month', o_orderdate) AS mo,
+      |    o_orderpriority FROM orders) t
+      |  GROUP BY CUBE (o_custkey, mo, o_orderpriority)),
+      |sizes AS (SELECT CAST(mask AS BIGINT) AS mask,
+      |    CAST(count(*) AS BIGINT) AS sz FROM cb GROUP BY 1),
+      |cov AS (
+      |  SELECT q.mask AS qm, v.mask AS vm, v.sz AS vsz
+      |  FROM sizes q JOIN sizes v ON (q.mask & v.mask) = q.mask),
+      |c0 AS (SELECT mask AS qm, (SELECT sz FROM sizes WHERE mask = 7)
+      |    AS cost FROM sizes),
+      |b1 AS (
+      |  SELECT cov.vm,
+      |    sum(CASE WHEN c0.cost > cov.vsz THEN c0.cost - cov.vsz
+      |      ELSE 0 END) AS ben
+      |  FROM cov JOIN c0 ON c0.qm = cov.qm WHERE cov.vm <> 7 GROUP BY 1),
+      |p1 AS (SELECT vm FROM b1 ORDER BY ben DESC, vm LIMIT 1),
+      |c1 AS (
+      |  SELECT c0.qm,
+      |    CASE WHEN cv.vsz IS NOT NULL AND cv.vsz < c0.cost THEN cv.vsz
+      |      ELSE c0.cost END AS cost
+      |  FROM c0 LEFT JOIN (SELECT cov.qm, cov.vsz FROM cov JOIN p1
+      |    ON cov.vm = p1.vm) cv ON cv.qm = c0.qm),
+      |b2 AS (
+      |  SELECT cov.vm,
+      |    sum(CASE WHEN c1.cost > cov.vsz THEN c1.cost - cov.vsz
+      |      ELSE 0 END) AS ben
+      |  FROM cov JOIN c1 ON c1.qm = cov.qm
+      |  WHERE cov.vm <> 7 AND cov.vm NOT IN (SELECT vm FROM p1)
+      |  GROUP BY 1),
+      |p2 AS (SELECT vm FROM b2 ORDER BY ben DESC, vm LIMIT 1),
+      |c2 AS (
+      |  SELECT c1.qm,
+      |    CASE WHEN cv.vsz IS NOT NULL AND cv.vsz < c1.cost THEN cv.vsz
+      |      ELSE c1.cost END AS cost
+      |  FROM c1 LEFT JOIN (SELECT cov.qm, cov.vsz FROM cov JOIN p2
+      |    ON cov.vm = p2.vm) cv ON cv.qm = c1.qm)
+      |SELECT s.mask, s.sz AS n_groups,
+      |  CAST(CASE WHEN s.mask = 7 THEN 0
+      |    WHEN s.mask IN (SELECT vm FROM p1) THEN 1
+      |    WHEN s.mask IN (SELECT vm FROM p2) THEN 2
+      |    ELSE 9 END AS BIGINT) AS selected_round,
+      |  CAST(c2.cost AS BIGINT) AS query_cost
+      |FROM sizes s JOIN c2 ON c2.qm = s.mask
+      |ORDER BY s.mask""".stripMargin) { (s, d) =>
+    val cube = Tables.orders(s, d)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate"))
+        .as("mo"), col("o_orderpriority"))
+      .cube(col("o_custkey"), col("mo"), col("o_orderpriority"))
+      .agg(((lit(1) - grouping(col("o_custkey"))) * 1
+        + (lit(1) - grouping(col("mo"))) * 2
+        + (lit(1) - grouping(col("o_orderpriority"))) * 4)
+        .cast("long").as("mask"))
+      .select("mask")
+    val sizes = cube.groupBy("mask").agg(count(lit(1)).as("sz"))
+    val cov = broadcast(sizes.select(col("mask").as("qm")))
+      .join(broadcast(sizes.select(col("mask").as("vm"), col("sz").as("vsz"))),
+        expr("(qm & vm) = qm"))
+    val base = sizes.where(col("mask") === 7).select(col("sz").as("bsz"))
+    val c0 = sizes.select(col("mask").as("qm")).crossJoin(broadcast(base))
+      .select(col("qm"), col("bsz").as("cost"))
+    def round(cost: DataFrame, excluded: Seq[Long]) = {
+      val ben = cov.where(!col("vm").isin(excluded: _*))
+        .join(cost, "qm")
+        .groupBy("vm")
+        .agg(sum(when(col("cost") > col("vsz"), col("cost") - col("vsz"))
+          .otherwise(0L)).as("ben"))
+      ben.orderBy(col("ben").desc, col("vm")).limit(1).select("vm")
+    }
+    def applyPick(cost: DataFrame, pick: DataFrame) = {
+      val cv = cov.join(broadcast(pick), "vm").select(col("qm"), col("vsz"))
+      cost.join(cv, Seq("qm"), "left")
+        .select(col("qm"),
+          when(col("vsz").isNotNull && col("vsz") < col("cost"), col("vsz"))
+            .otherwise(col("cost")).as("cost"))
+    }
+    val p1 = round(c0, Seq(7L)).localCheckpoint()
+    val p1vm = p1.select("vm").collect().head.getLong(0)
+    val c1 = applyPick(c0, p1)
+    val p2 = round(c1, Seq(7L, p1vm)).localCheckpoint()
+    val p2vm = p2.select("vm").collect().head.getLong(0)
+    val c2 = applyPick(c1, p2)
+    sizes.select(col("mask"), col("sz").as("n_groups"))
+      .join(c2, col("qm") === col("mask"))
+      .select(col("mask"), col("n_groups"),
+        when(col("mask") === 7, 0L)
+          .when(col("mask") === p1vm, 1L)
+          .when(col("mask") === p2vm, 2L)
+          .otherwise(9L).as("selected_round"),
+        col("cost").cast("long").as("query_cost"))
+      .orderBy("mask")
+  }
+
   /** q265: t-closeness audit — the third verb of the k-anonymity trio
     * (size q211, diversity q227, now DISTRIBUTION): per quasi-identifier
     * group (nation, segment), the Earth Mover's Distance between the
@@ -2284,5 +2402,5 @@ object Relational {
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
       q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240,
-      q265, q304, q305)
+      q265, q304, q305, q308)
 }

@@ -2435,6 +2435,97 @@ object Temporal {
       .orderBy("cohort_week", "age_week")
   }
 
+  // ---- bitemporal as-of ledger (q306) ----------------------------------
+
+  /** q306: BITEMPORAL as-of — q279's restatement ledger made queryable
+    * along the SECOND time axis: valid time is when a purchase
+    * happened, transaction time is when a correction became KNOWN, and
+    * the bitemporal question — "what did we believe the ledger was as
+    * of T?" — is answered by applying only the corrections with
+    * transaction time ≤ T, latest-such-correction-wins per purchase.
+    * Three snapshot cuts at the quartiles of the event-time span
+    * (derived by exact integer arithmetic from one min/max row, so the
+    * grid is data-dependent but engine-exact) show the ledger
+    * CONVERGING toward q279's final restatement as later corrections
+    * come into view — the audit-trail property (reproduce any past
+    * report exactly) that bitemporal modeling exists for.
+    *
+    * Scale shape: q279's single per-user sort carries the as-of
+    * attribution once; the snapshot dimension is a 3-row broadcast
+    * crossed AFTER attribution (corrections × 3, purchases × 3 — never
+    * the raw event stream × snapshots... which would also be fine, but
+    * the discipline matters at 100 snapshots); latest-wins runs per
+    * (snapshot, purchase).
+    */
+  private val q306 = GraftQuery(
+    "q306_bitemporal_asof",
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE event_type IN ('purchase', 'error') AND value > 0),
+       |span AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+       |snaps AS (
+       |  SELECT k, mn + ((mx - mn) * k) // 4 AS cut
+       |  FROM span CROSS JOIN (SELECT unnest(range(1, 4)) AS k)),
+       |attr AS (
+       |  SELECT user_id, event_id, event_type, us, cents,
+       |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_pid
+       |  FROM ev),
+       |corr AS (
+       |  SELECT s.k, a.prev_pid AS pid, a.cents AS cents_new,
+       |    row_number() OVER (PARTITION BY s.k, a.prev_pid
+       |      ORDER BY a.us DESC, a.event_id DESC) AS rn
+       |  FROM attr a JOIN snaps s ON a.us <= s.cut
+       |  WHERE a.event_type = 'error' AND a.prev_pid IS NOT NULL),
+       |c1 AS (SELECT k, pid, cents_new FROM corr WHERE rn = 1),
+       |led AS (
+       |  SELECT s.k, a.user_id, a.cents, c1.cents_new
+       |  FROM attr a CROSS JOIN snaps s
+       |  LEFT JOIN c1 ON c1.k = s.k AND c1.pid = a.event_id
+       |  WHERE a.event_type = 'purchase')
+       |SELECT CAST(k AS BIGINT) AS snap, user_id,
+       |  CAST(count(*) AS BIGINT) AS n_purchases,
+       |  CAST(count(cents_new) AS BIGINT) AS n_corrected,
+       |  CAST(sum(coalesce(cents_new, cents)) AS BIGINT) AS restated_cents
+       |FROM led GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "error") && col("value") > 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val span = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val ks = s.createDataFrame(Seq(1L, 2L, 3L).map(Tuple1(_))).toDF("k")
+    val snaps = broadcast(span.crossJoin(ks)
+      .select(col("k"), expr("mn + ((mx - mn) * k) div 4").as("cut")))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attr = ev.withColumn("prev_pid",
+      last(when(col("event_type") === "purchase", col("event_id")),
+        ignoreNulls = true).over(w))
+    val c1 = attr.where(col("event_type") === "error" &&
+        col("prev_pid").isNotNull)
+      .join(snaps, col("us") <= col("cut"))
+      .withColumn("rn", row_number().over(Window.partitionBy("k", "prev_pid")
+        .orderBy(col("us").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("k"), col("prev_pid").as("pid"), col("cents").as("cents_new"))
+    val c1r = c1.select(col("k").as("ck"), col("pid"), col("cents_new"))
+    attr.where(col("event_type") === "purchase")
+      .crossJoin(snaps.select("k"))
+      .join(c1r, col("ck") === col("k") && col("pid") === col("event_id"),
+        "left")
+      .groupBy("user_id", "k")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("cents_new")).as("n_corrected"),
+        sum(coalesce(col("cents_new"), col("cents"))).as("restated_cents"))
+      .select(col("k").cast("long").as("snap"), col("user_id"),
+        col("n_purchases"), col("n_corrected"), col("restated_cents"))
+      .orderBy("snap", "user_id")
+  }
+
   // ---- watermark-delay late-data audit (q299) --------------------------
 
   /** The delay grid q299 sweeps, in seconds; 600 is the modeled upload
@@ -2537,5 +2628,5 @@ object Temporal {
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262, q264, q266, q269, q270, q279, q280, q299)
+      q262, q264, q266, q269, q270, q279, q280, q299, q306)
 }

@@ -120,8 +120,15 @@ class PlanHygieneSpec extends SparkSuite {
                             // (q44's shape, twice) + 1-row score frames
     "q304_join_order_audit", // three 1-row stat/actual frames crossed
                              // per edge (q218's audited shape)
-    "q305_selectivity_audit") // 4-row predicate grid × 10-row histogram
+    "q305_selectivity_audit", // 4-row predicate grid × 10-row histogram
                               // broadcasts (q285's audited shape)
+    "q306_bitemporal_asof", // 1-row span + 3-row snapshot-grid
+                            // broadcasts crossed after attribution
+    "q307_zone_bloom_skipping", // 2-row seed + 4-row probe grids and a
+                                // 1-row zone-count frame, all broadcast
+    "q308_view_selection") // 8-row lattice frames: subset-relation
+                           // non-equi join, benefit/argmax/cost tables —
+                           // all broadcast builds on ≤8×8 rows
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
