@@ -2059,6 +2059,179 @@ object CorpusStats {
         .orderBy("r")
   }
 
+  // ---- Dirichlet query-likelihood retrieval (q311) ---------------------
+
+  /** q311's Dirichlet smoothing mass (Zhai & Lafferty's standard
+    * μ=2000) — injected as the same literal into both dialects.
+    */
+  private val DirichletMu = 2000.0
+
+  /** q311: DIRICHLET query-likelihood retrieval — the language-model
+    * scoring family beside BM25 (Zhai & Lafferty 2001), served from
+    * the SAME materialized [[bm25Index]] artifacts so one postings
+    * build backs two ranking models: score(q,d) = Σ_t ln((tf_td +
+    * μ·p_t)/(dl_d + μ)) with p_t the corpus unigram probability. The
+    * structural difference from BM25 that makes this worth auditing
+    * separately: a document is scored on EVERY query term including
+    * the ones it lacks (absent terms contribute the smoothing mass
+    * ln(μ·p_t/(dl+μ))), so long documents are penalized through the
+    * denominator rather than BM25's explicit b·dl/avgdl — the two
+    * models disagree exactly where length-vs-coverage trades off, and
+    * a retrieval stack keeps both (plus RRF q113) for that reason.
+    * Same query workload and top-k as q90 for direct comparison.
+    *
+    * Determinism: per-term scores are fixed-shape double expressions
+    * over integers (ctf/|C| divided once), the per-document sum is the
+    * ORDER-PINNED sorted fold of q90, top-k ties break on doc_id.
+    * Scale shape: docs×|terms| map-side grid from the lengths leaf +
+    * 3-row term broadcast, postings probed term-filtered, 1-row
+    * corpus-stats broadcast, TakeOrderedAndProject top-k.
+    */
+  /** The Dirichlet scoring CTE tail — assumes [[bm25OracleCtes]]'s `dl`
+    * and `tf` CTEs are in scope (they define exactly the lengths and
+    * term-filtered frequencies both models score from; DuckDB plans
+    * only the referenced CTEs, so the BM25-specific tail stays free).
+    * Ends in `dfolded(doc_id, dscore)` with the RAW double score.
+    * Shared by q311 and the disagreement audit q313.
+    */
+  private val dirichletTailCtes: String =
+    s"""tot AS (SELECT CAST(sum(dl) AS BIGINT) AS coll FROM dl),
+       |ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf
+       |  GROUP BY 1),
+       |qt(term) AS (VALUES ${Bm25Terms.map(t => s"('$t')").mkString(", ")}),
+       |grid AS (
+       |  SELECT d.doc_id, d.dl, q.term,
+       |    coalesce(t.tf, 0) AS tf, c.ctf
+       |  FROM dl d CROSS JOIN qt q
+       |  JOIN ctf c ON c.term = q.term
+       |  LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = q.term),
+       |dsc AS (
+       |  SELECT doc_id, term,
+       |    ln((CAST(tf AS DOUBLE) + CAST($DirichletMu AS DOUBLE)
+       |        * (CAST(ctf AS DOUBLE) / CAST(tot.coll AS DOUBLE)))
+       |      / (CAST(dl AS DOUBLE) + CAST($DirichletMu AS DOUBLE))) AS s
+       |  FROM grid CROSS JOIN tot),
+       |dfolded AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(s ORDER BY term)), (acc, x) -> acc + x) AS dscore
+       |  FROM dsc GROUP BY 1)""".stripMargin
+
+  /** Engine twin of [[dirichletTailCtes]]: (doc_id, score) with the RAW
+    * double Dirichlet score, served from the materialized
+    * [[bm25Index]] artifacts — one postings build, two ranking models.
+    */
+  private def dirichletScores(s: SparkSession, d: String): DataFrame = {
+    val (postings, dl, _) = bm25Index(s, d)
+    val tf = postings.where(col("term").isin(Bm25Terms: _*))
+    val ctf = broadcast(tf.groupBy("term").agg(sum(col("tf")).as("ctf")))
+    val tot = broadcast(dl.agg(sum(col("dl")).as("coll")))
+    val qt = broadcast(s.createDataFrame(Bm25Terms.map(Tuple1(_)))
+      .toDF("term"))
+    val grid = dl.crossJoin(qt)
+      .join(ctf, "term")
+      .join(tf.withColumnRenamed("tf", "tfv"), Seq("doc_id", "term"),
+        "left")
+      .select(col("doc_id"), col("term"),
+        coalesce(col("tfv"), lit(0L)).as("tf"), col("dl"), col("ctf"))
+    grid.crossJoin(tot)
+      .withColumn("s",
+        log((col("tf").cast("double") + lit(DirichletMu)
+            * (col("ctf").cast("double") / col("coll").cast("double")))
+          / (col("dl").cast("double") + lit(DirichletMu))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("s"))))
+        .as("scs"))
+      .select(col("doc_id"),
+        expr("aggregate(scs, 0D, (acc, t) -> acc + t.s)").as("score"))
+  }
+
+  private val q311 = GraftQuery(
+    "q311_lm_dirichlet_retrieval",
+    s"""WITH $bm25OracleCtes,
+       |$dirichletTailCtes
+       |SELECT doc_id, round(dscore, 6) AS score FROM dfolded
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin) {
+    (s, d) =>
+      dirichletScores(s, d)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK)
+  }
+
+  /** q313: BM25 vs Dirichlet DISAGREEMENT audit — with two ranking
+    * models served off one index (q90, q311), the fusion question
+    * (does RRF q113 have anything to fuse?) is answered by measuring
+    * how differently they rank: top-[[Bm25TopK]] answer-set overlap,
+    * and Kendall-τ concordance over the shared documents (q275's
+    * rank-fidelity metric applied across SCORERS rather than across
+    * compression tiers). High overlap + low τ means the models agree
+    * on WHAT is relevant but not in WHICH ORDER — exactly the regime
+    * where rank fusion pays; τ ≈ 1 would mean the second scorer adds
+    * nothing. Integer-exact: concordant/discordant pair counts over
+    * the ≤k-row intersection, ppm at the end.
+    *
+    * Both top-k lists ride TakeOrderedAndProject; the pair expansion
+    * runs on the ≤k-row intersection (≤k² broadcast cross) — the
+    * corpus cost is the two scoring passes, both artifact-served.
+    */
+  private val q313 = GraftQuery(
+    "q313_scorer_disagreement",
+    s"""WITH $bm25OracleCtes,
+       |$dirichletTailCtes,
+       |b20 AS (SELECT doc_id, rb FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS rb FROM folded) t WHERE rb <= $Bm25TopK),
+       |d20 AS (SELECT doc_id, rd FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY dscore DESC, doc_id)
+       |    AS rd FROM dfolded) t WHERE rd <= $Bm25TopK),
+       |inter AS (SELECT b20.doc_id, rb, rd FROM b20
+       |  JOIN d20 ON d20.doc_id = b20.doc_id),
+       |ov AS (SELECT CAST(count(*) AS BIGINT) AS overlap FROM inter),
+       |pairs AS (
+       |  SELECT a.rb AS rb1, a.rd AS rd1, b.rb AS rb2, b.rd AS rd2
+       |  FROM inter a JOIN inter b ON a.doc_id < b.doc_id),
+       |cd AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN (rb1 - rb2) * (rd1 - rd2) > 0 THEN 1
+       |      ELSE 0 END) AS BIGINT) AS concordant,
+       |    CAST(sum(CASE WHEN (rb1 - rb2) * (rd1 - rd2) < 0 THEN 1
+       |      ELSE 0 END) AS BIGINT) AS discordant,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pairs)
+       |SELECT ov.overlap, cd.n_pairs, cd.concordant, cd.discordant,
+       |  CAST((cd.concordant - cd.discordant) * 1000000 // cd.n_pairs
+       |    AS BIGINT) AS tau_ppm
+       |FROM ov CROSS JOIN cd""".stripMargin) { (s, d) =>
+    def ranked(scores: DataFrame, rName: String) = {
+      val top = scores.orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK)
+      // ≤k-row frame: the ranking window is metadata-sized
+      top.withColumn(rName, row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col(rName))
+    }
+    val inter = ranked(bm25Scores(s, d), "rb")
+      .join(ranked(dirichletScores(s, d), "rd"), "doc_id")
+      .localCheckpoint()
+    val ov = inter.agg(count(lit(1)).as("overlap"))
+    val a = inter.select(col("doc_id").as("da"), col("rb").as("rb1"),
+      col("rd").as("rd1"))
+    val b = inter.select(col("doc_id").as("db"), col("rb").as("rb2"),
+      col("rd").as("rd2"))
+    val cd = a.join(broadcast(b), col("da") < col("db"))
+      .agg(sum(when((col("rb1") - col("rb2")) * (col("rd1") - col("rd2")) > 0,
+          1L).otherwise(0L)).as("concordant"),
+        sum(when((col("rb1") - col("rb2")) * (col("rd1") - col("rd2")) < 0,
+          1L).otherwise(0L)).as("discordant"),
+        count(lit(1)).as("n_pairs"))
+    ov.crossJoin(broadcast(cd))
+      .select(col("overlap"), col("n_pairs"), col("concordant"),
+        col("discordant"),
+        expr("((concordant - discordant) * 1000000) div n_pairs")
+          .as("tau_ppm"))
+  }
+
   // ---- NDV (System-R) join-size estimation (q295) ----------------------
 
   /** q295: join-cardinality estimation from NDV statistics — the OTHER
@@ -2453,5 +2626,6 @@ object CorpusStats {
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
-      q225, q246, q247, q259, q260, q282, q286, q289, q292, q295)
+      q225, q246, q247, q259, q260, q282, q286, q289, q292, q295, q311,
+      q313)
 }

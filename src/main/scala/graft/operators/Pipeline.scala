@@ -2206,7 +2206,7 @@ object Pipeline {
     * dialects (no libm, engine-exact) — the hllRankArith trick pointed
     * at size tiers. `bits` must cover the largest value (2^bits).
     */
-  private def log2Tier(x: String, bits: Int): String =
+  private[graft] def log2Tier(x: String, bits: Int): String =
     s"(${(1 to bits).map(k => s"(CASE WHEN $x >= ${1L << k} THEN 1 ELSE 0 END)")
       .mkString(" + ")})"
 
@@ -2235,8 +2235,8 @@ object Pipeline {
     * ordering, which is exactly why LSM stores use it at ingest rates
     * where maintaining global order is unaffordable.
     */
-  private val q303 = GraftQuery(
-    "q303_size_tiered_merge",
+  /** q303's oracle, shared verbatim with its streaming twin q309. */
+  private[graft] val stcsOracleSql: String =
     s"""WITH f AS ($ingestFilesSql),
        |t AS (
        |  SELECT source, ${log2Tier("bytes", 20)} AS tier, bytes FROM f),
@@ -2252,11 +2252,14 @@ object Pipeline {
        |    AS out_tier,
        |  CAST(CASE WHEN n_runs >= $TierMinRuns THEN tier_bytes ELSE 0 END
        |    AS BIGINT) AS rewrite_bytes
-       |FROM g ORDER BY source, tier""".stripMargin) { (s, d) =>
-    val g = ingestFiles(s, d)
-      .withColumn("tier", expr(log2Tier("bytes", 20)))
-      .groupBy("source", "tier")
-      .agg(count(lit(1)).as("n_runs"), sum(col("bytes")).as("tier_bytes"))
+       |FROM g ORDER BY source, tier""".stripMargin
+
+  /** The STCS merge-decision epilogue over the finalized (source, tier,
+    * n_runs, tier_bytes) rollup — shared verbatim between batch q303
+    * and streaming q309 (the q288/q290 `waterfillOf` discipline), so
+    * the two paths cannot diverge in the policy arithmetic.
+    */
+  private[graft] def stcsOf(g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     g.select(col("source"), col("tier").cast("long").as("tier"),
         col("n_runs"), col("tier_bytes"),
         when(col("n_runs") >= TierMinRuns, 1L).otherwise(0L).as("merges"),
@@ -2266,6 +2269,13 @@ object Pipeline {
         when(col("n_runs") >= TierMinRuns, col("tier_bytes")).otherwise(0L)
           .as("rewrite_bytes"))
       .orderBy("source", "tier")
+
+  private val q303 = GraftQuery(
+    "q303_size_tiered_merge", stcsOracleSql) { (s, d) =>
+    stcsOf(ingestFiles(s, d)
+      .withColumn("tier", expr(log2Tier("bytes", 20)))
+      .groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_runs"), sum(col("bytes")).as("tier_bytes")))
   }
 
   // ---- per-zone bloom skipping for point predicates (q307) -------------

@@ -2435,6 +2435,89 @@ object Temporal {
       .orderBy("cohort_week", "age_week")
   }
 
+  // ---- DP clipping-sensitivity audit (q310) ----------------------------
+
+  /** The per-user-contribution percentiles q310 elects clip bounds at. */
+  private val DpClipPcts = Seq(50L, 90L, 95L, 99L)
+
+  /** q310: DIFFERENTIAL-PRIVACY sensitivity / clipping audit — the
+    * deterministic half of releasing a user-level-DP statistic (the
+    * noise is sampled at release time; the SENSITIVITY analysis that
+    * calibrates it is a corpus measurement, and it is THIS query): for
+    * the per-day event-count release, a user's contribution vector has
+    * L1 norm = their total events, so unclipped sensitivity = max_u
+    * t_u — one outlier user inflates the noise for everyone, which is
+    * why DP releases clip. Per candidate clip level C_p (the exact
+    * p-th percentile of per-user totals, rank-crossing order
+    * statistic): how many users get clipped and how much mass the
+    * release loses — the utility-vs-noise trade the clip bound is
+    * chosen from (the same contribution-bounding decision DP-SGD makes
+    * per example). All integers: counts, exact order statistics,
+    * CASE-split ppm.
+    *
+    * Scale shape: contributions reduce to user grain in one partial
+    * agg; the percentile rank rides [[Banded.cumSums]] (band = t
+    * div 64) so a billion-user frame never funnels one window; the
+    * 4-row percentile grid and 1-row totals broadcast back.
+    */
+  private val q310 = GraftQuery(
+    "q310_dp_clip_audit",
+    s"""WITH c AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(t) AS BIGINT) AS total_events,
+       |  CAST(max(t) AS BIGINT) AS max_l1 FROM u),
+       |rk AS (SELECT t, row_number() OVER (ORDER BY t, user_id) AS r
+       |  FROM u),
+       |ps(p) AS (VALUES ${DpClipPcts.map(p => s"($p)").mkString(", ")}),
+       |cl AS (
+       |  SELECT p, max(CASE WHEN r = (p * n_users + 99) // 100 THEN t END)
+       |    AS clip
+       |  FROM rk CROSS JOIN ps CROSS JOIN tot GROUP BY 1),
+       |res AS (
+       |  SELECT cl.p, cl.clip,
+       |    CAST(sum(CASE WHEN u.t > cl.clip THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS users_clipped,
+       |    CAST(sum(CASE WHEN u.t > cl.clip THEN u.t - cl.clip ELSE 0 END)
+       |      AS BIGINT) AS mass_lost
+       |  FROM u CROSS JOIN cl GROUP BY 1, 2)
+       |SELECT CAST(res.p AS BIGINT) AS p, res.clip, res.users_clipped,
+       |  res.mass_lost,
+       |  CAST(res.mass_lost * 1000000 // tot.total_events AS BIGINT)
+       |    AS mass_lost_ppm,
+       |  tot.n_users, tot.total_events, tot.max_l1
+       |FROM res CROSS JOIN tot ORDER BY p""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000")
+        .as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(sum(col("c")).as("t"))
+    val tot = u.agg(count(lit(1)).as("n_users"),
+      sum(col("t")).as("total_events"), max(col("t")).as("max_l1"))
+    val rk = Banded.cumSums(u, Nil, Seq(col("t"), col("user_id")),
+      expr("t div 64"), Seq(Banded.CumSpec("r", lit(1L))))
+    val ps = broadcast(s.createDataFrame(DpClipPcts.map(Tuple1(_)))
+      .toDF("p"))
+    val cl = broadcast(rk.crossJoin(ps).crossJoin(broadcast(tot))
+      .groupBy("p")
+      .agg(max(when(col("r") === expr("(p * n_users + 99) div 100"),
+        col("t"))).as("clip")))
+    val res = u.crossJoin(cl)
+      .groupBy("p", "clip")
+      .agg(sum(when(col("t") > col("clip"), 1L).otherwise(0L))
+          .as("users_clipped"),
+        sum(when(col("t") > col("clip"), col("t") - col("clip"))
+          .otherwise(0L)).as("mass_lost"))
+    res.crossJoin(broadcast(tot))
+      .select(col("p"), col("clip"), col("users_clipped"), col("mass_lost"),
+        expr("(mass_lost * 1000000) div total_events").as("mass_lost_ppm"),
+        col("n_users"), col("total_events"), col("max_l1"))
+      .orderBy("p")
+  }
+
   // ---- bitemporal as-of ledger (q306) ----------------------------------
 
   /** q306: BITEMPORAL as-of — q279's restatement ledger made queryable
@@ -2628,5 +2711,5 @@ object Temporal {
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262, q264, q266, q269, q270, q279, q280, q299, q306)
+      q262, q264, q266, q269, q270, q279, q280, q299, q306, q310)
 }

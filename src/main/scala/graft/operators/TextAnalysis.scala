@@ -736,6 +736,56 @@ object TextAnalysis {
       .orderBy(col("quality_micro").desc, col("doc_id"))
   }
 
+  // ---- per-language quality quantile normalization (q312) --------------
+
+  /** q312: QUANTILE NORMALIZATION of quality scores per language — the
+    * calibration verb corpus curation needs when per-group scorers are
+    * not comparable (a 0.6 from the English quality model and a 0.6
+    * from the German one mean different things): each document's
+    * normalized score is its quality DECILE WITHIN ITS LANGUAGE, so a
+    * single global threshold ("keep deciles ≥ 3") cuts every language
+    * at the same population fraction instead of letting one language's
+    * scorer scale dominate the mix — the q81/q261 mixture ops consume
+    * exactly this. The output pins the calibration evidence at
+    * (lang, decile) grain: raw-score ranges OVERLAP heavily across
+    * languages at the same decile's boundaries, which is the
+    * demonstration that thresholding raw scores globally would have
+    * cut languages unevenly.
+    *
+    * Scale shape: the within-language rank rides [[Banded.cumSums]]
+    * (part = lang, band = quality div 100000) — a billion-doc language
+    * never funnels one window partition; per-language totals broadcast
+    * back; everything after is (lang × 10)-grain.
+    */
+  private val q312 = GraftQuery(
+    "q312_quantile_normalize",
+    s"""WITH $qualityOracleCte,
+       |j AS (
+       |  SELECT q.doc_id, d.lang, q.quality_micro AS qm
+       |  FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
+       |rk AS (
+       |  SELECT lang, qm,
+       |    row_number() OVER (PARTITION BY lang ORDER BY qm, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM j),
+       |dd AS (SELECT lang, qm, ((r - 1) * 10) // n AS decile FROM rk)
+       |SELECT lang, CAST(decile AS BIGINT) AS decile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(qm) AS min_q, max(qm) AS max_q
+       |FROM dd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val j = qualityBase(s, d).select(col("doc_id"), qualityMicroCol.as("qm"))
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+    val rk = graft.operators.Banded.cumSums(j, Seq("lang"),
+      Seq(col("qm"), col("doc_id")), expr("qm div 100000"),
+      Seq(graft.operators.Banded.CumSpec("r", lit(1L), Some("n"))))
+    rk.select(col("lang"), col("qm"),
+        expr("((r - 1) * 10) div n").as("decile"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"), min(col("qm")).as("min_q"),
+        max(col("qm")).as("max_q"))
+      .orderBy("lang", "decile")
+  }
+
   // ---- split-conformal coverage audit (q297) ---------------------------
 
   /** q297: SPLIT-CONFORMAL prediction audit — the distribution-free
@@ -836,5 +886,5 @@ object TextAnalysis {
 
   val queries: Seq[GraftQuery] =
     Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160, q174, q175,
-      q252, q297)
+      q252, q297, q312)
 }

@@ -1115,6 +1115,33 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** q309: STREAMING size-tiered merge policy ≡ batch q303 — LSM
+    * maintenance planned AT INGEST (q284's discipline for next-fit,
+    * now for STCS): the stream maintains the (source, tier) run
+    * count/byte rollup ONLINE in Complete mode — state is one row per
+    * (source, size-tier), ≤ sources × ~log(max bytes) regardless of
+    * ingest volume, and needs NO watermark or ordering because STCS is
+    * commutative by construction (which is exactly why LSM stores can
+    * run it at ingest rates where maintaining order is unaffordable).
+    * The merge-decision epilogue is
+    * [[graft.operators.Pipeline.stcsOf]], shared verbatim with batch.
+    * Gated on q303's oracle: stream == batch == DuckDB.
+    */
+  private val q309 = GraftQuery(
+    "q309_stream_size_tiered",
+    graft.operators.Pipeline.stcsOracleSql) { (s, d) =>
+    val P = graft.operators.Pipeline
+    val g = EventStreams.readDocuments(s, d)
+      .select(col("source"), col("n_chars").as("bytes"))
+      .withColumn("tier", expr(P.log2Tier("bytes", 20)))
+      .groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_runs"), sum(col("bytes")).as("tier_bytes"))
+    val rollup = EventStreams.runToMemory(s, g,
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    P.stcsOf(rollup)
+  }
+
   /** q300: STREAMING HyperLogLog register maintenance — q141's mergeable
     * distinct-count state kept ONLINE over the document stream, closing
     * the sketch symmetry with q163 (count-min) and q251 (digest): the
@@ -1155,5 +1182,5 @@ object StreamingQueries {
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258, q263, q267, q271, q284, q290, q300)
+      q254, q256, q258, q263, q267, q271, q284, q290, q300, q309)
 }

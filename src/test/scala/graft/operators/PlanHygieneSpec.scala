@@ -126,9 +126,16 @@ class PlanHygieneSpec extends SparkSuite {
                             // broadcasts crossed after attribution
     "q307_zone_bloom_skipping", // 2-row seed + 4-row probe grids and a
                                 // 1-row zone-count frame, all broadcast
-    "q308_view_selection") // 8-row lattice frames: subset-relation
+    "q308_view_selection", // 8-row lattice frames: subset-relation
                            // non-equi join, benefit/argmax/cost tables —
                            // all broadcast builds on ≤8×8 rows
+    "q310_dp_clip_audit", // 4-row percentile grid + 1-row totals
+                          // broadcasts (q223's audited shape)
+    "q311_lm_dirichlet_retrieval", // 3-row query-term grid + 1-row
+                                   // corpus-stats broadcasts (q90's
+                                   // audited serving shape)
+    "q313_scorer_disagreement") // ≤k-row top-k intersection pair cross
+                                // + 1-row overlap frame, all broadcast
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
