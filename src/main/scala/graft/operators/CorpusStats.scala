@@ -2059,6 +2059,91 @@ object CorpusStats {
         .orderBy("r")
   }
 
+  // ---- leave-one-out drift attribution (q314) --------------------------
+
+  /** q314: drift ATTRIBUTION — q237 detects drift, this names the
+    * culprit: for every source, the exact two-sample KS statistic
+    * between that source's `n_chars` distribution and the REST of the
+    * corpus (leave-one-out), integer-decided by q237's
+    * cross-multiplication — D's numerator is max|N·F_s(v) − n_s·F(v)|
+    * (the algebraic collapse of |（N−n_s)F_s − n_s(F−F_s)|), so the
+    * per-source ranking that an incident review reads is shuffle-order
+    * exact. The source with drift_rank 1 is where the distribution
+    * moved — the root-cause verb between "the corpus drifted" (q237/
+    * q245) and "roll back that source's last delivery" (q279's verbs).
+    *
+    * Scale shape: counts reduce to (value, source) grain in one
+    * partial agg; the per-source CDF needs F_s at every MERGED value,
+    * so the grid is value-DOMAIN × sources (domain-bounded, not
+    * corpus-bounded — n_chars is a bounded-length column) and both
+    * cumulatives ride [[Banded.cumSums]] (part = source for F_s, band
+    * = v div 256) — no single-partition window over the value domain.
+    * The ppm multiply runs in DECIMAL(38,0)/HUGEINT (q237's overflow
+    * discipline).
+    */
+  private val q314 = GraftQuery(
+    "q314_drift_attribution",
+    """WITH g AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS v, source,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |vt AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY 1),
+      |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM g
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM vt),
+      |grid AS (
+      |  SELECT s.source, t.v, coalesce(g.c, 0) AS c
+      |  FROM srcs s CROSS JOIN vt t
+      |  LEFT JOIN g ON g.source = s.source AND g.v = t.v),
+      |fs AS (SELECT source, v,
+      |    sum(c) OVER (PARTITION BY source ORDER BY v) AS fs
+      |  FROM grid),
+      |fg AS (SELECT v, sum(ct) OVER (ORDER BY v) AS f FROM vt),
+      |dn AS (
+      |  SELECT fs.source,
+      |    CAST(max(abs(t.n * fs.fs - s.ns * fg.f)) AS BIGINT) AS d_num
+      |  FROM fs JOIN fg ON fg.v = fs.v
+      |  JOIN srcs s ON s.source = fs.source CROSS JOIN tot t
+      |  GROUP BY 1),
+      |res AS (
+      |  SELECT d.source, s.ns AS n_docs, d.d_num,
+      |    CAST(1000000 * CAST(d.d_num AS HUGEINT)
+      |      // (CAST(s.ns AS HUGEINT) * (t.n - s.ns)) AS BIGINT) AS ks_ppm
+      |  FROM dn d JOIN srcs s ON s.source = d.source CROSS JOIN tot t)
+      |SELECT source, n_docs, d_num, ks_ppm,
+      |  CAST(row_number() OVER (ORDER BY ks_ppm DESC, source) AS BIGINT)
+      |    AS drift_rank
+      |FROM res ORDER BY source""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("n_chars").cast("long").as("v"), col("source"))
+      .groupBy("v", "source").agg(count(lit(1)).as("c"))
+    val vt = g.groupBy("v").agg(sum(col("c")).as("ct"))
+    val srcs = g.groupBy("source").agg(sum(col("c")).as("ns"))
+    val tot = broadcast(vt.agg(sum(col("ct")).cast("long").as("n")))
+    val grid = broadcast(srcs.select("source")).crossJoin(vt.select("v"))
+      .join(g, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val fs = Banded.cumSums(grid, Seq("source"), Seq(col("v")),
+      expr("v div 256"), Seq(Banded.CumSpec("fs", col("c"))))
+    val fg = Banded.cumSums(vt, Nil, Seq(col("v")), expr("v div 256"),
+      Seq(Banded.CumSpec("f", col("ct"))))
+    val dn = fs.join(fg.select("v", "f"), "v")
+      .join(broadcast(srcs), "source").crossJoin(tot)
+      .groupBy("source")
+      .agg(max(abs(col("n") * col("fs") - col("ns") * col("f")))
+        .cast("long").as("d_num"))
+    val res = dn.join(broadcast(srcs), "source").crossJoin(tot)
+      .select(col("source"), col("ns").as("n_docs"), col("d_num"),
+        expr("""CAST(1000000 * CAST(d_num AS DECIMAL(38,0))
+               |  div (CAST(ns AS DECIMAL(38,0)) * (n - ns)) AS BIGINT)"""
+          .stripMargin).as("ks_ppm"))
+    // source-grain rank: the window runs on ≤|sources| rows
+    res.withColumn("drift_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ks_ppm").desc, col("source"))).cast("long"))
+      .orderBy("source")
+  }
+
   // ---- Dirichlet query-likelihood retrieval (q311) ---------------------
 
   /** q311's Dirichlet smoothing mass (Zhai & Lafferty's standard
@@ -2627,5 +2712,5 @@ object CorpusStats {
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
       q225, q246, q247, q259, q260, q282, q286, q289, q292, q295, q311,
-      q313)
+      q313, q314)
 }

@@ -1889,9 +1889,13 @@ object Pipeline {
     * within-shard window is per-shard-bounded by construction, and the
     * rollup is one hash aggregate at shard grain.
     */
-  private val q268 = GraftQuery(
-    "q268_sequence_packing",
-    s"""WITH p AS (
+  /** q268's shard/permute/cumulate CTE chain, factored for reuse by the
+    * context-length sweep q315 — ends in `c(shard, doc_id, pos, tok,
+    * cum)`; the cumulative is context-length-INDEPENDENT, which is what
+    * makes the q315 sweep one broadcast instead of four passes.
+    */
+  private val packedCumCtes: String =
+    s"""p AS (
        |  SELECT ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards AS shard,
        |    doc_id,
        |    row_number() OVER (
@@ -1902,7 +1906,25 @@ object Pipeline {
        |c AS (SELECT shard, doc_id, pos, tok,
        |    sum(tok) OVER (PARTITION BY shard ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM p)
+       |  FROM p)""".stripMargin
+
+  /** Engine twin of [[packedCumCtes]]: the per-shard permuted token
+    * cumulative both q268 and q315 read their packing facts from.
+    */
+  private def packedCum(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val shard = (lcg(col("doc_id"), SampleA, SampleC) % ShufShards).cast("int")
+    Tables.documents(s, d)
+      .select(shard.as("shard"), col("doc_id"),
+        lcg(col("doc_id"), ShufOrdA, ShufOrdC).as("o2"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok"))
+        .over(Window.partitionBy("shard").orderBy(col("o2"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  private val q268 = GraftQuery(
+    "q268_sequence_packing",
+    s"""WITH $packedCumCtes
        |SELECT CAST(shard AS INTEGER) AS shard,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
@@ -1913,14 +1935,7 @@ object Pipeline {
        |      <> (cum - 1) // $ChunkTokens THEN 1 ELSE 0 END) AS BIGINT)
        |    AS split_docs
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val shard = (lcg(col("doc_id"), SampleA, SampleC) % ShufShards).cast("int")
-    Tables.documents(s, d)
-      .select(shard.as("shard"), col("doc_id"),
-        lcg(col("doc_id"), ShufOrdA, ShufOrdC).as("o2"),
-        size(split(lower(col("text")), "\\s+")).cast("long").as("tok"))
-      .withColumn("cum", sum(col("tok"))
-        .over(Window.partitionBy("shard").orderBy(col("o2"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    packedCum(s, d)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"),
         expr(s"CAST((max(cum) + ${ChunkTokens - 1}) div $ChunkTokens AS BIGINT)")
@@ -1930,6 +1945,68 @@ object Pipeline {
           expr(s"(cum - 1) div $ChunkTokens"), 1L).otherwise(0L))
           .as("split_docs"))
       .orderBy("shard")
+  }
+
+  /** The candidate context lengths q315 sweeps (tokens per training
+    * sequence).
+    */
+  private val ContextLens = Seq(256L, 512L, 1024L, 2048L)
+
+  /** q315: CONTEXT-LENGTH sweep — q283's sweep discipline applied to
+    * q268's training-sequence packing: for each candidate context
+    * length L, the two costs the choice trades off — boundary-SPLIT
+    * documents (a split truncates a continuation mid-thought /
+    * contaminates attention across document boundaries; the fraction
+    * RISES as L shrinks relative to doc length) and per-shard tail
+    * PADDING (the only pad concat-and-chunk pays; its share falls as
+    * shards fill). The per-shard token cumulative is computed ONCE
+    * ([[packedCumCtes]] — a document's interval is L-independent) and
+    * the 4-length grid broadcasts onto it; a run's L is then picked
+    * off this table against the model's attention budget, which is
+    * exactly how the decision is made before a training run.
+    */
+  private val q315 = GraftQuery(
+    "q315_context_length_sweep",
+    s"""WITH $packedCumCtes,
+       |ls(l) AS (VALUES ${ContextLens.map(l => s"($l)").mkString(", ")}),
+       |sm AS (SELECT shard, CAST(max(cum) AS BIGINT) AS mc FROM c
+       |  GROUP BY 1),
+       |seqs AS (
+       |  SELECT l, CAST(sum((mc + l - 1) // l) AS BIGINT) AS n_seqs,
+       |    CAST(sum((l - mc % l) % l) AS BIGINT) AS pad_tokens
+       |  FROM sm CROSS JOIN ls GROUP BY 1),
+       |sp AS (
+       |  SELECT l,
+       |    CAST(sum(CASE WHEN (cum - tok) // l <> (cum - 1) // l
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM c CROSS JOIN ls GROUP BY 1)
+       |SELECT CAST(q.l AS BIGINT) AS l, q.n_seqs, s.n_docs, s.split_docs,
+       |  CAST(s.split_docs * 1000000 // s.n_docs AS BIGINT) AS split_ppm,
+       |  q.pad_tokens,
+       |  CAST(q.pad_tokens * 1000000 // (q.n_seqs * q.l) AS BIGINT)
+       |    AS pad_ppm
+       |FROM seqs q JOIN sp s ON s.l = q.l ORDER BY l""".stripMargin) {
+    (s, d) =>
+      val c = packedCum(s, d)
+      val ls = broadcast(s.createDataFrame(ContextLens.map(Tuple1(_)))
+        .toDF("l"))
+      val sm = c.groupBy("shard").agg(max(col("cum")).as("mc"))
+      val seqs = sm.crossJoin(ls)
+        .groupBy("l")
+        .agg(sum(expr("(mc + l - 1) div l")).as("n_seqs"),
+          sum(expr("(l - mc % l) % l")).as("pad_tokens"))
+      val sp = c.crossJoin(ls)
+        .groupBy("l")
+        .agg(sum(when(expr("(cum - tok) div l") =!= expr("(cum - 1) div l"),
+            1L).otherwise(0L)).as("split_docs"),
+          count(lit(1)).as("n_docs"))
+      seqs.join(sp, "l")
+        .select(col("l"), col("n_seqs"), col("n_docs"), col("split_docs"),
+          expr("(split_docs * 1000000) div n_docs").as("split_ppm"),
+          col("pad_tokens"),
+          expr("(pad_tokens * 1000000) div (n_seqs * l)").as("pad_ppm"))
+        .orderBy("l")
   }
 
   /** q273: rendezvous-hash shard assignment + rebalance audit — the
@@ -2743,5 +2820,5 @@ object Pipeline {
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
       q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
-      q303, q307)
+      q303, q307, q315)
 }

@@ -134,8 +134,12 @@ class PlanHygieneSpec extends SparkSuite {
     "q311_lm_dirichlet_retrieval", // 3-row query-term grid + 1-row
                                    // corpus-stats broadcasts (q90's
                                    // audited serving shape)
-    "q313_scorer_disagreement") // ≤k-row top-k intersection pair cross
+    "q313_scorer_disagreement", // ≤k-row top-k intersection pair cross
                                 // + 1-row overlap frame, all broadcast
+    "q314_drift_attribution", // source-list × value-domain grid cross
+                              // + 1-row corpus-total broadcasts
+    "q315_context_length_sweep") // 4-row context-length grid broadcast
+                                 // (q283's audited sweep shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
