@@ -5405,6 +5405,68 @@ object Similarity {
       .orderBy("k_occ")
   }
 
+  // ---- hard-positive mining (q317) -------------------------------------
+
+  /** q317: HARD-POSITIVE mining — the contrastive-training complement
+    * to q104's hard negatives: pairs the DEDUP tier says are the same
+    * content (same q52 connected-component cluster) whose EMBEDDINGS
+    * disagree (lowest cosine) — exactly the gradient-bearing positives
+    * for embedding training, because a pair the text pipeline proves
+    * duplicated but the vector space has far apart is a measured
+    * embedding-model failure. The miner is candidate-bounded by
+    * construction: pairs expand only INSIDE clusters of size 2..32
+    * (the same hot-family cap discipline as q85 — boilerplate
+    * mega-clusters contribute near-identical members whose positives
+    * carry no extra signal, and capping them is what keeps the pair
+    * expansion linear in cluster count), and the global bottom-20 by
+    * cosine rides TakeOrderedAndProject. Doc↔vector alignment is the
+    * q95 id contract.
+    */
+  private val q317 = GraftQuery(
+    "q317_hard_positives",
+    s"""$clusterOracleChain,
+       |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+       |  FROM clus GROUP BY 1),
+       |cc AS (
+       |  SELECT c.doc_id, c.cluster_id FROM clus c
+       |  JOIN cs ON cs.cluster_id = c.cluster_id
+       |  WHERE cs.size BETWEEN 2 AND 32),
+       |pr AS (
+       |  SELECT a.cluster_id, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM cc a JOIN cc b
+       |    ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+       |sc AS (
+       |  SELECT pr.cluster_id, pr.doc_a, pr.doc_b,
+       |    ${cosSql("ea", "eb")} AS cos
+       |  FROM pr JOIN embeddings ea ON ea.vec_id = pr.doc_a
+       |  JOIN embeddings eb ON eb.vec_id = pr.doc_b)
+       |SELECT cluster_id, doc_a, doc_b, round(cos, 6) AS cos
+       |FROM sc ORDER BY cos, doc_a, doc_b LIMIT 20""".stripMargin) {
+    (s, d) =>
+      VectorFunctions.register(s)
+      val clus = clusterAssignments(s, d)
+      val cs = clus.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      val cc = clus
+        .join(cs.where(col("size").between(2, 32)).select("cluster_id"),
+          "cluster_id")
+        .select(col("cluster_id"), col("doc_id"))
+      val pr = cc.select(col("cluster_id"), col("doc_id").as("doc_a"))
+        .join(cc.select(col("cluster_id"), col("doc_id").as("doc_b")),
+          Seq("cluster_id"))
+        .where(col("doc_a") < col("doc_b"))
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      pr.join(e.select(col("vec_id").as("doc_a"),
+          col("embedding").as("emb_a")), "doc_a")
+        .join(e.select(col("vec_id").as("doc_b"),
+          col("embedding").as("emb_b")), "doc_b")
+        .withColumn("cos",
+          VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+        .select(col("cluster_id"), col("doc_a"), col("doc_b"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos"), col("doc_a"), col("doc_b"))
+        .limit(20)
+  }
+
   // ---- nDCG@10 retrieval quality (q298) --------------------------------
 
   /** Position-discount weights for q298, PRE-SCALED TO INTEGERS in the
@@ -5673,5 +5735,5 @@ object Similarity {
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278, q291, q294, q296, q298, q302)
+      q277, q278, q291, q294, q296, q298, q302, q317)
 }

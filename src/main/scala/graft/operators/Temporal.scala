@@ -2435,6 +2435,91 @@ object Temporal {
       .orderBy("cohort_week", "age_week")
   }
 
+  // ---- session-gap threshold sweep (q316) ------------------------------
+
+  /** The candidate inactivity gaps q316 sweeps, in seconds. */
+  private val SessionGaps = Seq(300L, 1800L, 3600L)
+
+  /** q316: SESSION-GAP sweep — the parameter behind every
+    * sessionization in this repo (q20/q48's windows, q241's paths,
+    * q181's funnels) chosen from measurement instead of folklore: per
+    * candidate inactivity threshold G, re-sessionize the event stream
+    * and report session count, singleton ("bounce") share, mean
+    * events/session, and mean session duration. The decision reading:
+    * where the session count stops falling as G grows, the threshold
+    * has crossed the natural inter-visit gap — on this fixture the
+    * 30-min industry default sits on that elbow or it does not, and
+    * the table says which. Integer micros and integer-scaled means
+    * throughout.
+    *
+    * Scale shape: the lag/cumulative-start windows run under
+    * `partitionBy(g, user_id)` — per-user-bounded, parallel across
+    * users and thresholds; the 3-row grid fans the stream map-side
+    * (3× one pass, cheaper than 3 separate jobs would re-scan); the
+    * rollups are (g, user, session)- then g-grain hash aggregates.
+    */
+  private val q316 = GraftQuery(
+    "q316_session_gap_sweep",
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |gs(g) AS (VALUES ${SessionGaps.map(g => s"(${g * 1000000L})")
+          .mkString(", ")}),
+       |lg AS (
+       |  SELECT g, user_id, event_id, us,
+       |    lag(us) OVER (PARTITION BY g, user_id
+       |      ORDER BY us, event_id) AS prev
+       |  FROM e CROSS JOIN gs),
+       |x AS (
+       |  SELECT g, user_id, us, event_id,
+       |    CASE WHEN prev IS NULL OR us - prev > g THEN 1 ELSE 0 END AS st
+       |  FROM lg),
+       |sid AS (
+       |  SELECT g, user_id, us,
+       |    sum(st) OVER (PARTITION BY g, user_id ORDER BY us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x),
+       |ses AS (
+       |  SELECT g, user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+       |    CAST(max(us) - min(us) AS BIGINT) AS dur
+       |  FROM sid GROUP BY 1, 2, 3)
+       |SELECT CAST(g // 1000000 AS BIGINT) AS gap_s,
+       |  CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS singletons,
+       |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS bounce_ppm,
+       |  CAST(sum(n_ev) * 1000 // count(*) AS BIGINT) AS mean_events_x1000,
+       |  CAST(sum(dur) // count(*) AS BIGINT) AS avg_dur_us
+       |FROM ses GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val gs = broadcast(s.createDataFrame(SessionGaps.map(g =>
+      Tuple1(g * 1000000L))).toDF("g"))
+    val wU = Window.partitionBy("g", "user_id").orderBy("us", "event_id")
+    val x = e.crossJoin(gs)
+      .withColumn("prev", lag(col("us"), 1).over(wU))
+      .withColumn("st",
+        when(col("prev").isNull || col("us") - col("prev") > col("g"), 1L)
+          .otherwise(0L))
+    val ses = x
+      .withColumn("sid", sum(col("st"))
+        .over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("g", "user_id", "sid")
+      .agg(count(lit(1)).as("n_ev"),
+        (max(col("us")) - min(col("us"))).as("dur"))
+    ses.groupBy("g")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("singletons"),
+        sum(col("dur")).as("durs"))
+      .select(expr("g div 1000000").as("gap_s"), col("n_sessions"),
+        col("n_events"), col("singletons"),
+        expr("(singletons * 1000000) div n_sessions").as("bounce_ppm"),
+        expr("(n_events * 1000) div n_sessions").as("mean_events_x1000"),
+        expr("durs div n_sessions").as("avg_dur_us"))
+      .orderBy("gap_s")
+  }
+
   // ---- DP clipping-sensitivity audit (q310) ----------------------------
 
   /** The per-user-contribution percentiles q310 elects clip bounds at. */
@@ -2711,5 +2796,5 @@ object Temporal {
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262, q264, q266, q269, q270, q279, q280, q299, q306, q310)
+      q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316)
 }

@@ -138,8 +138,10 @@ class PlanHygieneSpec extends SparkSuite {
                                 // + 1-row overlap frame, all broadcast
     "q314_drift_attribution", // source-list × value-domain grid cross
                               // + 1-row corpus-total broadcasts
-    "q315_context_length_sweep") // 4-row context-length grid broadcast
+    "q315_context_length_sweep", // 4-row context-length grid broadcast
                                  // (q283's audited sweep shape)
+    "q316_session_gap_sweep") // 3-row gap-grid broadcast fanning the
+                              // event stream map-side (q285's shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
