@@ -1947,6 +1947,85 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** The sampling denominators q318 sweeps (keep 1-in-R). */
+  private val SampleRates = Seq(16L, 64L, 256L)
+
+  /** q318: HASH-SAMPLE accuracy audit — the estimate-from-a-sample
+    * pattern every 100 TB stats job uses (full scans for a row count
+    * or a byte total are unaffordable between pipelines), with the
+    * property that makes it auditable at all: the sample is
+    * HASH-DETERMINISTIC (keep iff lcg(doc_id) ≡ 0 mod R — the same
+    * [[lcg]] family as the split/shuffle ops), so the "sample" is a
+    * reproducible function of the data, identical in both engines and
+    * across reruns — a random() sample could never be oracle-gated,
+    * and in production it also could never be debugged. Per rate
+    * 1/R ∈ {1/16, 1/64, 1/256}: scaled estimates of row count and
+    * byte total beside the exact values, signed ppm error — the table
+    * that says how cheap a stats pass is allowed to get before its
+    * error moves a decision.
+    *
+    * Scale shape: the sample predicate is map-side on the scan; one
+    * aggregate per rate rides the 3-row grid broadcast; the exact side
+    * is one aggregate (the thing the sample exists to avoid — audit
+    * only).
+    */
+  private val q318 = GraftQuery(
+    "q318_hash_sample_audit",
+    s"""WITH rs(r) AS (VALUES ${SampleRates.map(r => s"($r)").mkString(", ")}),
+       |s AS (
+       |  SELECT rs.r, CAST(count(*) AS BIGINT) AS n_sampled,
+       |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sampled
+       |  FROM documents CROSS JOIN rs
+       |  WHERE ${lcgSql("doc_id", SampleA, SampleC)} % rs.r = 0
+       |  GROUP BY 1),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_rows,
+       |  CAST(sum(n_chars) AS BIGINT) AS exact_chars FROM documents)
+       |SELECT CAST(s.r AS BIGINT) AS r, s.n_sampled,
+       |  CAST(s.n_sampled * s.r AS BIGINT) AS est_rows, ex.exact_rows,
+       |  CAST(CASE WHEN s.n_sampled * s.r >= ex.exact_rows
+       |    THEN ((s.n_sampled * s.r - ex.exact_rows) * 1000000)
+       |      // ex.exact_rows
+       |    ELSE -(((ex.exact_rows - s.n_sampled * s.r) * 1000000)
+       |      // ex.exact_rows) END AS BIGINT) AS rows_err_ppm,
+       |  CAST(s.chars_sampled * s.r AS BIGINT) AS est_chars,
+       |  ex.exact_chars,
+       |  CAST(CASE WHEN s.chars_sampled * s.r >= ex.exact_chars
+       |    THEN ((s.chars_sampled * s.r - ex.exact_chars) * 1000000)
+       |      // ex.exact_chars
+       |    ELSE -(((ex.exact_chars - s.chars_sampled * s.r) * 1000000)
+       |      // ex.exact_chars) END AS BIGINT) AS chars_err_ppm
+       |FROM s CROSS JOIN ex ORDER BY r""".stripMargin) { (s, d) =>
+    val rs = broadcast(s.createDataFrame(SampleRates.map(Tuple1(_)))
+      .toDF("r"))
+    val samp = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .crossJoin(rs)
+      .where(pmod(lcg(col("doc_id"), SampleA, SampleC), col("r")) === 0)
+      .groupBy("r")
+      .agg(count(lit(1)).as("n_sampled"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("chars_sampled"))
+    val ex = Tables.documents(s, d)
+      .agg(count(lit(1)).as("exact_rows"),
+        sum(col("n_chars")).as("exact_chars"))
+    samp.crossJoin(broadcast(ex))
+      .select(col("r"), col("n_sampled"),
+        (col("n_sampled") * col("r")).as("est_rows"), col("exact_rows"),
+        when(col("n_sampled") * col("r") >= col("exact_rows"),
+          expr("((n_sampled * r - exact_rows) * 1000000) div exact_rows"))
+          .otherwise(
+            -expr("((exact_rows - n_sampled * r) * 1000000) div exact_rows"))
+          .as("rows_err_ppm"),
+        (col("chars_sampled") * col("r")).as("est_chars"),
+        col("exact_chars"),
+        when(col("chars_sampled") * col("r") >= col("exact_chars"),
+          expr("((chars_sampled * r - exact_chars) * 1000000)"
+            + " div exact_chars"))
+          .otherwise(-expr("((exact_chars - chars_sampled * r) * 1000000)"
+            + " div exact_chars"))
+          .as("chars_err_ppm"))
+      .orderBy("r")
+  }
+
   /** The candidate context lengths q315 sweeps (tokens per training
     * sequence).
     */
@@ -2820,5 +2899,5 @@ object Pipeline {
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
       q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
-      q303, q307, q315)
+      q303, q307, q315, q318)
 }

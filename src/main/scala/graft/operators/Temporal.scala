@@ -2435,6 +2435,86 @@ object Temporal {
       .orderBy("cohort_week", "age_week")
   }
 
+  // ---- cross-series correlation matrix (q319) --------------------------
+
+  /** q319: cross-series CORRELATION matrix — the dependency structure
+    * between event types' daily volumes (q188's autocorrelation asked
+    * "does a series predict itself"; this asks "do the series move
+    * together"), the input to capacity planning (correlated types peak
+    * together — provision for the sum, not the max) and to anomaly
+    * triage (a type moving WITH its usual partners is load, one moving
+    * alone is a bug). Pearson r per type pair over the DENSIFIED
+    * day × type grid — missing (day, type) cells are true zeros, and
+    * dropping them would inflate every correlation. The five sums per
+    * pair are integer-exact (counts of counts); the single
+    * sqrt-and-divide happens once per pair on the 10-row pair table,
+    * rounded to 6 — the q237 integer-state discipline with one float
+    * epilogue.
+    *
+    * Scale shape: one shuffle to (day, type) grain; the grid is
+    * day-domain × type-domain (metadata-sized); the pair expansion is
+    * |types|² rows. Per-pair sums ride a hash aggregate over the grid
+    * join — at 100 TB nothing after the first aggregate sees event
+    * grain.
+    */
+  private val q319 = GraftQuery(
+    "q319_volume_correlation",
+    """WITH dc AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM dc),
+      |types AS (SELECT DISTINCT event_type FROM dc),
+      |grid AS (
+      |  SELECT d.day, t.event_type, coalesce(dc.c, 0) AS c
+      |  FROM days d CROSS JOIN types t
+      |  LEFT JOIN dc ON dc.day = d.day AND dc.event_type = t.event_type),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.c) AS BIGINT) AS sy,
+      |    CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+      |    CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+      |    CAST(sum(b.c * b.c) AS BIGINT) AS syy
+      |  FROM grid a JOIN grid b
+      |    ON a.day = b.day AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+      |FROM pr ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    val days = dc.select("day").distinct()
+    val types = dc.select("event_type").distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(dc, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("day"), col("event_type").as("type_a"),
+      col("c").as("ca"))
+    val b = grid.select(col("day").as("day_b"),
+      col("event_type").as("type_b"), col("c").as("cb"))
+    val pr = a.join(b, col("type_a") < col("type_b") &&
+        col("day") === col("day_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"), sum(col("ca")).as("sx"),
+        sum(col("cb")).as("sy"), sum(col("ca") * col("cb")).as("sxy"),
+        sum(col("ca") * col("ca")).as("sxx"),
+        sum(col("cb") * col("cb")).as("syy"))
+    pr.select(col("type_a"), col("type_b"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+               * (col("n") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")), 6).as("r"))
+      .orderBy("type_a", "type_b")
+  }
+
   // ---- session-gap threshold sweep (q316) ------------------------------
 
   /** The candidate inactivity gaps q316 sweeps, in seconds. */
@@ -2796,5 +2876,6 @@ object Temporal {
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
-      q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316)
+      q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
+      q319)
 }

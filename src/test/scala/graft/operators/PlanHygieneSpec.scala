@@ -140,8 +140,15 @@ class PlanHygieneSpec extends SparkSuite {
                               // + 1-row corpus-total broadcasts
     "q315_context_length_sweep", // 4-row context-length grid broadcast
                                  // (q283's audited sweep shape)
-    "q316_session_gap_sweep") // 3-row gap-grid broadcast fanning the
+    "q316_session_gap_sweep", // 3-row gap-grid broadcast fanning the
                               // event stream map-side (q285's shape)
+    "q317_hard_positives", // non-equi doc_a<doc_b self-pair inside
+                           // capped clusters; broadcast builds only
+    "q318_hash_sample_audit", // 3-row rate grid + 1-row exact-stats
+                              // broadcasts (q283's sweep shape)
+    "q319_volume_correlation") // day-domain × type-domain grid +
+                               // type-pair non-equi join, all
+                               // metadata-grain broadcast builds
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
