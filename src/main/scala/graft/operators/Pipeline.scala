@@ -2895,9 +2895,151 @@ object Pipeline {
       .orderBy("layout", "pid")
   }
 
+  // ---- Neyman (variance-optimal) stratified allocation (q324) ----------
+
+  /** q324's sampling budget — odd and non-divisible by the stratum count
+    * so the largest-remainder arm is exercised at every SF (q261's
+    * convention). */
+  private val NeyN = 97L
+
+  /** q324: NEYMAN variance-optimal stratified allocation — the third
+    * allocation verb next to proportional q223 and temperature q261, and
+    * the one a 100 TB stats job should actually use: slots ∝ N_h·S_h
+    * (Neyman 1934), so high-variance strata get oversampled and the
+    * stratified-mean variance Σ (N_h/N)²·S_h²/n_h is minimized at fixed
+    * budget. Fully integer-exact end-to-end: per-stratum variance stays
+    * the RATIONAL s2num/s2den = (N_h·Σx²−(Σx)²)/(N_h(N_h−1)), S_h enters
+    * the weight as isqrt(s2num·10⁶ div s2den) (float sqrt seeds, one
+    * integer correction step decides — q261's isqrt), both allocations
+    * are Hamilton largest-remainder (Σ alloc == budget EXACTLY), and the
+    * achieved variances are scaled integer divisions summed exactly. The
+    * proportional allocation rides beside Neyman with its measured
+    * variance, so the output is the decision table "what does
+    * variance-awareness buy": on this near-homoskedastic synthetic
+    * corpus ~0.5% — the honest q294-style reading — while a corpus with
+    * a high-variance stratum shows the full Neyman gain.
+    *
+    * Scale shape: the only corpus-grain work is ONE rollup to source
+    * grain (3 partial-agg BIGINT sums); weights, both Hamilton ranks
+    * (k-row unpartitioned windows over the source-cardinality frame —
+    * q223's justification), and the variance epilogue all run on
+    * metadata-grain frames with 1-row broadcast totals. At 10¹² chars
+    * per stratum the nh²·s2num·10⁶ numerator needs DECIMAL(38)/HUGEINT
+    * headroom (q237's discipline) — rescale before it exceeds it.
+    */
+  private val q324 = GraftQuery(
+    "q324_neyman_allocation",
+    s"""WITH st AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nh,
+       |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+       |      AS BIGINT) AS sxx
+       |  FROM documents GROUP BY 1),
+       |s2 AS (
+       |  SELECT source, nh, nh * sxx - sx * sx AS s2num,
+       |    nh * (nh - 1) AS s2den
+       |  FROM st),
+       |w0 AS (SELECT *, (s2num * 1000000) // s2den AS a,
+       |    CAST(floor(sqrt(CAST((s2num * 1000000) // s2den AS DOUBLE)))
+       |      AS BIGINT) AS g
+       |  FROM s2),
+       |w AS (SELECT source, nh, s2num, s2den,
+       |    nh * (CASE WHEN (g+1)*(g+1) <= a THEN g+1
+       |         WHEN g*g > a THEN g-1 ELSE g END) AS w
+       |  FROM w0),
+       |tw AS (SELECT CAST(sum(w) AS BIGINT) AS totw,
+       |    CAST(sum(nh) AS BIGINT) AS totn FROM w),
+       |q AS (SELECT w.*, tw.totn,
+       |    ($NeyN * w.w) // tw.totw AS flw, ($NeyN * w.w) % tw.totw AS fracw,
+       |    ($NeyN * w.nh) // tw.totn AS flp, ($NeyN * w.nh) % tw.totn AS fracp
+       |  FROM w CROSS JOIN tw),
+       |k AS (SELECT $NeyN - CAST(sum(flw) AS BIGINT) AS remw,
+       |    $NeyN - CAST(sum(flp) AS BIGINT) AS remp FROM q),
+       |rk AS (SELECT q.*,
+       |    row_number() OVER (ORDER BY fracw DESC, source) AS rw,
+       |    row_number() OVER (ORDER BY fracp DESC, source) AS rp
+       |  FROM q),
+       |alloc AS (
+       |  SELECT rk.source, rk.nh, rk.w, rk.s2num, rk.s2den, rk.totn,
+       |    CAST(rk.flw + CASE WHEN rk.rw <= k.remw THEN 1 ELSE 0 END
+       |      AS BIGINT) AS an,
+       |    CAST(rk.flp + CASE WHEN rk.rp <= k.remp THEN 1 ELSE 0 END
+       |      AS BIGINT) AS ap
+       |  FROM rk CROSS JOIN k),
+       |v AS (
+       |  SELECT source, nh, w, an, ap, s2num // s2den AS s2,
+       |    CASE WHEN an > 0 THEN (CAST(nh AS HUGEINT) * nh * s2num * 1000000)
+       |      // (CAST(s2den AS HUGEINT) * an * totn * totn) END AS vn,
+       |    CASE WHEN ap > 0 THEN (CAST(nh AS HUGEINT) * nh * s2num * 1000000)
+       |      // (CAST(s2den AS HUGEINT) * ap * totn * totn) END AS vp
+       |  FROM alloc),
+       |tot AS (SELECT CAST(sum(vn) AS BIGINT) AS var_ney_e6,
+       |  CAST(sum(vp) AS BIGINT) AS var_prop_e6 FROM v)
+       |SELECT v.source, v.nh AS n_docs, CAST(v.s2 AS BIGINT) AS s2_chars,
+       |  CAST(v.w AS BIGINT) AS weight, v.an AS alloc_neyman,
+       |  v.ap AS alloc_prop, tot.var_ney_e6, tot.var_prop_e6
+       |FROM v CROSS JOIN tot ORDER BY v.source""".stripMargin) { (s, d) =>
+    val st = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy("source").agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val s2 = st.select(col("source"), col("nh"),
+      (col("nh") * col("sxx") - col("sx") * col("sx")).as("s2num"),
+      (col("nh") * (col("nh") - 1)).as("s2den"))
+    val w = s2
+      .withColumn("a", expr("(s2num * 1000000) div s2den"))
+      .withColumn("g", floor(sqrt(col("a").cast("double"))).cast("long"))
+      .select(col("source"), col("nh"), col("s2num"), col("s2den"),
+        (col("nh") *
+          when((col("g") + 1) * (col("g") + 1) <= col("a"), col("g") + 1)
+            .when(col("g") * col("g") > col("a"), col("g") - 1)
+            .otherwise(col("g"))).as("w"))
+    val tw = w.agg(sum("w").as("totw"), sum("nh").as("totn"))
+    val q = w.crossJoin(broadcast(tw)).select(col("source"), col("nh"),
+      col("s2num"), col("s2den"), col("w"), col("totn"),
+      expr(s"($NeyN * w) div totw").as("flw"),
+      expr(s"($NeyN * w) % totw").as("fracw"),
+      expr(s"($NeyN * nh) div totn").as("flp"),
+      expr(s"($NeyN * nh) % totn").as("fracp"))
+    val k = q.agg((lit(NeyN) - sum("flw")).as("remw"),
+      (lit(NeyN) - sum("flp")).as("remp"))
+    val alloc = q
+      .withColumn("rw",
+        row_number().over(Window.orderBy(col("fracw").desc, col("source"))))
+      .withColumn("rp",
+        row_number().over(Window.orderBy(col("fracp").desc, col("source"))))
+      .crossJoin(broadcast(k))
+      .select(col("source"), col("nh"), col("w"), col("s2num"),
+        col("s2den"), col("totn"),
+        (col("flw") + when(col("rw") <= col("remw"), 1L).otherwise(0L))
+          .as("an"),
+        (col("flp") + when(col("rp") <= col("remp"), 1L).otherwise(0L))
+          .as("ap"))
+    // Spark's Decimal `/` rounds; the oracle's `//` floors — so both
+    // variance contributions use `div` on DECIMAL(38,0) operands.
+    val v2 = alloc.select(col("source"), col("nh"), col("w"), col("an"),
+      col("ap"), expr("s2num div s2den").as("s2"),
+      when(col("an") > 0, expr(
+        "CAST((CAST(nh AS DECIMAL(38,0)) * nh * s2num * 1000000) div " +
+          "(CAST(s2den AS DECIMAL(38,0)) * an * totn * totn) AS BIGINT)"))
+        .as("vn"),
+      when(col("ap") > 0, expr(
+        "CAST((CAST(nh AS DECIMAL(38,0)) * nh * s2num * 1000000) div " +
+          "(CAST(s2den AS DECIMAL(38,0)) * ap * totn * totn) AS BIGINT)"))
+        .as("vp"))
+    val tot = v2.agg(sum("vn").as("var_ney_e6"), sum("vp").as("var_prop_e6"))
+    v2.crossJoin(broadcast(tot))
+      .select(col("source"), col("nh").as("n_docs"),
+        col("s2").cast("long").as("s2_chars"), col("w").as("weight"),
+        col("an").as("alloc_neyman"), col("ap").as("alloc_prop"),
+        col("var_ney_e6").cast("long").as("var_ney_e6"),
+        col("var_prop_e6").cast("long").as("var_prop_e6"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
       q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
-      q303, q307, q315, q318)
+      q303, q307, q315, q318, q324)
 }

