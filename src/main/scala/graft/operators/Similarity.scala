@@ -5859,11 +5859,102 @@ object Similarity {
       .orderBy("dim")
   }
 
+  // ---- SemDeDup: semantic dedup within trained IVF cells (q325) --------
+
+  /** q325's within-cell cosine threshold — fixture-calibrated like q41's
+    * [[CosMin]] (these synthetic isotropic vectors top out near 0.51
+    * in-cell, with ~6% of in-cell pairs above 0.35); a production
+    * SemDeDup on real encoder output runs at ~0.95+.
+    */
+  private val SemDedupTau = 0.35
+
+  /** q325: SEMDEDUP — semantic deduplication in embedding space (Abbas
+    * et al. 2023): cluster the corpus with the trained coarse quantizer,
+    * then within each cell connect pairs whose cosine exceeds τ and keep
+    * ONE representative per connected component (min vec_id — the
+    * deterministic stand-in for the paper's arbitrary-keeper result).
+    * This is the dedup tier the text tiers (minhash q31, simhash q39,
+    * ExactSubstr q259) structurally cannot reach: paraphrases and
+    * near-translations share no shingles but sit close in embedding
+    * space. Per cell: members, τ-edges, kept, dropped, dropped_ppm — the
+    * removal-rate table a curation owner reads before shipping the pass.
+    *
+    * Scale shape: the pairwise cosine join is CELL-BOUNDED (the published
+    * algorithm's cost model — production picks k ~ √n so a cell is
+    * O(√n); here k=4 on a 2k-vector corpus), riding the same trained
+    * artifact as every IVF query ([[kmTrained]] — assignment cost already
+    * paid and shared); components run on the sparse τ-edge graph
+    * ([[connectedComponents]]: edge-grain rounds, never corpus-grain),
+    * and the report is cell-grain. The edge list is localCheckpointed so
+    * the edge-count audit and the CC loop don't each replay the
+    * quadratic join.
+    */
+  private val q325 = GraftQuery(
+    "q325_semdedup",
+    s"""WITH RECURSIVE c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
+       |  FROM embeddings WHERE vec_id < $KmK
+       |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
+       |${kmOracleAssign("c1", "a2")},
+       |pe AS (
+       |  SELECT a.cell, a.vec_id AS u, b.vec_id AS v
+       |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a", "b")} >= $SemDedupTau
+       |),
+       |ecnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM pe GROUP BY 1),
+       |edges AS (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |cl AS (
+       |  SELECT a.vec_id, a.cell,
+       |    least(a.vec_id, coalesce(rm.m, a.vec_id)) AS grp
+       |  FROM a2 a LEFT JOIN (SELECT u, min(v) AS m FROM reach GROUP BY u) rm
+       |    ON a.vec_id = rm.u)
+       |SELECT cl.cell, CAST(count(*) AS BIGINT) AS n_members,
+       |  coalesce(any_value(ecnt.n_edges), 0) AS n_edges,
+       |  CAST(count(DISTINCT cl.grp) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - count(DISTINCT cl.grp) AS BIGINT) AS n_dropped,
+       |  CAST(((count(*) - count(DISTINCT cl.grp)) * 1000000) // count(*)
+       |    AS BIGINT) AS dropped_ppm
+       |FROM cl LEFT JOIN ecnt ON cl.cell = ecnt.cell
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (_, a2) = kmTrained(s, d)
+    val left = a2.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val right = a2.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val pe = left
+      .join(right, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .where(VectorFunctions.cosineSim(col("emb_a"), col("emb_b")) >= SemDedupTau)
+      .select(col("cell"), col("vec_a"), col("vec_b"))
+      .localCheckpoint(eager = true)
+    val ecnt = pe.groupBy("cell").agg(count(lit(1)).as("n_edges"))
+    val cc = connectedComponents(
+      a2.select(col("vec_id").as("doc_id")),
+      pe.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    cc.join(a2.select(col("vec_id"), col("cell")), col("doc_id") === col("vec_id"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("cluster_id")).as("n_kept"))
+      .join(broadcast(ecnt), Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"), col("n_kept"),
+        (col("n_members") - col("n_kept")).as("n_dropped"),
+        expr("((n_members - n_kept) * 1000000) div n_members")
+          .as("dropped_ppm"))
+      .orderBy("cell")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278, q291, q294, q296, q298, q302, q317, q321)
+      q277, q278, q291, q294, q296, q298, q302, q317, q321, q325)
 }

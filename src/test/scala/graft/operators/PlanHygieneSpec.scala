@@ -151,8 +151,14 @@ class PlanHygieneSpec extends SparkSuite {
                                // metadata-grain broadcast builds
     "q321_spectral_gap_probe", // 1-row corpus-count frame crossed onto
                                // the d²-bounded moment matrix
-    "q322_mutual_information") // 1-row total-count + 1-row MI frames
+    "q322_mutual_information", // 1-row total-count + 1-row MI frames
                                // crossed onto the ≤types·4 cell table
+    "q323_funnel_window_sweep", // 3-row conversion-window grid broadcast
+                                // fanning the event stream map-side
+                                // (q316's audited sweep shape)
+    "q324_neyman_allocation") // 1-row weight/count totals + 1-row
+                              // remainder broadcasts on the source-grain
+                              // frame (q223/q261's audited shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
