@@ -1582,6 +1582,91 @@ object Relational {
       .orderBy("col")
   }
 
+  /** q326: per-column SHANNON-ENTROPY audit — the model-independent
+    * compressibility bound next to q219's measured dictionary bytes and
+    * q228's RLE run census: H(column) in nats and bits/value is the
+    * floor NO entropy coder beats, so `bits_e6 ≪ 8·avg_len` says
+    * dictionary/entropy coding pays (o_orderstatus: 1.58 bits vs 8-bit
+    * chars) while `H ≈ ln(ndv)` with ndv ≈ n says the column is an
+    * incompressible key (o_orderkey: H = ln N exactly) — the per-column
+    * encoding decision, made from the distribution rather than from a
+    * trial encode. Derived day ints stand in for the timestamp column so
+    * no engine-specific timestamp rendering enters the value grain.
+    *
+    * Exactness discipline: the only float work is Σ m_c·c·ln(c) over the
+    * count-of-counts table — ln on INTEGER args (engine-agreeing, the
+    * q322 precedent) folded in c order via the order-pinned
+    * list/aggregate pattern (kmRecompute's), so the double is
+    * bit-identical under any shuffle order; everything before it is
+    * BIGINT counts.
+    *
+    * Scale shape: one map-side unpivot fan (k× rows, no extra pass), ONE
+    * shuffle to (column, value) grain — the exact-distinct minimum,
+    * q198's argument — then a second tiny shuffle to (column, count)
+    * grain; the entropy fold runs on the count-DOMAIN table (≤ max
+    * multiplicity rows per column, metadata-sized), never on values.
+    */
+  private val q326 = GraftQuery(
+    "q326_column_entropy",
+    """WITH uv AS (
+      |  SELECT t.cname, t.val FROM orders, LATERAL (VALUES
+      |    ('o_orderkey', CAST(o_orderkey AS VARCHAR)),
+      |    ('o_custkey', CAST(o_custkey AS VARCHAR)),
+      |    ('o_orderstatus', o_orderstatus),
+      |    ('o_orderpriority', o_orderpriority),
+      |    ('o_orderdate_day', CAST(date_diff('day', DATE '1970-01-01',
+      |       CAST(o_orderdate AS DATE)) AS VARCHAR))) t(cname, val)),
+      |vc AS (SELECT cname, val, CAST(count(*) AS BIGINT) AS c
+      |  FROM uv GROUP BY 1, 2),
+      |cc AS (SELECT cname, c, CAST(count(*) AS BIGINT) AS m
+      |  FROM vc GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT cname, CAST(sum(m * c) AS BIGINT) AS n,
+      |    CAST(sum(m) AS BIGINT) AS n_distinct,
+      |    CAST(max(c) AS BIGINT) AS max_count,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list(CAST(m * c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY c)),
+      |      (x, y) -> x + y) AS s
+      |  FROM cc GROUP BY 1)
+      |SELECT cname, n AS n_rows, n_distinct, max_count,
+      |  CAST(round((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) * 1000000)
+      |    AS BIGINT) AS entropy_e6_nats,
+      |  CAST(round((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0)
+      |    * 1000000) AS BIGINT) AS bits_e6
+      |FROM ag ORDER BY cname""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def pair(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("cname"), v.as("val"))
+    val uv = o.select(explode(array(
+        pair("o_orderkey", col("o_orderkey").cast("string")),
+        pair("o_custkey", col("o_custkey").cast("string")),
+        pair("o_orderstatus", col("o_orderstatus")),
+        pair("o_orderpriority", col("o_orderpriority")),
+        pair("o_orderdate_day",
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+            .cast("string")))).as("p"))
+      .select(col("p.cname").as("cname"), col("p.val").as("val"))
+    val cc2 = uv.groupBy("cname", "val").agg(count(lit(1)).as("c"))
+      .groupBy("cname", "c").agg(count(lit(1)).as("m"))
+    cc2.groupBy("cname")
+      .agg(sum(col("m") * col("c")).as("n"), sum("m").as("n_distinct"),
+        max("c").as("max_count"),
+        sort_array(collect_list(struct(col("c"),
+          ((col("m") * col("c")).cast("double")
+            * log(col("c").cast("double"))).as("term")))).as("ts"))
+      .select(col("cname"), col("n").as("n_rows"), col("n_distinct"),
+        col("max_count"),
+        expr("aggregate(ts, 0D, (acc, s) -> acc + s.term)").as("s"))
+      .select(col("cname"), col("n_rows"), col("n_distinct"), col("max_count"),
+        round((log(col("n_rows").cast("double"))
+          - col("s") / col("n_rows").cast("double")) * 1e6)
+          .cast("long").as("entropy_e6_nats"),
+        round((log(col("n_rows").cast("double"))
+          - col("s") / col("n_rows").cast("double")) / log(lit(2.0)) * 1e6)
+          .cast("long").as("bits_e6"))
+      .orderBy("cname")
+  }
+
   /** q227: l-diversity audit — the second privacy gate after q211's
     * k-anonymity: a quasi-identifier group can be large (k-anonymous)
     * yet still leak if everyone in it shares the same SENSITIVE value
@@ -2402,5 +2487,5 @@ object Relational {
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
       q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240,
-      q265, q304, q305, q308)
+      q265, q304, q305, q308, q326)
 }

@@ -2683,6 +2683,103 @@ object Temporal {
       .orderBy("p")
   }
 
+  // ---- DP noisy release (q327) ------------------------------------------
+
+  /** q327's noise-draw LCG constants (two independent draws per day;
+    * the shared [[Pipeline.lcg]] affine family). */
+  private val DpNoiseA = 1103515245L
+  private val DpNoiseC1 = 54321L
+  private val DpNoiseC2 = 987654321L
+
+  /** q327: DIFFERENTIALLY-PRIVATE daily-count release — the release verb
+    * q310's sensitivity audit calibrates: user contributions are bounded
+    * by keeping each user's FIRST C events (C = q310's p95 clip, elected
+    * by the same exact-percentile rank — the deterministic stand-in for
+    * a DP library's per-user contribution sampling), then each day's
+    * clipped count is published with two-sided geometric noise of scale
+    * b = C/ε at ε = 1 (L1 sensitivity of the clipped histogram is C —
+    * one user changes at most C rows). Noise is SEEDED: two independent
+    * day-keyed LCG uniforms through floor(b·(−ln u)) — the exponential
+    * inverse-CDF — subtracted, so the release is reproducible and both
+    * engines agree bit-for-bit (u is an exact dyadic rational, the ln/
+    * floor tree is IEEE-identical; q235's literal-threshold discipline,
+    * generalized to the unbounded support a Laplace needs). Per day:
+    * true count, clipped count, noise, released count — the
+    * utility-vs-privacy table a data owner signs off on.
+    *
+    * Scale shape: contribution bounding is ONE per-user event-grain
+    * window (the attribution family's single-sort shape); the clip
+    * election rides q310's banded user-grain rank; noise and release
+    * are per-row arithmetic on the day-DOMAIN table (metadata-sized).
+    */
+  private val q327 = GraftQuery(
+    "q327_dp_release",
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, ts, event_id
+       |  FROM events),
+       |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS t
+       |  FROM e GROUP BY 1),
+       |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+       |rk AS (SELECT t, row_number() OVER (ORDER BY t, user_id) AS r
+       |  FROM u),
+       |cl AS (
+       |  SELECT max(CASE WHEN r = (95 * n_users + 99) // 100 THEN t END)
+       |    AS clip
+       |  FROM rk CROSS JOIN nu),
+       |kept AS (
+       |  SELECT day FROM (
+       |    SELECT day, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |    FROM e) k CROSS JOIN cl WHERE k.rn <= cl.clip),
+       |tr AS (SELECT day, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM e GROUP BY 1),
+       |cc AS (SELECT day, CAST(count(*) AS BIGINT) AS n_clipped
+       |  FROM kept GROUP BY 1),
+       |rel AS (
+       |  SELECT tr.day, tr.n_true, coalesce(cc.n_clipped, 0) AS n_clipped,
+       |    cl.clip,
+       |    CAST(floor(CAST(cl.clip AS DOUBLE) * (-ln(
+       |      (((2 * tr.day) * $DpNoiseA + $DpNoiseC1) % 2147483648 + 1)
+       |        / 2147483648.0))) AS BIGINT)
+       |    - CAST(floor(CAST(cl.clip AS DOUBLE) * (-ln(
+       |      (((2 * tr.day + 1) * $DpNoiseA + $DpNoiseC2) % 2147483648 + 1)
+       |        / 2147483648.0))) AS BIGINT) AS noise
+       |  FROM tr LEFT JOIN cc ON tr.day = cc.day CROSS JOIN cl)
+       |SELECT day, clip, n_true, n_clipped, noise,
+       |  n_clipped + noise AS n_released
+       |FROM rel ORDER BY day""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000")
+        .as("day"), col("ts"), col("event_id"))
+    val u = e.groupBy("user_id").agg(count(lit(1)).as("t"))
+    val nu = u.agg(count(lit(1)).as("n_users"))
+    val rk = Banded.cumSums(u, Nil, Seq(col("t"), col("user_id")),
+      expr("t div 64"), Seq(Banded.CumSpec("r", lit(1L))))
+    val cl = broadcast(rk.crossJoin(broadcast(nu))
+      .agg(max(when(col("r") === expr("(95 * n_users + 99) div 100"),
+        col("t"))).as("clip")))
+    val kept = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .crossJoin(cl)
+      .where(col("rn") <= col("clip"))
+      .select(col("day"))
+    val tr = e.groupBy("day").agg(count(lit(1)).as("n_true"))
+    val cc2 = kept.groupBy("day").agg(count(lit(1)).as("n_clipped"))
+    def draw(dayExpr: org.apache.spark.sql.Column, addC: Long) =
+      floor(col("clip").cast("double") *
+        -log((Pipeline.lcg(dayExpr, DpNoiseA, addC) + 1).cast("double")
+          / 2147483648.0)).cast("long")
+    tr.join(cc2, Seq("day"), "left")
+      .crossJoin(cl)
+      .select(col("day"), col("clip"), col("n_true"),
+        coalesce(col("n_clipped"), lit(0L)).as("n_clipped"),
+        (draw(col("day") * 2, DpNoiseC1)
+          - draw(col("day") * 2 + 1, DpNoiseC2)).as("noise"))
+      .withColumn("n_released", col("n_clipped") + col("noise"))
+      .orderBy("day")
+  }
+
   // ---- bitemporal as-of ledger (q306) ----------------------------------
 
   /** q306: BITEMPORAL as-of — q279's restatement ledger made queryable
@@ -3069,5 +3166,5 @@ object Temporal {
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
       q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
-      q319, q322, q323)
+      q319, q322, q323, q327)
 }

@@ -884,7 +884,108 @@ object TextAnalysis {
         expr("(covered * 1000000) div n_test").as("coverage_ppm"))
   }
 
+  // ---- Zipf rank-frequency fit (q328) -----------------------------------
+
+  /** q328's log fixed-point scale (2^20 — the q302 scaled-integer
+    * discipline: per-row ln is deterministic float, everything summed is
+    * exact BIGINT/DECIMAL). */
+  private val ZipfQ = 1048576L
+
+  /** q328: ZIPF rank-frequency fit per source — the "is this natural
+    * language?" corpus-QA probe (a natural-text token distribution fits
+    * log f ≈ C − α·log r with α ≈ 1; spammy, templated, or synthetic
+    * sources deviate hard), the distributional companion to the Heaps'
+    * novelty curve (q292) and the per-doc repetition audit (q246). Fit
+    * is OLS on (ln rank, ln freq) over the word-3-gram frequency table,
+    * per source AND for the pooled corpus ('ALL' row): slope in ppm,
+    * with types/tokens/max-frequency as the audit columns. The measured
+    * answer on this synthetic corpus is α ≈ 0.41 — far from Zipf's 1,
+    * the honest "LM-quality filters calibrated on natural text will
+    * misfire here" reading (q294's discipline).
+    *
+    * Exactness: per-row ln(rank)/ln(freq) are scaled to round(ln·2²⁰)
+    * BIGINTs (deterministic float per ROW — no cross-row float sum), all
+    * OLS sums are DECIMAL(38,0)/HUGEINT-exact, and the slope is ONE
+    * sign-split toward-zero cross-multiplied division (q226's rule), so
+    * shuffle order can never move the estimate.
+    *
+    * Scale shape: one corpus pass fans 3-grams map-side, ONE gram-hash
+    * shuffle to (source, gram) grain; the pooled tier re-aggregates the
+    * TYPE-grain table (never the corpus). The global rank per source
+    * rides [[Banded.cumSums]] (band = frequency, descending — monotone
+    * in the sort prefix; a production corpus appends a gram-prefix
+    * subkey to split the f=1 band), and the OLS collapse is one
+    * source-grain aggregate.
+    */
+  private val q328 = GraftQuery(
+    "q328_zipf_fit",
+    s"""WITH toks AS (
+       |  SELECT source, string_split_regex(lower(text), '\\s+') AS ts
+       |  FROM documents),
+       |g AS (
+       |  SELECT source AS src, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       |    AS gram
+       |  FROM toks, LATERAL unnest(range(1, len(ts) - 1)) t(i)),
+       |tfs AS (SELECT src, gram, CAST(count(*) AS BIGINT) AS f
+       |  FROM g GROUP BY 1, 2),
+       |tfa AS (SELECT 'ALL' AS src, gram, CAST(sum(f) AS BIGINT) AS f
+       |  FROM tfs GROUP BY 2),
+       |tf AS (SELECT * FROM tfs UNION ALL SELECT * FROM tfa),
+       |rk AS (SELECT src, f,
+       |    row_number() OVER (PARTITION BY src ORDER BY f DESC, gram) AS r
+       |  FROM tf),
+       |sc AS (SELECT src, f,
+       |    CAST(round(ln(CAST(r AS DOUBLE)) * $ZipfQ) AS BIGINT) AS lx,
+       |    CAST(round(ln(CAST(f AS DOUBLE)) * $ZipfQ) AS BIGINT) AS ly
+       |  FROM rk),
+       |ag AS (
+       |  SELECT src, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(f) AS BIGINT) AS tokens, CAST(max(f) AS BIGINT) AS max_f,
+       |    CAST(sum(lx) AS HUGEINT) AS sx, CAST(sum(ly) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+       |    CAST(sum(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+       |  FROM sc GROUP BY 1)
+       |SELECT src AS source, CAST(n AS BIGINT) AS types, tokens, max_f,
+       |  CAST(CASE WHEN n * sxy - sx * sy >= 0
+       |    THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+       |    ELSE -((-(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+       |    END AS BIGINT) AS zipf_slope_ppm
+       |FROM ag ORDER BY source""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("source"), split(lower(col("text")), "\\s+").as("ts"))
+      .select(col("source").as("src"), explode(when(size(col("ts")) >= 3,
+        expr("""transform(sequence(1, size(ts) - 2),
+               |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+               |    element_at(ts, i + 2)))""".stripMargin))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+    val tfs = g.groupBy("src", "gram").agg(count(lit(1)).as("f"))
+    val tfa = tfs.groupBy("gram").agg(sum("f").as("f"))
+      .select(lit("ALL").as("src"), col("gram"), col("f"))
+    val tf = tfs.unionByName(tfa)
+    val rk = Banded.cumSums(tf, Seq("src"),
+      Seq(col("f").desc, col("gram")), col("f"),
+      Seq(Banded.CumSpec("r", lit(1L))), bandDesc = true)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val sc2 = rk.select(col("src"), col("f"),
+      round(log(col("r").cast("double")) * ZipfQ).cast("long").as("lx"),
+      round(log(col("f").cast("double")) * ZipfQ).cast("long").as("ly"))
+    sc2.groupBy("src")
+      .agg(count(lit(1)).cast(dec).as("n"), sum("f").as("tokens"),
+        max("f").as("max_f"),
+        sum(col("lx").cast(dec)).as("sx"), sum(col("ly").cast(dec)).as("sy"),
+        sum(col("lx").cast(dec) * col("ly")).as("sxy"),
+        sum(col("lx").cast(dec) * col("lx")).as("sxx"))
+      .select(col("src").as("source"),
+        col("n").cast("long").as("types"), col("tokens"), col("max_f"),
+        expr("""CAST(CASE WHEN n * sxy - sx * sy >= 0
+               |  THEN ((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)
+               |  ELSE -((-(n * sxy - sx * sy) * 1000000)
+               |    div (n * sxx - sx * sx))
+               |  END AS BIGINT)""".stripMargin).as("zipf_slope_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160, q174, q175,
-      q252, q297, q312)
+      q252, q297, q312, q328)
 }

@@ -156,9 +156,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q323_funnel_window_sweep", // 3-row conversion-window grid broadcast
                                 // fanning the event stream map-side
                                 // (q316's audited sweep shape)
-    "q324_neyman_allocation") // 1-row weight/count totals + 1-row
+    "q324_neyman_allocation", // 1-row weight/count totals + 1-row
                               // remainder broadcasts on the source-grain
                               // frame (q223/q261's audited shape)
+    "q327_dp_release") // 1-row clip-election broadcast crossed onto the
+                       // event stream and the day-domain release table
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
