@@ -2708,9 +2708,103 @@ object CorpusStats {
       .orderBy("decile")
   }
 
+  // ---- Jensen-Shannon content drift (q329) ------------------------------
+
+  /** q329's per-cell JSD term — ONE expression text shared verbatim
+    * between both engines (the q297/q320 identical-IEEE-tree
+    * discipline): each (source, token) grid cell contributes
+    * ½[p·ln(p/m) + q·ln(q/m)] with p the in-source rate, q the
+    * rest-of-corpus rate, m their midpoint; absent sides contribute 0
+    * through the CASE guards.
+    */
+  private val jsdTermSql: String =
+    """(CASE WHEN cs > 0
+      |   THEN (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+      |     * ln((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+      |       / ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+      |           + CAST(ct - cs AS DOUBLE) / CAST(nt - ns AS DOUBLE)) / 2.0))
+      |   ELSE 0.0 END
+      | + CASE WHEN ct - cs > 0
+      |   THEN (CAST(ct - cs AS DOUBLE) / CAST(nt - ns AS DOUBLE))
+      |     * ln((CAST(ct - cs AS DOUBLE) / CAST(nt - ns AS DOUBLE))
+      |       / ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+      |           + CAST(ct - cs AS DOUBLE) / CAST(nt - ns AS DOUBLE)) / 2.0))
+      |   ELSE 0.0 END) / 2.0""".stripMargin
+
+  /** q329: per-source JENSEN-SHANNON content drift — the
+    * CONTENT-distribution member of the drift family: q237/q314 compare
+    * a numeric column's CDF (KS), q214 a categorical contingency (chi²),
+    * q322 ranks a feature (MI); this one measures how far each source's
+    * TOKEN distribution sits from the rest of the corpus in the metric
+    * retrieval/LM work actually uses — JSD(P‖rest), symmetric, bounded
+    * [0, ln 2], finite even where supports differ (where KL blows up).
+    * A source near 0 is stylistically interchangeable with the corpus; a
+    * source near ln 2 ships a different language/template — the
+    * mixture-weighting and dedup-policy input per source.
+    *
+    * Exactness: leave-one-out rest-rates come from exact BIGINT counts;
+    * the only float is the per-CELL term ([[jsdTermSql]], shared
+    * verbatim) on the source × vocabulary DOMAIN grid — absent cells
+    * present with cs = 0 because a token the source lacks still
+    * contributes q·ln(2·q/(p+q)) mass — folded in token order via the
+    * order-pinned list pattern, so the double is shuffle-order-free.
+    *
+    * Scale shape: ONE corpus shuffle to (source, token) grain (partial
+    * agg collapses map-side); totals/grid/fold all run on source- and
+    * vocabulary-DOMAIN frames (sources × |V| cells) as audited broadcast
+    * crosses. With a 100 TB vocabulary, the grid caps to the top-K
+    * tokens by corpus frequency (the tail's mass bounds the JSD error) —
+    * this fixture's 31-token vocabulary needs no cap.
+    */
+  private val q329 = GraftQuery(
+    "q329_jsd_source_drift",
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM documents),
+       |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cs
+       |  FROM tok GROUP BY 1, 2),
+       |tt AS (SELECT t, CAST(sum(cs) AS BIGINT) AS ct FROM st GROUP BY 1),
+       |sn AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+       |  FROM st GROUP BY 1),
+       |tn AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tt),
+       |grid AS (
+       |  SELECT s.source, v.t, s.ns, v.ct, tn.nt, coalesce(st.cs, 0) AS cs
+       |  FROM sn s CROSS JOIN tt v CROSS JOIN tn
+       |  LEFT JOIN st ON st.source = s.source AND st.t = v.t),
+       |terms AS (SELECT source, ns, t, $jsdTermSql AS term FROM grid),
+       |ag AS (
+       |  SELECT source, any_value(ns) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(term ORDER BY t)), (x, y) -> x + y) AS jsd
+       |  FROM terms GROUP BY source)
+       |SELECT source, n_tokens,
+       |  CAST(round(jsd * 1000000) AS BIGINT) AS jsd_vs_rest_e6
+       |FROM ag ORDER BY source""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("cs"))
+    val tt = st.groupBy("t").agg(sum("cs").as("ct"))
+    val sn = st.groupBy("source").agg(sum("cs").as("ns"))
+    val tn = tt.agg(sum("ct").as("nt"))
+    val grid = sn.crossJoin(broadcast(tt)).crossJoin(broadcast(tn))
+      .join(st.withColumnRenamed("source", "src2").withColumnRenamed("t", "t2"),
+        col("source") === col("src2") && col("t") === col("t2"), "left")
+      .select(col("source"), col("t"), col("ns"), col("ct"), col("nt"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    grid.withColumn("term", expr(jsdTermSql))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"),
+        sort_array(collect_list(struct(col("t"), col("term")))).as("ts"))
+      .select(col("source"), col("n_tokens"),
+        round(expr("aggregate(ts, 0D, (acc, s) -> acc + s.term)") * 1e6)
+          .cast("long").as("jsd_vs_rest_e6"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
       q225, q246, q247, q259, q260, q282, q286, q289, q292, q295, q311,
-      q313, q314)
+      q313, q314, q329)
 }

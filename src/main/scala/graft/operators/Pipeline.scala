@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2927,8 +2927,8 @@ object Pipeline {
     * per stratum the nh²·s2num·10⁶ numerator needs DECIMAL(38)/HUGEINT
     * headroom (q237's discipline) — rescale before it exceeds it.
     */
-  private val q324 = GraftQuery(
-    "q324_neyman_allocation",
+  /** q324's oracle, shared verbatim by the streaming twin q330. */
+  private[graft] val neymanOracleSql: String =
     s"""WITH st AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS nh,
        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
@@ -2978,11 +2978,14 @@ object Pipeline {
        |SELECT v.source, v.nh AS n_docs, CAST(v.s2 AS BIGINT) AS s2_chars,
        |  CAST(v.w AS BIGINT) AS weight, v.an AS alloc_neyman,
        |  v.ap AS alloc_prop, tot.var_ney_e6, tot.var_prop_e6
-       |FROM v CROSS JOIN tot ORDER BY v.source""".stripMargin) { (s, d) =>
-    val st = Tables.documents(s, d)
-      .select(col("source"), col("n_chars").cast("long").as("x"))
-      .groupBy("source").agg(count(lit(1)).as("nh"), sum("x").as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+       |FROM v CROSS JOIN tot ORDER BY v.source""".stripMargin
+
+  /** q324's integer-exact Neyman/proportional election + variance
+    * epilogue over the source-grain (source, nh, sx, sxx) rollup —
+    * shared verbatim with the streaming twin q330. Self-joins its
+    * input; metadata-grain throughout.
+    */
+  private[graft] def neymanOf(st: DataFrame): DataFrame = {
     val s2 = st.select(col("source"), col("nh"),
       (col("nh") * col("sxx") - col("sx") * col("sx")).as("s2num"),
       (col("nh") * (col("nh") - 1)).as("s2den"))
@@ -3035,6 +3038,14 @@ object Pipeline {
         col("var_ney_e6").cast("long").as("var_ney_e6"),
         col("var_prop_e6").cast("long").as("var_prop_e6"))
       .orderBy("source")
+  }
+
+  private val q324 = GraftQuery(
+    "q324_neyman_allocation", neymanOracleSql) { (s, d) =>
+    neymanOf(Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy("source").agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx")))
   }
 
   val queries: Seq[GraftQuery] =

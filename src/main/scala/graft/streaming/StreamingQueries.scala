@@ -1142,6 +1142,35 @@ object StreamingQueries {
     P.stcsOf(rollup)
   }
 
+  /** q330: STREAMING Neyman allocation ≡ batch q324 — the q290/q309
+    * labor split applied to variance-optimal sampling: the ingest stream
+    * maintains the per-source moment rollup (n, Σx, Σx²) ONLINE in
+    * Complete mode — bounded state, THREE BIGINTs per source regardless
+    * of corpus volume, and no watermark because sums are commutative —
+    * and the integer-exact Neyman election + variance epilogue
+    * ([[graft.operators.Pipeline.neymanOf]], shared verbatim with batch)
+    * runs on the finalized source-grain table. This is how a production
+    * stats service keeps "where should the next sampling budget go"
+    * CURRENT against an ingest firehose without ever re-scanning the
+    * corpus. The epilogue self-joins its input, so the memory-sink view
+    * is re-rooted under fresh attribute ids first (q254's analyzer
+    * note). Gated on q324's oracle verbatim: stream == batch == DuckDB.
+    */
+  private val q330 = GraftQuery(
+    "q330_stream_neyman",
+    graft.operators.Pipeline.neymanOracleSql) { (s, d) =>
+    val st = EventStreams.readDocuments(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy("source").agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val stT = EventStreams.runToMemory(s, st,
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    graft.operators.Pipeline.neymanOf(
+        s.createDataFrame(stT.rdd, stT.schema))
+      .orderBy("source")
+  }
+
   /** q300: STREAMING HyperLogLog register maintenance — q141's mergeable
     * distinct-count state kept ONLINE over the document stream, closing
     * the sketch symmetry with q163 (count-min) and q251 (digest): the
@@ -1182,5 +1211,5 @@ object StreamingQueries {
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258, q263, q267, q271, q284, q290, q300, q309)
+      q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330)
 }

@@ -159,8 +159,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q324_neyman_allocation", // 1-row weight/count totals + 1-row
                               // remainder broadcasts on the source-grain
                               // frame (q223/q261's audited shape)
-    "q327_dp_release") // 1-row clip-election broadcast crossed onto the
+    "q327_dp_release", // 1-row clip-election broadcast crossed onto the
                        // event stream and the day-domain release table
+    "q329_jsd_source_drift") // vocabulary-domain token table + 1-row
+                             // corpus-total broadcasts crossed onto the
+                             // source-grain frame (q314's audited grid)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
