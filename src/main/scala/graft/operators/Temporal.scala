@@ -2780,6 +2780,172 @@ object Temporal {
       .orderBy("day")
   }
 
+  // ---- Kaplan-Meier survival (q332) ---------------------------------------
+
+  /** q332: KAPLAN-MEIER survival estimator — the censoring-aware
+    * time-to-churn curve (the retention question q127's cohort counts
+    * and q213's point-in-time flags cannot answer correctly, because
+    * users still active at the horizon are CENSORED observations, not
+    * survivors forever): per user, lifetime = days between first and
+    * last activity, churned under q213's 24h-inactivity rule, censored
+    * otherwise; then per distinct lifetime t: the at-risk count n(t),
+    * churn events d(t), censored exits c(t), and the product-limit
+    * estimate S(t) = ∏_{t'≤t} (1 − d/n) — the standard-of-care survival
+    * table (Kaplan & Meier 1958) that reads "what fraction of users is
+    * still alive after t days, accounting for the ones we simply
+    * haven't watched long enough".
+    *
+    * Exactness: lifetimes/at-risk/event counts are BIGINT; the only
+    * float is the product-limit fold — per-row factors (n−d)/n folded
+    * in ascending-t order from ONE sorted day-domain factor list
+    * broadcast to every output row (prefix product via the order-pinned
+    * list pattern: filter t' ≤ t, multiply left-to-right — both engines
+    * the identical IEEE tree).
+    *
+    * Scale shape: ONE user-grain aggregate collapses the corpus (first/
+    * last per user); everything after — histogram, at-risk cumulative,
+    * factor list, fold — lives on the lifetime DOMAIN table (≤ observed
+    * span in days, metadata-sized), with the horizon a 1-row broadcast.
+    */
+  private val q332 = GraftQuery(
+    "q332_kaplan_meier",
+    """WITH mx AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+      |u AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+      |    max(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY 1),
+      |lt AS (
+      |  SELECT (u.last_us - u.first_us) // 86400000000 AS t,
+      |    CASE WHEN mx.h_us - u.last_us >= 86400000000 THEN 1 ELSE 0 END
+      |      AS ev
+      |  FROM u CROSS JOIN mx),
+      |h AS (
+      |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+      |    CAST(sum(1 - ev) AS BIGINT) AS c
+      |  FROM lt GROUP BY 1),
+      |r AS (
+      |  SELECT t, d, c,
+      |    CAST((SELECT count(*) FROM lt)
+      |      - coalesce(sum(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM h),
+      |fs AS (
+      |  SELECT list(struct_pack(t := t,
+      |    f := CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |    ORDER BY t) AS fl
+      |  FROM r)
+      |SELECT r.t AS t_days, r.n_risk, r.d AS d_churned, r.c AS c_censored,
+      |  CAST(round(list_reduce(list_prepend(CAST(1 AS DOUBLE),
+      |    list_transform(list_filter(fs.fl, x -> x.t <= r.t), x -> x.f)),
+      |    (a, b) -> a * b) * 1000000) AS BIGINT) AS survival_e6
+      |FROM r CROSS JOIN fs ORDER BY t_days""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val mx = broadcast(ev.agg(max(col("t_us")).as("h_us")))
+    val lt = ev.groupBy("user_id")
+      .agg(min(col("t_us")).as("first_us"), max(col("t_us")).as("last_us"))
+      .crossJoin(mx)
+      .select(expr("(last_us - first_us) div 86400000000").as("t"),
+        when(col("h_us") - col("last_us") >= 86400000000L, 1L).otherwise(0L)
+          .as("ev"))
+    val h = lt.groupBy("t")
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val nTot = broadcast(lt.agg(count(lit(1)).as("n_total")))
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = h.crossJoin(nTot)
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wCum), lit(0L)))
+      .drop("n_total")
+    val fs = broadcast(r.agg(sort_array(collect_list(struct(col("t"),
+      (col("n_risk") - col("d")).cast("double")
+        ./(col("n_risk").cast("double")).as("f")))).as("fl")))
+    r.crossJoin(fs)
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d").as("d_churned"), col("c").as("c_censored"),
+        round(expr("""aggregate(filter(fl, x -> x.t <= t), 1D,
+                     |  (a, b) -> a * b.f)""".stripMargin) * 1e6)
+          .cast("long").as("survival_e6"))
+      .orderBy("t_days")
+  }
+
+  // ---- seasonal-naive forecast backtest (q333) ---------------------------
+
+  /** q333: FORECAST-BASELINE backtest — the capacity-planning sanity
+    * check run before anyone ships a model: per event type, the two
+    * naive forecasts (yesterday's count, lag-1; same-weekday-last-week,
+    * lag-7) replayed over the daily history, scored by MAE (×100) and
+    * MAPE (ppm, per-day integer ratios averaged — the convention stated
+    * so the number is reproducible). Any real forecaster must beat BOTH
+    * columns; and the lag-7 column is the decision twin of q238's
+    * seasonality index and q322's time-band MI — on this corpus lag-7
+    * ≈ lag-1 (weekly structure buys nothing), measured not assumed. All
+    * arithmetic is BIGINT-exact.
+    *
+    * Scale shape: ONE hash aggregate to (type, day) grain collapses the
+    * corpus; both lags come from ONE type-partitioned window sort over
+    * that metadata-sized series (day-gap-guarded so a row lag never
+    * silently stands in for a calendar lag); the scorecard is one
+    * type-grain aggregate.
+    */
+  private val q333 = GraftQuery(
+    "q333_seasonal_naive_backtest",
+    s"""WITH dc AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |j AS (
+       |  SELECT event_type, day, c,
+       |    CASE WHEN lag(day, 1) OVER w = day - 1
+       |      THEN lag(c, 1) OVER w END AS f1,
+       |    CASE WHEN lag(day, 7) OVER w = day - 7
+       |      THEN lag(c, 7) OVER w END AS f7
+       |  FROM dc WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |m AS (
+       |  SELECT event_type,
+       |    CAST(count(f1) AS BIGINT) AS n1, CAST(count(f7) AS BIGINT) AS n7,
+       |    CAST(coalesce(sum(CASE WHEN f1 IS NOT NULL
+       |      THEN abs(c - f1) END), 0) AS BIGINT) AS sae1,
+       |    CAST(coalesce(sum(CASE WHEN f7 IS NOT NULL
+       |      THEN abs(c - f7) END), 0) AS BIGINT) AS sae7,
+       |    CAST(coalesce(sum(CASE WHEN f1 IS NOT NULL
+       |      THEN (abs(c - f1) * 1000000) // c END), 0) AS BIGINT) AS sape1,
+       |    CAST(coalesce(sum(CASE WHEN f7 IS NOT NULL
+       |      THEN (abs(c - f7) * 1000000) // c END), 0) AS BIGINT) AS sape7
+       |  FROM j GROUP BY 1)
+       |SELECT event_type, n1 AS n_lag1, n7 AS n_lag7,
+       |  (sae1 * 100) // n1 AS mae1_x100, (sae7 * 100) // n7 AS mae7_x100,
+       |  sape1 // n1 AS mape1_ppm, sape7 // n7 AS mape7_ppm
+       |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val j = dc
+      .withColumn("f1", when(lag(col("day"), 1).over(w) === col("day") - 1,
+        lag(col("c"), 1).over(w)))
+      .withColumn("f7", when(lag(col("day"), 7).over(w) === col("day") - 7,
+        lag(col("c"), 7).over(w)))
+    j.groupBy("event_type")
+      .agg(count(col("f1")).as("n1"), count(col("f7")).as("n7"),
+        coalesce(sum(when(col("f1").isNotNull, abs(col("c") - col("f1")))),
+          lit(0L)).as("sae1"),
+        coalesce(sum(when(col("f7").isNotNull, abs(col("c") - col("f7")))),
+          lit(0L)).as("sae7"),
+        coalesce(sum(when(col("f1").isNotNull,
+          expr("(abs(c - f1) * 1000000) div c"))), lit(0L)).as("sape1"),
+        coalesce(sum(when(col("f7").isNotNull,
+          expr("(abs(c - f7) * 1000000) div c"))), lit(0L)).as("sape7"))
+      .select(col("event_type"), col("n1").as("n_lag1"), col("n7").as("n_lag7"),
+        expr("(sae1 * 100) div n1").as("mae1_x100"),
+        expr("(sae7 * 100) div n7").as("mae7_x100"),
+        expr("sape1 div n1").as("mape1_ppm"),
+        expr("sape7 div n7").as("mape7_ppm"))
+      .orderBy("event_type")
+  }
+
   // ---- bitemporal as-of ledger (q306) ----------------------------------
 
   /** q306: BITEMPORAL as-of — q279's restatement ledger made queryable
@@ -3166,5 +3332,5 @@ object Temporal {
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
       q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
-      q319, q322, q323, q327)
+      q319, q322, q323, q327, q332, q333)
 }

@@ -161,9 +161,12 @@ class PlanHygieneSpec extends SparkSuite {
                               // frame (q223/q261's audited shape)
     "q327_dp_release", // 1-row clip-election broadcast crossed onto the
                        // event stream and the day-domain release table
-    "q329_jsd_source_drift") // vocabulary-domain token table + 1-row
+    "q329_jsd_source_drift", // vocabulary-domain token table + 1-row
                              // corpus-total broadcasts crossed onto the
                              // source-grain frame (q314's audited grid)
+    "q332_kaplan_meier") // 1-row horizon/user-total frames + the 1-row
+                         // sorted factor list, all broadcast crosses on
+                         // the lifetime-domain table (q213's shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
