@@ -1667,6 +1667,110 @@ object Relational {
       .orderBy("cname")
   }
 
+  /** q331: declarative EXPECTATION SUITE — the data-contract gate an
+    * ingest front-door runs per delivery (the Deequ/Great-Expectations
+    * shape): constraints are DECLARED as (id, metric, threshold,
+    * comparator) rows — completeness, uniqueness, domain membership,
+    * range, regex conformance, cardinality bound — and ALL of them are
+    * measured in ONE corpus pass (a single aggregate row of conditional
+    * counts; never one scan per check, which is the naive suite's k×
+    * cost), then unpivoted against the declared thresholds into the
+    * per-constraint verdict table a pipeline blocks on. Distinct from
+    * q198 (profile: what IS the data) — this is the contract (what MUST
+    * it be), with the measured value beside every verdict so a failure
+    * is diagnosable from the report alone. All measurements are exact
+    * BIGINT counts / integer ppm.
+    *
+    * Scale shape: one scan, one 1-row aggregate (every conditional
+    * count partial-aggregates map-side; the two NDV terms are the
+    * suite's honest exact-distinct cost — a 100 TB deployment swaps in
+    * the HLL tier q141 behind the same contract); the verdict table is
+    * constraint-grain arithmetic on that row.
+    */
+  private val q331 = GraftQuery(
+    "q331_expectation_suite",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(o_orderkey) AS BIGINT) AS nn_ok,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_ok,
+      |    CAST(count(o_custkey) AS BIGINT) AS nn_ck,
+      |    CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS dom_st,
+      |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos_tp,
+      |    CAST(sum(CASE WHEN o_orderdate >= DATE '1992-01-01'
+      |      AND o_orderdate < DATE '1999-01-01' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS rng_od,
+      |    CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS rex_pr,
+      |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_st
+      |  FROM orders),
+      |c AS (
+      |  SELECT 'c01_orderkey_complete' AS cid, 'ppm' AS metric,
+      |    (nn_ok * 1000000) // n AS measured,
+      |    CAST(1000000 AS BIGINT) AS threshold, '>=' AS op FROM m
+      |  UNION ALL SELECT 'c02_orderkey_unique', 'ppm',
+      |    (ndv_ok * 1000000) // n, 1000000, '>=' FROM m
+      |  UNION ALL SELECT 'c03_custkey_complete', 'ppm',
+      |    (nn_ck * 1000000) // n, 999000, '>=' FROM m
+      |  UNION ALL SELECT 'c04_status_domain', 'ppm',
+      |    (dom_st * 1000000) // n, 1000000, '>=' FROM m
+      |  UNION ALL SELECT 'c05_totalprice_positive', 'ppm',
+      |    (pos_tp * 1000000) // n, 1000000, '>=' FROM m
+      |  UNION ALL SELECT 'c06_orderdate_range', 'ppm',
+      |    (rng_od * 1000000) // n, 1000000, '>=' FROM m
+      |  UNION ALL SELECT 'c07_priority_format', 'ppm',
+      |    (rex_pr * 1000000) // n, 1000000, '>=' FROM m
+      |  UNION ALL SELECT 'c08_status_cardinality', 'count',
+      |    ndv_st, 10, '<=' FROM m)
+      |SELECT cid, metric, measured, threshold, op,
+      |  CASE WHEN op = '>=' THEN measured >= threshold
+      |       ELSE measured <= threshold END AS pass
+      |FROM c ORDER BY cid""".stripMargin) { (s, d) =>
+    val m = Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("nn_ok"),
+      countDistinct(col("o_orderkey")).as("ndv_ok"),
+      count(col("o_custkey")).as("nn_ck"),
+      sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("dom_st"),
+      sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("pos_tp"),
+      sum(when(col("o_orderdate") >= lit("1992-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1999-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("rng_od"),
+      sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L))
+        .as("rex_pr"),
+      countDistinct(col("o_orderstatus")).as("ndv_st"))
+    def c(cid: String, metric: String, measured: org.apache.spark.sql.Column,
+        threshold: Long, op: String) =
+      struct(lit(cid).as("cid"), lit(metric).as("metric"),
+        measured.as("measured"), lit(threshold).as("threshold"),
+        lit(op).as("op"))
+    m.select(explode(array(
+        c("c01_orderkey_complete", "ppm",
+          expr("(nn_ok * 1000000) div n"), 1000000L, ">="),
+        c("c02_orderkey_unique", "ppm",
+          expr("(ndv_ok * 1000000) div n"), 1000000L, ">="),
+        c("c03_custkey_complete", "ppm",
+          expr("(nn_ck * 1000000) div n"), 999000L, ">="),
+        c("c04_status_domain", "ppm",
+          expr("(dom_st * 1000000) div n"), 1000000L, ">="),
+        c("c05_totalprice_positive", "ppm",
+          expr("(pos_tp * 1000000) div n"), 1000000L, ">="),
+        c("c06_orderdate_range", "ppm",
+          expr("(rng_od * 1000000) div n"), 1000000L, ">="),
+        c("c07_priority_format", "ppm",
+          expr("(rex_pr * 1000000) div n"), 1000000L, ">="),
+        c("c08_status_cardinality", "count",
+          col("ndv_st"), 10L, "<="))).as("r"))
+      .select(col("r.cid").as("cid"), col("r.metric").as("metric"),
+        col("r.measured").as("measured"), col("r.threshold").as("threshold"),
+        col("r.op").as("op"),
+        when(col("r.op") === ">=", col("r.measured") >= col("r.threshold"))
+          .otherwise(col("r.measured") <= col("r.threshold")).as("pass"))
+      .orderBy("cid")
+  }
+
   /** q227: l-diversity audit — the second privacy gate after q211's
     * k-anonymity: a quasi-identifier group can be large (k-anonymous)
     * yet still leak if everyone in it shares the same SENSITIVE value
@@ -2487,5 +2591,5 @@ object Relational {
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
       q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240,
-      q265, q304, q305, q308, q326)
+      q265, q304, q305, q308, q326, q331)
 }

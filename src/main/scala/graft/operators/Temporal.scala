@@ -2780,6 +2780,154 @@ object Temporal {
       .orderBy("day")
   }
 
+  // ---- Markov removal-effect attribution (q334) ---------------------------
+
+  /** q334's fixed-point scale and horizon: journeys are replayed T steps
+    * at probability scale Q (floored integer mass propagation — both
+    * engines the identical arithmetic, q321's discipline). */
+  private val MkQ = 1000000000000L
+  private val MkT = 12
+  private val MkChannels = Seq("click", "error", "signup", "view")
+
+  /** One scenario's unrolled mass-propagation CTE chain (MATERIALIZED:
+    * each step references its predecessor twice — transient propagation
+    * + absorption — and DuckDB would otherwise re-inline the whole
+    * prefix exponentially). `removed = None` is the full chain. */
+  private def mkStepsSql(tag: String, removed: Option[String]): String = {
+    val excl = "'purchase','END'" + removed.map(r => s",'$r'").getOrElse("")
+    val init = s"""p0_$tag AS MATERIALIZED (
+                  |  SELECT 'START' AS s, CAST($MkQ AS BIGINT) AS v),
+                  |a0_$tag AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a)"""
+      .stripMargin
+    val its = (0 until MkT).map { t =>
+      s"""p${t + 1}_$tag AS MATERIALIZED (
+         |  SELECT m.dst AS s, CAST(sum((p.v * m.cnt) // m.tot) AS BIGINT)
+         |    AS v
+         |  FROM p${t}_$tag p JOIN mat m ON m.src = p.s
+         |  WHERE m.dst NOT IN ($excl) GROUP BY 1),
+         |a${t + 1}_$tag AS MATERIALIZED (
+         |  SELECT CAST(a.a + coalesce((SELECT sum((p.v * m.cnt) // m.tot)
+         |    FROM p${t}_$tag p JOIN mat m ON m.src = p.s
+         |    WHERE m.dst = 'purchase'), 0) AS BIGINT) AS a
+         |  FROM a${t}_$tag a)""".stripMargin
+    }
+    (init +: its).mkString(",\n")
+  }
+
+  /** q334: MARKOV REMOVAL-EFFECT attribution (Anderl et al. 2014) — the
+    * data-driven member of the attribution family, measuring what the
+    * heuristic splits (last-touch q172, U-shaped q269, linear) assume:
+    * journeys to first purchase become a first-order chain (START →
+    * events → purchase/END), conversion mass is propagated T steps at
+    * integer scale Q, and each channel's removal effect is the measured
+    * conversion DROP when transitions into it are redirected to END —
+    * "what would we lose without this channel", normalized into credit
+    * shares. Channel self-/cross-loops, repeat visits, and journey
+    * length all flow through the chain instead of a positional rule.
+    *
+    * Exactness: the transition matrix is exact BIGINT counts; mass
+    * propagation is floored integer arithmetic at scale Q, replicated
+    * VERBATIM between the driver's BigInt loop and the oracle's
+    * unrolled (MATERIALIZED) CTE chain — per-(src,dst) floor, then sum —
+    * so both engines agree bit-for-bit; all ratios are integer ppm.
+    *
+    * Scale shape: corpus work is ONE per-user window sort (rank + lead,
+    * the q172/q241 single-sort shape) collapsing to the ≤(types+2)²
+    * transition-count matrix; the 5 scenario × T step replay runs on
+    * that bounded matrix under the k-means bounded-collect contract
+    * (49 cells in the driver; the oracle does the same arithmetic as
+    * metadata-sized CTEs). At 100 TB the matrix is the same size.
+    */
+  private val q334 = GraftQuery(
+    "q334_markov_attribution", {
+      val scen = (mkStepsSql("full", None) +:
+        MkChannels.map(c => mkStepsSql(c, Some(c)))).mkString(",\n")
+      val res = MkChannels.map(c =>
+        s"SELECT '$c' AS channel, (SELECT a FROM a${MkT}_full) AS af, " +
+          s"(SELECT a FROM a${MkT}_$c) AS ac").mkString(" UNION ALL ")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events),
+         |fp AS (SELECT user_id, min(rn) AS prn FROM ev
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |j AS (SELECT e.user_id, e.event_type, e.rn
+         |  FROM ev e LEFT JOIN fp ON e.user_id = fp.user_id
+         |  WHERE fp.prn IS NULL OR e.rn <= fp.prn),
+         |tr AS (
+         |  SELECT event_type AS src,
+         |    coalesce(lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY rn), 'END') AS dst
+         |  FROM j
+         |  UNION ALL
+         |  SELECT 'START', event_type FROM j WHERE rn = 1),
+         |mc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tr GROUP BY 1, 2),
+         |mat AS MATERIALIZED (SELECT src, dst, cnt,
+         |  CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS tot FROM mc),
+         |$scen,
+         |res AS ($res),
+         |tre AS (SELECT CAST(sum(1000000 - (ac * 1000000) // af) AS BIGINT)
+         |  AS sre FROM res)
+         |SELECT channel, (af * 1000000) // $MkQ AS conv_full_ppm,
+         |  (ac * 1000000) // $MkQ AS conv_removed_ppm,
+         |  1000000 - (ac * 1000000) // af AS re_ppm,
+         |  ((1000000 - (ac * 1000000) // af) * 1000000) // tre.sre
+         |    AS credit_ppm
+         |FROM res CROSS JOIN tre ORDER BY channel""".stripMargin
+    }) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("prn"))
+    val j = ev.join(fp, Seq("user_id"), "left")
+      .where(col("prn").isNull || col("rn") <= col("prn"))
+    val wj = Window.partitionBy("user_id").orderBy("rn")
+    val tr = j.select(col("event_type").as("src"),
+        coalesce(lead(col("event_type"), 1).over(wj), lit("END")).as("dst"))
+      .unionByName(j.where(col("rn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst")))
+    // bounded collect: the matrix is ≤ (types + 2)² cells by construction
+    val cells = tr.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    require(cells.length <= 64,
+      s"q334 transition matrix unexpectedly large: ${cells.length} cells")
+    val tot = cells.groupBy(_._1._1).map { case (s0, cs) =>
+      (s0, cs.map(_._2).sum) }
+    def absorbed(removed: Option[String]): BigInt = {
+      var p = Map("START" -> BigInt(MkQ))
+      var a = BigInt(0)
+      for (_ <- 1 to MkT) {
+        val terms = for {
+          ((src, dst), cnt) <- cells.toSeq
+          pv <- p.get(src)
+        } yield (dst, pv * cnt / tot(src))
+        a += terms.collect { case ("purchase", v) => v }.sum
+        p = terms
+          .filter { case (dst, _) =>
+            dst != "purchase" && dst != "END" && !removed.contains(dst) }
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+      }
+      a
+    }
+    val af = absorbed(None)
+    val rows = MkChannels.map { c =>
+      val ac = absorbed(Some(c))
+      (c, (af * 1000000 / MkQ).toLong, (ac * 1000000 / MkQ).toLong,
+        (1000000 - ac * 1000000 / af).toLong)
+    }
+    val sre = rows.map(_._4).sum
+    import s.implicits._
+    rows.map { case (c, cf, cr, re) =>
+        (c, cf, cr, re, re * 1000000L / sre) }
+      .toDF("channel", "conv_full_ppm", "conv_removed_ppm", "re_ppm",
+        "credit_ppm")
+      .orderBy("channel")
+  }
+
   // ---- Kaplan-Meier survival (q332) ---------------------------------------
 
   /** q332: KAPLAN-MEIER survival estimator — the censoring-aware
