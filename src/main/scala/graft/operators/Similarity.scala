@@ -313,14 +313,23 @@ object Similarity {
     // round is a single narrow join + one reduceByKey shuffle of
     // |connected nodes| combined pairs — never |corpus| rows.
     //
-    // Symmetrize in one pass over the (possibly expensive) edge pipeline;
-    // propagate only over nodes that HAVE edges (the candidate graph is
+    // Symmetrize in one pass over the (possibly expensive) edge pipeline,
+    // INSIDE whole-stage codegen: explode a 2-element struct array so the
+    // both-directions fan-out runs in Tungsten and only the final
+    // row→tuple map crosses the RDD boundary. (A union of two projections
+    // would also stay in codegen but re-evaluates the edge pipeline once
+    // per branch — callers don't always hand us a persisted frame.)
+    // Propagate only over nodes that HAVE edges (the candidate graph is
     // sparse relative to the corpus — most documents are singletons,
     // which rejoin as their own cluster at the end).
     val sym0 = edges
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .rdd.flatMap(r => Iterator((r.getLong(0), r.getLong(1)),
-        (r.getLong(1), r.getLong(0))))
+      .select(explode(array(
+        struct(col("doc_a").cast("long").as("s"),
+          col("doc_b").cast("long").as("d")),
+        struct(col("doc_b").cast("long").as("s"),
+          col("doc_a").cast("long").as("d")))).as("e"))
+      .select(col("e.s"), col("e.d"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size the loop's partitioning to the graph, not the session: tiny
     // duplicate graphs run single-partition rounds, a duplicate-heavy

@@ -2838,8 +2838,12 @@ object Temporal {
     * (49 cells in the driver; the oracle does the same arithmetic as
     * metadata-sized CTEs). At 100 TB the matrix is the same size.
     */
-  private val q334 = GraftQuery(
-    "q334_markov_attribution", {
+  /** q334's oracle — shared verbatim with the streaming twin q336, whose
+    * online transition emission must reproduce exactly this `tr` multiset
+    * (START rows, first-purchase truncation, END rows) before the same
+    * replay arithmetic runs.
+    */
+  private[graft] val markovOracleSql: String = {
       val scen = (mkStepsSql("full", None) +:
         MkChannels.map(c => mkStepsSql(c, Some(c)))).mkString(",\n")
       val res = MkChannels.map(c =>
@@ -2876,7 +2880,10 @@ object Temporal {
          |  ((1000000 - (ac * 1000000) // af) * 1000000) // tre.sre
          |    AS credit_ppm
          |FROM res CROSS JOIN tre ORDER BY channel""".stripMargin
-    }) { (s, d) =>
+  }
+
+  private val q334 = GraftQuery(
+    "q334_markov_attribution", markovOracleSql) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
@@ -2890,7 +2897,16 @@ object Temporal {
         coalesce(lead(col("event_type"), 1).over(wj), lit("END")).as("dst"))
       .unionByName(j.where(col("rn") === 1)
         .select(lit("START").as("src"), col("event_type").as("dst")))
-    // bounded collect: the matrix is ≤ (types + 2)² cells by construction
+    markovOf(s, tr)
+  }
+
+  /** q334's replay epilogue over a finalized (src, dst) transition
+    * stream — shared verbatim with the streaming twin q336, which feeds
+    * it online-emitted journey transitions instead of the batch window
+    * walk. Bounded-collect contract: the matrix is ≤ (types + 2)² cells
+    * by construction regardless of corpus size.
+    */
+  private[graft] def markovOf(s: SparkSession, tr: DataFrame): DataFrame = {
     val cells = tr.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
     require(cells.length <= 64,
@@ -2926,6 +2942,94 @@ object Temporal {
       .toDF("channel", "conv_full_ppm", "conv_removed_ppm", "re_ppm",
         "credit_ppm")
       .orderBy("channel")
+  }
+
+  // ---- time-decay attribution (q335) --------------------------------------
+
+  /** q335: TIME-DECAY attribution — the recency-weighted member of the
+    * rule-based attribution family (last-touch q172, U-shaped q269,
+    * Markov q334): every non-purchase touch in the 24h window before a
+    * purchase earns credit weighted by a 6-hour half-life on its distance
+    * to the conversion — w = 8 >> (Δt div 6h) ∈ {8,4,2,1}, the "recent
+    * touches matter more" belief the U-shape cannot express (q269 weights
+    * POSITION; this weights TIME, and the two disagree exactly when
+    * journeys bunch their early touches).
+    *
+    * Exactness: weights are integer by construction (Δt < 24h ⇒ shift ∈
+    * 0..3); per purchase, credit_i = (10⁶·wᵢ) div Σw with the remainder
+    * assigned to the most-recent touch, so Σ credit = 10⁶ ×
+    * purchases-with-touches EXACTLY (q269's conservation contract —
+    * attribution that doesn't conserve credit is a reporting bug, and
+    * float decay never conserves).
+    *
+    * Scale shape: q269's pairing verbatim — the purchase×touch join
+    * rides the user_id equi-join with the 24h bound as a residual
+    * (per-user-bounded, q262's contract); weight/floor/remainder are
+    * per-purchase windows over each purchase's own touches; the rollup
+    * is a hash aggregate at touch-type grain.
+    */
+  private val q335 = GraftQuery(
+    "q335_time_decay_attribution",
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+       |  FROM events),
+       |pur AS (SELECT event_id AS pid, user_id, us AS pus FROM ev
+       |  WHERE event_type = 'purchase'),
+       |tch AS (SELECT event_id AS tid, user_id, event_type AS ttype, us AS tus
+       |  FROM ev WHERE event_type <> 'purchase'),
+       |pairs AS (
+       |  SELECT p.pid, t.tid, t.ttype,
+       |    (CAST(8 AS BIGINT) >> ((p.pus - t.tus) // 21600000000)) AS w,
+       |    row_number() OVER (PARTITION BY p.pid ORDER BY t.tus, t.tid) AS pos,
+       |    count(*) OVER (PARTITION BY p.pid) AS k
+       |  FROM pur p JOIN tch t ON t.user_id = p.user_id
+       |    AND t.tus < p.pus AND t.tus >= p.pus - 86400000000),
+       |w1 AS (
+       |  SELECT pid, tid, ttype, pos, k,
+       |    (1000000 * w) // sum(w) OVER (PARTITION BY pid) AS f
+       |  FROM pairs),
+       |flr AS (
+       |  SELECT pid, tid, ttype, pos, k, f,
+       |    sum(f) OVER (PARTITION BY pid) AS fsum
+       |  FROM w1),
+       |credit AS (
+       |  SELECT ttype,
+       |    f + CASE WHEN pos = k THEN 1000000 - fsum ELSE 0 END AS ppm
+       |  FROM flr)
+       |SELECT ttype AS touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+       |  CAST(sum(ppm) AS BIGINT) AS credit_ppm
+       |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val pur = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("us").as("pus"))
+    val tch = ev.where(col("event_type") =!= "purchase")
+      .select(col("event_id").as("tid"), col("user_id"),
+        col("event_type").as("ttype"), col("us").as("tus"))
+    val wP = Window.partitionBy("pid")
+    val pairs = pur.join(tch,
+        pur("user_id") === tch("user_id") &&
+          col("tus") < col("pus") &&
+          col("tus") >= col("pus") - 86400000000L)
+      .select(col("pid"), col("tid"), col("ttype"),
+        expr("shiftright(8L, cast((pus - tus) div 21600000000 as int))")
+          .as("w"),
+        col("tus"))
+      .withColumn("pos",
+        row_number().over(wP.orderBy("tus", "tid")).cast("long"))
+      .withColumn("k", count(lit(1)).over(wP))
+    pairs
+      .withColumn("f", expr("(1000000 * w) div sum(w) over " +
+        "(partition by pid)"))
+      .withColumn("fsum", sum(col("f")).over(wP))
+      .withColumn("ppm", col("f") +
+        when(col("pos") === col("k"), lit(1000000L) - col("fsum"))
+          .otherwise(0L))
+      .groupBy(col("ttype").as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("ppm")).as("credit_ppm"))
+      .orderBy("touch_type")
   }
 
   // ---- Kaplan-Meier survival (q332) ---------------------------------------
@@ -3480,5 +3584,5 @@ object Temporal {
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
       q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
-      q319, q322, q323, q327, q332, q333)
+      q319, q322, q323, q327, q332, q333, q334, q335)
 }

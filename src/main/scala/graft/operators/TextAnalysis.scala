@@ -985,7 +985,165 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- tokenizer fertility audit (q337) ------------------------------------
+
+  /** One q337 merge round's oracle CTEs — [[bpeRoundCtes]] with the WORD
+    * carried through (q252's rounds drop it; fertility needs the word →
+    * representation mapping to join back to per-source frequencies).
+    * MATERIALIZED is load-bearing: t_r is referenced twice by w_r and
+    * each w_r by two successors — inlined, the chain re-derives its
+    * whole prefix exponentially (the q334 scenario-chain lesson).
+    */
+  private def fertRoundCtes(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS MATERIALIZED (
+       |  SELECT syms[CAST(i AS INTEGER)] AS s1,
+       |    syms[CAST(i AS INTEGER) + 1] AS s2,
+       |    CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i
+       |    FROM (SELECT f,
+       |      string_split(substr(repr, 2, length(repr) - 2), '||') AS syms
+       |      FROM $prev))
+       |  GROUP BY 1, 2),
+       |t$r AS MATERIALIZED (SELECT s1, s2, cnt FROM p$r
+       |  ORDER BY cnt DESC, s1, s2 LIMIT 1),
+       |w$r AS MATERIALIZED (
+       |  SELECT w, replace(repr,
+       |    '|' || (SELECT s1 FROM t$r) || '||' || (SELECT s2 FROM t$r) || '|',
+       |    '|' || (SELECT s1 FROM t$r) || (SELECT s2 FROM t$r) || '|') AS repr,
+       |    f
+       |  FROM $prev)""".stripMargin
+  }
+
+  /** q337: TOKENIZER FERTILITY audit — the go/no-go measurement before a
+    * learned vocabulary ships (ADVICE r13 item 7): per source and per
+    * vocabulary tier v ∈ {0, 3, 6} merges (q283's sweep discipline on
+    * the vocab-size knob), tokens-per-word FERTILITY in ppm — the number
+    * that sets sequence-length budgets and per-language cost in a
+    * multilingual corpus — plus the multi-char token share (the
+    * compression actually delivered; 0 at v=0 by construction). The
+    * merges are learned ONCE on the global vocabulary under q252's exact
+    * election order (count desc, then pair), so tier v is a strict
+    * PREFIX of tier v+1's merge list — the nesting property real BPE
+    * vocab sweeps rely on. Round-trip fidelity is structural here
+    * (concatenating a word's symbols reproduces the word — BPE merges
+    * never cross the `|s|` boundaries), so the audit measures the two
+    * things that can actually vary: fertility and compression.
+    *
+    * Exactness: all counts BIGINT; fertility/multichar are floored
+    * integer ppm on HUGEINT/DECIMAL(38,0) products.
+    *
+    * Scale shape: q133/q252's aggregate-first discipline — ONE corpus
+    * shuffle to (source, word, f) grain; the global (word, f) table,
+    * merge elections (6 × vocab-grain aggregate + 1-row bounded
+    * collect), representation chains, and the length join all live at
+    * VOCABULARY grain (types plateau while tokens grow); the tier grid
+    * is a 3-row broadcast.
+    */
+  private val q337 = GraftQuery(
+    "q337_bpe_fertility",
+    s"""WITH words AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wfs AS MATERIALIZED (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS f FROM words
+       |  WHERE length(w) > 1 GROUP BY 1, 2),
+       |wf AS (SELECT w, CAST(sum(f) AS BIGINT) AS f FROM wfs GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, list_reduce(list_transform(range(1, length(w) + 1),
+       |    i -> '|' || w[i] || '|'), (a, b) -> a || b) AS repr, f
+       |  FROM wf),
+       |${(1 to 6).map(fertRoundCtes).mkString(",\n")},
+       |lens AS (
+       |  SELECT a.w,
+       |    len(string_split(substr(a.repr, 2, length(a.repr) - 2), '||'))
+       |      AS l3,
+       |    len(list_filter(string_split(substr(a.repr, 2,
+       |      length(a.repr) - 2), '||'), x -> length(x) > 1)) AS m3,
+       |    len(string_split(substr(b.repr, 2, length(b.repr) - 2), '||'))
+       |      AS l6,
+       |    len(list_filter(string_split(substr(b.repr, 2,
+       |      length(b.repr) - 2), '||'), x -> length(x) > 1)) AS m6
+       |  FROM w3 a JOIN w6 b ON b.w = a.w),
+       |per AS (
+       |  SELECT s.source, g.v,
+       |    CAST(sum(s.f) AS BIGINT) AS words,
+       |    CAST(sum(s.f * CASE g.v WHEN 0 THEN length(s.w)
+       |      WHEN 3 THEN l.l3 ELSE l.l6 END) AS BIGINT) AS syms,
+       |    CAST(sum(s.f * CASE g.v WHEN 0 THEN 0
+       |      WHEN 3 THEN l.m3 ELSE l.m6 END) AS BIGINT) AS msyms
+       |  FROM wfs s JOIN lens l ON l.w = s.w
+       |  CROSS JOIN (VALUES (0), (3), (6)) g(v)
+       |  GROUP BY 1, 2)
+       |SELECT source, CAST(v AS BIGINT) AS n_merges, words, syms,
+       |  CAST(CAST(syms AS HUGEINT) * 1000000 // words AS BIGINT)
+       |    AS fertility_ppm,
+       |  CAST(CAST(msyms AS HUGEINT) * 1000000 // syms AS BIGINT)
+       |    AS multichar_ppm
+       |FROM per ORDER BY source, n_merges""".stripMargin) { (s, d) =>
+    // the (source, word, f) rollup is read 7× (6 elections through the
+    // global wf + the final fertility join) — one corpus pass, cached at
+    // vocab grain with explicit release (Artifacts contract)
+    val wfs = graft.Artifacts.cachedDf(s, s"bpe_wfs:$d") {
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 1)
+        .groupBy("source", "w").agg(count(lit(1)).as("f"))
+    }
+    val wf = wfs.groupBy("w").agg(sum(col("f")).as("f"))
+    var repr = wf.select(col("w"), expr(
+      """aggregate(transform(sequence(1, length(w)),
+        |  i -> concat('|', substring(w, i, 1), '|')),
+        |  '', (a, b) -> concat(a, b))""".stripMargin).as("repr"), col("f"))
+    val symsCol = split(expr("substring(repr, 2, length(repr) - 2)"), "\\|\\|")
+    var tier3: DataFrame = null
+    (1 to 6).foreach { r =>
+      val top = repr
+        .select(col("f"), symsCol.as("syms"))
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS s1,
+            |              element_at(syms, i + 1) AS s2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()(0)
+      // elected symbols are document text — lit() Columns, never SQL text
+      val (s1v, s2v) = (top.getString(0), top.getString(1))
+      repr = repr.select(col("w"),
+        org.apache.spark.sql.functions.replace(col("repr"),
+          lit(s"|$s1v||$s2v|"), lit(s"|$s1v$s2v|")).as("repr"),
+        col("f"))
+      if (r == 3) tier3 = repr
+    }
+    val lens = tier3
+      .select(col("w"), size(symsCol).as("l3"),
+        size(filter(symsCol, x => length(x) > 1)).as("m3"))
+      .join(repr.select(col("w"), size(symsCol).as("l6"),
+        size(filter(symsCol, x => length(x) > 1)).as("m6")), Seq("w"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    import s.implicits._
+    val grid = broadcast(Seq(0L, 3L, 6L).toDF("v"))
+    val out = wfs.join(lens, Seq("w")).crossJoin(grid)
+      .groupBy("source", "v")
+      .agg(sum(col("f")).as("words"),
+        sum(col("f") * when(col("v") === 0L, length(col("w")).cast("long"))
+          .when(col("v") === 3L, col("l3").cast("long"))
+          .otherwise(col("l6").cast("long"))).as("syms"),
+        sum(col("f") * when(col("v") === 0L, lit(0L))
+          .when(col("v") === 3L, col("m3").cast("long"))
+          .otherwise(col("m6").cast("long"))).as("msyms"))
+      .select(col("source"), col("v").as("n_merges"), col("words"),
+        col("syms"),
+        expr("CAST((CAST(syms AS DECIMAL(38,0)) * 1000000) div words " +
+          "AS BIGINT)").as("fertility_ppm"),
+        expr("CAST((CAST(msyms AS DECIMAL(38,0)) * 1000000) div syms " +
+          "AS BIGINT)").as("multichar_ppm"))
+      .orderBy("source", "n_merges")
+    out
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160, q174, q175,
-      q252, q297, q312, q328)
+      q252, q297, q312, q328, q337)
 }

@@ -677,6 +677,93 @@ object EventStreams {
 
   private val AttrWindowUs = 86400000000L
 
+  /** Per-user journey transitions for the streaming Markov-attribution
+    * twin (q336) — the batch q334 `tr` multiset (START → first event,
+    * consecutive pairs in (ts, event_id) order, truncation at the FIRST
+    * purchase with its own purchase → END row, last → END for
+    * non-converters) emitted ONLINE.
+    *
+    * Unlike [[lastTouchRows]]' buffer-until-timeout, emission here is
+    * INCREMENTAL: each micro-batch sorts (carry ++ new rows) and emits
+    * every transition in the prefix the watermark has made final — a row
+    * with t ≤ watermark can never gain an earlier-sorting sibling — so
+    * state is one previous-event-type string plus only the DISORDER
+    * buffer (rows still above the watermark), never the journey. A
+    * converted user's state collapses to a `done` flag the moment the
+    * purchase is final: everything after is dropped on arrival, which is
+    * exactly the batch truncation. The event-time timeout (watermark past
+    * the user's last event — driven by the flush sentinel at replay end,
+    * a terminal punctuation any production backfill has) drains the
+    * remaining buffer and closes the journey with its END row. The
+    * sentinel user itself never times out (the watermark stays behind its
+    * event) and its row never enters a final prefix, so it emits nothing.
+    */
+  def journeyTransitions(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(String, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def advance(prev0: String, done0: Boolean,
+        finals: Seq[(Long, Long, String)],
+        out: scala.collection.mutable.Builder[(String, String), Seq[(String, String)]])
+        : (String, Boolean) = {
+      var prev = prev0
+      var done = done0
+      finals.foreach { case (_, _, et) =>
+        if (!done) {
+          out += ((prev, et))
+          prev = et
+          if (et == "purchase") { out += (("purchase", "END")); done = true }
+        }
+      }
+      (prev, done)
+    }
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      // state = (disorder buffer, prev type — "START" before the first
+      // emission, done flag — first purchase finalized, max event micros)
+      .flatMapGroupsWithState[(Seq[(Long, Long, String)], String, Boolean,
+          Long), (String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[
+           (Seq[(Long, Long, String)], String, Boolean, Long)]) =>
+          if (state.hasTimedOut) {
+            val (buf, prev0, done0, _) = state.get
+            state.remove()
+            val out = Seq.newBuilder[(String, String)]
+            val (prev, done) =
+              advance(prev0, done0, buf.sortBy(r => (r._1, r._2)), out)
+            // a timed-out group saw ≥1 row, so prev != "START" unless done
+            if (!done && prev != "START") out += ((prev, "END"))
+            out.result().iterator
+          } else {
+            val rs = rows.toSeq
+            val (buf0, prev0, done0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, String)], "START", false, Long.MinValue))
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            val out = Seq.newBuilder[(String, String)]
+            val (buf, prev, done) =
+              if (done0) (Seq.empty[(Long, Long, String)], prev0, true)
+              else {
+                val all = (buf0 ++ rs.map { case (_, _, t, eid, et) =>
+                  (t, eid, et) }).sortBy(r => (r._1, r._2))
+                val wmUs = state.getCurrentWatermarkMs() * 1000L
+                val (fin, open) = all.span(_._1 <= wmUs)
+                val (p, dn) = advance(prev0, done0, fin, out)
+                (if (dn) Seq.empty[(Long, Long, String)] else open, p, dn)
+              }
+            state.update((buf, prev, done, maxT))
+            state.setTimeoutTimestamp(math.max(
+              maxT / 1000L + 10L, state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
   private def foldFunnel(buf: Seq[(Long, Long, String)]): Int = {
     var step = 0
     var t = 0L

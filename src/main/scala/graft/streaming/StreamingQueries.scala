@@ -1208,8 +1208,32 @@ object StreamingQueries {
       .orderBy("source", "reg")
   }
 
+  /** q336: STREAMING Markov attribution ≡ batch q334 — the q173/q271
+    * discipline (per-user timelines finalized by watermark) applied to
+    * the removal-effect model: [[EventStreams.journeyTransitions]] emits
+    * the exact batch `tr` multiset online (incremental prefix emission —
+    * state is a previous-type string plus the disorder buffer, with
+    * converted users collapsing to a done flag, never the journey), and
+    * the bounded-matrix replay epilogue
+    * ([[graft.operators.Temporal.markovOf]], shared verbatim with batch)
+    * runs on the finalized transition table. This is how a production
+    * attribution service keeps channel credit CURRENT against an event
+    * firehose: the corpus-sized, order-sensitive work happens at ingest;
+    * the replay only ever sees the ≤(types+2)² matrix. Gated on q334's
+    * oracle verbatim: stream == batch == DuckDB.
+    */
+  private val q336 = GraftQuery(
+    "q336_stream_markov",
+    graft.operators.Temporal.markovOracleSql) { (s, d) =>
+    val tr = runGated(s, d)(ev =>
+      EventStreams.journeyTransitions(ev).toDF("src", "dst"))
+    graft.operators.Temporal.markovOf(s,
+      s.createDataFrame(tr.rdd, tr.schema))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
-      q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330)
+      q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
+      q336)
 }

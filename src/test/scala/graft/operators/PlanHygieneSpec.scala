@@ -164,9 +164,12 @@ class PlanHygieneSpec extends SparkSuite {
     "q329_jsd_source_drift", // vocabulary-domain token table + 1-row
                              // corpus-total broadcasts crossed onto the
                              // source-grain frame (q314's audited grid)
-    "q332_kaplan_meier") // 1-row horizon/user-total frames + the 1-row
+    "q332_kaplan_meier", // 1-row horizon/user-total frames + the 1-row
                          // sorted factor list, all broadcast crosses on
                          // the lifetime-domain table (q213's shape)
+    "q337_bpe_fertility") // 3-row vocab-tier grid broadcast crossed onto
+                          // the vocab-grain length table (q283's audited
+                          // sweep shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
