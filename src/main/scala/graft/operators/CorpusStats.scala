@@ -939,7 +939,8 @@ object CorpusStats {
        |  SELECT j, list_reduce(list(v[j] ORDER BY doc_id), (x, y) -> x + y)
        |    / count(*) AS cj
        |  FROM fbe CROSS JOIN range(1, ${EmbDim + 1}) t(j) GROUP BY j),
-       |cen AS (SELECT list(cj ORDER BY j) AS c FROM cend),
+       |cen AS (SELECT list(cj ORDER BY j) AS c FROM cend
+       |  HAVING count(*) > 0),
        |sem AS (
        |  SELECT e.vec_id AS doc_id,
        |    list_reduce(list_transform(range(1, ${EmbDim + 1}),
@@ -968,8 +969,14 @@ object CorpusStats {
     val fbe = Tables.embeddings(s, d)
       .select(col("vec_id").as("doc_id"), col("embedding"))
       .join(broadcast(fb), "doc_id")
+    // an EMPTY feedback set (every lexical hit lacks a vector — a real
+    // condition on a corpus whose embedding tier trails ingest) means
+    // there is no centroid and no semantic evidence: emit zero rows
+    // rather than divide by zero (surfaced by the sf1 scaling run;
+    // oracle twin guard: cen's HAVING count(*) > 0)
     val cen = fbe
       .agg(sort_array(collect_list(struct(col("doc_id"), col("embedding")))).as("ds"))
+      .where(size(col("ds")) > 0)
       .select(expr(
         s"""transform(
            |  aggregate(ds, array_repeat(CAST(0 AS DOUBLE), $EmbDim),

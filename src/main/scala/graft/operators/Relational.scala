@@ -2586,10 +2586,136 @@ object Relational {
       .orderBy("nation", "segment")
   }
 
+  // ---- Selinger join-order DP (q342) ----------------------------------------
+
+  /** q342: EXACT join-order enumeration (Selinger 1979's System-R DP,
+    * the Cout cost metric) — the optimal-order ANSWER beside q304's
+    * "does the greedy estimate rank right" audit: over the 4-table join
+    * graph customer–nation / customer–orders(σ priority=1-URGENT) /
+    * orders–lineitem, every CONNECTED subset's measured cardinality and
+    * its dynamic-programming best cost (Σ intermediate sizes) with the
+    * winning split. The selective σ on orders is the point: it is what
+    * makes join order a DECISION (start from the filtered side) rather
+    * than a no-op, the first lesson of cost-based optimization.
+    *
+    * Exactness: cardinalities are exact BIGINT counts; DP costs are
+    * integer sums; split ties break FIRST-MINIMUM in a fixed candidate
+    * order, replicated between the driver fold and the oracle's ordered
+    * CASE chain — engine-exact.
+    *
+    * Scale shape: the measured-cardinality pass is ONE union of the 10
+    * connected-subset counts (each a broadcast/SMJ equi-join Catalyst
+    * already plans well — this is an optimizer-statistics job, honest
+    * work at any scale); the DP runs on the collected 10-row table
+    * under the bounded-collect contract (the join graph, not the
+    * corpus, sizes the lattice).
+    */
+  private val q342 = GraftQuery(
+    "q342_joinorder_dp",
+    """WITH
+      |f_o AS (SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |n_c AS (SELECT CAST(count(*) AS BIGINT) AS v FROM customer),
+      |n_n AS (SELECT CAST(count(*) AS BIGINT) AS v FROM nation),
+      |n_o AS (SELECT CAST(count(*) AS BIGINT) AS v FROM f_o),
+      |n_l AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem),
+      |n_cn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM customer c
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |n_co AS (SELECT CAST(count(*) AS BIGINT) AS v FROM customer c
+      |  JOIN f_o o ON o.o_custkey = c.c_custkey),
+      |n_ol AS (SELECT CAST(count(*) AS BIGINT) AS v FROM f_o o
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |n_cno AS (SELECT CAST(count(*) AS BIGINT) AS v FROM customer c
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN f_o o ON o.o_custkey = c.c_custkey),
+      |n_col AS (SELECT CAST(count(*) AS BIGINT) AS v FROM customer c
+      |  JOIN f_o o ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |n_cnol AS (SELECT CAST(count(*) AS BIGINT) AS v FROM customer c
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN f_o o ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |d AS (SELECT
+      |  (SELECT v FROM n_c) AS c, (SELECT v FROM n_n) AS n,
+      |  (SELECT v FROM n_o) AS o, (SELECT v FROM n_l) AS l,
+      |  (SELECT v FROM n_cn) AS cn, (SELECT v FROM n_co) AS co,
+      |  (SELECT v FROM n_ol) AS ol, (SELECT v FROM n_cno) AS cno,
+      |  (SELECT v FROM n_col) AS col, (SELECT v FROM n_cnol) AS cnol),
+      |dp AS (SELECT *,
+      |  cn AS cost_cn, co AS cost_co, ol AS cost_ol,
+      |  least(cn, co) + cno AS cost_cno,
+      |  least(co, ol) + col AS cost_col
+      |  FROM d),
+      |dp2 AS (SELECT *,
+      |  least(cost_cno, cost_col, cost_cn + cost_ol) + cnol AS cost_cnol
+      |  FROM dp)
+      |SELECT * FROM (
+      |  SELECT 'c' AS rels, c AS n_rows, CAST(0 AS BIGINT) AS best_cost,
+      |    '-' AS best_split FROM dp2
+      |  UNION ALL SELECT 'c,n', cn, cost_cn, 'c|n' FROM dp2
+      |  UNION ALL SELECT 'c,n,o', cno, cost_cno,
+      |    CASE WHEN cn <= co THEN 'c,n|o' ELSE 'c,o|n' END FROM dp2
+      |  UNION ALL SELECT 'c,n,o,l', cnol, cost_cnol,
+      |    CASE WHEN cost_cno <= cost_col
+      |           AND cost_cno <= cost_cn + cost_ol THEN 'c,n,o|l'
+      |         WHEN cost_col <= cost_cn + cost_ol THEN 'c,o,l|n'
+      |         ELSE 'c,n|o,l' END FROM dp2
+      |  UNION ALL SELECT 'c,o', co, cost_co, 'c|o' FROM dp2
+      |  UNION ALL SELECT 'c,o,l', col, cost_col,
+      |    CASE WHEN co <= ol THEN 'c,o|l' ELSE 'o,l|c' END FROM dp2
+      |  UNION ALL SELECT 'l', l, 0, '-' FROM dp2
+      |  UNION ALL SELECT 'n', n, 0, '-' FROM dp2
+      |  UNION ALL SELECT 'o', o, 0, '-' FROM dp2
+      |  UNION ALL SELECT 'o,l', ol, cost_ol, 'o|l' FROM dp2
+      |) ORDER BY rels""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey")
+    val cn = c.join(n, c("c_nationkey") === n("n_nationkey"))
+    val co = c.join(o, o("o_custkey") === c("c_custkey"))
+    val ol = o.join(l, l("l_orderkey") === o("o_orderkey"))
+    val cno = cn.join(o, o("o_custkey") === cn("c_custkey"))
+    val colj = co.join(l, l("l_orderkey") === co("o_orderkey"))
+    val cnol = cno.join(l, l("l_orderkey") === cno("o_orderkey"))
+    def cnt(k: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("v")).select(lit(k).as("k"), col("v"))
+    // one union job measures all 10 connected subsets; 10-row collect
+    // under the bounded-collect contract (the lattice is graph-sized)
+    val card = Seq(cnt("c", c), cnt("n", n), cnt("o", o), cnt("l", l),
+      cnt("cn", cn), cnt("co", co), cnt("ol", ol), cnt("cno", cno),
+      cnt("col", colj), cnt("cnol", cnol))
+      .reduce(_ unionByName _).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // first-minimum tie-break, same candidate order as the oracle CASE
+    def best(cands: Seq[(Long, String)]): (Long, String) = cands.minBy(_._1)
+    val costCn = card("cn"); val costCo = card("co"); val costOl = card("ol")
+    val (bCno, sCno) = best(Seq(costCn -> "c,n|o", costCo -> "c,o|n"))
+    val costCno = bCno + card("cno")
+    val (bCol, sCol) = best(Seq(costCo -> "c,o|l", costOl -> "o,l|c"))
+    val costCol = bCol + card("col")
+    val (bCnol, sCnol) = best(Seq(costCno -> "c,n,o|l", costCol -> "c,o,l|n",
+      (costCn + costOl) -> "c,n|o,l"))
+    val costCnol = bCnol + card("cnol")
+    import s.implicits._
+    Seq(
+      ("c", card("c"), 0L, "-"), ("c,n", card("cn"), costCn, "c|n"),
+      ("c,n,o", card("cno"), costCno, sCno),
+      ("c,n,o,l", card("cnol"), costCnol, sCnol),
+      ("c,o", card("co"), costCo, "c|o"),
+      ("c,o,l", card("col"), costCol, sCol),
+      ("l", card("l"), 0L, "-"), ("n", card("n"), 0L, "-"),
+      ("o", card("o"), 0L, "-"), ("o,l", card("ol"), costOl, "o|l"))
+      .toDF("rels", "n_rows", "best_cost", "best_split")
+      .orderBy("rels")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
       q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240,
-      q265, q304, q305, q308, q326, q331)
+      q265, q304, q305, q308, q326, q331, q342)
 }

@@ -5959,11 +5959,163 @@ object Similarity {
       .orderBy("cell")
   }
 
+  // ---- dup-aware effective sample size (q341) --------------------------------
+
+  /** q341: KISH EFFECTIVE SAMPLE SIZE under duplicate-aware weighting —
+    * the statistical companion to q222's token ROI: instead of HARD
+    * dedup (keep one, drop the rest), a training pipeline can DOWNWEIGHT
+    * duplicates (w = 10⁶ div cluster_size, each cluster sharing ~one
+    * unit of weight), and the number that says what that buys is Kish's
+    * ESS = (Σw)²/Σw² — per source: raw docs, effective docs under the
+    * weighting, and the effective fraction in ppm. A source of unique
+    * documents keeps ESS ≈ n; a boilerplate mill with 100-member
+    * clusters keeps ESS ≈ n/100 — the honest "how much statistical
+    * power does this source contribute" input to mixture budgeting
+    * (q223/q261/q288) that raw row counts overstate.
+    *
+    * Exactness: weights are floored integer micro-units; Σw and Σw² ride
+    * DECIMAL(38,0)/HUGEINT (w² = 10¹² per doc — a BIGINT Σw² overflows
+    * near 9.2M docs, stated rather than discovered); ESS and ppm are
+    * floored integer divisions. Engine-exact by construction.
+    *
+    * Scale shape: rides the SHARED cluster artifact
+    * ([[clusterAssignments]] — assignment cost already paid); one
+    * cluster-grain size aggregate, one doc-grain weight map, one
+    * source-grain rollup. No windows, no new corpus pass.
+    */
+  private val q341 = GraftQuery(
+    "q341_dedup_ess",
+    s"""$clusterOracleChain,
+       |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       |  FROM clus GROUP BY 1),
+       |wts AS (
+       |  SELECT d.source, 1000000 // cs.csize AS w
+       |  FROM clus c JOIN cs ON cs.cluster_id = c.cluster_id
+       |  JOIN documents d ON d.doc_id = c.doc_id),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS sw,
+       |    CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+       |  FROM wts GROUP BY 1)
+       |SELECT source, n_docs,
+       |  CAST((sw * sw) // sww AS BIGINT) AS ess_docs,
+       |  CAST(((sw * sw) // sww) * 1000000 // n_docs AS BIGINT)
+       |    AS ess_ppm
+       |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+    val cs = clusterAssignments(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val wts = clusterAssignments(s, d).join(cs, "cluster_id")
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .select(col("source"), expr("1000000 div csize").as("w"))
+    wts.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast(dec)).as("sw"),
+        sum(col("w").cast(dec) * col("w")).as("sww"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST((sw * sw) div sww AS BIGINT)").as("ess_docs"),
+        expr("CAST(((sw * sw) div sww) * 1000000 div n_docs AS BIGINT)")
+          .as("ess_ppm"))
+      .orderBy("source")
+  }
+
+  // ---- kNN label-noise audit (q339) ----------------------------------------
+
+  /** q339: LABEL-NOISE audit by neighborhood agreement — the
+    * confident-learning-style QA pass (Northcutt et al. 2021, the
+    * cheap geometric core) a labeled training set runs before anyone
+    * trusts its labels: per vector, the majority label of its 5 nearest
+    * same-cell neighbors (trained IVF cells — [[kmTrained]], the same
+    * artifact every index query rides); a vector whose neighborhood
+    * outvotes its own label is FLAGGED. Per label: vectors, flags, and
+    * the flag rate in ppm — the per-class noise estimate that decides
+    * between relabeling, downweighting, or dropping a class.
+    *
+    * Determinism: distances are the [[VectorFunctions.l2DistSq]]
+    * left-to-right fold (bit-identical to the oracle's ordered
+    * list_reduce — the q56 contract), neighbor rank ties break on
+    * vec_id, and the majority vote breaks count ties on the SMALLEST
+    * label — every flag is engine-exact; counts and ppm are BIGINT.
+    *
+    * Scale shape: pair expansion is CELL-BOUNDED (q325's contract —
+    * production trains k ~ √n so a cell is O(√n), never corpus²); the
+    * top-5 rank and the vote are per-vector partitioned windows over
+    * ≤cell-sized neighbor lists; the report is one label-grain
+    * aggregate.
+    */
+  private val q339 = GraftQuery(
+    "q339_knn_label_audit", {
+      val pairDist = s"list_reduce(list_transform(range(1, $KmDim + 1), " +
+        "j -> (CAST(x.embedding[j] AS DOUBLE) - " +
+        "CAST(y.embedding[j] AS DOUBLE)) * " +
+        "(CAST(x.embedding[j] AS DOUBLE) - " +
+        "CAST(y.embedding[j] AS DOUBLE))), (p, q) -> p + q)"
+      s"""WITH c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
+         |  FROM embeddings WHERE vec_id < $KmK
+         |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
+         |${kmOracleAssign("c1", "a2")},
+         |lab AS (
+         |  SELECT a.vec_id, a.cell, a.embedding,
+         |    CAST(e.label AS BIGINT) AS label
+         |  FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |pr AS (
+         |  SELECT x.vec_id, y.label AS nlabel,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $pairDist, y.vec_id) AS rn
+         |  FROM lab x JOIN lab y
+         |    ON y.cell = x.cell AND y.vec_id <> x.vec_id),
+         |votes AS (SELECT vec_id, nlabel, CAST(count(*) AS BIGINT) AS c
+         |  FROM pr WHERE rn <= 5 GROUP BY 1, 2),
+         |maj AS (
+         |  SELECT vec_id, nlabel AS mlabel FROM (
+         |    SELECT vec_id, nlabel, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, nlabel) AS r
+         |    FROM votes) t WHERE r = 1)
+         |SELECT l.label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN m.mlabel <> l.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged,
+         |  CAST(sum(CASE WHEN m.mlabel <> l.label THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+         |FROM lab l JOIN maj m ON m.vec_id = l.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    val (_, a2) = kmTrained(s, d)
+    val lab = a2.join(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+    val nbrs = lab.select(col("vec_id").as("nid"), col("cell").as("ncell"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("nemb"),
+      col("label").as("nlabel"))
+    val wV = Window.partitionBy("vec_id")
+    val nn = lab
+      .join(nbrs, col("ncell") === col("cell") && col("nid") =!= col("vec_id"))
+      .select(col("vec_id"),
+        VectorFunctions.l2DistSq(col("embedding"), col("nemb")).as("d"),
+        col("nid"), col("nlabel"))
+      .withColumn("rn", row_number().over(wV.orderBy(col("d"), col("nid"))))
+      .where(col("rn") <= 5)
+    val maj = nn.groupBy("vec_id", "nlabel").agg(count(lit(1)).as("c"))
+      .withColumn("r",
+        row_number().over(wV.orderBy(col("c").desc, col("nlabel"))))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("nlabel").as("mlabel"))
+    lab.join(maj, "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("mlabel") =!= col("label"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("flagged_ppm", expr("(n_flagged * 1000000) div n_vecs"))
+      .orderBy("label")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
       q105, q106, q107, q108, q110, q114, q115, q116, q118, q119, q120, q124,
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
-      q277, q278, q291, q294, q296, q298, q302, q317, q321, q325)
+      q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
+      q341)
 }

@@ -3032,6 +3032,192 @@ object Temporal {
       .orderBy("touch_type")
   }
 
+  // ---- Shapley-value attribution (q338) ------------------------------------
+
+  /** q338: SHAPLEY-VALUE attribution — the game-theoretic member closing
+    * the attribution family (rules q172/q269/q335 assume an order
+    * story, Markov q334 assumes first-order dynamics; Shapley assumes
+    * NOTHING about sequence — only presence): each journey contributes
+    * its pre-first-purchase channel SET, the characteristic function
+    * v(S) counts conversions of journeys whose set ⊆ S ("conversions
+    * achievable with only the channels in S"), and each channel's
+    * credit is its exact Shapley value over the 4-channel game —
+    * φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪{c}) − v(S)).
+    *
+    * Exactness: everything is BIGINT — masks, conversion counts, v, and
+    * φ·k! (the k!=24 scaling clears the factorial denominators:
+    * |S|!(3−|S|)! ∈ {6,2,2,6}), so the EFFICIENCY axiom Σφ·24 =
+    * 24·(v(full) − v(∅)) holds bit-for-bit in both engines; credit
+    * shares are floored integer ppm. Journeys whose first event IS the
+    * purchase have no touches and drop out of every v(S) identically in
+    * both engines (unattributable conversions — no channel can claim
+    * them).
+    *
+    * Scale shape: corpus work is ONE per-user window sort (q334's
+    * shape) collapsing to a user-grain (mask, conv) rollup, then a
+    * 16-cell mask-grain aggregate under the bounded-collect contract;
+    * the subset lattice and Shapley sum run driver-side on the
+    * collected ≤16-cell game (the oracle does the same arithmetic as
+    * metadata-sized CTEs) — at 100 TB the game is the same size.
+    */
+  private val q338 = GraftQuery(
+    "q338_shapley_attribution",
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |fp AS (SELECT user_id, min(rn) AS prn FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |u AS (
+      |  SELECT e.user_id,
+      |    CAST(coalesce(max(CASE WHEN e.event_type = 'click' THEN 1 END), 0)
+      |      + coalesce(max(CASE WHEN e.event_type = 'error' THEN 2 END), 0)
+      |      + coalesce(max(CASE WHEN e.event_type = 'signup' THEN 4 END), 0)
+      |      + coalesce(max(CASE WHEN e.event_type = 'view' THEN 8 END), 0)
+      |      AS BIGINT) AS mask,
+      |    CAST(CASE WHEN max(fp.prn) IS NOT NULL THEN 1 ELSE 0 END
+      |      AS BIGINT) AS conv
+      |  FROM ev e LEFT JOIN fp ON e.user_id = fp.user_id
+      |  WHERE fp.prn IS NULL OR e.rn < fp.prn
+      |  GROUP BY 1),
+      |convs AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS c
+      |  FROM u GROUP BY 1),
+      |subs AS (SELECT CAST(s AS BIGINT) AS s FROM unnest(range(16)) t(s)),
+      |v AS (
+      |  SELECT s.s, CAST(coalesce(sum(c.c), 0) AS BIGINT) AS v
+      |  FROM subs s LEFT JOIN convs c ON (c.mask & s.s) = c.mask
+      |  GROUP BY 1),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |  ('signup', 4), ('view', 8)) t(channel, bit)),
+      |shap AS (
+      |  SELECT ch.channel,
+      |    CAST(sum(CASE bit_count(CAST(v0.s AS BIT))
+      |        WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+      |      * (v1.v - v0.v)) AS BIGINT) AS shap24
+      |  FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+      |  JOIN v v1 ON v1.s = (v0.s | ch.bit)
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(shap24) AS BIGINT) AS t FROM shap)
+      |SELECT s.channel, s.shap24,
+      |  (s.shap24 * 1000000) // tot.t AS credit_ppm
+      |FROM shap s CROSS JOIN tot ORDER BY channel""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("prn"))
+    def bit(t: String, b: Long) =
+      coalesce(max(when(col("event_type") === t, lit(b))), lit(0L))
+    val u = ev.join(fp, Seq("user_id"), "left")
+      .where(col("prn").isNull || col("rn") < col("prn"))
+      .groupBy("user_id")
+      .agg((bit("click", 1L) + bit("error", 2L) + bit("signup", 4L) +
+        bit("view", 8L)).as("mask"),
+        max(when(col("prn").isNotNull, 1L).otherwise(0L)).as("conv"))
+    // bounded collect (q334's contract): the game table is ≤2^k = 16
+    // mask cells by construction — one collect, then the whole subset
+    // lattice + Shapley sum run driver-side on the metadata-sized game
+    // instead of re-deriving the corpus walk per lattice branch
+    val cells = u.groupBy("mask").agg(sum(col("conv")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(cells.length <= 16,
+      s"q338 game table unexpectedly large: ${cells.length} masks")
+    def v(sMask: Long): Long =
+      cells.collect { case (m, c) if (m & sMask) == m => c }.sum
+    val wgt = Array(6L, 2L, 2L, 6L) // |S|!(3-|S|)! for k = 4
+    val rows = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+      ("view", 8L)).map { case (name, bit) =>
+      val shap24 = (0L until 16L).filter(s0 => (s0 & bit) == 0L).map { s0 =>
+        wgt(java.lang.Long.bitCount(s0)) * (v(s0 | bit) - v(s0))
+      }.sum
+      (name, shap24)
+    }
+    val tot = rows.map(_._2).sum
+    import s.implicits._
+    rows.map { case (name, sh) => (name, sh, sh * 1000000L / tot) }
+      .toDF("channel", "shap24", "credit_ppm")
+      .orderBy("channel")
+  }
+
+  // ---- experiment power / MDE (q340) ---------------------------------------
+
+  /** The q340 float epilogue, shared VERBATIM between both dialects
+    * (q297's identical-IEEE-tree discipline): population variance of
+    * per-user revenue cents from integer moments, then the two-sample
+    * minimum detectable effect at α=0.05 (two-sided) / power 0.80 —
+    * z-constants pinned as literals in both engines.
+    */
+  private val MdeVarExpr =
+    "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+  private val MdeExpr =
+    "((1.959963984540054 + 0.8416212335729143) " +
+      s"* sqrt(2.0 * $MdeVarExpr / CAST(m AS DOUBLE)))"
+
+  /** q340: EXPERIMENT POWER table — the minimum detectable effect a
+    * two-arm test on per-user revenue could resolve at each candidate
+    * arm size m ∈ {1k, 10k, 100k, 1M} (q283's sweep discipline on the
+    * experimentation family's sizing knob): MDE = (z_{α/2} + z_β) ·
+    * √(2σ²/m) at α = 0.05 two-sided, power 0.80, with σ² measured from
+    * THIS corpus's per-user revenue — the "how long must the experiment
+    * run" answer every A/B platform quotes before launch, and the
+    * reason q204's CUPED exists (variance reduction moves every row of
+    * this table down). Output is absolute (cents·10⁴) and relative to
+    * the mean (ppm) — the relative row is what a growth team actually
+    * budgets against.
+    *
+    * Exactness: per-user revenue is integer cents (q262's contract);
+    * the corpus collapses to THREE BIGINT moments (n, Σx, Σx²); the
+    * one float epilogue ([[MdeVarExpr]]/[[MdeExpr]]) is a fixed-shape
+    * expression evaluated from those exact integers with its TEXT
+    * shared verbatim between engines, then floored to integer outputs —
+    * no cross-row float accumulation anywhere.
+    *
+    * Scale shape: ONE hash aggregate to user grain, ONE 1-row moment
+    * aggregate, and a 4-row broadcast grid — the epilogue never sees
+    * the corpus.
+    */
+  private val q340 = GraftQuery(
+    "q340_mde_power",
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x_c
+       |  FROM events GROUP BY 1),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x_c) AS BIGINT) AS sx,
+       |    CAST(sum(x_c * x_c) AS BIGINT) AS sxx
+       |  FROM per_user),
+       |grid AS (SELECT CAST(m AS BIGINT) AS m
+       |  FROM (VALUES (1000), (10000), (100000), (1000000)) t(m))
+       |SELECT grid.m AS arm_size, g.n AS n_users,
+       |  CAST(floor($MdeExpr * 10000.0) AS BIGINT) AS mde_cents_e4,
+       |  CAST(floor($MdeExpr
+       |    / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+       |    AS BIGINT) AS mde_rel_ppm
+       |FROM grid CROSS JOIN g ORDER BY arm_size""".stripMargin) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id").agg(sum(col("cents")).as("x_c"))
+    val g = broadcast(perUser.agg(count(lit(1)).as("n"),
+      sum(col("x_c")).as("sx"),
+      sum(col("x_c") * col("x_c")).as("sxx")))
+    import s.implicits._
+    val grid = broadcast(Seq(1000L, 10000L, 100000L, 1000000L).toDF("m"))
+    grid.crossJoin(g)
+      .select(col("m").as("arm_size"), col("n").as("n_users"),
+        expr(s"CAST(floor($MdeExpr * 10000.0) AS BIGINT)")
+          .as("mde_cents_e4"),
+        expr(s"CAST(floor($MdeExpr / (CAST(sx AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          .as("mde_rel_ppm"))
+      .orderBy("arm_size")
+  }
+
   // ---- Kaplan-Meier survival (q332) ---------------------------------------
 
   /** q332: KAPLAN-MEIER survival estimator — the censoring-aware
@@ -3584,5 +3770,5 @@ object Temporal {
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
       q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
-      q319, q322, q323, q327, q332, q333, q334, q335)
+      q319, q322, q323, q327, q332, q333, q334, q335, q338, q340)
 }

@@ -167,9 +167,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q332_kaplan_meier", // 1-row horizon/user-total frames + the 1-row
                          // sorted factor list, all broadcast crosses on
                          // the lifetime-domain table (q213's shape)
-    "q337_bpe_fertility") // 3-row vocab-tier grid broadcast crossed onto
+    "q337_bpe_fertility", // 3-row vocab-tier grid broadcast crossed onto
                           // the vocab-grain length table (q283's audited
                           // sweep shape)
+    "q340_mde_power") // 4-row arm-size grid × 1-row moment frame
+                      // broadcasts (q283's audited sweep shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
