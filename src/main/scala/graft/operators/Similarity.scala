@@ -6136,8 +6136,20 @@ object Similarity {
   private val NmiPmiExpr =
     "ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)) " +
       "/ (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))"
-  private val q348 = GraftQuery(
-    "q348_cluster_label_nmi",
+
+  /** Frozen-codebook CELL assignment for a (possibly streaming) embedding
+    * frame — the assignment half of [[frozenAssignEncode]], for consumers
+    * that need cells but not PQ codes (the q349 streaming NMI twin).
+    */
+  private[graft] def frozenAssign(s: SparkSession, d: String,
+      e: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val (c1, _) = kmTrained(s, d)
+    kmAssign(e, c1)
+  }
+
+  /** q348's oracle — shared verbatim with the streaming twin q349. */
+  private[graft] val nmiOracleSql: String =
     s"""WITH c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
@@ -6166,23 +6178,20 @@ object Similarity {
        |SELECT p.cell, p.label, p.nxy, p.nx, p.ny, round(p.pmi, 6) AS pmi,
        |  mi.mi_total, hc.h_cell, hl.h_label,
        |  round(2 * mi.mi_total / (hc.h_cell + hl.h_label), 6) AS nmi
-       |FROM p, mi, hc, hl ORDER BY p.cell, p.label""".stripMargin) { (s, d) =>
-    VectorFunctions.register(s)
-    val (_, a2) = kmTrained(s, d)
-    // ONE corpus-grain aggregate to the ≤(k × labels) contingency, then
-    // bounded-collect (q338's contract): the marginal/entropy/NMI
-    // epilogue re-enters Spark as a LITERAL frame so its seven branches
-    // never replay the vec-grain join
-    val xyRows = a2.join(Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label").cast("long").as("label")),
-        "vec_id")
-      .select(col("cell").cast("long").as("cell"), col("label"))
-      .groupBy("cell", "label").agg(count(lit(1)).as("nxy"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+       |FROM p, mi, hc, hl ORDER BY p.cell, p.label""".stripMargin
+
+  /** q348's epilogue over a bounded-collected (cell, label, nxy)
+    * contingency — shared verbatim with the streaming twin q349, whose
+    * Complete-mode online contingency must land on the same frame. The
+    * marginal/entropy/NMI arithmetic runs on LITERAL ≤40-row frames and
+    * never replays the corpus (q338's contract).
+    */
+  private[graft] def nmiOf(s: SparkSession,
+      xyRows: Seq[(Long, Long, Long)]): DataFrame = {
     require(xyRows.length <= 64,
-      s"q348 contingency unexpectedly large: ${xyRows.length} cells")
+      s"cluster-label contingency unexpectedly large: ${xyRows.length}")
     import s.implicits._
-    val xy = xyRows.toSeq.toDF("cell", "label", "nxy")
+    val xy = xyRows.toDF("cell", "label", "nxy")
     val x = xy.groupBy("cell").agg(sum("nxy").as("nx"))
     val y = xy.groupBy("label").agg(sum("nxy").as("ny"))
     val t = xy.agg(sum("nxy").as("n"))
@@ -6207,6 +6216,21 @@ object Similarity {
         round(lit(2) * col("mi_total") / (col("h_cell") + col("h_label")), 6)
           .as("nmi"))
       .orderBy("cell", "label")
+  }
+
+  private val q348 = GraftQuery(
+    "q348_cluster_label_nmi", nmiOracleSql) { (s, d) =>
+    VectorFunctions.register(s)
+    val (_, a2) = kmTrained(s, d)
+    // ONE corpus-grain aggregate to the ≤(k × labels) contingency, then
+    // the shared bounded-collect epilogue
+    val xyRows = a2.join(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .select(col("cell").cast("long").as("cell"), col("label"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nxy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    nmiOf(s, xyRows)
   }
 
   val queries: Seq[GraftQuery] =

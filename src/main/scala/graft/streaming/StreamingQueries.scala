@@ -1288,9 +1288,39 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** q349: STREAMING cluster-label NMI ≡ batch q348 — the index-quality
+    * monitor kept CURRENT against the embedding-ingestion stream:
+    * arriving vectors are assigned to the FROZEN trained cells map-side
+    * ([[graft.operators.Similarity.frozenAssign]], q109's discipline),
+    * labels ride a stateless stream-static join, and the ONLY stateful
+    * operator is the Complete-mode (cell × label) contingency — state
+    * is ≤ k × labels counters regardless of stream length. The
+    * marginal/entropy/NMI epilogue
+    * ([[graft.operators.Similarity.nmiOf]], shared verbatim with batch)
+    * runs on the finalized bounded table. Gated on q348's oracle:
+    * stream == batch == DuckDB.
+    */
+  private val q349 = GraftQuery(
+    "q349_stream_cluster_nmi",
+    graft.operators.Similarity.nmiOracleSql) { (s, d) =>
+    val Sim = graft.operators.Similarity
+    val assigned = Sim.frozenAssign(s, d,
+      EventStreams.readEmbeddings(s, d).select("vec_id", "embedding"))
+    val lab = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val xy = assigned.join(lab, "vec_id")
+      .select(col("cell").cast("long").as("cell"), col("label"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nxy"))
+    val fin = EventStreams.runToMemory(s, xy,
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    Sim.nmiOf(s, fin.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347)
+      q336, q344, q347, q349)
 }
