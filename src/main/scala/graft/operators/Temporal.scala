@@ -3063,8 +3063,8 @@ object Temporal {
     * collected ≤16-cell game (the oracle does the same arithmetic as
     * metadata-sized CTEs) — at 100 TB the game is the same size.
     */
-  private val q338 = GraftQuery(
-    "q338_shapley_attribution",
+  /** q338's oracle — shared verbatim with the streaming twin q350. */
+  private[graft] val shapleyOracleSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_type,
       |    row_number() OVER (PARTITION BY user_id
@@ -3104,29 +3104,18 @@ object Temporal {
       |tot AS (SELECT CAST(sum(shap24) AS BIGINT) AS t FROM shap)
       |SELECT s.channel, s.shap24,
       |  (s.shap24 * 1000000) // tot.t AS credit_ppm
-      |FROM shap s CROSS JOIN tot ORDER BY channel""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-    val fp = ev.where(col("event_type") === "purchase")
-      .groupBy("user_id").agg(min(col("rn")).as("prn"))
-    def bit(t: String, b: Long) =
-      coalesce(max(when(col("event_type") === t, lit(b))), lit(0L))
-    val u = ev.join(fp, Seq("user_id"), "left")
-      .where(col("prn").isNull || col("rn") < col("prn"))
-      .groupBy("user_id")
-      .agg((bit("click", 1L) + bit("error", 2L) + bit("signup", 4L) +
-        bit("view", 8L)).as("mask"),
-        max(when(col("prn").isNotNull, 1L).otherwise(0L)).as("conv"))
-    // bounded collect (q334's contract): the game table is ≤2^k = 16
-    // mask cells by construction — one collect, then the whole subset
-    // lattice + Shapley sum run driver-side on the metadata-sized game
-    // instead of re-deriving the corpus walk per lattice branch
-    val cells = u.groupBy("mask").agg(sum(col("conv")).as("c")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      |FROM shap s CROSS JOIN tot ORDER BY channel""".stripMargin
+
+  /** q338's lattice epilogue over a finalized (mask → conversions) game
+    * table — shared verbatim with the streaming twin q350, whose online
+    * per-user mask/conv rows must land on the same ≤16-cell game.
+    * Bounded-collect contract (q334's): at 100 TB the game is the same
+    * size.
+    */
+  private[graft] def shapleyOf(s: SparkSession,
+      cells: Seq[(Long, Long)]): DataFrame = {
     require(cells.length <= 16,
-      s"q338 game table unexpectedly large: ${cells.length} masks")
+      s"shapley game table unexpectedly large: ${cells.length} masks")
     def v(sMask: Long): Long =
       cells.collect { case (m, c) if (m & sMask) == m => c }.sum
     val wgt = Array(6L, 2L, 2L, 6L) // |S|!(3-|S|)! for k = 4
@@ -3142,6 +3131,29 @@ object Temporal {
     rows.map { case (name, sh) => (name, sh, sh * 1000000L / tot) }
       .toDF("channel", "shap24", "credit_ppm")
       .orderBy("channel")
+  }
+
+  private val q338 = GraftQuery(
+    "q338_shapley_attribution", shapleyOracleSql) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("prn"))
+    def bit(t: String, b: Long) =
+      coalesce(max(when(col("event_type") === t, lit(b))), lit(0L))
+    val u = ev.join(fp, Seq("user_id"), "left")
+      .where(col("prn").isNull || col("rn") < col("prn"))
+      .groupBy("user_id")
+      .agg((bit("click", 1L) + bit("error", 2L) + bit("signup", 4L) +
+        bit("view", 8L)).as("mask"),
+        max(when(col("prn").isNotNull, 1L).otherwise(0L)).as("conv"))
+    // bounded collect (q334's contract): ≤2^k = 16 mask cells by
+    // construction — one collect, then the shared lattice epilogue
+    val cells = u.groupBy("mask").agg(sum(col("conv")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    shapleyOf(s, cells)
   }
 
   // ---- experiment power / MDE (q340) ---------------------------------------

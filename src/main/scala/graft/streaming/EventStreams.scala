@@ -743,6 +743,84 @@ object EventStreams {
       }
   }
 
+  /** Per-user (channel-set mask, converted) rows for the streaming
+    * Shapley twin (q350) — [[journeyTransitions]]' incremental
+    * watermark-prefix discipline applied to q338's journey collapse:
+    * every PRE-first-purchase touch ORs its channel bit into the mask
+    * (click 1, error 2, signup 4, view 8) as soon as the watermark makes
+    * it final, a finalized purchase freezes the journey, and the user's
+    * single (mask, conv) row emits at event-time timeout. State is one
+    * long + two flags + the disorder buffer — never the journey. Batch
+    * parity pin: a journey whose FIRST event is the purchase has no
+    * touches and emits NOTHING (q338's u-frame drops it identically) —
+    * unattributable conversions belong to no channel in either engine.
+    */
+  def shapleyMaskRows(events: DataFrame, watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def bitOf(et: String): Long = et match {
+      case "click" => 1L
+      case "error" => 2L
+      case "signup" => 4L
+      case "view" => 8L
+      case _ => 0L
+    }
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      // state = (disorder buffer, mask, touches seen, done, max micros)
+      .flatMapGroupsWithState[(Seq[(Long, Long, String)], Long, Boolean,
+          Boolean, Long), (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[
+           (Seq[(Long, Long, String)], Long, Boolean, Boolean, Long)]) =>
+          def fold(mask0: Long, saw0: Boolean, done0: Boolean,
+              finals: Seq[(Long, Long, String)]): (Long, Boolean, Boolean) = {
+            var mask = mask0; var saw = saw0; var done = done0
+            finals.foreach { case (_, _, et) =>
+              if (!done) {
+                if (et == "purchase") done = true
+                else { mask |= bitOf(et); saw = true }
+              }
+            }
+            (mask, saw, done)
+          }
+          if (state.hasTimedOut) {
+            val (buf, mask0, saw0, done0, _) = state.get
+            state.remove()
+            val (mask, saw, done) =
+              fold(mask0, saw0, done0, buf.sortBy(r => (r._1, r._2)))
+            if (saw) Iterator((mask, if (done) 1L else 0L))
+            else Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val (buf0, mask0, saw0, done0, max0) = state.getOption.getOrElse(
+              (Seq.empty[(Long, Long, String)], 0L, false, false,
+                Long.MinValue))
+            val maxT = math.max(max0, rs.iterator.map(_._3).max)
+            val (buf, mask, saw, done) =
+              if (done0) (Seq.empty[(Long, Long, String)], mask0, saw0, true)
+              else {
+                val all = (buf0 ++ rs.map { case (_, _, t, eid, et) =>
+                  (t, eid, et) }).sortBy(r => (r._1, r._2))
+                val wmUs = state.getCurrentWatermarkMs() * 1000L
+                val (fin, open) = all.span(_._1 <= wmUs)
+                val (m, sw, dn) = fold(mask0, saw0, done0, fin)
+                (if (dn) Seq.empty[(Long, Long, String)] else open, m, sw, dn)
+              }
+            state.update((buf, mask, saw, done, maxT))
+            state.setTimeoutTimestamp(math.max(
+              maxT / 1000L + 10L, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-user journey transitions for the streaming Markov-attribution
     * twin (q336) — the batch q334 `tr` multiset (START → first event,
     * consecutive pairs in (ts, event_id) order, truncation at the FIRST

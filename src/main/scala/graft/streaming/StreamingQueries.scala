@@ -1318,9 +1318,30 @@ object StreamingQueries {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  /** q350: STREAMING Shapley attribution ≡ batch q338 — the last member
+    * of the attribution family's batch+stream symmetry (q172/q173 last
+    * touch, q335/q344 time decay, q334/q336 Markov, q338/q350 Shapley):
+    * [[EventStreams.shapleyMaskRows]] collapses each journey to its
+    * (channel-set mask, converted) row ONLINE with incremental
+    * watermark-prefix state (one long + flags + the disorder buffer),
+    * and the subset-lattice epilogue
+    * ([[graft.operators.Temporal.shapleyOf]], shared verbatim) runs on
+    * the finalized ≤16-cell game. Gated on q338's oracle: stream ==
+    * batch == DuckDB, efficiency axiom included.
+    */
+  private val q350 = GraftQuery(
+    "q350_stream_shapley",
+    graft.operators.Temporal.shapleyOracleSql) { (s, d) =>
+    val mk = runGated(s, d)(ev =>
+      EventStreams.shapleyMaskRows(ev).toDF("mask", "conv"))
+    val cells = mk.groupBy("mask").agg(sum(col("conv")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.operators.Temporal.shapleyOf(s, cells)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347, q349)
+      q336, q344, q347, q349, q350)
 }
