@@ -5983,8 +5983,26 @@ object Similarity {
     * cluster-grain size aggregate, one doc-grain weight map, one
     * source-grain rollup. No windows, no new corpus pass.
     */
-  private val q341 = GraftQuery(
-    "q341_dedup_ess",
+  /** Engine twin of [[essCtes]]' `agg` frame: per source (n_docs, Σw,
+    * Σw²) moments under dup-aware weights, shared by q341 and q351.
+    */
+  private def essAgg(s: SparkSession, d: String): DataFrame = {
+    val cs = clusterAssignments(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    clusterAssignments(s, d).join(cs, "cluster_id")
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .select(col("source"), expr("1000000 div csize").as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast(dec)).as("sw"),
+        sum(col("w").cast(dec) * col("w")).as("sww"))
+  }
+
+  /** q341's ESS CTE chain (cluster sizes → dup-aware weights → source
+    * moments), shared with the q351 budget-shift composition.
+    */
+  private val essCtes: String =
     s"""$clusterOracleChain,
        |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
        |  FROM clus GROUP BY 1),
@@ -5996,26 +6014,108 @@ object Similarity {
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS sw,
        |    CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
-       |  FROM wts GROUP BY 1)
+       |  FROM wts GROUP BY 1)""".stripMargin
+
+  private val q341 = GraftQuery(
+    "q341_dedup_ess",
+    s"""$essCtes
        |SELECT source, n_docs,
        |  CAST((sw * sw) // sww AS BIGINT) AS ess_docs,
        |  CAST(((sw * sw) // sww) * 1000000 // n_docs AS BIGINT)
        |    AS ess_ppm
        |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
-    val cs = clusterAssignments(s, d)
-      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val wts = clusterAssignments(s, d).join(cs, "cluster_id")
-      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-      .select(col("source"), expr("1000000 div csize").as("w"))
-    wts.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("w").cast(dec)).as("sw"),
-        sum(col("w").cast(dec) * col("w")).as("sww"))
+    essAgg(s, d)
       .select(col("source"), col("n_docs"),
         expr("CAST((sw * sw) div sww AS BIGINT)").as("ess_docs"),
         expr("CAST(((sw * sw) div sww) * 1000000 div n_docs AS BIGINT)")
           .as("ess_ppm"))
+      .orderBy("source")
+  }
+
+  // ---- ESS-corrected budget shift (q351) ---------------------------------
+
+  /** q351: BUDGET SHIFT under duplication correction — the composition
+    * q341 exists to feed: a 10⁶-unit sampling/labeling budget allocated
+    * proportionally (q223's Hamilton arithmetic — Σ = budget EXACTLY)
+    * twice, once by raw document counts and once by Kish ESS, with the
+    * per-source shift in budget units. Raw counts OVER-allocate to
+    * dup-heavy sources (their rows carry less statistical information
+    * than their count claims); the shift column is the measured
+    * correction a mixture owner applies — and on a corpus where no
+    * source is dup-heavier than the rest, the measured shift is ~0,
+    * which is equally a decision ("counts are fine here").
+    *
+    * Exactness: both allocations are floor-division + Hamilton
+    * remainder by (fractional part desc, source) — integer-exact,
+    * conservation Σ = 10⁶ on both columns in both engines; ESS is
+    * q341's HUGEINT/DECIMAL(38,0) arithmetic via the shared frame.
+    *
+    * Scale shape: rides [[essAgg]] (one rollup over the shared cluster
+    * artifact); the dual election is windows + totals on the
+    * source-grain table (metadata-sized, q324's shape).
+    */
+  private val q351 = GraftQuery(
+    "q351_ess_budget_shift",
+    s"""$essCtes,
+       |ess AS (
+       |  SELECT source, n_docs,
+       |    CAST((sw * sw) // sww AS BIGINT) AS ess_docs
+       |  FROM agg),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+       |  CAST(sum(ess_docs) AS BIGINT) AS te FROM ess),
+       |fl AS (
+       |  SELECT e.source, e.n_docs, e.ess_docs,
+       |    (1000000 * e.n_docs) // t.tn AS fr,
+       |    (1000000 * e.n_docs) % t.tn AS rr,
+       |    (1000000 * e.ess_docs) // t.te AS fe,
+       |    (1000000 * e.ess_docs) % t.te AS re
+       |  FROM ess e CROSS JOIN tot t),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY rr DESC, source) AS krr,
+       |    row_number() OVER (ORDER BY re DESC, source) AS kre,
+       |    (SELECT 1000000 - sum(fr) FROM fl) AS remr,
+       |    (SELECT 1000000 - sum(fe) FROM fl) AS reme
+       |  FROM fl)
+       |SELECT source, n_docs, ess_docs,
+       |  CAST(fr + CASE WHEN krr <= remr THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc_raw,
+       |  CAST(fe + CASE WHEN kre <= reme THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc_ess,
+       |  CAST((fe + CASE WHEN kre <= reme THEN 1 ELSE 0 END)
+       |     - (fr + CASE WHEN krr <= remr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS shift_u
+       |FROM rk ORDER BY source""".stripMargin) { (s, d) =>
+    // the source-grain ESS frame is consumed by four branches (totals,
+    // floors, remainders, output) — materialize it as a LEAF so the
+    // cluster chain underneath runs once (q348's single-corpus-pass
+    // discipline; the frame is metadata-sized)
+    val ess = essAgg(s, d)
+      .select(col("source"), col("n_docs"),
+        expr("CAST((sw * sw) div sww AS BIGINT)").as("ess_docs"))
+      .localCheckpoint()
+    val tot = broadcast(ess.agg(sum(col("n_docs")).as("tn"),
+      sum(col("ess_docs")).as("te")))
+    val fl = ess.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("ess_docs"),
+        expr("(1000000 * n_docs) div tn").as("fr"),
+        expr("(1000000 * n_docs) % tn").as("rr"),
+        expr("(1000000 * ess_docs) div te").as("fe"),
+        expr("(1000000 * ess_docs) % te").as("re"))
+    val rem = broadcast(fl.agg(
+      (lit(1000000L) - sum(col("fr"))).as("remr"),
+      (lit(1000000L) - sum(col("fe"))).as("reme")))
+    fl
+      .withColumn("krr",
+        row_number().over(Window.orderBy(col("rr").desc, col("source"))))
+      .withColumn("kre",
+        row_number().over(Window.orderBy(col("re").desc, col("source"))))
+      .crossJoin(rem)
+      .select(col("source"), col("n_docs"), col("ess_docs"),
+        (col("fr") + when(col("krr") <= col("remr"), 1L).otherwise(0L))
+          .as("alloc_raw"),
+        (col("fe") + when(col("kre") <= col("reme"), 1L).otherwise(0L))
+          .as("alloc_ess"))
+      .withColumn("shift_u", col("alloc_ess") - col("alloc_raw"))
       .orderBy("source")
   }
 
@@ -6240,5 +6340,5 @@ object Similarity {
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
-      q341, q348)
+      q341, q348, q351)
 }

@@ -175,9 +175,12 @@ class PlanHygieneSpec extends SparkSuite {
     "q345_chunking_sweep", // 3-row chunk-size grid broadcast crossed onto
                            // the sentence-offset frame (q283's audited
                            // sweep shape)
-    "q348_cluster_label_nmi") // bounded-collected ≤40-row LITERAL
+    "q348_cluster_label_nmi", // bounded-collected ≤40-row LITERAL
                               // contingency frames crossed (q338's
                               // contract; no corpus side anywhere)
+    "q351_ess_budget_shift") // 1-row total/remainder broadcasts crossed
+                             // onto the leaf source-grain ESS frame
+                             // (q223/q324's audited election shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
