@@ -72,9 +72,18 @@ object GenScale {
     val events = load("events")
     val sEv = stride(events, "event_id")
     // user ids are shifted by their own stride so each replica is a
-    // fresh user population over the same calendar
+    // fresh user population over the same calendar; the stride is
+    // computed over NON-NEGATIVE ids only (anticipating a negative
+    // anonymous-user sentinel), so the shift must also skip negative
+    // ids — a shifted sentinel r·sUser − 1 would collide with replica
+    // r−1's maximum real user and silently merge timelines (ADVICE r14)
     val sUser = stride(events.where(col("user_id") >= 0), "user_id")
-    save(shifted(events, "event_id" -> sEv, "user_id" -> sUser), "events")
+    save(events.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * sEv)
+      .withColumn("user_id",
+        when(col("user_id") >= 0, col("user_id") + col("rep") * sUser)
+          .otherwise(col("user_id")))
+      .drop("rep"), "events")
 
     val docs = load("documents")
     val sDoc = stride(docs, "doc_id")

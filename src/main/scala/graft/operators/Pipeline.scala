@@ -1721,6 +1721,45 @@ object Pipeline {
     */
   private val AllocN = 999L
 
+  /** Hamilton largest-remainder apportionment — the shared integer-exact
+    * allocation kernel behind q223 (proportional), q261 (temperature),
+    * q324/q330 (Neyman vs proportional) and q351 (raw vs ESS): floor
+    * each key's quota (budget·w) div Σw, then hand the budget − Σfloor
+    * leftover slots to the largest fractional remainders
+    * ((budget·w) mod Σw), `keyCol` breaking ties. Σ alloc == budget
+    * EXACTLY in pure BIGINT arithmetic — float shares drift and never
+    * sum to the budget.
+    *
+    * Each (weightCol → allocCol) pair is an INDEPENDENT apportionment of
+    * the same budget, all computed in one pass over the input (one
+    * totals broadcast, one remainder broadcast, one k-row rank window
+    * per weight) — the dual-allocation consumers (q324's
+    * Neyman-vs-proportional, q351's raw-vs-ESS) pay nothing extra for
+    * the comparison column. Scale shape: the input is a source/stratum-
+    * grain frame (k rows — q223's justification for the unpartitioned
+    * windows); totals and remainders ride as 1-row broadcasts.
+    * HamiltonSpec pins helper == the inline idiom on every caller shape.
+    */
+  private[graft] def hamiltonOf(df: DataFrame, keyCol: String, budget: Long,
+      weights: (String, String)*): DataFrame = {
+    require(weights.nonEmpty,
+      "hamiltonOf needs at least one weightCol -> allocCol pair")
+    val totAggs = weights.map { case (w, a) => sum(col(w)).as(s"__tot_$a") }
+    val fl = df.crossJoin(broadcast(df.agg(totAggs.head, totAggs.tail: _*)))
+      .select(df.columns.map(col) ++ weights.flatMap { case (w, a) => Seq(
+        expr(s"($budget * $w) div __tot_$a").as(s"__fl_$a"),
+        expr(s"($budget * $w) % __tot_$a").as(s"__fr_$a")) }: _*)
+    val remAggs = weights.map { case (_, a) =>
+      (lit(budget) - sum(col(s"__fl_$a"))).as(s"__rem_$a") }
+    val ranked = weights.foldLeft(fl) { case (acc, (_, a)) =>
+      acc.withColumn(s"__rk_$a", row_number().over(
+        Window.orderBy(col(s"__fr_$a").desc, col(keyCol)))) }
+    ranked.crossJoin(broadcast(fl.agg(remAggs.head, remAggs.tail: _*)))
+      .select(df.columns.map(col) ++ weights.map { case (_, a) =>
+        (col(s"__fl_$a") + when(col(s"__rk_$a") <= col(s"__rem_$a"), 1L)
+          .otherwise(0L)).as(a) }: _*)
+  }
+
   /** q223: proportional sample allocation — Hamilton's largest-remainder
     * apportionment (the classic exact-integer method: floor each source's
     * quota of [[AllocN]] slots, then hand the leftover slots to the
@@ -1758,18 +1797,8 @@ object Pipeline {
        |FROM rk CROSS JOIN k ORDER BY source""".stripMargin) { (s, d) =>
     val ns = Tables.documents(s, d)
       .groupBy("source").agg(count(lit(1)).as("n"))
-    val quotas = ns.crossJoin(broadcast(ns.agg(sum(col("n")).as("total"))))
-      .select(col("source"), col("n"),
-        expr(s"($AllocN * n) div total").as("fl"),
-        (lit(AllocN) * col("n") % col("total")).as("frac"))
-    val rem = quotas.agg((lit(AllocN) - sum(col("fl"))).as("rem"))
-    quotas
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("frac").desc, col("source"))))
-      .crossJoin(broadcast(rem))
-      .select(col("source"), col("n").as("n_docs"),
-        (col("fl") + when(col("r") <= col("rem"), 1L).otherwise(0L))
-          .as("alloc"))
+    hamiltonOf(ns, "source", AllocN, "n" -> "alloc")
+      .select(col("source"), col("n").as("n_docs"), col("alloc"))
       .orderBy("source")
   }
 
@@ -1844,18 +1873,7 @@ object Pipeline {
           .when(col("g") * col("g") > col("n"), col("g") - 1)
           .otherwise(col("g")))
       .select("source", "n", "w")
-    val quotas = w.crossJoin(broadcast(w.agg(sum(col("w")).as("total"))))
-      .select(col("source"), col("n"), col("w"),
-        expr(s"($MixN * w) div total").as("fl"),
-        (lit(MixN) * col("w") % col("total")).as("frac"))
-    val rem = quotas.agg((lit(MixN) - sum(col("fl"))).as("rem"))
-    val alloc = quotas
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("frac").desc, col("source"))))
-      .crossJoin(broadcast(rem))
-      .select(col("source"), col("n"), col("w"),
-        (col("fl") + when(col("r") <= col("rem"), 1L).otherwise(0L))
-          .as("alloc"))
+    val alloc = hamiltonOf(w, "source", MixN, "w" -> "alloc")
     val ranked = Tables.documents(s, d)
       .select(col("source"), col("doc_id"))
       .withColumn("r", row_number().over(Window.partitionBy("source")
@@ -2997,27 +3015,10 @@ object Pipeline {
           when((col("g") + 1) * (col("g") + 1) <= col("a"), col("g") + 1)
             .when(col("g") * col("g") > col("a"), col("g") - 1)
             .otherwise(col("g"))).as("w"))
-    val tw = w.agg(sum("w").as("totw"), sum("nh").as("totn"))
-    val q = w.crossJoin(broadcast(tw)).select(col("source"), col("nh"),
-      col("s2num"), col("s2den"), col("w"), col("totn"),
-      expr(s"($NeyN * w) div totw").as("flw"),
-      expr(s"($NeyN * w) % totw").as("fracw"),
-      expr(s"($NeyN * nh) div totn").as("flp"),
-      expr(s"($NeyN * nh) % totn").as("fracp"))
-    val k = q.agg((lit(NeyN) - sum("flw")).as("remw"),
-      (lit(NeyN) - sum("flp")).as("remp"))
-    val alloc = q
-      .withColumn("rw",
-        row_number().over(Window.orderBy(col("fracw").desc, col("source"))))
-      .withColumn("rp",
-        row_number().over(Window.orderBy(col("fracp").desc, col("source"))))
-      .crossJoin(broadcast(k))
-      .select(col("source"), col("nh"), col("w"), col("s2num"),
-        col("s2den"), col("totn"),
-        (col("flw") + when(col("rw") <= col("remw"), 1L).otherwise(0L))
-          .as("an"),
-        (col("flp") + when(col("rp") <= col("remp"), 1L).otherwise(0L))
-          .as("ap"))
+    // dual Hamilton election (Neyman weight vs raw proportional) via the
+    // shared kernel; totn rides alongside for the variance epilogue
+    val alloc = hamiltonOf(w, "source", NeyN, "w" -> "an", "nh" -> "ap")
+      .crossJoin(broadcast(w.agg(sum("nh").as("totn"))))
     // Spark's Decimal `/` rounds; the oracle's `//` floors — so both
     // variance contributions use `div` on DECIMAL(38,0) operands.
     val v2 = alloc.select(col("source"), col("nh"), col("w"), col("an"),

@@ -867,7 +867,41 @@ object Similarity {
 
   // ---- IVF k-means training (q56) ----
 
-  private val KmK = 4
+  /** Coarse-quantizer cell count: k ~ √n (the published IVF sizing —
+    * FAISS's guideline is k between √n and 16√n), clamped to [4, 1024].
+    * k ~ √n is what keeps every "cell-bounded" contract sub-quadratic:
+    * a cell holds O(√n) vectors, so within-cell pair expansion (SemDeDup
+    * q325, the kNN label audit q339) is O(k · (n/k)²) = O(n^1.5) total
+    * instead of the O(n²/k) a fixed k degrades to, and per-probe serving
+    * cost stays O(√n) as the corpus grows. The 1024 ceiling is
+    * [[kmAssign]]'s literal-codebook router bound (≈0.5 MB of doubles at
+    * dim 64 — plan-literal metadata); past ~10⁶ vectors the documented
+    * path is a two-level coarse quantizer (IMI: route on √k × √k product
+    * cells), which changes the router, not the cell-bounded contracts.
+    * The floor keeps tiny fixtures (n < 16) from degenerating to k ≤ 3
+    * cells. Spark and the DuckDB oracle compute k from the SAME
+    * expression — floor(sqrt(n)) is exact in IEEE double for any corpus
+    * count — so the trained index is engine-identical at every sf.
+    */
+  private[operators] def kmKOf(n: Long): Int =
+    math.max(4L, math.min(1024L,
+      math.floor(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** k for a (session, dir) corpus — one count per corpus, memoized in
+    * [[graft.Artifacts]] beside the trained index it sizes.
+    */
+  private[operators] def kmK(s: SparkSession, d: String): Int =
+    graft.Artifacts.cached[java.lang.Integer](s, s"ivf_k:$d") {
+      (Int.box(kmKOf(Tables.embeddings(s, d).count())), () => ())
+    }
+
+  /** [[kmKOf]] as a DuckDB scalar subquery — interpolated wherever an
+    * oracle seeds or bounds by the trained cell count, so every oracle
+    * tracks the corpus size exactly as the engine does.
+    */
+  private[operators] val KmKSql =
+    "(SELECT greatest(4, least(1024, CAST(floor(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
+
   private val KmDim = 64
 
   /** Nearest-centroid assignment; ties break to the lowest cell id.
@@ -875,7 +909,7 @@ object Similarity {
     * kernel (left-to-right accumulation, bit-identical to the oracle's
     * list_reduce over bit-identical centroids), and the argmin is a
     * map-side `array_min` over the COLLECTED centroid table riding the
-    * plan as a literal (k ≤ 256 rows of doubles — router metadata, the
+    * plan as a literal (k ≤ 1024 rows of doubles — router metadata, the
     * [[frozenAssignEncode]] recipe): ZERO exchange per assignment pass,
     * where a `min_by` aggregate would shuffle ~one collapsed row per
     * corpus vector per Lloyd pass — at 100 TB that exchange, repeated
@@ -957,7 +991,8 @@ object Similarity {
        |)""".stripMargin
 
   /** q56: TRAIN the IVF index — 2 deterministic Lloyd iterations of
-    * k-means (k=4) seeded with the first k vectors, emitting every
+    * k-means (k = [[kmKOf]](n) ~ √n) seeded with the first k vectors,
+    * emitting every
     * vector's trained cell. This replaces q30/q41's "label stands in for
     * a cell id" with the actual coarse quantizer: assignment is a
     * broadcast-k cross join (linear scan, the at-scale path), recompute
@@ -971,13 +1006,13 @@ object Similarity {
     s"""WITH c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
-       |  FROM embeddings WHERE vec_id < $KmK
+       |  FROM embeddings WHERE vec_id < $KmKSql
        |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
        |${kmOracleAssign("c1", "a2")}
        |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val c0 = e.where(col("vec_id") < KmK)
+    val c0 = e.where(col("vec_id") < kmK(s, d))
       .select(col("vec_id").cast("int").as("cell"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
     val a1 = kmAssign(e, c0)
@@ -1067,7 +1102,7 @@ object Similarity {
   private[operators] def kmTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
     graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"ivf_trained:$d") {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val c0 = e.where(col("vec_id") < KmK)
+      val c0 = e.where(col("vec_id") < kmK(s, d))
         .select(col("vec_id").cast("int").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
       // materialized LEAVES, not live lineage (Artifacts.leafDf scaladoc):
@@ -1182,7 +1217,7 @@ object Similarity {
     s"""c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
-       |  FROM embeddings WHERE vec_id < $KmK
+       |  FROM embeddings WHERE vec_id < $KmKSql
        |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
        |${kmOracleAssign("c1", "a2")}""".stripMargin
 
@@ -1274,15 +1309,31 @@ object Similarity {
     * q145 probes with the UPDATED embeddings; the zero-src delegate keeps
     * every existing oracle's text byte-identical.
     */
-  private def probesOracleFrom(src: String, where: String): String =
+  private def probesOracleFrom(src: String, where: String,
+      p: Int = ProbeP): String =
     s"""probes AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
        |    FROM $src e CROSS JOIN c1 c$where) t
-       |  WHERE rn <= $ProbeP
+       |  WHERE rn <= $p
        |)""".stripMargin
+
+  /** Probe width for the PREDICATE-CONSTRAINED serving tiers (q103
+    * filtered ANN, q104 hard negatives): [[ProbeP]] scaled by the
+    * inverse of the worst-case predicate selectivity the tier is
+    * contracted to serve — the standard filtered-search sizing (a
+    * filter keeping 1/s of candidates needs ~s× the probes for the
+    * same effective pool; the 10-label corpus makes the equality
+    * filter ~1/10-selective, so 2 × 10). Without the widening, k ~ √n
+    * cells hold O(√n) vectors and a selective filter starves top-k for
+    * queries whose probed cells carry few matching rows — ScaleSpec
+    * pins the no-starvation property. (Literal 20 = ProbeP × 10:
+    * [[ProbeP]] is declared later in this object, so deriving it here
+    * would read 0 at init; the require below keeps the two in sync.)
+    */
+  private val FilteredProbeP = 20
 
   /** q71: the assembled IVF-ANN machine — train the coarse quantizer
     * (q56's exact pipeline), assign every vector to its TRAINED cell, and
@@ -1318,11 +1369,14 @@ object Similarity {
     * search misses true neighbors that sit just across a cell boundary;
     * probing the p nearest cells recovers them at ≤ p× the candidate set.
     * Candidate work is ~p·n²/k total, so the cell count k is the paired
-    * throughput knob: production sizes k ≈ √n to keep cells bounded
-    * (this fixture's k=4 is oracle-calibration-small, which is why the
-    * rerank — not the probe selection — dominates its local cost).
+    * throughput knob: since round 15 training sizes k = [[kmKOf]](n) ~ √n
+    * (cells stay O(√n) as the corpus grows), so probing p cells costs
+    * O(p·√n) candidates per query at every scale.
     */
   private val ProbeP = 2
+  require(FilteredProbeP == ProbeP * 10,
+    s"FilteredProbeP ($FilteredProbeP) must stay ProbeP x the 10-label " +
+      "inverse selectivity (see its scaladoc); update both together")
 
   /** q72: multi-probe IVF search — each query vector probes its
     * [[ProbeP]] nearest TRAINED cells (not just its own), then exact
@@ -1804,16 +1858,19 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** q82: quantized k-NN — neighbors ranked by cosine on the int8 CODES
-    * (the [[graft.functions.Int8QuantCosineKernel]] scale-cancellation
-    * identity: integer dot products, one double division), blocked on
-    * the label cell like q30, with the float cosine alongside so every
-    * returned neighbor carries its own approximation error. This is the
-    * serving side of q78's audit: q78 says whether the index is safe to
-    * quantize, q82 IS the quantized index answering queries — 4× less
-    * memory/IO per vector, integer multiply-accumulate instead of float,
-    * and the ranking is deterministic across engines because the
-    * accumulation is exact integer arithmetic.
+  /** q82: quantized k-NN TRUTH TIER — neighbors ranked by cosine on the
+    * int8 CODES (the [[graft.functions.Int8QuantCosineKernel]]
+    * scale-cancellation identity: integer dot products, one double
+    * division), label-blocked ALL-PAIRS like q30, with the float cosine
+    * alongside so every returned neighbor carries its own approximation
+    * error. Classification (VERDICT r14): this is an OFFLINE
+    * quantization-quality audit, not a serving path — the label blocks
+    * are corpus-fraction-sized, so the pair join is quadratic within
+    * each block by design (the exhaustive ground truth q78's safety
+    * audit and the code-ranking serving tiers are judged against). The
+    * quantized SERVING tiers are q84 (cell-pruned code search), q87
+    * (code-ranked rerank) and q106 (PQ product search); run q82 at
+    * audit cadence, never per-query.
     */
   private val q82 = GraftQuery(
     "q82_quantized_knn",
@@ -2782,7 +2839,7 @@ object Similarity {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val base = e.where(shardBucket(col("vec_id")) < 8)
-      val c0 = e.where(col("vec_id") < KmK)
+      val c0 = e.where(col("vec_id") < kmK(s, d))
         .select(col("vec_id").cast("int").as("cell"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cen"))
       val c1b = kmRecompute(kmAssign(base, c0)).persist(lvl)
@@ -2898,7 +2955,7 @@ object Similarity {
        |cb0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
-       |  FROM embeddings WHERE vec_id < $KmK),
+       |  FROM embeddings WHERE vec_id < $KmKSql),
        |${kmOracleAssignFrom("base", "cb0", "ab1")},
        |${kmOracleRecompute("ab1", "cb1")},
        |${kmOracleAssignFrom("nw", "cb1", "coarse")},
@@ -3207,7 +3264,11 @@ object Similarity {
     * The filter is applied to the CANDIDATES (inside the join), never to
     * the ranked output — post-filtering a top-k starves queries whose
     * neighbors are mostly other-label; pre-filtering keeps k results
-    * whenever the probed cells contain k same-label vectors.
+    * whenever the probed cells contain k same-label vectors. The probe
+    * width is [[FilteredProbeP]] (ProbeP × inverse filter selectivity):
+    * with k ~ √n training a cell holds O(√n) rows, so a selective
+    * predicate must widen the probe ring to keep the effective
+    * candidate pool at the unfiltered tier's size.
     *
     * Scale note: the metadata column is MATERIALIZED on the index row
     * ([[kmTrainedLabeled]], built once per session — the same pattern
@@ -3217,7 +3278,8 @@ object Similarity {
     */
   private val q103 = GraftQuery(
     "q103_filtered_ann",
-    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")}, sim AS (
+    s"""WITH $kmOracleTrain, ${probesOracleFrom("embeddings",
+          s"\n    WHERE e.vec_id < $QueryBatch", FilteredProbeP)}, sim AS (
        |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    ${cosSql("p", "b")} AS cos
        |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
@@ -3257,7 +3319,7 @@ object Similarity {
     val idx = kmTrainedLabeled(s, d)
     val probes = probeSelection(
         idx.select(col("vec_id"), col("embedding"))
-          .where(col("vec_id") < QueryBatch), c1)
+          .where(col("vec_id") < QueryBatch), c1, FilteredProbeP)
       .join(broadcast(idx.select(col("vec_id"), col("label"))
         .where(col("vec_id") < QueryBatch)), "vec_id")
     val cand = idx
@@ -3282,7 +3344,8 @@ object Similarity {
     */
   private val q104 = GraftQuery(
     "q104_hard_negatives",
-    s"""WITH $kmOracleTrain, ${probesOracle(s"\n    WHERE e.vec_id < $QueryBatch")}, sim AS (
+    s"""WITH $kmOracleTrain, ${probesOracleFrom("embeddings",
+          s"\n    WHERE e.vec_id < $QueryBatch", FilteredProbeP)}, sim AS (
        |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    ${cosSql("p", "b")} AS cos
        |  FROM probes p JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
@@ -4184,9 +4247,10 @@ object Similarity {
   }
 
   /** q190: the recall-vs-nprobe CURVE — q83 measures the single point
-    * p=[[ProbeP]]; this sweeps p ∈ {1, 2, 4} (4 = [[KmK]], the
-    * exhaustive bound, so the curve's ceiling recall=1.0 is measured,
-    * not assumed) and reports recall@3 against the shared brute-force
+    * p=[[ProbeP]]; this sweeps p ∈ {1, 2, k} (k = the trained cell
+    * count [[kmK]], the exhaustive bound, so the curve's ceiling
+    * recall=1.0 is measured, not assumed — the p=k row probes every
+    * cell) and reports recall@3 against the shared brute-force
     * truth per setting. This is the table a capacity planner actually
     * reads: each row is (probe cost multiplier → recall), and the knee
     * tells you the cheapest p meeting an SLO. Cost shape: the truth pass
@@ -4199,40 +4263,44 @@ object Similarity {
     */
   private val q190 = GraftQuery(
     "q190_nprobe_curve", {
-      def point(p: Int): String =
-        s"""m$p AS (
+      // tag names the CTEs; bound is the SQL probe bound (a literal for
+      // the fixed points, the [[KmKSql]] scalar subquery for the
+      // exhaustive p=k point — k is corpus-sized, so it cannot be
+      // interpolated as a constant)
+      def point(tag: String, bound: String): String =
+        s"""m$tag AS (
            |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
            |    ${cosSql("p", "b")} AS cos
-           |  FROM (SELECT * FROM pr WHERE rn <= $p) p
+           |  FROM (SELECT * FROM pr WHERE rn <= $bound) p
            |  JOIN a2 b ON p.cell = b.cell AND p.vec_id <> b.vec_id
-           |), t$p AS (
+           |), t$tag AS (
            |  SELECT vec_id, neighbor_id FROM (
            |    SELECT vec_id, neighbor_id,
            |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
-           |    FROM m$p) z WHERE rank <= 3
-           |), h$p AS (
+           |    FROM m$tag) z WHERE rank <= 3
+           |), h$tag AS (
            |  SELECT CAST(count(*) AS BIGINT) AS hits
-           |  FROM truth t JOIN t$p s
+           |  FROM truth t JOIN t$tag s
            |    ON t.vec_id = s.vec_id AND t.neighbor_id = s.neighbor_id)"""
           .stripMargin
-      def row(p: Int): String =
-        s"""SELECT CAST($p AS BIGINT) AS nprobe, hits,
+      def row(tag: String, np: String): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, hits,
            |  round(CAST(hits AS DOUBLE) / CAST(${3 * QueryBatch} AS DOUBLE), 6) AS recall
-           |FROM h$p""".stripMargin
+           |FROM h$tag""".stripMargin
       s"""WITH $kmOracleTrain, $truthOracle,
          |pr AS (
          |  SELECT e.vec_id, e.embedding, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
          |  FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id < $QueryBatch),
-         |${point(1)},
-         |${point(2)},
-         |${point(4)}
-         |${row(1)}
+         |${point("1", "1")},
+         |${point("2", "2")},
+         |${point("k", KmKSql)}
+         |${row("1", "1")}
          |UNION ALL
-         |${row(2)}
+         |${row("2", "2")}
          |UNION ALL
-         |${row(4)}
+         |${row("k", KmKSql)}
          |ORDER BY nprobe""".stripMargin
     }) { (s, d) =>
     VectorFunctions.register(s)
@@ -4242,7 +4310,7 @@ object Similarity {
     val qe = e.where(col("vec_id") < QueryBatch)
     val b = a2.select(col("vec_id").as("neighbor_id"),
       col("cell").as("cell_b"), col("embedding").as("emb_b"))
-    val points = Seq(1, 2, 4).map { p =>
+    val points = Seq(1, 2, kmK(s, d)).map { p =>
       val top = rankTop3(probeSelection(qe, c1, p).join(b,
           col("probe_cell") === col("cell_b")
             && col("vec_id") =!= col("neighbor_id")))
@@ -5888,9 +5956,11 @@ object Similarity {
     * space. Per cell: members, τ-edges, kept, dropped, dropped_ppm — the
     * removal-rate table a curation owner reads before shipping the pass.
     *
-    * Scale shape: the pairwise cosine join is CELL-BOUNDED (the published
-    * algorithm's cost model — production picks k ~ √n so a cell is
-    * O(√n); here k=4 on a 2k-vector corpus), riding the same trained
+    * Scale shape: the pairwise cosine join is CELL-BOUNDED and, since
+    * the round-15 k = [[kmKOf]](n) ~ √n retrofit, genuinely sub-quadratic:
+    * a cell holds O(√n) vectors, so the within-cell pair join is O(n^1.5)
+    * total at every scale (the published algorithm's cost model), riding
+    * the same trained
     * artifact as every IVF query ([[kmTrained]] — assignment cost already
     * paid and shared); components run on the sparse τ-edge graph
     * ([[connectedComponents]]: edge-grain rounds, never corpus-grain),
@@ -5903,7 +5973,7 @@ object Similarity {
     s"""WITH RECURSIVE c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
-       |  FROM embeddings WHERE vec_id < $KmK
+       |  FROM embeddings WHERE vec_id < $KmKSql
        |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
        |${kmOracleAssign("c1", "a2")},
        |pe AS (
@@ -6093,28 +6163,8 @@ object Similarity {
       .select(col("source"), col("n_docs"),
         expr("CAST((sw * sw) div sww AS BIGINT)").as("ess_docs"))
       .localCheckpoint()
-    val tot = broadcast(ess.agg(sum(col("n_docs")).as("tn"),
-      sum(col("ess_docs")).as("te")))
-    val fl = ess.crossJoin(tot)
-      .select(col("source"), col("n_docs"), col("ess_docs"),
-        expr("(1000000 * n_docs) div tn").as("fr"),
-        expr("(1000000 * n_docs) % tn").as("rr"),
-        expr("(1000000 * ess_docs) div te").as("fe"),
-        expr("(1000000 * ess_docs) % te").as("re"))
-    val rem = broadcast(fl.agg(
-      (lit(1000000L) - sum(col("fr"))).as("remr"),
-      (lit(1000000L) - sum(col("fe"))).as("reme")))
-    fl
-      .withColumn("krr",
-        row_number().over(Window.orderBy(col("rr").desc, col("source"))))
-      .withColumn("kre",
-        row_number().over(Window.orderBy(col("re").desc, col("source"))))
-      .crossJoin(rem)
-      .select(col("source"), col("n_docs"), col("ess_docs"),
-        (col("fr") + when(col("krr") <= col("remr"), 1L).otherwise(0L))
-          .as("alloc_raw"),
-        (col("fe") + when(col("kre") <= col("reme"), 1L).otherwise(0L))
-          .as("alloc_ess"))
+    Pipeline.hamiltonOf(ess, "source", 1000000L,
+        "n_docs" -> "alloc_raw", "ess_docs" -> "alloc_ess")
       .withColumn("shift_u", col("alloc_ess") - col("alloc_raw"))
       .orderBy("source")
   }
@@ -6138,7 +6188,8 @@ object Similarity {
     * label — every flag is engine-exact; counts and ppm are BIGINT.
     *
     * Scale shape: pair expansion is CELL-BOUNDED (q325's contract —
-    * production trains k ~ √n so a cell is O(√n), never corpus²); the
+    * training sizes k = [[kmKOf]](n) ~ √n so a cell is O(√n), never
+    * corpus²); the
     * top-5 rank and the vote are per-vector partitioned windows over
     * ≤cell-sized neighbor lists; the report is one label-grain
     * aggregate.
@@ -6153,7 +6204,7 @@ object Similarity {
       s"""WITH c0 AS (
          |  SELECT CAST(vec_id AS INTEGER) AS cell,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
-         |  FROM embeddings WHERE vec_id < $KmK
+         |  FROM embeddings WHERE vec_id < $KmKSql
          |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
          |${kmOracleAssign("c1", "a2")},
          |lab AS (
@@ -6253,7 +6304,7 @@ object Similarity {
     s"""WITH c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
-       |  FROM embeddings WHERE vec_id < $KmK
+       |  FROM embeddings WHERE vec_id < $KmKSql
        |), ${kmOracleAssign("c0", "a1")}, ${kmOracleRecompute("a1", "c1")},
        |${kmOracleAssign("c1", "a2")},
        |xy AS (
@@ -6267,47 +6318,74 @@ object Similarity {
        |p AS (SELECT xy.cell, xy.label, xy.nxy, x.nx, y.ny, t.n,
        |    $NmiPmiExpr AS pmi
        |  FROM xy, x, y, t WHERE x.cell = xy.cell AND y.label = xy.label),
-       |mi AS (SELECT round(sum((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
-       |    * pmi), 6) AS mi_total FROM p),
-       |hc AS (SELECT round(-sum((CAST(nx AS DOUBLE) / CAST(t.n AS DOUBLE))
-       |    * ln(CAST(nx AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) AS h_cell
+       |mi AS (SELECT round(list_reduce(
+       |    list((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) * pmi
+       |      ORDER BY cell, label), (x, y) -> x + y), 6) AS mi_total FROM p),
+       |hc AS (SELECT round(-list_reduce(
+       |    list((CAST(nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |      * ln(CAST(nx AS DOUBLE) / CAST(t.n AS DOUBLE)) ORDER BY cell),
+       |    (x, y) -> x + y), 6) AS h_cell
        |  FROM x, t),
-       |hl AS (SELECT round(-sum((CAST(ny AS DOUBLE) / CAST(t.n AS DOUBLE))
-       |    * ln(CAST(ny AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) AS h_label
+       |hl AS (SELECT round(-list_reduce(
+       |    list((CAST(ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+       |      * ln(CAST(ny AS DOUBLE) / CAST(t.n AS DOUBLE)) ORDER BY label),
+       |    (x, y) -> x + y), 6) AS h_label
        |  FROM y, t)
        |SELECT p.cell, p.label, p.nxy, p.nx, p.ny, round(p.pmi, 6) AS pmi,
        |  mi.mi_total, hc.h_cell, hl.h_label,
        |  round(2 * mi.mi_total / (hc.h_cell + hl.h_label), 6) AS nmi
        |FROM p, mi, hc, hl ORDER BY p.cell, p.label""".stripMargin
 
-  /** q348's epilogue over a bounded-collected (cell, label, nxy)
-    * contingency — shared verbatim with the streaming twin q349, whose
-    * Complete-mode online contingency must land on the same frame. The
-    * marginal/entropy/NMI arithmetic runs on LITERAL ≤40-row frames and
-    * never replays the corpus (q338's contract).
+  /** q348's epilogue over the (cell, label, nxy) contingency FRAME —
+    * shared verbatim with the streaming twin q349, whose Complete-mode
+    * online contingency must land on the same frame. Fully DISTRIBUTED
+    * since the round-15 k ~ √n retrofit: the contingency is k × labels
+    * rows (≤ 1024·L under [[kmKOf]]'s router cap — index metadata, but
+    * no longer the ≤64-cell driver literal it was at fixed k=4, so the
+    * old bounded collect had to go). Float discipline: the MI and
+    * entropy sums are ORDER-PINNED folds over (cell, label)-sorted
+    * term lists — bit-identical to the oracle's
+    * `list_reduce(list(term ORDER BY …))` — because a shuffled
+    * double-sum's order, and therefore its low bits, would otherwise be
+    * nondeterministic at this row count.
     */
-  private[graft] def nmiOf(s: SparkSession,
-      xyRows: Seq[(Long, Long, Long)]): DataFrame = {
-    require(xyRows.length <= 64,
-      s"cluster-label contingency unexpectedly large: ${xyRows.length}")
-    import s.implicits._
-    val xy = xyRows.toDF("cell", "label", "nxy")
+  private[graft] def nmiOf(s: SparkSession, xy: DataFrame): DataFrame = {
+    // marginals join back to the contingency they derive from — rename
+    // the grouping keys so the self-join's attributes can't conflict
+    // (the streaming twin hands in a memory-sink leaf, where the
+    // analyzer's self-join dedup does not fire)
     val x = xy.groupBy("cell").agg(sum("nxy").as("nx"))
+      .withColumnRenamed("cell", "cell_x")
     val y = xy.groupBy("label").agg(sum("nxy").as("ny"))
+      .withColumnRenamed("label", "label_y")
     val t = xy.agg(sum("nxy").as("n"))
-    val p = xy.join(broadcast(x), "cell").join(broadcast(y), "label")
+    val p = xy.join(broadcast(x), col("cell") === col("cell_x"))
+      .join(broadcast(y), col("label") === col("label_y"))
+      .drop("cell_x", "label_y")
       .crossJoin(broadcast(t))
       .withColumn("pmi", expr(NmiPmiExpr))
-    val mi = broadcast(p.agg(round(sum(
-      (col("nxy").cast("double") / col("n").cast("double")) * col("pmi")),
-      6).as("mi_total")))
+    val mi = broadcast(p
+      .select(struct(col("cell"), col("label"),
+        ((col("nxy").cast("double") / col("n").cast("double")) * col("pmi"))
+          .as("term")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("ts"))
+      .select(round(expr("aggregate(ts, 0D, (acc, x) -> acc + x.term)"), 6)
+        .as("mi_total")))
     val hc = broadcast(x.crossJoin(broadcast(t))
-      .agg(round(-sum((col("nx").cast("double") / col("n").cast("double")) *
-        log(col("nx").cast("double") / col("n").cast("double"))), 6)
+      .select(struct(col("cell_x"),
+        ((col("nx").cast("double") / col("n").cast("double")) *
+          log(col("nx").cast("double") / col("n").cast("double")))
+          .as("term")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("ts"))
+      .select(round(-expr("aggregate(ts, 0D, (acc, x) -> acc + x.term)"), 6)
         .as("h_cell")))
     val hl = broadcast(y.crossJoin(broadcast(t))
-      .agg(round(-sum((col("ny").cast("double") / col("n").cast("double")) *
-        log(col("ny").cast("double") / col("n").cast("double"))), 6)
+      .select(struct(col("label_y"),
+        ((col("ny").cast("double") / col("n").cast("double")) *
+          log(col("ny").cast("double") / col("n").cast("double")))
+          .as("term")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("ts"))
+      .select(round(-expr("aggregate(ts, 0D, (acc, x) -> acc + x.term)"), 6)
         .as("h_label")))
     p.crossJoin(mi).crossJoin(hc).crossJoin(hl)
       .select(col("cell"), col("label"), col("nxy"), col("nx"), col("ny"),
@@ -6322,15 +6400,103 @@ object Similarity {
     "q348_cluster_label_nmi", nmiOracleSql) { (s, d) =>
     VectorFunctions.register(s)
     val (_, a2) = kmTrained(s, d)
-    // ONE corpus-grain aggregate to the ≤(k × labels) contingency, then
-    // the shared bounded-collect epilogue
-    val xyRows = a2.join(Tables.embeddings(s, d)
+    // ONE corpus-grain aggregate to the (k × labels) contingency, then
+    // the shared distributed epilogue — no driver collect (k ~ √n)
+    nmiOf(s, a2.join(Tables.embeddings(s, d)
         .select(col("vec_id"), col("label").cast("long").as("label")),
         "vec_id")
       .select(col("cell").cast("long").as("cell"), col("label"))
-      .groupBy("cell", "label").agg(count(lit(1)).as("nxy"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    nmiOf(s, xyRows)
+      .groupBy("cell", "label").agg(count(lit(1)).as("nxy")))
+  }
+
+  /** q352: SEMDEDUP CROSS-CELL MISS AUDIT — the recall discipline the
+    * ANN tiers already carry (q79/q83/q102), applied to the dedup tier
+    * (VERDICT r14 gap 2): q325 connects τ-pairs only INSIDE one trained
+    * cell, so a paraphrase pair straddling a cell boundary is invisible
+    * to it, and until now nothing measured that loss. Over the bounded
+    * query batch, the exact-cosine τ-pair truth (batch × corpus brute
+    * force — q79's bounded-truth shape) is compared against what a
+    * p-probe SemDeDup catches: pair (u, v) is caught iff v's trained
+    * cell is among u's p nearest probe cells — p=1 is exactly q325's
+    * single-cell regime, and the p=k row probes every cell, so the
+    * curve's missed_ppm=0 ceiling is measured, not assumed. Output per
+    * p: true τ-pairs, caught, missed ppm — the table a curation owner
+    * reads to set the dedup pass's probe budget before trusting its
+    * removal rate.
+    *
+    * Scale shape: truth is QueryBatch-bounded (100 × n — the audit's
+    * documented cost, never corpus²) and localCheckpointed (q325's
+    * edge-list discipline) so the four probe settings don't each replay
+    * the brute-force pass; probes are batch × k-broadcast argmins; each
+    * caught count is two equi-joins (on u, then (v, cell)) over the
+    * τ-pair list.
+    */
+  private val q352 = GraftQuery(
+    "q352_semdedup_probe_recall", {
+      // tag prefix "cg", not "c": the training chain already owns c1
+      def caught(tag: String, bound: String): String =
+        s"""cg$tag AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS caught
+           |  FROM tp JOIN pr ON pr.vec_id = tp.u AND pr.rn <= $bound
+           |  JOIN a2 av ON av.vec_id = tp.v AND av.cell = pr.cell)"""
+          .stripMargin
+      def row(tag: String, np: String): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, n.n AS n_pairs, c.caught,
+           |  CAST(CASE WHEN n.n = 0 THEN 0
+           |    ELSE ((n.n - c.caught) * 1000000) // n.n END AS BIGINT)
+           |    AS missed_ppm
+           |FROM cg$tag c CROSS JOIN np n""".stripMargin
+      s"""WITH $kmOracleTrain,
+         |tp AS (
+         |  SELECT q.vec_id AS u, c.vec_id AS v
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+         |  JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE ${cosSql("q", "c")} >= $SemDedupTau),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tp),
+         |pr AS (
+         |  SELECT e.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id < $QueryBatch),
+         |${caught("1", "1")},
+         |${caught("2", "2")},
+         |${caught("4", "4")},
+         |${caught("k", KmKSql)}
+         |${row("1", "1")}
+         |UNION ALL ${row("2", "2")}
+         |UNION ALL ${row("4", "4")}
+         |UNION ALL ${row("k", KmKSql)}
+         |ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    val (c1, a2) = kmTrained(s, d)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qb = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id").as("u"), col("embedding").as("emb_a")))
+    val tp = qb
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("emb_b")),
+        col("u") =!= col("v"))
+      .where(VectorFunctions.cosineSim(col("emb_a"), col("emb_b"))
+        >= SemDedupTau)
+      .select("u", "v")
+      .localCheckpoint()
+    val np = broadcast(tp.agg(count(lit(1)).as("n_pairs")))
+    val av = a2.select(col("vec_id").as("vv"), col("cell").as("cellv"))
+    val qe = e.where(col("vec_id") < QueryBatch)
+    val rows = Seq(1, 2, 4, kmK(s, d)).map { p =>
+      val pr = probeSelection(qe, c1, p)
+        .select(col("vec_id").as("u"), col("probe_cell"))
+      tp.join(pr, "u")
+        .join(av, col("v") === col("vv") &&
+          col("probe_cell") === col("cellv"))
+        .agg(count(lit(1)).as("caught"))
+        .crossJoin(np)
+        .select(lit(p.toLong).as("nprobe"), col("n_pairs"), col("caught"),
+          when(col("n_pairs") === 0, 0L)
+            .otherwise(expr("((n_pairs - caught) * 1000000) div n_pairs"))
+            .cast("long").as("missed_ppm"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
   val queries: Seq[GraftQuery] =
@@ -6340,5 +6506,5 @@ object Similarity {
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
-      q341, q348, q351)
+      q341, q348, q351, q352)
 }

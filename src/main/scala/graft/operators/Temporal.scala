@@ -2983,7 +2983,7 @@ object Temporal {
        |    row_number() OVER (PARTITION BY p.pid ORDER BY t.tus, t.tid) AS pos,
        |    count(*) OVER (PARTITION BY p.pid) AS k
        |  FROM pur p JOIN tch t ON t.user_id = p.user_id
-       |    AND t.tus < p.pus AND t.tus >= p.pus - 86400000000),
+       |    AND t.tus < p.pus AND t.tus > p.pus - 86400000000),
        |w1 AS (
        |  SELECT pid, tid, ttype, pos, k,
        |    (1000000 * w) // sum(w) OVER (PARTITION BY pid) AS f
@@ -3015,7 +3015,13 @@ object Temporal {
     val pairs = pur.join(tch,
         pur("user_id") === tch("user_id") &&
           col("tus") < col("pus") &&
-          col("tus") >= col("pus") - 86400000000L)
+          // STRICT lookback bound (ADVICE r14): at Δt = exactly 24h the
+          // decay weight 8 >> (Δt div 6h) underflows to 0; a purchase
+          // whose only touches sit on the boundary would make Σw = 0 and
+          // divide by zero (NULL in batch SQL, ArithmeticException in the
+          // streaming fold). Δt ∈ (0, 24h) ⇒ shift ∈ 0..3 ⇒ w ≥ 1 ⇒
+          // Σw ≥ k ≥ 1 — the conservation contract holds on every input.
+          col("tus") > col("pus") - 86400000000L)
       .select(col("pid"), col("tid"), col("ttype"),
         expr("shiftright(8L, cast((pus - tus) div 21600000000 as int))")
           .as("w"),
@@ -3128,8 +3134,13 @@ object Temporal {
     }
     val tot = rows.map(_._2).sum
     import s.implicits._
-    rows.map { case (name, sh) => (name, sh, sh * 1000000L / tot) }
-      .toDF("channel", "shap24", "credit_ppm")
+    // Degenerate game (ADVICE r14): a corpus where no conversion has any
+    // pre-purchase channel (every converter's first event IS the
+    // purchase) gives tot = 0 — the oracle's `// tot.t` yields NULL
+    // there, so the engine emits NULL credit rather than throwing.
+    rows.map { case (name, sh) =>
+      (name, sh, if (tot == 0L) None else Some(sh * 1000000L / tot))
+    }.toDF("channel", "shap24", "credit_ppm")
       .orderBy("channel")
   }
 

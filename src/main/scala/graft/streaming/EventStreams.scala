@@ -709,9 +709,12 @@ object EventStreams {
             val purchases = buf.filter(_._3 == "purchase")
             val touches = buf.filter(_._3 != "purchase")
             purchases.foreach { case (pus, _, _) =>
-              // touches in the 24h window, batch order (tus, tid)
+              // touches in the 24h window, batch order (tus, tid); the
+              // lower bound is STRICT, matching q335's batch predicate
+              // (Δt = exactly 24h would underflow the weight to 0 and a
+              // boundary-only purchase would divide by Σw = 0 below)
               val win = touches
-                .filter(r => r._1 < pus && r._1 >= pus - AttrWindowUs)
+                .filter(r => r._1 < pus && r._1 > pus - AttrWindowUs)
               val k = win.length
               if (k > 0) {
                 val ws = win.map(r => 8L >> ((pus - r._1) / 21600000000L))

@@ -1314,8 +1314,7 @@ object StreamingQueries {
     val fin = EventStreams.runToMemory(s, xy,
       s"stream_gate_${memorySinkId.incrementAndGet()}",
       outputMode = "complete")
-    Sim.nmiOf(s, fin.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    Sim.nmiOf(s, fin.select("cell", "label", "nxy"))
   }
 
   /** q350: STREAMING Shapley attribution ≡ batch q338 — the last member

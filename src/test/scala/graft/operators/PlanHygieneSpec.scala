@@ -175,12 +175,17 @@ class PlanHygieneSpec extends SparkSuite {
     "q345_chunking_sweep", // 3-row chunk-size grid broadcast crossed onto
                            // the sentence-offset frame (q283's audited
                            // sweep shape)
-    "q348_cluster_label_nmi", // bounded-collected ≤40-row LITERAL
-                              // contingency frames crossed (q338's
-                              // contract; no corpus side anywhere)
-    "q351_ess_budget_shift") // 1-row total/remainder broadcasts crossed
+    "q348_cluster_label_nmi", // 1-row MI/entropy fold frames broadcast-
+                              // crossed onto the (k × label) contingency
+                              // (distributed epilogue since the r15
+                              // k ~ √n retrofit; marginals broadcast)
+    "q351_ess_budget_shift", // 1-row total/remainder broadcasts crossed
                              // onto the leaf source-grain ESS frame
                              // (q223/q324's audited election shape)
+    "q352_semdedup_probe_recall") // bounded batch×corpus τ-pair truth
+                                  // (q79's audited broadcast non-equi
+                                  // shape) + 1-row pair-count frames
+                                  // crossed per probe setting
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]

@@ -88,5 +88,16 @@ class RegistrationCensusSpec extends AnyFunSuite {
     val stray = golden -- registered.toSet
     assert(stray.isEmpty,
       s"goldens for unregistered queries (regenerate): ${stray.toSeq.sorted}")
+    // The converse — the direction that actually keeps gating if the
+    // fingerprint test is skipped (ADVICE r14 item 1): every registered
+    // query OUTSIDE the explicit ineligible set (streaming twins have no
+    // batch plan to fingerprint) must have a golden row.
+    val ineligible =
+      graft.streaming.StreamingQueries.queries.map(_.name).toSet
+    val missing = registered.toSet -- ineligible -- golden
+    assert(missing.isEmpty,
+      s"registered fingerprint-eligible queries with no golden row " +
+        s"(GRAFT_REGEN_PLANS=1 testOnly graft.operators.PlanHygieneSpec): " +
+        s"${missing.toSeq.sorted}")
   }
 }
