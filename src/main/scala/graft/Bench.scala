@@ -145,10 +145,21 @@ object Bench {
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
+    if (new java.io.File(warmDir).isDirectory) {
       selected.foreach { case (_, fn) =>
         try evaluate(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
+      // The warmup pass exists for JIT + codegen + parquet-footer
+      // caching, but it also builds EVERY session artifact keyed to
+      // warmDir (trained indexes, minhash signatures, postings,
+      // broadcast blocklists, written-index temp dirs) — none of which
+      // the timed pass can reuse (artifacts are keyed by (session,
+      // dir)). Left in place they sit as dead executor storage and
+      // broadcast handles under the whole timed suite — measured as
+      // part of the r14 suite-crowding overhead. Release them; the JIT/
+      // codegen warmup survives (compiled classes are not artifacts).
+      try Artifacts.release(spark) catch { case _: Throwable => () }
+    }
     // retried query names surface in the JSON (usually empty): a retried
     // time ran against JVM state warmed by the failed attempt, so
     // downstream comparisons can discount it rather than read it as a

