@@ -363,12 +363,32 @@ object Similarity {
       val nbrMin = adj.join(labels) // narrow: both sides share `part`
         .map { case (_, (dst, lbl)) => (dst, lbl) }
         .reduceByKey(part, math.min(_: Long, _: Long)) // the round's one (combined) shuffle
-      val next = labels.join(nbrMin) // narrow
+      val propagated = labels.join(nbrMin) // narrow
         .mapValues { case (own, nbr) =>
           val m = math.min(own, nbr)
           if (m < own) changed.add(1L)
           m
         }
+      // PATH HALVING (pointer jumping): l(v) ← min(l(v), l(l(v))).
+      // Neighbor propagation alone needs one round per unit of graph
+      // diameter — a duplicate CHAIN (a…b, b…c, …, the shape a
+      // replica-heavy corpus actually produces; q353 at sf1 exceeded 30
+      // rounds) makes that linear in the chain length. Composing one
+      // jump per round lets labels traverse 2^r-length paths in r
+      // rounds (Kiveris et al. 2014's shortcutting), so maxIter = 30
+      // covers any graph a 2⁶³-id space can hold. A label is always
+      // itself a vertex id present in `labels` (labels start as own ids
+      // and only ever copy other labels), so the lookup join is total.
+      // Cost: one extra (label, vertex) shuffle per round — bounded by
+      // the same |connected nodes| grain as the neighbor step.
+      val next = propagated
+        .map { case (v, l) => (l, v) }
+        .join(propagated) // (l, (v, label(l)))
+        .map { case (l, (v, ll)) =>
+          if (ll < l) changed.add(1L)
+          (v, math.min(l, ll))
+        }
+        .reduceByKey(part, math.min(_: Long, _: Long))
         .persist()
       next.foreachPartition(_ => ())
       labels.unpersist(false)
@@ -2415,8 +2435,11 @@ object Similarity {
     * `mm`/`k` select the sizing (defaults are the fixture constants; the
     * production point passes M=[[PqMProd]], k=[[PqKProd]]).
     */
+  // `k` is SQL text so callers can pass either a literal codebook size
+  // (the PQ tiers' fixture/production constants) or a corpus-sized
+  // scalar subquery (q354's IMI half-quantizer, [[KImiSql]])
   private def pqOracleTrainFrom(src: String, m: Int, p: String,
-      mm: Int = PqM, k: Int = PqK): String = {
+      mm: Int = PqM, k: String = PqK.toString): String = {
     val sd = pqSubDim(mm)
     val off = m * sd
     s"""${p}c0_$m AS (
@@ -2728,7 +2751,7 @@ object Similarity {
   private val q106 = GraftQuery(
     "q106_pq_prod_search",
     s"""WITH ${(0 until PqMProd)
-          .map(m => pqOracleTrainFrom("embeddings", m, "", PqMProd, PqKProd))
+          .map(m => pqOracleTrainFrom("embeddings", m, "", PqMProd, PqKProd.toString))
           .mkString(",\n")},
        |${pqAdcOracleFor(PqMProd)}
        |SELECT qid AS vec_id, neighbor_id, rank, round(adc, 6) AS adc_dist
@@ -2748,7 +2771,7 @@ object Similarity {
   private val q107 = GraftQuery(
     "q107_pq_prod_recall",
     s"""WITH ${(0 until PqMProd)
-          .map(m => pqOracleTrainFrom("embeddings", m, "", PqMProd, PqKProd))
+          .map(m => pqOracleTrainFrom("embeddings", m, "", PqMProd, PqKProd.toString))
           .mkString(",\n")},
        |${pqAdcOracleFor(PqMProd)},
        |$pqRecallOracleTail""".stripMargin) { (s, d) =>
@@ -3016,7 +3039,7 @@ object Similarity {
          |      CAST(CAST(a.embedding[j] AS DOUBLE) - c.cen[j] AS FLOAT)) AS embedding
          |  FROM a2 a JOIN c1 c ON a.cell = c.cell)""".stripMargin
     val train =
-      (0 until mm).map(m => pqOracleTrainFrom("remb", m, "r", mm, k)).mkString(",\n")
+      (0 until mm).map(m => pqOracleTrainFrom("remb", m, "r", mm, k.toString)).mkString(",\n")
     val rcodes =
       s"""rcodes AS (
          |  ${(0 until mm).map(m => s"SELECT vec_id, $m AS m, cell FROM ra2_$m")
@@ -6613,6 +6636,145 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Half-quantizer cell count for the IMI router (q354): k' ~ n^(1/4)
+    * clamped to [2, 1024], so the PRODUCT index has k'² ~ √n cells —
+    * the same effective cell count as the flat router ([[kmKOf]]), built
+    * from 2·k' centroids instead of √n. Shares [[kmKOf]]'s clamp
+    * rationale: 1024 per half is [[kmAssign]]'s literal-codebook bound,
+    * and at that ceiling the product router reaches 1024² ≈ 10⁶ cells —
+    * the documented path PAST the flat router's 1024 ceiling.
+    */
+  private[operators] def kImiOf(n: Long): Int =
+    math.max(2L, math.min(1024L,
+      math.floor(math.sqrt(math.sqrt(n.toDouble))).toLong)).toInt
+
+  private[operators] def kImi(s: SparkSession, d: String): Int =
+    graft.Artifacts.cached[java.lang.Integer](s, s"imi_k:$d") {
+      (Int.box(kImiOf(Tables.embeddings(s, d).count())), () => ())
+    }
+
+  /** [[kImiOf]] as the oracle's scalar subquery (the [[KmKSql]] pattern). */
+  private[operators] val KImiSql =
+    "(SELECT greatest(2, least(1024, CAST(floor(sqrt(sqrt(count(*)))) AS BIGINT))) FROM embeddings)"
+
+  /** q354: IMI ROUTER — the inverted multi-index (Babenko & Lempitsky
+    * 2012), the documented path past the flat coarse router's 1024-cell
+    * literal-codebook ceiling ([[kmKOf]]'s clamp note, made real): split
+    * every vector into two halves, train an INDEPENDENT k'-cell
+    * quantizer per half (k' = [[kImiOf]](n) ~ n^(1/4), the exact
+    * [[pqTrainOn]] recipe at M=2 — deterministic seeds, 2 Lloyd passes,
+    * order-pinned recomputes), and route on the PRODUCT cell
+    * (cell_a, cell_b): k'² ~ √n effective cells served from 2·k'
+    * centroids. Router cost per vector is 2·k' distance evaluations
+    * against two broadcast-literal codebooks (vs √n for the flat
+    * router); at the k' = 1024 ceiling the product index addresses ~10⁶
+    * cells — beyond anything the flat router can hold as plan-literal
+    * metadata — while each half stays inside [[kmAssign]]'s contract.
+    * Output: every vector's product-cell assignment, the routing table
+    * an IMI serving tier would store beside the codes.
+    *
+    * Scale shape: training is two 32-dim half-corpus Lloyd chains
+    * (shared [[pqTrained]] artifact at (k', M=2) — memoized like every
+    * index); assignment is the same zero-exchange literal-codebook map
+    * as q56; the output join is one vec_id equi-join of the two halves'
+    * code tables.
+    */
+  private val q354 = GraftQuery(
+    "q354_imi_router",
+    s"""WITH ${pqOracleTrainFrom("embeddings", 0, "imi", 2, KImiSql)},
+       |${pqOracleTrainFrom("embeddings", 1, "imi", 2, KImiSql)}
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell_a,
+       |  CAST(b.cell AS BIGINT) AS cell_b
+       |FROM imia2_0 a JOIN imia2_1 b ON a.vec_id = b.vec_id
+       |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (_, codes) = pqTrained(s, d, kImi(s, d), 2)
+    val a = codes.where(col("m") === 0)
+      .select(col("vec_id"), col("cell").cast("long").as("cell_a"))
+    val b = codes.where(col("m") === 1)
+      .select(col("vec_id"), col("cell").cast("long").as("cell_b"))
+    a.join(b, "vec_id").orderBy("vec_id")
+  }
+
+  /** q355: IMI-SERVED ANN SEARCH — the serving tier over q354's product
+    * router, completing the IMI family: each query probes its
+    * [[ProbeP]] nearest cells PER HALF (2·p half-distance evaluations
+    * against two broadcast k'-row codebooks), candidates are the
+    * vectors stored under the p × p probed PRODUCT cells (equi-join on
+    * (cell_a, cell_b) — a candidate has exactly one product cell, so
+    * the probe fan-out never duplicates a pair), and exact cosine
+    * reranks to top-3 (q72's discipline). This is the IMI trade made
+    * concrete: the same p²-product-cell candidate pool the flat router
+    * would need p² probes of √n-cell metadata for, routed with
+    * 2·k' ~ 2·n^(1/4) centroids — the shape that still fits
+    * plan-literal metadata when n makes the flat router's k ~ √n
+    * exceed its 1024-cell ceiling.
+    *
+    * Scale shape: probe selection is a zero-exchange literal-codebook
+    * map per half over the bounded query batch; the candidate join is
+    * an equi-join against the stored (cell_a, cell_b) code table
+    * (q354's artifact, shared via [[pqTrained]]'s memo); rerank reads
+    * float embeddings only for the batch and its candidates.
+    */
+  private val q355 = GraftQuery(
+    "q355_imi_search", {
+      def probesOf(m: Int): String = {
+        val off = m * (KmDim / 2)
+        s"""pr_$m AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${pqOracleSubDist("e.embedding", "c.cen", off, KmDim / 2)}, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN imic1_$m c
+           |    WHERE e.vec_id < $QueryBatch) t WHERE rn <= $ProbeP)"""
+          .stripMargin
+      }
+      s"""WITH ${pqOracleTrainFrom("embeddings", 0, "imi", 2, KImiSql)},
+         |${pqOracleTrainFrom("embeddings", 1, "imi", 2, KImiSql)},
+         |${probesOf(0)},
+         |${probesOf(1)},
+         |idx AS (SELECT a.vec_id, a.cell AS ca, b.cell AS cb
+         |  FROM imia2_0 a JOIN imia2_1 b ON a.vec_id = b.vec_id),
+         |sim AS (
+         |  SELECT pa.vec_id AS vec_id, i.vec_id AS neighbor_id,
+         |    ${cosSql("q", "c")} AS cos
+         |  FROM pr_0 pa JOIN pr_1 pb ON pa.vec_id = pb.vec_id
+         |  JOIN idx i ON i.ca = pa.cell AND i.cb = pb.cell
+         |    AND i.vec_id <> pa.vec_id
+         |  JOIN embeddings q ON q.vec_id = pa.vec_id
+         |  JOIN embeddings c ON c.vec_id = i.vec_id)
+         |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+         |  SELECT vec_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sim) t
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    val (cents, codes) = pqTrained(s, d, kImi(s, d), 2)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val qe = e.where(col("vec_id") < QueryBatch)
+    def half(m: Int) = qe.select(col("vec_id"),
+      slice(col("embedding"), m * (KmDim / 2) + 1, KmDim / 2).as("embedding"))
+    def centsOf(m: Int) =
+      cents.where(col("m") === m).select(col("cell"), col("cen"))
+    val prA = probeCells(half(0), centsOf(0), ProbeP)
+      .withColumnRenamed("probe_cell", "pa")
+    val prB = probeCells(half(1), centsOf(1), ProbeP)
+      .withColumnRenamed("probe_cell", "pb")
+    val idx = codes.where(col("m") === 0)
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("ca"))
+      .join(codes.where(col("m") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cell").as("cb")),
+        "neighbor_id")
+    val joined = prA.join(prB, "vec_id")
+      .join(idx, col("pa") === col("ca") && col("pb") === col("cb")
+        && col("vec_id") =!= col("neighbor_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("emb_a")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_b")), "neighbor_id")
+    rankTop3(joined)
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -6620,5 +6782,5 @@ object Similarity {
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
-      q341, q348, q351, q352, q353)
+      q341, q348, q351, q352, q353, q354, q355)
 }

@@ -182,10 +182,13 @@ class PlanHygieneSpec extends SparkSuite {
     "q351_ess_budget_shift", // 1-row total/remainder broadcasts crossed
                              // onto the leaf source-grain ESS frame
                              // (q223/q324's audited election shape)
-    "q352_semdedup_probe_recall") // bounded batch×corpus τ-pair truth
+    "q352_semdedup_probe_recall", // bounded batch×corpus τ-pair truth
                                   // (q79's audited broadcast non-equi
                                   // shape) + 1-row pair-count frames
                                   // crossed per probe setting
+    "q355_imi_search") // per-half probe selection crosses the bounded
+                       // query batch with the broadcast k'-row half
+                       // codebooks (q72's audited probe shape, twice)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
