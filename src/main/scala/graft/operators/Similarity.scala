@@ -6775,6 +6775,49 @@ object Similarity {
     rankTop3(joined)
   }
 
+  /** q356: IMI OCCUPANCY BALANCE — the audit the product router needs
+    * before anyone trusts q355's candidate bounds: IMI's documented
+    * failure mode (Babenko & Lempitsky §4) is CORRELATED halves — when
+    * the two half-spaces co-vary, mass concentrates on the product
+    * grid's diagonal, many product cells sit empty, and the occupied
+    * ones grow past the n/k'² sizing the probe-cost model assumes. Per
+    * occupied product cell: members and corpus share (ppm, floored) —
+    * the skew table a capacity planner reads next to q354's routing
+    * output; the occupied-cell COUNT vs k'² falls out as the row count.
+    *
+    * Scale shape: one hash aggregate at product-cell grain over the
+    * shared (k', M=2) code artifact ([[pqTrained]]'s memo — training
+    * cost already paid by q354/q355), one 1-row total broadcast.
+    */
+  private val q356 = GraftQuery(
+    "q356_imi_balance",
+    s"""WITH ${pqOracleTrainFrom("embeddings", 0, "imi", 2, KImiSql)},
+       |${pqOracleTrainFrom("embeddings", 1, "imi", 2, KImiSql)},
+       |occ AS (
+       |  SELECT CAST(a.cell AS BIGINT) AS cell_a,
+       |    CAST(b.cell AS BIGINT) AS cell_b,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |  FROM imia2_0 a JOIN imia2_1 b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_members) AS BIGINT) AS n FROM occ)
+       |SELECT occ.cell_a, occ.cell_b, occ.n_members,
+       |  CAST((occ.n_members * 1000000) // t.n AS BIGINT) AS share_ppm
+       |FROM occ CROSS JOIN t
+       |ORDER BY cell_a, cell_b""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val (_, codes) = pqTrained(s, d, kImi(s, d), 2)
+    val occ = codes.where(col("m") === 0)
+      .select(col("vec_id"), col("cell").cast("long").as("cell_a"))
+      .join(codes.where(col("m") === 1)
+        .select(col("vec_id"), col("cell").cast("long").as("cell_b")),
+        "vec_id")
+      .groupBy("cell_a", "cell_b").agg(count(lit(1)).as("n_members"))
+    occ.crossJoin(broadcast(occ.agg(sum(col("n_members")).as("n"))))
+      .select(col("cell_a"), col("cell_b"), col("n_members"),
+        expr("(n_members * 1000000) div n").as("share_ppm"))
+      .orderBy("cell_a", "cell_b")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -6782,5 +6825,5 @@ object Similarity {
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
-      q341, q348, q351, q352, q353, q354, q355)
+      q341, q348, q351, q352, q353, q354, q355, q356)
 }

@@ -186,9 +186,11 @@ class PlanHygieneSpec extends SparkSuite {
                                   // (q79's audited broadcast non-equi
                                   // shape) + 1-row pair-count frames
                                   // crossed per probe setting
-    "q355_imi_search") // per-half probe selection crosses the bounded
+    "q355_imi_search", // per-half probe selection crosses the bounded
                        // query batch with the broadcast k'-row half
                        // codebooks (q72's audited probe shape, twice)
+    "q356_imi_balance") // 1-row corpus-total broadcast crossed onto the
+                        // product-cell occupancy frame (q223's shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
