@@ -34,6 +34,18 @@ object EventStreams {
   /** Stage a single parquet FILE as a directory a file-stream source will
     * accept (shared by every table's streaming reader; at scale tables
     * are directories already and this is a no-op).
+    *
+    * STALENESS CONTRACT (the class behind the r15 flush-gate bug): this
+    * staging is keyed on the source PATH only, which is safe if and only
+    * if the staged entry is a SYMLINK TO THAT INVARIANT PATH — an
+    * in-place rewrite of the file then flows through the link
+    * transparently (EventStreamsSpec pins exactly that: regenerate the
+    * source in place, the stream sees the new rows). Anything that
+    * breaks path-transparency inherits the silent-empty-stream failure:
+    * copying the file, resolving the symlink to a versioned target, or
+    * keying consumers on the first-read content. If this staging ever
+    * needs to materialize content, switch the key to part-file identity
+    * + footer hash like [[StreamingQueries.stagedWithFlush]].
     */
   private def stageAsDir(src: java.io.File, prefix: String): String =
     if (!src.isFile) src.getPath

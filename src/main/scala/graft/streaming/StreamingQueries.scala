@@ -56,16 +56,31 @@ object StreamingQueries {
       if (src.isFile) Seq(src)
       else src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .toSeq.sortBy(_.getName)
-    // The staging key digests the part-file IDENTITY (name, size, mtime),
-    // not just the source path: a source directory REWRITTEN in place
-    // (GenScale regenerating a replica dir) gets new part-file names, and
-    // a path-keyed staging dir would keep serving symlinks to the deleted
-    // old parts — the stream then reads ONLY the sentinel and every
-    // flush-gated twin silently computes over zero events (how the r15
-    // sf1 q336 '/ by zero' was found). Content change → new key → fresh
-    // staging; stale dirs are abandoned tmp garbage.
+    // The staging key digests the part-file IDENTITY (name, size, mtime,
+    // footer bytes), not just the source path: a source directory
+    // REWRITTEN in place (GenScale regenerating a replica dir) gets new
+    // part-file names, and a path-keyed staging dir would keep serving
+    // symlinks to the deleted old parts — the stream then reads ONLY the
+    // sentinel and every flush-gated twin silently computes over zero
+    // events (how the r15 sf1 q336 '/ by zero' was found). The footer
+    // tail-hash closes the residual (name, size, mtime) hole: a
+    // same-name same-size rewrite inside one mtime tick (coarse-mtime
+    // filesystems) still changes the parquet footer (row-group stats /
+    // offsets live there), so content change → new key → fresh staging.
+    def footerHash(f: java.io.File): String = {
+      val in = new java.io.RandomAccessFile(f, "r")
+      try {
+        val tail = math.min(f.length, 4096L).toInt
+        in.seek(f.length - tail)
+        val buf = new Array[Byte](tail)
+        in.readFully(buf)
+        java.security.MessageDigest.getInstance("MD5").digest(buf)
+          .map("%02x".format(_)).mkString
+      } finally in.close()
+    }
     val identity = (src.getAbsolutePath +:
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}"))
+      files.map(f =>
+        s"${f.getName}:${f.length}:${f.lastModified}:${footerHash(f)}"))
       .mkString("|")
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(identity.getBytes("UTF-8"))
@@ -74,6 +89,25 @@ object StreamingQueries {
       s"graft_events_flush_${digest}_$mode")
     val marker = new java.io.File(staged, "_STAGED")
     if (!marker.exists()) {
+      // a fresh key means prior content-keyed stagings for this mode are
+      // abandoned garbage; sweep AGED siblings (marker older than 24 h)
+      // so rewrite-heavy hosts don't accumulate them indefinitely. The
+      // age bound keeps a concurrently-running session's freshly staged
+      // sibling (a DIFFERENT corpus dir, e.g. Verify at another sf)
+      // untouched — best-effort, failures ignored.
+      val cutoff = System.currentTimeMillis - 24L * 3600 * 1000
+      Option(staged.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f != staged
+          && f.getName.startsWith("graft_events_flush_")
+          && f.getName.endsWith(s"_$mode"))
+        .filter { f =>
+          val m = new java.io.File(f, "_STAGED")
+          m.exists() && m.lastModified < cutoff
+        }
+        .foreach { f =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(f)
+          catch { case _: java.io.IOException => () }
+        }
       staged.mkdirs()
       files.zipWithIndex.foreach { case (f, i) =>
         val link = new java.io.File(staged, s"orig_$i.parquet")

@@ -189,8 +189,21 @@ class PlanHygieneSpec extends SparkSuite {
     "q355_imi_search", // per-half probe selection crosses the bounded
                        // query batch with the broadcast k'-row half
                        // codebooks (q72's audited probe shape, twice)
-    "q356_imi_balance") // 1-row corpus-total broadcast crossed onto the
+    "q356_imi_balance", // 1-row corpus-total broadcast crossed onto the
                         // product-cell occupancy frame (q223's shape)
+    "q358_multiprobe_semdedup_recall", // bounded batch×corpus τ-pair
+                                       // truth (q352's audited shape) +
+                                       // 1-row pair-count frames crossed
+                                       // per probe setting
+    "q359_imi_serving_recall", // bounded batch×corpus brute truth (q44's
+                               // audited shape) + per-half/joint probe
+                               // scoring vs broadcast k'-row codebooks
+                               // (q355's shape) + 1-row count frames
+                               // crossed per mode
+    "q360_imi_multiseq_search") // joint-distance probe scoring crosses
+                                // the bounded query batch with the two
+                                // broadcast k'-row half codebooks
+                                // (q355's audited probe shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
