@@ -6224,7 +6224,11 @@ object Similarity {
     * corpus²); the
     * top-5 rank and the vote are per-vector partitioned windows over
     * ≤cell-sized neighbor lists; the report is one label-grain
-    * aggregate.
+    * aggregate. Cells come from [[routedAuditAssigns]]: flat trained
+    * cells below the router crossover (every graded scale — plan
+    * unchanged), IMI product cells past the flat router's 1024-cell
+    * ceiling, so the O(√n) bound survives any corpus (q361 gates the
+    * IMI arm unconditionally).
     */
   private val q339 = GraftQuery(
     "q339_knn_label_audit", {
@@ -6265,9 +6269,18 @@ object Similarity {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
     VectorFunctions.register(s)
-    val (_, a2) = kmTrained(s, d)
-    val lab = a2.join(Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+    knnLabelAuditOn(routedAuditAssigns(s, d)
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id"))
+  }
+
+  /** The kNN label-audit KERNEL, router-agnostic (q339 on the routed
+    * cells, q361 forced onto IMI product cells): `lab` is
+    * (vec_id, embedding, cell, label) — whichever router produced the
+    * cell column, the audit is the same within-cell top-5 vote.
+    */
+  private def knnLabelAuditOn(lab: DataFrame): DataFrame = {
     val nbrs = lab.select(col("vec_id").as("nid"), col("cell").as("ncell"),
       expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("nemb"),
       col("label").as("nlabel"))
@@ -6919,10 +6932,18 @@ object Similarity {
     */
   private def routedSemDedupInputs(s: SparkSession,
       d: String): (DataFrame, DataFrame) =
-    if (!routerIsImi(embCount(s, d))) {
-      val (_, a2) = kmTrained(s, d)
-      (a2, corpusProbes(s, d).select(col("vec_id"), col("probe_cell")))
-    } else (imiAssigns(s, d), imiProbes(s, d))
+    if (!routerIsImi(embCount(s, d)))
+      (kmTrained(s, d)._2,
+        corpusProbes(s, d).select(col("vec_id"), col("probe_cell")))
+    else (imiAssigns(s, d), imiProbes(s, d))
+
+  /** The router dispatch for ASSIGNMENT-ONLY consumers (the kNN label
+    * audit q339 needs cells but no probe rings): the flat trained
+    * assignment below the crossover, IMI product cells past it.
+    */
+  private def routedAuditAssigns(s: SparkSession, d: String): DataFrame =
+    if (!routerIsImi(embCount(s, d))) kmTrained(s, d)._2
+    else imiAssigns(s, d)
 
   /** Oracle text for the per-half IMI probe rings over `src` (rn ≤ `p`),
     * shared by q357 (corpus-wide) and q359/q360 (query batch).
@@ -7344,6 +7365,64 @@ object Similarity {
     rankTop3(joined)
   }
 
+  /** q361: IMI-ROUTED kNN LABEL AUDIT — the SECOND cell-bounded consumer
+    * on the product router: q339's exact kernel ([[knnLabelAuditOn]] —
+    * within-cell top-5 neighbor vote, flag on disagreement, label-grain
+    * report) with cells from [[imiAssigns]] instead of the flat trained
+    * assignment. Together with q357 this closes the VERDICT r15 flag:
+    * BOTH within-cell pair-expansion tiers (SemDeDup and the label
+    * audit — the two named ceiling casualties) now have a working,
+    * oracle-gated path past the flat router's 1024-cell clamp, and
+    * [[routedAuditAssigns]] switches q339 onto it automatically at the
+    * crossover.
+    *
+    * Scale shape: identical to q339's (cell-bounded pair expansion,
+    * per-vector windows, label-grain report) with cells k'² ~ √n at
+    * EVERY corpus size instead of saturating at 1024.
+    */
+  private val q361 = GraftQuery(
+    "q361_imi_knn_label_audit", {
+      val pairDist = s"list_reduce(list_transform(range(1, $KmDim + 1), " +
+        "j -> (CAST(x.embedding[j] AS DOUBLE) - " +
+        "CAST(y.embedding[j] AS DOUBLE)) * " +
+        "(CAST(x.embedding[j] AS DOUBLE) - " +
+        "CAST(y.embedding[j] AS DOUBLE))), (p, q) -> p + q)"
+      s"""WITH ${pqOracleTrainFrom("embeddings", 0, "imi", 2, KImiSql)},
+         |${pqOracleTrainFrom("embeddings", 1, "imi", 2, KImiSql)},
+         |ilab AS (
+         |  SELECT a.vec_id,
+         |    CAST(a.cell AS BIGINT) * $ImiCellStride + b.cell AS cell,
+         |    e.embedding, CAST(e.label AS BIGINT) AS label
+         |  FROM imia2_0 a JOIN imia2_1 b ON a.vec_id = b.vec_id
+         |  JOIN embeddings e ON e.vec_id = a.vec_id),
+         |pr AS (
+         |  SELECT x.vec_id, y.label AS nlabel,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $pairDist, y.vec_id) AS rn
+         |  FROM ilab x JOIN ilab y
+         |    ON y.cell = x.cell AND y.vec_id <> x.vec_id),
+         |votes AS (SELECT vec_id, nlabel, CAST(count(*) AS BIGINT) AS c
+         |  FROM pr WHERE rn <= 5 GROUP BY 1, 2),
+         |maj AS (
+         |  SELECT vec_id, nlabel AS mlabel FROM (
+         |    SELECT vec_id, nlabel, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, nlabel) AS r
+         |    FROM votes) t WHERE r = 1)
+         |SELECT l.label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN m.mlabel <> l.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged,
+         |  CAST(sum(CASE WHEN m.mlabel <> l.label THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+         |FROM ilab l JOIN maj m ON m.vec_id = l.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    knnLabelAuditOn(imiAssigns(s, d)
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id"))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -7351,5 +7430,6 @@ object Similarity {
       q136, q145, q146, q147, q154, q155, q159, q164, q187, q190, q195, q196,
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
-      q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360)
+      q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
+      q361)
 }
