@@ -7141,31 +7141,54 @@ object Similarity {
 
   /** The TRUE top-p² product cells by joint distance for the bounded
     * query batch — the set the multi-sequence algorithm (Babenko &
-    * Lempitsky's traversal) enumerates lazily: per query, every product
-    * cell's joint distance is dA + dB over the two half-codebooks and
-    * the best p² win under the deterministic (d, ca, cb) tie-break.
-    * Materializing all k'² scored cells is the audit-scale shape (k'² ~
-    * √n METADATA rows per query — bounded, never corpus-grain); a
-    * production server enumerates the same set with the paper's heap
-    * walk over the two sorted half-lists without materializing the
-    * grid. Output: (vec_id, ca, cb), exactly [[ProbeP]]² rows per query.
+    * Lempitsky's traversal) enumerates lazily, computed with the
+    * algorithm's own FRONTIER BOUND instead of the full grid: the
+    * top-m joint sums of two sorted lists lie inside the top-m of EACH
+    * list (if a's half-rank exceeded m, the m lower-ranked a' would
+    * each give (a', b) ordered strictly before (a, b) — sums ≤, and a
+    * sum tie means dA ties, where the (d, cell) half-order forces
+    * ca' < ca, so the joint (d, ca, cb) tie-break also orders them
+    * first). So each half keeps only its p² nearest cells (one window
+    * over a batch × 2·k' broadcast map), the cross is p⁴ = 16 rows per
+    * query — k'-INDEPENDENT, where materializing the grid would be
+    * k'² ~ 10⁶ rows per query at the half ceiling — and one joint
+    * window takes the exact top p² under the deterministic
+    * (d, ca, cb) order. ScaleSpec pins pruned == full-grid on the
+    * fixture. Output: (vec_id, ca, cb), exactly [[ProbeP]]² rows per
+    * query.
     */
-  private def imiMultiSeqCells(s: SparkSession, d: String,
+  private[operators] def imiMultiSeqCells(s: SparkSession, d: String,
+      qe: DataFrame): DataFrame = {
+    val cells = imiHalfTopCells(s, d, qe)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d0") + col("d1"), col("c0"), col("c1"))
+    cells
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= ProbeP * ProbeP)
+      .select(col("vec_id"), col("c0").as("ca"), col("c1").as("cb"))
+  }
+
+  /** The pruned multi-sequence frontier: per query, each half's p²
+    * nearest cells (rank under the half's (d, cell) order) crossed into
+    * ≤ p⁴ scored product cells — the superset [[imiMultiSeqCells]]'
+    * joint top-p² window reads. Exposed for ScaleSpec's
+    * pruned-vs-full-grid equivalence pin.
+    */
+  private[operators] def imiHalfTopCells(s: SparkSession, d: String,
       qe: DataFrame): DataFrame = {
     val (cents, _) = pqTrained(s, d, kImi(s, d), 2)
-    def halfDist(m: Int) = qe
+    def halfTop(m: Int) = qe
       .select(col("vec_id"),
         slice(col("embedding"), m * (KmDim / 2) + 1, KmDim / 2).as("hemb"))
       .crossJoin(broadcast(cents.where(col("m") === m)
         .select(col("cell").as(s"c$m"), col("cen"))))
       .select(col("vec_id"), col(s"c$m"),
         VectorFunctions.l2DistSq(col("hemb"), col("cen")).as(s"d$m"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("d0") + col("d1"), col("c0"), col("c1"))
-    halfDist(0).join(halfDist(1), "vec_id")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= ProbeP * ProbeP)
-      .select(col("vec_id"), col("c0").as("ca"), col("c1").as("cb"))
+      .withColumn("hrn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col(s"d$m"), col(s"c$m"))))
+      .where(col("hrn") <= ProbeP * ProbeP)
+      .drop("hrn")
+    halfTop(0).join(halfTop(1), "vec_id")
   }
 
   /** Oracle twin of [[imiMultiSeqCells]] over the query-batch rows. */

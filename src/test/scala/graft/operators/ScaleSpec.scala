@@ -499,6 +499,40 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("pruned multi-sequence frontier equals the full product grid's top-p^2") {
+    // the dominance argument imiMultiSeqCells relies on (top-m joint
+    // sums of two sorted lists lie within each list's top-m), pinned
+    // against a full-grid reference built here without pruning: same
+    // joint (d, ca, cb) order, every query's selected product cells
+    // must be IDENTICAL — the pruning is an exact-answer optimization
+    // (16 scored rows per query instead of k'^2), not an approximation.
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qe = e.where(col("vec_id") < 100)
+    val pruned = Similarity.imiMultiSeqCells(spark, dir, qe)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val (cents, _) = Similarity.pqTrained(spark, dir,
+      Similarity.kImi(spark, dir), 2)
+    def halfAll(m: Int) = qe
+      .select(col("vec_id"),
+        expr(s"slice(embedding, ${m * 32 + 1}, 32)").as("hemb"))
+      .crossJoin(broadcast(cents.where(col("m") === m)
+        .select(col("cell").as(s"c$m"), col("cen"))))
+      .select(col("vec_id"), col(s"c$m"),
+        graft.functions.VectorFunctions.l2DistSq(col("hemb"), col("cen"))
+          .as(s"d$m"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d0") + col("d1"), col("c0"), col("c1"))
+    val full = halfAll(0).join(halfAll(1), "vec_id")
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 4)
+      .select(col("vec_id"), col("c0"), col("c1"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(pruned == full,
+      s"pruned frontier diverged from the full grid: " +
+        s"only-pruned=${pruned -- full}, only-full=${full -- pruned}")
+  }
+
   test("residual codes keep the strict win on a CLUSTERED corpus") {
     // ADVICE r15: the uniform fixture lost the residual edge when the
     // coarse k went ~ sqrt(n) (residuals of a structureless corpus are
