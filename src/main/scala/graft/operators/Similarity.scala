@@ -7451,6 +7451,123 @@ object Similarity {
         "vec_id"))
   }
 
+  /** Frozen IMI half-codebooks trained on the BASE shard only (buckets
+    * 0-7) — [[frozenBaseIndex]]'s recipe at the router's (k', M=2)
+    * sizing: global first-k' seeds, one Lloyd average over base — then
+    * COLLECTED to plan literals (2·k' cells × 32 doubles — router
+    * metadata, the [[kmAssign]] contract). The artifact an IMI index
+    * append job ships to every task.
+    */
+  private def frozenImiCollected(s: SparkSession,
+      d: String): Seq[(Int, Seq[(Int, Seq[Double])])] =
+    graft.Artifacts.cached[Seq[(Int, Seq[(Int, Seq[Double])])]](
+        s, s"frozen_imi_collected:$d") {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val base = e.where(shardBucket(col("vec_id")) < 8)
+      val sd = KmDim / 2
+      val out = (0 until 2).map { m =>
+        val off = m * sd
+        val baseSub = base.select(col("vec_id"),
+          slice(col("embedding"), off + 1, sd).as("embedding"))
+        val c0m = e.where(col("vec_id") < kImi(s, d))
+          .select(col("vec_id").cast("int").as("cell"),
+            expr(s"transform(slice(embedding, ${off + 1}, $sd), " +
+              "x -> CAST(x AS DOUBLE))").as("cen"))
+        val c1m = kmRecompute(kmAssign(baseSub, c0m))
+        (m, c1m.select(col("cell"), col("cen")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq)
+      }
+      (out, () => ())
+    }
+
+  /** The frozen-half-codebook PRODUCT-CELL routing as a stateless map
+    * over any (vec_id, embedding) frame — batch (q362) or streaming
+    * (q363), [[frozenAssignEncode]]'s discipline on the IMI router: both
+    * half argmins are per-row `array_min` folds over the collected
+    * literal codebooks ([[frozenImiCollected]]), no shuffle, no state —
+    * an IMI index append ingests at arrival rate with 2·k' ~ 2·n^(1/4)
+    * distance evaluations per row, the router economy q354 documents.
+    */
+  private[graft] def frozenImiRoute(s: SparkSession, d: String,
+      rows: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val cbs = frozenImiCollected(s, d).toMap
+    def half(m: Int) = array_min(transform(typedLit(cbs(m)), c => struct(
+      VectorFunctions.l2DistSq(
+        slice(col("embedding"), m * (KmDim / 2) + 1, KmDim / 2),
+        c.getField("_2")).as("d"),
+      c.getField("_1").as("cell")))).getField("cell")
+    rows.select(col("vec_id"),
+      half(0).cast("long").as("cell_a"), half(1).cast("long").as("cell_b"))
+  }
+
+  /** One half's base-restricted codebook training for the q362 oracle
+    * (the [[pqOracleTrainOnBase]] recipe at the IMI sizing): global
+    * seeds, Lloyd averages over `base` only, ending in `ic1_m`.
+    */
+  private def imiOracleTrainOnBase(m: Int): String = {
+    val sd = KmDim / 2
+    val off = m * sd
+    s"""ib0_$m AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(range(1, $sd+1), j -> CAST(embedding[$off+j] AS DOUBLE)) AS cen
+       |  FROM embeddings WHERE vec_id < $KImiSql),
+       |ia1_$m AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${pqOracleSubDist("b.embedding", "c.cen", off, sd)}, c.cell) AS rn
+       |    FROM base b CROSS JOIN ib0_$m c) t WHERE rn = 1),
+       |ic1d_$m AS (
+       |  SELECT a.cell, j,
+       |    list_reduce(list(CAST(b.embedding[$off+j] AS DOUBLE) ORDER BY b.vec_id), (x,y) -> x+y)
+       |      / count(*) AS mean_j
+       |  FROM ia1_$m a JOIN base b ON a.vec_id = b.vec_id
+       |  CROSS JOIN range(1, $sd+1) t(j)
+       |  GROUP BY a.cell, j),
+       |ic1_$m AS (SELECT cell, list(mean_j ORDER BY j) AS cen FROM ic1d_$m GROUP BY cell),
+       |ir_$m AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${pqOracleSubDist("n.embedding", "c.cen", off, sd)}, c.cell) AS rn
+       |    FROM nw n CROSS JOIN ic1_$m c) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** q362's oracle, shared verbatim by its streaming twin q363 (the
+    * stream==batch gate, q94/q109's discipline on the IMI router).
+    */
+  private[graft] val imiRouteAppendOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE $shardBucketSql < 8),
+       |nw AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE $shardBucketSql >= 8),
+       |${imiOracleTrainOnBase(0)},
+       |${imiOracleTrainOnBase(1)}
+       |SELECT n.vec_id, CAST(r0.cell AS BIGINT) AS cell_a,
+       |  CAST(r1.cell AS BIGINT) AS cell_b
+       |FROM nw n JOIN ir_0 r0 ON r0.vec_id = n.vec_id
+       |JOIN ir_1 r1 ON r1.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+
+  /** q362: IMI INDEX APPEND — q94's incremental-maintenance semantics on
+    * the product router: the arriving shard (LCG buckets 8-9, q94's
+    * split) is routed to product cells by the half-codebooks FROZEN on
+    * the base shard ([[frozenImiCollected]] — global seeds, base-only
+    * Lloyd averages), emitting the (vec_id, cell_a, cell_b) rows q354's
+    * routing table appends. Completes the router family's lifecycle
+    * story: train (q354), serve (q355/q360), audit (q356/q359), consume
+    * (q357/q361), and now MAINTAIN — a living IMI index ingests new
+    * vectors as a stateless map whose per-row cost is 2·k' ~ 2·n^(1/4)
+    * distance folds against literal codebooks, no shuffle, no retrain.
+    */
+  private val q362 = GraftQuery(
+    "q362_imi_route_append", imiRouteAppendOracle) { (s, d) =>
+    val nw = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .where(shardBucket(col("vec_id")) >= 8)
+    frozenImiRoute(s, d, nw).orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -7459,5 +7576,5 @@ object Similarity {
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
-      q361)
+      q361, q362)
 }

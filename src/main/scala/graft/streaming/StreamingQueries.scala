@@ -518,6 +518,31 @@ object StreamingQueries {
       .orderBy("vec_id", "m")
   }
 
+  /** q363: STREAMING IMI index maintenance — q362's frozen-half-codebook
+    * product-cell routing run as a q109-style stateless ingest stream:
+    * newly arriving embedding files (the 8-9 LCG shard buckets) become
+    * appendable IMI routing rows (vec_id, cell_a, cell_b) in append
+    * mode. The transform is LITERALLY q362's
+    * ([[graft.operators.Similarity.frozenImiRoute]] — both half
+    * codebooks ride the streaming plan as literals, the argmins are
+    * per-row `array_min` folds), so there is no state store, no
+    * watermark, no shuffle — and the per-row routing cost is
+    * 2·k' ~ 2·n^(1/4) distance folds, the router economy that keeps a
+    * living IMI index ingesting at file-arrival rate past the flat
+    * router's ceiling. The gate pins stream == q362's batch == DuckDB.
+    */
+  private val q363 = GraftQuery(
+    "q363_stream_imi_route",
+    graft.operators.Similarity.imiRouteAppendOracle) { (s, d) =>
+    val nw = EventStreams.readEmbeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .where(graft.operators.Similarity.shardBucket(col("vec_id")) >= 8)
+    EventStreams.runToMemory(s,
+        graft.operators.Similarity.frozenImiRoute(s, d, nw),
+        s"stream_gate_${memorySinkId.incrementAndGet()}")
+      .orderBy("vec_id")
+  }
+
   /** q111: ONLINE ANN serving — the query stream answered against the
     * static quantized index artifact
     * ([[graft.operators.Similarity.streamServePlan]]): arriving query
@@ -1388,5 +1413,5 @@ object StreamingQueries {
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347, q349, q350)
+      q336, q344, q347, q349, q350, q363)
 }
