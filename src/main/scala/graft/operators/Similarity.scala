@@ -7568,6 +7568,189 @@ object Similarity {
     frozenImiRoute(s, d, nw).orderBy("vec_id")
   }
 
+  /** The corpus-wide MULTI-SEQUENCE probe table: every vector's p² best
+    * product cells by joint distance ([[imiMultiSeqCells]]' pruned
+    * frontier run over the whole corpus instead of the query batch),
+    * packed to product-cell keys — the multiseq twin of [[imiProbes]]'
+    * square, at the IDENTICAL probe budget (p² product cells per
+    * vector). Memoized like every probe artifact.
+    */
+  private def imiMultiSeqProbes(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"imi_ms_probes:$d:p=$ProbeP") {
+      imiMultiSeqCells(s, d,
+          Tables.embeddings(s, d).select("vec_id", "embedding"))
+        .select(col("vec_id"),
+          (col("ca").cast("long") * ImiCellStride + col("cb"))
+            .as("probe_cell"))
+    }
+
+  /** The oracle's full-grid joint ranking over `src`, ending in
+    * `$out(vec_id, cell)` product-cell keys at rn ≤ p² — the independent
+    * (unpruned) computation of [[imiMultiSeqProbes]]' frontier, shared
+    * by q364/q365.
+    */
+  private def imiMultiSeqProbesOracle(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, CAST(ca AS BIGINT) * $ImiCellStride + cb AS cell
+       |  FROM (
+       |    SELECT e.vec_id, c0.cell AS ca, c1.cell AS cb,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${pqOracleSubDist("e.embedding", "c0.cen", 0, KmDim / 2)}
+       |          + ${pqOracleSubDist("e.embedding", "c1.cen", KmDim / 2, KmDim / 2)},
+       |          c0.cell, c1.cell) AS rn
+       |    FROM $src e CROSS JOIN imic1_0 c0 CROSS JOIN imic1_1 c1) t
+       |  WHERE rn <= ${ProbeP * ProbeP})""".stripMargin
+
+  /** q364: MULTISEQ-PROBED IMI SEMDEDUP — q357 with the probe rings
+    * upgraded from the p-per-half SQUARE to the true joint-distance
+    * frontier ([[imiMultiSeqProbes]]), at the identical p² budget:
+    * q359 measured the square probing the wrong grid corner under
+    * correlated halves (the regime q356 detects), and the dedup tier's
+    * candidate recall inherits that loss — this is the remediation,
+    * [[multiProbeSemDedupOn]]'s kernel unchanged. MEASURED at sf0.01
+    * the two rules verify near-identical corpus-wide edge sets
+    * (frontier 414 edges / 92 dropped vs square 416 / 94), while the
+    * τ-pair audit (q365) shows the frontier's candidate COVERAGE is
+    * strictly better (missed 106,194 vs 115,044 ppm at equal budget):
+    * on this mildly-correlated fixture the square's two extra edges
+    * are redundant within-component edges, and the frontier's
+    * advantage concentrates exactly where q356's correlated-halves
+    * regime grows it.
+    *
+    * Scale shape: q357's in every term (O(p⁴·n^1.5) pair work, probe
+    * cost 2·k' + a ≤p⁴-row per-vector window), with the frontier
+    * enumeration k'-independent by the [[imiMultiSeqCells]] pruning.
+    */
+  private val q364 = GraftQuery(
+    "q364_imi_multiseq_semdedup",
+    s"""WITH RECURSIVE ${pqOracleTrainFrom("embeddings", 0, "imi", 2, KImiSql)},
+       |${pqOracleTrainFrom("embeddings", 1, "imi", 2, KImiSql)},
+       |iasg AS (
+       |  SELECT a.vec_id,
+       |    CAST(a.cell AS BIGINT) * $ImiCellStride + b.cell AS cell
+       |  FROM imia2_0 a JOIN imia2_1 b ON a.vec_id = b.vec_id),
+       |${imiMultiSeqProbesOracle("embeddings", "ipb")},
+       |icand AS (
+       |  SELECT DISTINCT pa.vec_id AS u, pb2.vec_id AS v
+       |  FROM ipb pa JOIN ipb pb2
+       |    ON pa.cell = pb2.cell AND pa.vec_id < pb2.vec_id),
+       |ipe AS (
+       |  SELECT c.u, c.v
+       |  FROM icand c JOIN embeddings a ON a.vec_id = c.u
+       |  JOIN embeddings b ON b.vec_id = c.v
+       |  WHERE ${cosSql("a", "b")} >= $SemDedupTau),
+       |iecls AS (
+       |  SELECT ipe.u, ipe.v, au.cell AS cu, av.cell AS cv
+       |  FROM ipe JOIN iasg au ON au.vec_id = ipe.u
+       |  JOIN iasg av ON av.vec_id = ipe.v),
+       |iedges AS (SELECT u, v FROM ipe UNION SELECT v, u FROM ipe),
+       |ireach AS (
+       |  SELECT u, v FROM iedges
+       |  UNION
+       |  SELECT r.u, e.v FROM ireach r JOIN iedges e ON r.v = e.u),
+       |icl AS (
+       |  SELECT a.vec_id, a.cell,
+       |    least(a.vec_id, coalesce(rm.m, a.vec_id)) AS grp
+       |  FROM iasg a
+       |  LEFT JOIN (SELECT u, min(v) AS m FROM ireach GROUP BY u) rm
+       |    ON a.vec_id = rm.u),
+       |iew AS (SELECT cu AS cell, CAST(count(*) AS BIGINT) AS n
+       |  FROM iecls WHERE cu = cv GROUP BY 1),
+       |iex AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT cu AS cell FROM iecls WHERE cu <> cv
+       |  UNION ALL SELECT cv FROM iecls WHERE cu <> cv) GROUP BY 1)
+       |SELECT icl.cell, CAST(count(*) AS BIGINT) AS n_members,
+       |  coalesce(any_value(iew.n), 0) AS n_edges_within,
+       |  coalesce(any_value(iex.n), 0) AS n_edges_cross,
+       |  CAST(count(DISTINCT icl.grp) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - count(DISTINCT icl.grp) AS BIGINT) AS n_dropped,
+       |  CAST(((count(*) - count(DISTINCT icl.grp)) * 1000000) // count(*)
+       |    AS BIGINT) AS dropped_ppm
+       |FROM icl LEFT JOIN iew ON iew.cell = icl.cell
+       |LEFT JOIN iex ON iex.cell = icl.cell
+       |GROUP BY icl.cell ORDER BY icl.cell""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    multiProbeSemDedupOn(imiAssigns(s, d), imiMultiSeqProbes(s, d))
+  }
+
+  /** q365: IMI DEDUP CANDIDATE-RULE RECALL — the q352/q358 audit
+    * discipline applied to the IMI dedup tiers: against the SAME
+    * bounded τ-pair truth ([[tauPairTruth]]), the fraction of true
+    * pairs whose endpoints share a probed product cell, for the two
+    * candidate rules at identical p² budget — `imi_square` (q357's
+    * rings) and `imi_multiseq` (q364's). The table that justifies
+    * q364's upgrade with a number instead of an analogy to q359:
+    * MEASURED at sf0.01 (113 true τ-pairs) the frontier rule misses
+    * 106,194 ppm vs the square's 115,044 — candidate coverage strictly
+    * improves at equal budget, exactly as the serving-side audit
+    * predicted. (Both beat the FLAT router's p=2 ring overlap —
+    * q358's 380,530 ppm — because p² = 4 product probe cells per
+    * vector is double that rule's cell budget; the like-for-like flat
+    * comparison is q358's p=4 row, 26,548 ppm, reflecting the flat
+    * router's finer full-dim cells below the crossover.)
+    *
+    * Scale shape: truth is QueryBatch-bounded; both probe tables are
+    * the shared memoized artifacts; each caught count is q358's two
+    * equi-joins + pair-distinct.
+    */
+  private val q365 = GraftQuery(
+    "q365_imi_dedup_recall", {
+      def caught(tag: String, pb: String): String =
+        s"""mcg$tag AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS caught FROM (
+           |    SELECT DISTINCT tp.u, tp.v
+           |    FROM tp JOIN $pb ru ON ru.vec_id = tp.u
+           |    JOIN $pb rv ON rv.vec_id = tp.v AND rv.cell = ru.cell))"""
+          .stripMargin
+      def row(rule: String, tag: String): String =
+        s"""SELECT '$rule' AS rule, n.n AS n_pairs, c.caught,
+           |  CAST(CASE WHEN n.n = 0 THEN 0
+           |    ELSE ((n.n - c.caught) * 1000000) // n.n END AS BIGINT)
+           |    AS missed_ppm
+           |FROM mcg$tag c CROSS JOIN np n""".stripMargin
+      s"""WITH ${pqOracleTrainFrom("embeddings", 0, "imi", 2, KImiSql)},
+         |${pqOracleTrainFrom("embeddings", 1, "imi", 2, KImiSql)},
+         |tp AS MATERIALIZED (
+         |  SELECT q.vec_id AS u, c.vec_id AS v
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+         |  JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE ${cosSql("q", "c")} >= $SemDedupTau),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tp),
+         |${imiOracleRing(0, "embeddings", ProbeP, "sph_0")},
+         |${imiOracleRing(1, "embeddings", ProbeP, "sph_1")},
+         |spb AS MATERIALIZED (
+         |  SELECT p0.vec_id,
+         |    CAST(p0.cell AS BIGINT) * $ImiCellStride + p1.cell AS cell
+         |  FROM sph_0 p0 JOIN sph_1 p1 ON p0.vec_id = p1.vec_id),
+         |${imiMultiSeqProbesOracle("embeddings", "mpb")},
+         |${caught("s", "spb")},
+         |${caught("m", "mpb")}
+         |${row("imi_multiseq", "m")}
+         |UNION ALL ${row("imi_square", "s")}
+         |ORDER BY rule""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    val tp = tauPairTruth(s, d)
+    val np = broadcast(tp.agg(count(lit(1)).as("n_pairs")))
+    def ruleRow(rule: String, pb: DataFrame): DataFrame =
+      tp.join(pb.select(col("vec_id").as("u"),
+          col("probe_cell").as("cell_u")), "u")
+        .join(pb.select(col("vec_id").as("v"),
+          col("probe_cell").as("cell_v")), "v")
+        .where(col("cell_u") === col("cell_v"))
+        .select("u", "v").distinct()
+        .agg(count(lit(1)).as("caught"))
+        .crossJoin(np)
+        .select(lit(rule).as("rule"), col("n_pairs"), col("caught"),
+          when(col("n_pairs") === 0, 0L)
+            .otherwise(expr("((n_pairs - caught) * 1000000) div n_pairs"))
+            .cast("long").as("missed_ppm"))
+    ruleRow("imi_multiseq", imiMultiSeqProbes(s, d))
+      .unionByName(ruleRow("imi_square",
+        imiProbes(s, d).select(col("vec_id"), col("probe_cell"))))
+      .orderBy("rule")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -7576,5 +7759,5 @@ object Similarity {
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
-      q361, q362)
+      q361, q362, q364, q365)
 }

@@ -195,6 +195,10 @@ class PlanHygieneSpec extends SparkSuite {
                                        // truth (q352's audited shape) +
                                        // 1-row pair-count frames crossed
                                        // per probe setting
+    "q365_imi_dedup_recall", // the same bounded τ-pair truth + 1-row
+                             // pair-count frames crossed per candidate
+                             // rule (q358's audited shape on the IMI
+                             // probe artifacts)
     "q359_imi_serving_recall", // bounded batch×corpus brute truth (q44's
                                // audited shape) + per-half/joint probe
                                // scoring vs broadcast k'-row codebooks
