@@ -204,10 +204,20 @@ class PlanHygieneSpec extends SparkSuite {
                                // scoring vs broadcast k'-row codebooks
                                // (q355's shape) + 1-row count frames
                                // crossed per mode
-    "q360_imi_multiseq_search") // joint-distance probe scoring crosses
+    "q360_imi_multiseq_search", // joint-distance probe scoring crosses
                                 // the bounded query batch with the two
                                 // broadcast k'-row half codebooks
                                 // (q355's audited probe shape)
+    "q367_nndescent_convergence", // bounded batch×corpus brute truth
+                                  // (q44's audited non-equi shape) +
+                                  // 1-row truth-count frame crossed per
+                                  // round row; the graphs themselves
+                                  // ride vertex-id equi-joins
+    "q369_graph_ann_recall") // bounded batch×corpus brute truth (q44's
+                             // audited shape) + 1-row count frames
+                             // crossed per mode (q359's audited shape);
+                             // beam traversal rides vertex-id equi-joins
+                             // inside the checkpointed artifact
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]

@@ -417,7 +417,9 @@ class ScaleSpec extends SparkSuite {
     // which a uniform 500-vector corpus at k=√n provides. What must
     // hold: residual stays inside raw's saturation band (the same
     // ±0.05 band that test pins), i.e. residual encoding never makes
-    // the index materially WORSE.
+    // the index materially WORSE. The strict res > raw pin lives in
+    // the clustered-corpus test below, where the structure the claim
+    // is about actually exists.
     val raw = Similarity.adcMeanRecall(spark, dir, Similarity.rawIvfpqTop3(spark, dir))
     val res = Similarity.adcMeanRecall(spark, dir,
       graft.SparkEntry.queries("q101_residual_ivfpq")(spark, dir)
