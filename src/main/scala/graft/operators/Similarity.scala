@@ -7811,16 +7811,30 @@ object Similarity {
     * vertex ids; nothing is driver-sized except the n scalar.
     */
   private[operators] def nnDescentGraphs(
-      s: SparkSession, d: String): Seq[DataFrame] =
-    graft.Artifacts.cached[Seq[DataFrame]](s, s"nnd_graphs:$d") {
+      s: SparkSession, d: String): Seq[DataFrame] = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    nndGraphsOn(s, s"nnd_graphs:$d", e, e.count())
+  }
+
+  /** [[nnDescentGraphs]]' build generalized to any vector subset: `vecs`
+    * is the vertex set (the full corpus for q366, the frozen BASE shard
+    * for q370/q371), `n` stays the FULL id-space modulus — init
+    * proposals that hash to a non-member id are dropped by the
+    * membership semi-join (a no-op when `vecs` is the whole corpus, so
+    * q366's committed rows are unchanged by the generalization).
+    */
+  private def nndGraphsOn(s: SparkSession, key: String,
+      vecs: DataFrame, n: => Long): Seq[DataFrame] =
+    graft.Artifacts.cached[Seq[DataFrame]](s, key) {
       VectorFunctions.register(s)
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val n = e.count()
+      val e = vecs.select("vec_id", "embedding")
+      val ids = e.select(col("vec_id").as("dst"))
       val init = e.select(col("vec_id").as("src"))
         .crossJoin(broadcast(s.range(1, NndInitSlots + 1).toDF("j")))
         .select(col("src"),
           ((col("src") * NndMulA + col("j") * NndMulB) % n).as("dst"))
         .where(col("dst") =!= col("src"))
+        .join(ids, Seq("dst"), "left_semi")
         .distinct()
       val leaves = scala.collection.mutable.ArrayBuffer(
         graft.Artifacts.leafDf(nndTopK(e, init)))
@@ -7868,7 +7882,14 @@ object Similarity {
   /** The full oracle CTE chain shared by q366/q367: hashed init, then
     * [[NndIters]] candidate+refine rounds, graphs named g0..g2.
     */
-  private def nndOracleChain: String = {
+  private def nndOracleChain: String = nndOracleChainOn("embeddings")
+
+  /** [[nndOracleChainOn]]: the chain over any vertex-set table `src`
+    * (the Spark twin is [[nndGraphsOn]]) — the modulus stays the full
+    * corpus count and non-member proposals drop via the IN semi-join,
+    * a no-op when `src` is `embeddings` itself.
+    */
+  private def nndOracleChainOn(src: String): String = {
     val rounds = (1 to NndIters).map { i =>
       s"""${nndOracleCand(s"g${i - 1}", s"nc$i")},
          |${nndOracleRound(s"nc$i", s"g$i")}""".stripMargin
@@ -7878,9 +7899,9 @@ object Similarity {
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT e.vec_id AS src,
        |      (e.vec_id * $NndMulA + t.j * $NndMulB) % x.n AS dst
-       |    FROM embeddings e CROSS JOIN nndn x
+       |    FROM $src e CROSS JOIN nndn x
        |    CROSS JOIN range(1, ${NndInitSlots + 1}) t(j)) q
-       |  WHERE dst <> src),
+       |  WHERE dst <> src AND dst IN (SELECT vec_id FROM $src)),
        |${nndOracleRound("nndic", "g0")},
        |$rounds""".stripMargin
   }
@@ -7903,9 +7924,10 @@ object Similarity {
     * near-isotropic (q321 measured a near-flat covariance spectrum), the
     * regime where NN-Descent's neighbor-of-neighbor transitivity is
     * weakest (a vector's neighbors' neighbors are barely closer than
-    * random). On a real embedding corpus (low intrinsic dimension) the
-    * same rounds converge to >0.9 — the audit exists to measure which
-    * regime a corpus is in rather than assume.
+    * random). On clusterable data the same 3 rounds from the same init
+    * reach 0.876 (ScaleSpec's 10-Gaussian-cluster fixture, measured) —
+    * the audit exists to measure which regime a corpus is in rather
+    * than assume.
     *
     * Scale shape: see [[nnDescentGraphs]] — O(n·K²) candidates and
     * O(n·K²·d) flops per round on vertex-id equi-joins; the K²
@@ -8016,21 +8038,35 @@ object Similarity {
     * Batch-bounded queries; nothing driver-sized but the n scalar.
     */
   private def graphBeamSearch(
-      s: SparkSession, d: String): (DataFrame, DataFrame) =
-    graft.Artifacts.cached[(DataFrame, DataFrame)](s, s"gbs:$d") {
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    beamSearchOn(s, s"gbs:$d", nnDescentGraphs(s, d).last, e,
+      e.where(col("vec_id") < QueryBatch), e.count())
+  }
+
+  /** [[graphBeamSearch]]'s build generalized like [[nndGraphsOn]]:
+    * `graph` is the edge list to walk, `vecs` its vertex set (scoring +
+    * entry membership), `queries` the rows to serve — for q370 the
+    * queries are NEW-shard vectors absent from `vecs`, which is why
+    * entries carry the same membership semi-join as the graph init.
+    */
+  private def beamSearchOn(s: SparkSession, key: String, graph: DataFrame,
+      vecs: DataFrame, queries: DataFrame,
+      n: => Long): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, key) {
       VectorFunctions.register(s)
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val n = e.count()
-      val g = nnDescentGraphs(s, d).last.select("src", "dst")
+      val e = vecs.select("vec_id", "embedding")
+      val g = graph.select("src", "dst")
       val sym = g.unionByName(
         g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      val q = e.where(col("vec_id") < QueryBatch)
+      val q = queries
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       val entries = q.select(col("qid"))
         .crossJoin(broadcast(s.range(1, GbsEntries + 1).toDF("i")))
         .select(col("qid"),
           ((col("qid") * NndMulA + col("i") * NndMulB) % n).as("v"))
         .where(col("v") =!= col("qid"))
+        .join(e.select(col("vec_id").as("v")), Seq("v"), "left_semi")
         .distinct()
       def score(cand: DataFrame): DataFrame =
         cand.join(q, "qid")
@@ -8087,23 +8123,33 @@ object Similarity {
     * rounds; the final beam is CTE `b[[GbsHops]]`, the scored-work union
     * is `gall`.
     */
-  private def gbsOracleChain: String = {
-    val rounds = (1 to GbsHops).map { h =>
-      s"""${gbsOracleExpand(s"b${h - 1}", s"x$h")},
-         |${gbsOracleRound(s"x$h", s"b$h", GbsBeam)}""".stripMargin
-    }.mkString(",\n")
-    val work = (1 to GbsHops).map(h => s"SELECT qid, v FROM x$h")
-      .mkString("\n  UNION ")
+  private def gbsOracleChain: String = gbsOracleChainOn(
+    s"SELECT * FROM embeddings WHERE vec_id < $QueryBatch", "embeddings")
+
+  /** Symmetrized edges + hashed-entry CTEs over query rows `qexpr` and
+    * vertex-set table `vsrc` — shared by the beam chain (q368/q369/q370)
+    * and the one-hop attach oracle (q371).
+    */
+  private def gbsOraclePrefix(qexpr: String, vsrc: String): String =
     s"""nsym AS MATERIALIZED (
        |  SELECT src, dst FROM g$NndIters UNION SELECT dst, src FROM g$NndIters),
        |gent AS MATERIALIZED (
        |  SELECT DISTINCT qid, v FROM (
        |    SELECT q.vec_id AS qid,
        |      (q.vec_id * $NndMulA + t.i * $NndMulB) % x.n AS v
-       |    FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+       |    FROM ($qexpr) q
        |    CROSS JOIN nndn x
        |    CROSS JOIN range(1, ${GbsEntries + 1}) t(i)) s
-       |  WHERE v <> qid),
+       |  WHERE v <> qid AND v IN (SELECT vec_id FROM $vsrc))""".stripMargin
+
+  private def gbsOracleChainOn(qexpr: String, vsrc: String): String = {
+    val rounds = (1 to GbsHops).map { h =>
+      s"""${gbsOracleExpand(s"b${h - 1}", s"x$h")},
+         |${gbsOracleRound(s"x$h", s"b$h", GbsBeam)}""".stripMargin
+    }.mkString(",\n")
+    val work = (1 to GbsHops).map(h => s"SELECT qid, v FROM x$h")
+      .mkString("\n  UNION ")
+    s"""${gbsOraclePrefix(qexpr, vsrc)},
        |${gbsOracleRound("gent", "b0", GbsBeam)},
        |$rounds,
        |gall AS MATERIALIZED (
@@ -8220,6 +8266,116 @@ object Similarity {
       .orderBy("mode")
   }
 
+  // ---- frozen-base-graph index maintenance (q370/q371) ----
+
+  /** The `base` shard CTE shared by the q370/q371 oracles (q362's
+    * frozen-artifact convention: LCG buckets 0-7 are the corpus the
+    * graph was built on, 8-9 the newly arrived shard).
+    */
+  private def nndBaseCte: String =
+    s"base AS MATERIALIZED (SELECT * FROM embeddings WHERE $shardBucketSql < 8)"
+
+  /** q370: NN-GRAPH APPEND — the online-insert half of the graph-index
+    * lifecycle (q362's frozen-route discipline applied to q366's
+    * artifact): the kNN graph is built ONCE over the frozen base shard,
+    * and each newly arrived vector gets its [[NndK]] graph edges by the
+    * SAME fixed-hop beam search q368 serves with — which is exactly how
+    * online graph indexes (HNSW-family) grow: insert = search, connect
+    * to what the search found, full NN-Descent repair runs offline.
+    * Output is every new-shard vector's inserted edge list.
+    *
+    * Scale shape: the base graph build is [[nndGraphsOn]]'s O(n·K²) per
+    * round; per inserted vector the beam costs O(E + H·B·K·d) flops
+    * against the frozen edge list — n-independent, so ingest keeps up
+    * at file-arrival rate while the quadratic-ish repair stays an
+    * offline pass. Membership semi-joins keep every proposal inside the
+    * base shard (the modulus stays the full id space).
+    */
+  private val q370 = GraftQuery(
+    "q370_nnd_graph_append",
+    s"""WITH $nndBaseCte,
+       |${nndOracleChainOn("base")},
+       |${gbsOracleChainOn(
+          s"SELECT * FROM embeddings WHERE $shardBucketSql >= 8", "base")}
+       |SELECT qid AS vec_id, rn AS rank, v AS neighbor_id,
+       |  round(cos, 6) AS cos_sim FROM (
+       |  SELECT qid, v, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, v) AS rn FROM b$GbsHops) t
+       |WHERE rn <= $NndK ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val base = e.where(shardBucket(col("vec_id")) < 8)
+    val bg = nndGraphsOn(s, s"nnd_base_graphs:$d", base, e.count())
+    val (beam, _) = beamSearchOn(s, s"gba:$d", bg.last, base,
+      e.where(shardBucket(col("vec_id")) >= 8), e.count())
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("v").asc)
+    beam.withColumn("rank", row_number().over(w)).where(col("rank") <= NndK)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("v").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The q371 oracle: one-hop attach — entries plus their graph ring,
+    * scored once, top-[[NndK]] (no intermediate beam pruning, the shape
+    * a single stateful streaming aggregation can hold).
+    */
+  private[graft] def graphAttachOracle: String =
+    s"""WITH $nndBaseCte,
+       |${nndOracleChainOn("base")},
+       |${gbsOraclePrefix(
+          s"SELECT * FROM embeddings WHERE $shardBucketSql >= 8", "base")},
+       |${gbsOracleExpand("gent", "xa")},
+       |${gbsOracleRound("xa", "ba", NndK)}
+       |SELECT qid AS vec_id, rn AS rank, v AS neighbor_id,
+       |  round(cos, 6) AS cos_sim FROM (
+       |  SELECT qid, v, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, v) AS rn FROM ba) t
+       |WHERE rn <= $NndK ORDER BY vec_id, rank""".stripMargin
+
+  /** Streaming-safe one-hop graph attach (q371's plan): arriving
+    * new-shard vectors hash to entry vertices (stateless affine map),
+    * pull the entries' graph ring via stream-static equi-joins on the
+    * frozen symmetrized edge list, score with the shared cosine kernel,
+    * and keep top-[[NndK]] in the ONE stateful operator (complete-mode
+    * per-query aggregation, q111's serving shape; collect_set dedups
+    * the entry∪ring union exactly like the oracle's UNION). This is the
+    * ingest-rate tier of graph maintenance — provisional edges at
+    * file-arrival rate, q370's multi-hop beam (and the offline
+    * NN-Descent repair) owning quality — and its state is K+entry rows
+    * per NEW vector, never the graph.
+    */
+  private[graft] def graphAttachPlan(s: SparkSession, d: String,
+      qs: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val n = e.count()
+    val base = e.where(shardBucket(col("vec_id")) < 8)
+    val sym = graft.Artifacts.checkpointedDf(s, s"nnd_base_sym:$d") {
+      val bg = nndGraphsOn(s, s"nnd_base_graphs:$d", base, n)
+        .last.select("src", "dst")
+      bg.unionByName(
+        bg.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
+    val q = qs.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val entries = q
+      .withColumn("i", explode(typedLit((1 to GbsEntries).toArray)))
+      .select(col("qid"), col("qemb"),
+        ((col("qid") * NndMulA + col("i") * NndMulB) % n).as("v"))
+      .where(col("v") =!= col("qid"))
+      .join(base.select(col("vec_id").as("v")), Seq("v"), "left_semi")
+    val ring = entries
+      .join(sym.toDF("v", "w"), "v")
+      .where(col("w") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("w").as("v"))
+    entries.select("qid", "qemb", "v").unionByName(ring)
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("vemb")), "v")
+      .select(col("qid"), col("v"),
+        VectorFunctions.cosineSim(col("qemb"), col("vemb")).as("cos"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_set(struct(
+        (col("cos") * lit(-1)).as("ord"), col("v").as("neighbor_id"),
+        col("cos").as("cos")))), 1, NndK).as("top"))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -8228,5 +8384,5 @@ object Similarity {
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
-      q361, q362, q364, q365, q366, q367, q368, q369)
+      q361, q362, q364, q365, q366, q367, q368, q369, q370)
 }

@@ -543,6 +543,34 @@ object StreamingQueries {
       .orderBy("vec_id")
   }
 
+  /** q371: STREAMING GRAPH ATTACH — the ingest-rate half of q370's
+    * graph-index maintenance: newly arriving embedding files (the 8-9
+    * LCG shard buckets) get provisional kNN-graph edges ONLINE by
+    * [[graft.operators.Similarity.graphAttachPlan]] — hashed entries
+    * (stateless), the frozen base graph's ring via stream-static
+    * equi-joins, exact-cosine scoring, and ONE complete-mode per-query
+    * top-K aggregation (q111's serving shape). q370's multi-hop beam is
+    * the batch insert this tier approximates at one hop; the gate pins
+    * stream == DuckDB's independent one-hop recompute, so the online
+    * path can never drift from the frozen artifact it attaches to.
+    */
+  private val q371 = GraftQuery(
+    "q371_stream_graph_attach",
+    graft.operators.Similarity.graphAttachOracle) { (s, d) =>
+    val nw = EventStreams.readEmbeddings(s, d)
+      .where(graft.operators.Similarity.shardBucket(col("vec_id")) >= 8)
+      .select(col("vec_id"), col("embedding"))
+    val sunk = EventStreams.runToMemory(s,
+      graft.operators.Similarity.graphAttachPlan(s, d, nw),
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    sunk.select(col("qid").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** q111: ONLINE ANN serving — the query stream answered against the
     * static quantized index artifact
     * ([[graft.operators.Similarity.streamServePlan]]): arriving query
@@ -1413,5 +1441,5 @@ object StreamingQueries {
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347, q349, q350, q363)
+      q336, q344, q347, q349, q350, q363, q371)
 }

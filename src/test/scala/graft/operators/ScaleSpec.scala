@@ -568,6 +568,72 @@ class ScaleSpec extends SparkSuite {
       s"residual codes must WIN on clustered data: $res <= $raw")
   }
 
+  test("NN-Descent converges fast on a clustered corpus") {
+    // the evidence behind q366's isotropy reading: on the graded corpus
+    // (near-flat spectrum, q321) the convergence curve crawls to 0.38 by
+    // round 3 (q367's measured row), and the scaladoc claims that is the
+    // REGIME, not the algorithm. This fixture is the same 10-Gaussian-
+    // cluster corpus the residual test uses: neighbor-of-neighbor
+    // transitivity is strong inside real clusters, so the same 3 rounds
+    // from the same pure-hash init must land near the true graph — and
+    // the init itself must NOT be the explanation (round 0 stays poor).
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian() * 3.0)
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.25).toFloat).toSeq,
+        i % 10)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nnd_clu")
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val truth = {
+      val q = e.where(col("vec_id") < 100)
+        .select(col("vec_id").as("src"), col("embedding").as("ea"))
+      val c = e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+        .orderBy(col("cos").desc, col("dst").asc)
+      q.join(c, col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb"))
+            .as("cos"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("rn") <= 5).select("src", "dst")
+        .localCheckpoint()
+    }
+    val nTrue = truth.count().toDouble
+    def recall(g: org.apache.spark.sql.DataFrame): Double =
+      g.select("src", "dst").where(col("src") < 100)
+        .join(truth, Seq("src", "dst"), "left_semi").count() / nTrue
+    val graphs = Similarity.nnDescentGraphs(spark, tmp.toString)
+    val r0 = recall(graphs.head)
+    val r3 = recall(graphs.last)
+    info(s"clustered-corpus NN-Descent recall@5: init $r0, round 3 $r3")
+    assert(r3 >= 0.75,
+      s"3 rounds must near-converge on clusterable data: $r3")
+    assert(r0 <= 0.25 && r3 > r0 + 0.4,
+      s"the rounds, not the hashed init, must find the graph: $r0 -> $r3")
+  }
+
+  test("beam-search scored work stays inside the hop budget") {
+    // the n-independence claim in q368's scale shape, pinned as data:
+    // entries (<= E per query) plus HOPS expansions of a B-wide beam
+    // over a (<= 2K)-degree symmetrized graph bound the DISTINCT scored
+    // pairs at E + H*B*(2K+1) per query, whatever n is. A regression to
+    // corpus-sized fan-out (e.g. expanding the whole candidate set
+    // instead of the pruned beam) blows the bound immediately.
+    val row = graft.SparkEntry.queries("q369_graph_ann_recall")(spark, dir)
+      .where(col("mode") === "graph_beam")
+      .select("n_candidates").head.getLong(0)
+    val bound = 100L * (4 + 3 * 8 * (2 * 5 + 1))
+    info(s"beam scored pairs: $row (budget bound $bound)")
+    assert(row <= bound, s"beam scored $row pairs, budget is $bound")
+  }
+
   test("filtered ANN: k same-label results per query, filter never starves k") {
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"))
