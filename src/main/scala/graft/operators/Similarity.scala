@@ -8376,6 +8376,98 @@ object Similarity {
         col("cos").as("cos")))), 1, NndK).as("top"))
   }
 
+  /** Whole-vector exact-L2² SQL fragment (both sides float embeddings,
+    * per-element double cast, left-to-right fold — the
+    * [[graft.functions.VectorFunctions.l2DistSq]] twin, q102's l2truth
+    * form factored).
+    */
+  private def l2SqSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, $KmDim+1), j -> " +
+      s"(CAST($a.embedding[j] AS DOUBLE) - CAST($b.embedding[j] AS DOUBLE))" +
+      s" * (CAST($a.embedding[j] AS DOUBLE) - CAST($b.embedding[j] AS DOUBLE))" +
+      s"), (x,y) -> x+y)"
+
+  /** TwoNN intrinsic-dimension summary over `vecs` (Facco, d'Errico,
+    * Rodriguez & Laio 2017): per bounded-batch query, the exact L2
+    * first and second neighbor distances; under Poisson sampling of a
+    * d-dimensional manifold the ratio μ = d2/d1 is Pareto(d), and the
+    * MLE is d̂ = n / Σ ln μ. Returns the one-row
+    * (n_queries, sum_ln_mu_e6, id_hat_ppm) summary — shared by q372 and
+    * the ScaleSpec regime test. ln agreement between engines is the
+    * q328 precedent (sub-ulp libm drift, absorbed by the 1e-6 grain).
+    */
+  private[operators] def twoNNSummary(s: SparkSession,
+      vecs: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val e = vecs.select("vec_id", "embedding")
+    val q = broadcast(e.where(col("vec_id") < QueryBatch)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+    val w = Window.partitionBy("qid").orderBy(col("l2").asc, col("nid").asc)
+    val nn2 = q
+      .join(e.select(col("vec_id").as("nid"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("nemb")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFunctions.l2DistSq(col("qemb"), col("nemb")).as("l2"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("qid")
+      .agg(min(when(col("rn") === 1, col("l2"))).as("d1"),
+        min(when(col("rn") === 2, col("l2"))).as("d2"))
+      .where(col("d1") > 0)
+    nn2
+      .agg(count(lit(1)).as("n_queries"),
+        sum(log(col("d2") / col("d1")) * lit(0.5)).as("slm"))
+      .select(col("n_queries"),
+        round(col("slm") * lit(1e6)).cast("long").as("sum_ln_mu_e6"),
+        round(col("n_queries").cast("double") / col("slm") * lit(1e6))
+          .cast("long").as("id_hat_ppm"))
+  }
+
+  /** q372: INTRINSIC-DIMENSION audit (TwoNN) — the number the whole
+    * graph/ANN family's regime readings hinge on, measured instead of
+    * inferred: q367's slow convergence, q369's beam-vs-IVF loss, and
+    * q321's near-flat spectrum all say "this corpus has no
+    * low-dimensional structure"; TwoNN states it in dimensions. Only
+    * the two nearest exact L2 neighbors per bounded-batch query enter
+    * (distribution-free in everything else), and d̂ = n / Σ ln(d2/d1)
+    * — the μ ratios of a d-manifold are Pareto(d), so the log-sum IS
+    * the sufficient statistic. MEASURED at sf0.01: d̂ ≈ 38.9 — far
+    * above the ~5-10 where graph/LSH methods shine, exactly the regime
+    * line the family's audits keep measuring from the other side
+    * (ScaleSpec pins the contrast: a 1-d curve embedded in the same
+    * 64-d space measures d̂ ≈ 1).
+    *
+    * Scale shape: batch × corpus scoring (q44's audited shape), one
+    * per-query 2-row window, one scalar epilogue; at production the
+    * 2-NN pairs come from any serving tier instead of brute force —
+    * the estimator only needs (d1, d2) per sampled point.
+    */
+  private val q372 = GraftQuery(
+    "q372_intrinsic_dimension",
+    s"""WITH nn2 AS (
+       |  SELECT qid, min(CASE WHEN rn = 1 THEN l2 END) AS d1,
+       |    min(CASE WHEN rn = 2 THEN l2 END) AS d2
+       |  FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |      ${l2SqSql("q", "c")} AS l2,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2SqSql("q", "c")}, c.vec_id) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+       |    JOIN embeddings c ON q.vec_id <> c.vec_id) t
+       |  WHERE rn <= 2 GROUP BY qid HAVING min(CASE WHEN rn = 1 THEN l2 END) > 0),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |    sum(ln(d2 / d1) * 0.5) AS slm
+       |  FROM nn2)
+       |SELECT n_queries,
+       |  CAST(round(slm * 1000000.0) AS BIGINT) AS sum_ln_mu_e6,
+       |  CAST(round(CAST(n_queries AS DOUBLE) / slm * 1000000.0) AS BIGINT)
+       |    AS id_hat_ppm
+       |FROM agg""".stripMargin) { (s, d) =>
+    twoNNSummary(s, Tables.embeddings(s, d))
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -8384,5 +8476,5 @@ object Similarity {
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
-      q361, q362, q364, q365, q366, q367, q368, q369, q370)
+      q361, q362, q364, q365, q366, q367, q368, q369, q370, q372)
 }

@@ -213,11 +213,14 @@ class PlanHygieneSpec extends SparkSuite {
                                   // 1-row truth-count frame crossed per
                                   // round row; the graphs themselves
                                   // ride vertex-id equi-joins
-    "q369_graph_ann_recall") // bounded batch×corpus brute truth (q44's
+    "q369_graph_ann_recall", // bounded batch×corpus brute truth (q44's
                              // audited shape) + 1-row count frames
                              // crossed per mode (q359's audited shape);
                              // beam traversal rides vertex-id equi-joins
                              // inside the checkpointed artifact
+    "q372_intrinsic_dimension") // bounded batch×corpus 2-NN scan (q44's
+                                // audited non-equi shape); everything
+                                // after is a 100-row scalar epilogue
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]

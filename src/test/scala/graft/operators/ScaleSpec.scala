@@ -634,6 +634,42 @@ class ScaleSpec extends SparkSuite {
     assert(row <= bound, s"beam scored $row pairs, budget is $bound")
   }
 
+  test("TwoNN reads intrinsic dimension, not ambient dimension") {
+    // q372's estimator, pinned on fixtures whose true intrinsic
+    // dimension is KNOWN: 400 points on a smooth 1-d curve embedded in
+    // the same 64-d ambient space must measure d-hat ~ 1 (the ratio
+    // d2/d1 of a 1-manifold is Pareto(1) no matter where it is
+    // embedded), while the graded corpus measures ~39 (q372's committed
+    // row at sf0.01) - the estimator separates the regimes the
+    // graph/ANN family's readings turn on, and it is NOT fooled by the
+    // ambient 64 dims.
+    import spark.implicits._
+    // POISSON sampling of the curve (TwoNN's model): random arc
+    // positions, not a uniform grid - equally spaced points have
+    // d2/d1 ~ 1 everywhere and the MLE diverges, which is a property
+    // of the sampling, not the manifold
+    val rnd = new scala.util.Random(13)
+    val curve = (0 until 400).map { i =>
+      val t = rnd.nextDouble() * 8.0
+      (i.toLong,
+        Array.tabulate(64)(j => math.cos(t * (j % 7 + 1) / 3.0 + j).toFloat)
+          .toSeq,
+        0)
+    }
+    val cdf = curve.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val idCurve = Similarity.twoNNSummary(spark, cdf)
+      .select("id_hat_ppm").head.getLong(0)
+    val idCorpus = Similarity.twoNNSummary(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet"))
+      .select("id_hat_ppm").head.getLong(0)
+    info(s"TwoNN d-hat: 1-d curve ${idCurve / 1e6}, corpus ${idCorpus / 1e6}")
+    assert(idCurve <= 3L * 1000000,
+      s"a 1-manifold must measure low intrinsic dimension: $idCurve ppm")
+    assert(idCorpus >= 10L * 1000000,
+      s"the near-isotropic corpus must measure high: $idCorpus ppm")
+  }
+
   test("filtered ANN: k same-label results per query, filter never starves k") {
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"))
