@@ -8468,6 +8468,70 @@ object Similarity {
     twoNNSummary(s, Tables.embeddings(s, d))
   }
 
+  /** q373: GRAPH-ROUTED LABEL AUDIT — the third router arm of the
+    * label-noise family (q339 votes within flat coarse cells, q361
+    * within IMI product cells, this within the NN-Descent graph's own
+    * edges): each vertex's ≤[[NndK]] graph neighbors vote, majority
+    * label (count desc, label asc) against the stored label, flagged
+    * counts per label class. The graph arm asks a question the cell
+    * arms cannot: the vote set here is the index's BEST-K BELIEF rather
+    * than cell cohabitation, so its flagged rate directly inherits the
+    * graph's measured quality (q367: 38% recall on this corpus) — read
+    * beside q339's rows, the delta prices what label auditing loses
+    * when the kNN artifact is approximate. Vote fan-in is K by
+    * construction (no hot-cell skew arm needed — the property that
+    * makes graph votes attractive at 100 TB).
+    *
+    * MEASURED at sf0.01: mean flagged 920k ppm vs q339's 898k — parity,
+    * not degradation, because this corpus's labels are near-random
+    * against the geometry in the first place (both arms flag ~90%, the
+    * q339 baseline reading); the arms separate exactly where labels DO
+    * track geometry, which is what a real curation corpus has.
+    *
+    * Scale shape: one equi-join of the n·K edge list against the label
+    * table, a per-vertex K-row majority window, one label-grain rollup.
+    */
+  private val q373 = GraftQuery(
+    "q373_graph_label_audit",
+    s"""WITH $nndOracleChain,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |gv AS (
+       |  SELECT g.src, l.label AS nlabel, CAST(count(*) AS BIGINT) AS c
+       |  FROM g$NndIters g JOIN lab l ON l.vec_id = g.dst
+       |  GROUP BY 1, 2),
+       |maj AS (
+       |  SELECT src AS vec_id, nlabel AS mlabel FROM (
+       |    SELECT src, nlabel, row_number() OVER (PARTITION BY src
+       |      ORDER BY c DESC, nlabel) AS r FROM gv) t
+       |  WHERE r = 1)
+       |SELECT l.label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN m.mlabel <> l.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged,
+       |  CAST(sum(CASE WHEN m.mlabel <> l.label THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+       |FROM lab l JOIN maj m ON m.vec_id = l.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val lab = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val g = nnDescentGraphs(s, d).last.select("src", "dst")
+    val wV = Window.partitionBy("src")
+    val maj = g
+      .join(lab.select(col("vec_id").as("dst"), col("label").as("nlabel")),
+        "dst")
+      .groupBy("src", "nlabel").agg(count(lit(1)).as("c"))
+      .withColumn("r",
+        row_number().over(wV.orderBy(col("c").desc, col("nlabel"))))
+      .where(col("r") === 1)
+      .select(col("src").as("vec_id"), col("nlabel").as("mlabel"))
+    lab.join(maj, "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("mlabel") =!= col("label"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("flagged_ppm", expr("(n_flagged * 1000000) div n_vecs"))
+      .orderBy("label")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -8476,5 +8540,5 @@ object Similarity {
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
-      q361, q362, q364, q365, q366, q367, q368, q369, q370, q372)
+      q361, q362, q364, q365, q366, q367, q368, q369, q370, q372, q373)
 }
