@@ -7872,12 +7872,14 @@ object Similarity {
     */
   private def nndOracleCand(g: String, out: String): String =
     s"""${out}y AS MATERIALIZED (
-       |  SELECT src, dst FROM $g UNION SELECT dst, src FROM $g),
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM $g UNION ALL SELECT dst, src FROM $g)),
        |$out AS MATERIALIZED (
-       |  SELECT a.src, b.dst FROM ${out}y a JOIN ${out}y b ON a.dst = b.src
-       |  WHERE b.dst <> a.src
-       |  UNION
-       |  SELECT src, dst FROM $g)""".stripMargin
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a.src, b.dst FROM ${out}y a JOIN ${out}y b ON a.dst = b.src
+       |    WHERE b.dst <> a.src
+       |    UNION ALL
+       |    SELECT src, dst FROM $g) u)""".stripMargin
 
   /** The full oracle CTE chain shared by q366/q367: hashed init, then
     * [[NndIters]] candidate+refine rounds, graphs named g0..g2.
@@ -8113,10 +8115,11 @@ object Similarity {
   /** Oracle twin of one beam expansion over beam CTE `b`. */
   private def gbsOracleExpand(b: String, out: String): String =
     s"""$out AS MATERIALIZED (
-       |  SELECT f.qid, g.dst AS v FROM $b f JOIN nsym g ON g.src = f.v
-       |  WHERE g.dst <> f.qid
-       |  UNION
-       |  SELECT qid, v FROM $b)""".stripMargin
+       |  SELECT DISTINCT qid, v FROM (
+       |    SELECT f.qid, g.dst AS v FROM $b f JOIN nsym g ON g.src = f.v
+       |    WHERE g.dst <> f.qid
+       |    UNION ALL
+       |    SELECT qid, v FROM $b) u)""".stripMargin
 
   /** The full beam-search oracle chain on top of [[nndOracleChain]]:
     * symmetrized edges, hashed entries, then [[GbsHops]] expand+beam
@@ -8132,7 +8135,9 @@ object Similarity {
     */
   private def gbsOraclePrefix(qexpr: String, vsrc: String): String =
     s"""nsym AS MATERIALIZED (
-       |  SELECT src, dst FROM g$NndIters UNION SELECT dst, src FROM g$NndIters),
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g$NndIters
+       |    UNION ALL SELECT dst, src FROM g$NndIters)),
        |gent AS MATERIALIZED (
        |  SELECT DISTINCT qid, v FROM (
        |    SELECT q.vec_id AS qid,
@@ -8148,13 +8153,14 @@ object Similarity {
          |${gbsOracleRound(s"x$h", s"b$h", GbsBeam)}""".stripMargin
     }.mkString(",\n")
     val work = (1 to GbsHops).map(h => s"SELECT qid, v FROM x$h")
-      .mkString("\n  UNION ")
+      .mkString("\n  UNION ALL ")
     s"""${gbsOraclePrefix(qexpr, vsrc)},
        |${gbsOracleRound("gent", "b0", GbsBeam)},
        |$rounds,
        |gall AS MATERIALIZED (
+       |  SELECT DISTINCT qid, v FROM (
        |  SELECT qid, v FROM gent
-       |  UNION $work)""".stripMargin
+       |  UNION ALL $work) u)""".stripMargin
   }
 
   /** q368: GRAPH BEAM-SEARCH ANN — top-3 serving for the bounded query
@@ -8532,6 +8538,149 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q375: GRAPH-EDGE SEMDEDUP — the dedup consumer that needs NO
+    * dedicated index: the NN-Descent graph's edges already carry exact
+    * cosines, so the SemDeDup pass is a FILTER (cos ≥ τ) on the serving
+    * artifact, unordered-pair dedup, and the shared CC machinery — zero
+    * additional pair expansion, zero quantizer. The fourth candidate
+    * rule beside flat cells (q325), flat probe rings (q353), and IMI
+    * product cells (q357/q364), and the cheapest by construction: its
+    * candidate set IS the index's best-K belief. The flip side is
+    * priced by q376 — the pass can only remove what the graph found.
+    * Output is the corpus-grain dedup summary (vectors, τ-edges,
+    * kept/dropped, dropped ppm).
+    *
+    * Scale shape: one filter over the n·K edge list, pair
+    * normalization, and the path-halving CC (O(log diameter) rounds) —
+    * the only dedup tier whose candidate work is literally ZERO beyond
+    * the index the corpus already serves from.
+    */
+  private val q375 = GraftQuery(
+    "q375_graph_semdedup",
+    s"""WITH RECURSIVE $nndOracleChain,
+       |ge AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM g$NndIters WHERE cos >= $SemDedupTau),
+       |ged AS (SELECT DISTINCT u, v FROM (
+       |  SELECT u, v FROM ge UNION ALL SELECT v, u FROM ge) x),
+       |gre AS (
+       |  SELECT u, v FROM ged
+       |  UNION
+       |  SELECT r.u, e.v FROM gre r JOIN ged e ON r.v = e.u),
+       |grm AS (SELECT u, min(v) AS m FROM gre GROUP BY u),
+       |gcl AS (
+       |  SELECT e.vec_id,
+       |    least(e.vec_id, coalesce(rm.m, e.vec_id)) AS grp
+       |  FROM embeddings e LEFT JOIN grm rm ON rm.u = e.vec_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ge) AS n_tau_edges,
+       |  CAST(count(DISTINCT grp) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - count(DISTINCT grp) AS BIGINT) AS n_dropped,
+       |  CAST((count(*) - count(DISTINCT grp)) * 1000000 // count(*)
+       |    AS BIGINT) AS dropped_ppm
+       |FROM gcl""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val g = nnDescentGraphs(s, d).last
+    val ge = g.where(col("cos") >= SemDedupTau)
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"))
+      .distinct().localCheckpoint()
+    val cc = connectedComponents(
+      e.select(col("vec_id").as("doc_id")), ge)
+    val ne = broadcast(ge.agg(count(lit(1)).as("n_tau_edges")))
+    cc.agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("cluster_id")).as("n_kept"))
+      .crossJoin(ne)
+      .select(col("n_vecs"), col("n_tau_edges"), col("n_kept"),
+        (col("n_vecs") - col("n_kept")).as("n_dropped"),
+        expr("((n_vecs - n_kept) * 1000000) div n_vecs").as("dropped_ppm"))
+  }
+
+  /** q376: GRAPH-DEDUP CANDIDATE COVERAGE — q358/q365's audit applied
+    * to q375's rule: against the identical bounded τ-pair truth
+    * ([[tauPairTruth]]), the fraction of true pairs present as a graph
+    * edge (what q375 can remove) and inside ONE NN-Descent verify
+    * round's candidate set (current edges ∪ neighbors-of-neighbors —
+    * NOT a superset relation edge-wise, a direct edge is not a 2-path,
+    * so the round row unions both). The table that prices q375's
+    * "free" candidate set: the edge rule's miss tracks the graph's own
+    * recall (q367 — MEASURED 548,672 ppm missed at sf0.01), and the
+    * verify-round row (522,123 ppm) says one extra scored pass buys
+    * back under 3 points here, because on a near-isotropic corpus the
+    * neighbors-of-neighbors are barely enriched (q372's d̂ ≈ 39, the
+    * same physics) — read beside the ring/containment/IMI curves,
+    * which reach 26,548 ppm at p=4: on THIS corpus the quantizer tiers
+    * are the dedup backbone and the graph is the serving artifact.
+    *
+    * Scale shape: truth is QueryBatch-bounded (q352's discipline); the
+    * edge rule is two equi-joins; the 2-hop rule is one edge⋈edge on
+    * the shared middle vertex, K²-bounded per truth pair.
+    */
+  private val q376 = GraftQuery(
+    "q376_graph_dedup_recall", {
+      def row(rule: String, cte: String): String =
+        s"""SELECT '$rule' AS rule, n.n AS n_pairs, c.caught,
+           |  CAST(CASE WHEN n.n = 0 THEN 0
+           |    ELSE ((n.n - c.caught) * 1000000) // n.n END AS BIGINT)
+           |    AS missed_ppm
+           |FROM $cte c CROSS JOIN tnp n""".stripMargin
+      s"""WITH $nndOracleChain,
+         |tp AS MATERIALIZED (
+         |  SELECT q.vec_id AS u, c.vec_id AS v
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < $QueryBatch) q
+         |  JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE ${cosSql("q", "c")} >= $SemDedupTau),
+         |tnp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tp),
+         |gsy AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM g$NndIters
+         |    UNION ALL SELECT dst, src FROM g$NndIters)),
+         |ce1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS caught FROM (
+         |    SELECT DISTINCT tp.u, tp.v FROM tp
+         |    JOIN gsy g ON g.src = tp.u AND g.dst = tp.v)),
+         |ce2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS caught FROM (
+         |    SELECT DISTINCT u, v FROM (
+         |      SELECT tp.u, tp.v FROM tp
+         |      JOIN gsy a ON a.src = tp.u
+         |      JOIN gsy b ON b.src = a.dst AND b.dst = tp.v
+         |      UNION ALL
+         |      SELECT tp.u, tp.v FROM tp
+         |      JOIN gsy g ON g.src = tp.u AND g.dst = tp.v) x))
+         |${row("graph_edge", "ce1")}
+         |UNION ALL ${row("graph_verify_round", "ce2")}
+         |ORDER BY rule""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    val tp = tauPairTruth(s, d)
+    val np = broadcast(tp.agg(count(lit(1)).as("n_pairs")))
+    val g = nnDescentGraphs(s, d).last.select("src", "dst")
+    val gsy = g.unionByName(
+      g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint()
+    def ruleRow(rule: String, caughtPairs: DataFrame): DataFrame =
+      caughtPairs.distinct()
+        .agg(count(lit(1)).as("caught"))
+        .crossJoin(np)
+        .select(lit(rule).as("rule"), col("n_pairs"), col("caught"),
+          when(col("n_pairs") === 0, 0L)
+            .otherwise(expr("((n_pairs - caught) * 1000000) div n_pairs"))
+            .cast("long").as("missed_ppm"))
+    val edgeHits = tp
+      .join(gsy.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_semi")
+    val twoHop = tp
+      .join(gsy.select(col("src").as("u"), col("dst").as("mid")), "u")
+      .join(gsy.select(col("src").as("mid"), col("dst").as("v")),
+        Seq("mid", "v"))
+      .select("u", "v")
+    ruleRow("graph_edge", edgeHits.select("u", "v"))
+      .unionByName(ruleRow("graph_verify_round",
+        twoHop.unionByName(edgeHits.select("u", "v"))))
+      .orderBy("rule")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -8540,5 +8689,6 @@ object Similarity {
       q207, q215, q222, q224, q245, q249, q255, q257, q272, q274, q275, q276,
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
-      q361, q362, q364, q365, q366, q367, q368, q369, q370, q372, q373)
+      q361, q362, q364, q365, q366, q367, q368, q369, q370, q372, q373,
+      q375, q376)
 }

@@ -221,9 +221,18 @@ class PlanHygieneSpec extends SparkSuite {
     "q372_intrinsic_dimension", // bounded batch×corpus 2-NN scan (q44's
                                 // audited non-equi shape); everything
                                 // after is a 100-row scalar epilogue
-    "q374_hilbert_skipping") // 1-row doc-count + 3-row predicate-workload
+    "q374_hilbert_skipping", // 1-row doc-count + 3-row predicate-workload
                              // broadcasts (q293's audited shape, same
                              // workload table)
+    "q375_graph_semdedup", // 1-row τ-edge-count frame crossed onto the
+                           // 1-row CC summary (q218's audited shape);
+                           // the dedup work itself is a filter on the
+                           // graph artifact + the shared CC
+    "q376_graph_dedup_recall") // bounded batch×corpus τ-pair truth
+                               // (q352's audited shape) + 1-row
+                               // pair-count frames crossed per rule;
+                               // both candidate rules ride vertex-id
+                               // equi-joins on the graph artifact
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
