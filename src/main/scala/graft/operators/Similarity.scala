@@ -8681,6 +8681,134 @@ object Similarity {
       .orderBy("rule")
   }
 
+  // ---- graph-index delete lifecycle (q377/q378) ----
+
+  /** q377: GRAPH TOMBSTONE SERVE — q110's delete discipline on the
+    * graph-native tier: a deletion-request list (the shared LCG-bucket-9
+    * fixture standing in for an arbitrary id log) must stop vectors from
+    * being SERVED immediately, but a graph index cannot drop them from
+    * NAVIGATION until the offline repair pass rewires edges (q378) —
+    * deleting a vertex's edges at serve time would disconnect the very
+    * regions the beam routes through (the known HNSW delete hazard). So
+    * the beam walks the UNCHANGED graph (tombstoned vertices still relay)
+    * and serving reranks the search's full VISITED set with the mask
+    * applied as a broadcast anti-join on both sides (a tombstoned vector
+    * neither asks nor answers, and never occupies a rank slot — q110's
+    * rule verbatim). Reranking the visited set rather than the final
+    * 8-row beam is the filtered-search shape: the beam's tail already
+    * paid for those scores, and masking only the beam would starve
+    * exactly the queries whose best neighbors were deleted.
+    *
+    * Scale shape: the mask is a deletion-log-sized broadcast; everything
+    * else is q368's hop-bounded plan — per-query work stays O(E+H·B·K·d),
+    * independent of n AND of the deletion rate.
+    */
+  private val q377 = GraftQuery(
+    "q377_graph_tombstone_serve",
+    s"""WITH $nndOracleChain,
+       |$gbsOracleChain
+       |SELECT qid AS vec_id, rn AS rank, v AS neighbor_id,
+       |  round(cos, 6) AS cos_sim FROM (
+       |  SELECT qid, v, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, v) AS rn FROM (
+       |    SELECT g.qid, g.v, ${cosSql("a", "b")} AS cos
+       |    FROM gall g JOIN embeddings a ON a.vec_id = g.qid
+       |    JOIN embeddings b ON b.vec_id = g.v
+       |    WHERE NOT (${tombstoneSql("g.qid")})
+       |      AND NOT (${tombstoneSql("g.v")})) s) t
+       |WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val tomb = e.select("vec_id").where(tombstoned(col("vec_id")))
+    val (_, scoredAll) = graphBeamSearch(s, d)
+    val live = scoredAll
+      .join(broadcast(tomb.toDF("qid")), Seq("qid"), "left_anti")
+      .join(broadcast(tomb.toDF("v")), Seq("v"), "left_anti")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("v").asc)
+    live
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+        "qid")
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("vemb")), "v")
+      .select(col("qid"), col("v"),
+        VectorFunctions.cosineSim(col("qemb"), col("vemb")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("v").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** q378: GRAPH DELETE REPAIR — the offline edge-patch pass that
+    * retires q377's runtime mask (q114's compaction role in the graph
+    * lifecycle): every live vertex holding an edge to a tombstoned
+    * neighbor gets its edge list rebuilt from (its remaining live
+    * neighbors) ∪ (the deleted neighbors' own live rings — the 2-hop
+    * bridge that preserves the connectivity the deletion would sever,
+    * the standard HNSW/Vamana repair rule), rescored by the shared exact
+    * cosine kernel and cut back to top-[[NndK]]. Output is the repaired
+    * edge lists for the bounded batch's affected vertices.
+    *
+    * Scale shape: affected vertices are found by one equi-join of the
+    * n·K edge list against the deletion-log broadcast; the bridge
+    * candidate fan is ≤ 2K per deleted edge (K² per vertex worst case,
+    * the NN-Descent round bound), then one per-vertex top-K window —
+    * O(a·K²·d) flops for a affected vertices, never corpus².
+    */
+  private val q378 = GraftQuery(
+    "q378_graph_delete_repair",
+    s"""WITH $nndOracleChain,
+       |dead AS (SELECT vec_id FROM embeddings
+       |  WHERE ${tombstoneSql("vec_id")}),
+       |gsy AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g$NndIters
+       |    UNION ALL SELECT dst, src FROM g$NndIters)),
+       |aff AS (
+       |  SELECT DISTINCT src FROM g$NndIters
+       |  WHERE dst IN (SELECT vec_id FROM dead)
+       |    AND src NOT IN (SELECT vec_id FROM dead)),
+       |rcand AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT g.src, g.dst FROM g$NndIters g JOIN aff a ON a.src = g.src
+       |    WHERE g.dst NOT IN (SELECT vec_id FROM dead)
+       |    UNION ALL
+       |    SELECT g.src, y.dst FROM g$NndIters g JOIN aff a ON a.src = g.src
+       |    JOIN gsy y ON y.src = g.dst
+       |    WHERE g.dst IN (SELECT vec_id FROM dead)
+       |      AND y.dst NOT IN (SELECT vec_id FROM dead)
+       |      AND y.dst <> g.src) u),
+       |${nndOracleRound("rcand", "rg")}
+       |SELECT src AS vec_id, rank, dst AS neighbor_id,
+       |  round(cos, 6) AS cos_sim
+       |FROM rg WHERE src < $QueryBatch
+       |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val tomb = e.select("vec_id").where(tombstoned(col("vec_id")))
+    val g = nnDescentGraphs(s, d).last.select("src", "dst")
+    val gsy = g.unionByName(
+      g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val aff = g
+      .join(broadcast(tomb.toDF("dst")), Seq("dst"), "left_semi")
+      .select("src").distinct()
+      .join(broadcast(tomb.toDF("src")), Seq("src"), "left_anti")
+    val keptLive = g
+      .join(aff, Seq("src"), "left_semi")
+      .join(broadcast(tomb.toDF("dst")), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    val bridge = g
+      .join(aff, Seq("src"), "left_semi")
+      .join(broadcast(tomb.toDF("dst")), Seq("dst"), "left_semi")
+      .join(gsy.toDF("dst", "w"), "dst")
+      .where(col("w") =!= col("src"))
+      .join(broadcast(tomb.toDF("w")), Seq("w"), "left_anti")
+      .select(col("src"), col("w").as("dst"))
+    nndTopK(e, keptLive.unionByName(bridge).distinct())
+      .where(col("src") < QueryBatch)
+      .select(col("src").as("vec_id"), col("rank"),
+        col("dst").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -8690,5 +8818,5 @@ object Similarity {
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
       q361, q362, q364, q365, q366, q367, q368, q369, q370, q372, q373,
-      q375, q376)
+      q375, q376, q377, q378)
 }
