@@ -7774,7 +7774,8 @@ object Similarity {
     * refinement kernel every NN-Descent round (and the brute truth in
     * q367) runs. Per-vertex window, never a single-task sort.
     */
-  private def nndTopK(e: DataFrame, cand: DataFrame): DataFrame = {
+  private def nndTopK(e: DataFrame, cand: DataFrame,
+      lim: Int = NndK): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     cand
       .join(e.select(col("vec_id").as("src"), col("embedding").as("ea")), "src")
@@ -7782,7 +7783,7 @@ object Similarity {
       .select(col("src"), col("dst"),
         VectorFunctions.cosineSim(col("ea"), col("eb")).as("cos"))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= NndK)
+      .where(col("rank") <= lim)
       .select("src", "dst", "cos", "rank")
   }
 
@@ -7856,7 +7857,8 @@ object Similarity {
   /** One scored-and-ranked oracle round: candidates `cand` → top-K CTE
     * `out` with (src, dst, cos, rank) — [[nndTopK]]'s SQL twin.
     */
-  private def nndOracleRound(cand: String, out: String): String =
+  private def nndOracleRound(cand: String, out: String,
+      lim: Int = NndK): String =
     s"""${out}s AS MATERIALIZED (
        |  SELECT c.src, c.dst, ${cosSql("a", "b")} AS cos
        |  FROM $cand c JOIN embeddings a ON a.vec_id = c.src
@@ -7865,7 +7867,7 @@ object Similarity {
        |  SELECT src, dst, cos, rank FROM (
        |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS rank FROM ${out}s) t
-       |  WHERE rank <= $NndK)""".stripMargin
+       |  WHERE rank <= $lim)""".stripMargin
 
   /** Oracle twin of one candidate-generation round over graph `g`:
     * symmetrize, neighbors-of-neighbors, union the current edges.
@@ -9078,6 +9080,236 @@ object Similarity {
       .orderBy("mode")
   }
 
+  // ---- RobustPrune edge diversification (q381/q382) ----
+
+  /** Candidate-pool width fed to the prune (2K — the current edges plus
+    * the 2-hop enrichment rescored, Vamana's candidate acquisition).
+    */
+  private val PrunePool = 2 * NndK
+
+  /** Max out-degree after pruning (DiskANN's R). */
+  private val PruneR = NndK
+
+  /** Vamana's α, as the LITERAL both engines parse to the same double
+    * (interpolated into the oracle, assigned in Scala — the shared-text
+    * discipline of q374).
+    */
+  private val PruneAlphaTxt = "1.2"
+  private val PruneAlpha: Double = PruneAlphaTxt.toDouble
+
+  /** The one prune-step rule, shared verbatim by both engines: pool
+    * candidates are visited in (cos desc, dst) order; candidate c joins
+    * the kept set iff the vertex still has budget (|kept| < R) and NO
+    * already-kept k dominates it — k dominates c when
+    * α·(1 − cos(k, c)) ≤ (1 − cos(v, c)), i.e. c is closer (by angular
+    * distance, α-amplified) to an existing neighbor than to v itself,
+    * so the k-edge already covers c's direction (Subramanya et al.
+    * 2019's RobustPrune; Malkov & Yashunin 2018's heuristic select at
+    * α = 1). Sequential per vertex, so both engines run the SAME
+    * [[PrunePool]]-step bounded unroll — DuckDB as chained CTEs, Spark
+    * as a checkpointed DataFrame loop — never a per-row loop.
+    */
+  private def pruneOracleSteps: String = {
+    val steps = (2 to PrunePool).map { i =>
+      s"""pk$i AS MATERIALIZED (
+         |  SELECT src, dst, cos, rank FROM pk${i - 1}
+         |  UNION ALL
+         |  SELECT p.src, p.dst, p.cos, p.rank FROM ppool p
+         |  WHERE p.rank = $i
+         |    AND (SELECT count(*) FROM pk${i - 1} k
+         |         WHERE k.src = p.src) < $PruneR
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM pk${i - 1} k
+         |      JOIN ppw w ON w.src = p.src AND w.a = k.dst AND w.b = p.dst
+         |      WHERE k.src = p.src
+         |        AND $PruneAlphaTxt * (1.0 - w.cos) <= (1.0 - p.cos)))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${symCte(s"g$NndIters", "vsy")},
+       |pcand AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM vsy
+       |    UNION ALL
+       |    SELECT a.src, b.dst FROM vsy a JOIN vsy b ON b.src = a.dst
+       |    WHERE b.dst <> a.src) u),
+       |${nndOracleRound("pcand", "ppool", PrunePool)},
+       |ppw AS MATERIALIZED (
+       |  SELECT p.src, p.dst AS a, q.dst AS b, ${cosSql("x", "y")} AS cos
+       |  FROM ppool p JOIN ppool q ON q.src = p.src AND q.dst <> p.dst
+       |  JOIN embeddings x ON x.vec_id = p.dst
+       |  JOIN embeddings y ON y.vec_id = q.dst),
+       |pk1 AS (SELECT src, dst, cos, rank FROM ppool WHERE rank = 1),
+       |$steps""".stripMargin
+  }
+
+  /** Spark twin of [[pruneOracleSteps]]: the full-corpus α-pruned graph
+    * (src, dst, cos, rank-within-pool) — q381's artifact, q382's index.
+    */
+  private[operators] def alphaPrunedGraph(s: SparkSession,
+      d: String): DataFrame =
+    graft.Artifacts.checkpointedDf(s, s"alpha_pruned:$d") {
+      VectorFunctions.register(s)
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val g = nnDescentGraphs(s, d).last.select("src", "dst")
+      val sym = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val cand = sym
+        .unionByName(sym.toDF("src", "mid")
+          .join(sym.toDF("mid", "dst"), "mid")
+          .where(col("dst") =!= col("src"))
+          .select("src", "dst"))
+        .distinct()
+      val pool = nndTopK(e, cand, PrunePool).localCheckpoint()
+      val pw = pool.select(col("src"), col("dst").as("a"))
+        .join(pool.select(col("src"), col("dst").as("b")), "src")
+        .where(col("a") =!= col("b"))
+        .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+        .select(col("src"), col("a"), col("b"),
+          VectorFunctions.cosineSim(col("ea"), col("eb")).as("kcos"))
+        .localCheckpoint()
+      var kept = pool.where(col("rank") === 1).localCheckpoint()
+      (2 to PrunePool).foreach { i =>
+        val cnts = kept.groupBy("src").agg(count(lit(1)).as("kc"))
+        val ci = pool.where(col("rank") === i)
+          .join(cnts, Seq("src"))
+          .where(col("kc") < PruneR)
+          .select("src", "dst", "cos", "rank")
+        val dominated = ci
+          .join(kept.select(col("src"), col("dst").as("a")), "src")
+          .join(pw.withColumnRenamed("b", "dst"), Seq("src", "a", "dst"))
+          .where(lit(PruneAlpha) * (lit(1.0) - col("kcos"))
+            <= (lit(1.0) - col("cos")))
+          .select("src", "dst").distinct()
+        kept = kept
+          .unionByName(ci.join(dominated, Seq("src", "dst"), "left_anti"))
+          .localCheckpoint()
+      }
+      kept
+    }
+
+  /** q381: α-PRUNED GRAPH (Vamana RobustPrune) — the edge-selection
+    * rule that turns a raw kNN graph into a NAVIGABLE one: q366 keeps
+    * each vertex's 5 closest neighbors, which on clustered data all
+    * point into the same tight cluster, so a walk entering the wrong
+    * cluster can never leave (ScaleSpec's 0-ppm hashed-entry reading on
+    * the Gaussian fixture is exactly this). RobustPrune instead scans a
+    * 2K-deep candidate pool best-first and drops any candidate whose
+    * direction an already-kept edge covers (α-amplified angular
+    * dominance) — same ≤K degree, but the kept edges SPREAD: near
+    * neighbors that survive plus the long-range edges the closest-K
+    * rule crowds out (Subramanya et al. 2019; the RNG rule at α=1).
+    * Output is the bounded batch's pruned adjacency.
+    *
+    * Scale shape: pool acquisition is the NN-Descent verify round
+    * (O(n·K²) candidates, rescored top-2K); pairwise pool cosines are
+    * O(n·(2K)²·d) flops; the unroll is 2K rounds of equi-joins on
+    * kept sets that never exceed n·R rows. All vertex-id partitioned.
+    */
+  private val q381 = GraftQuery(
+    "q381_alpha_pruned_graph",
+    s"""WITH $nndOracleChain,
+       |$pruneOracleSteps
+       |SELECT src AS vec_id, row_number() OVER (PARTITION BY src
+       |    ORDER BY cos DESC, dst) AS rank, dst AS neighbor_id,
+       |  round(cos, 6) AS cos_sim
+       |FROM pk$PrunePool WHERE src < $QueryBatch
+       |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    alphaPrunedGraph(s, d)
+      .where(col("src") < QueryBatch)
+      .withColumn("rk", row_number().over(w))
+      .select(col("src").as("vec_id"), col("rk").as("rank"),
+        col("dst").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** q382: PRUNED-GRAPH SERVING AUDIT — q369's table with the
+    * diversification arm: the SAME hashed entries, hops and beam width
+    * over (a) q366's closest-K graph and (b) q381's α-pruned graph,
+    * scored-pair work and candidate recall@3 against the shared brute
+    * truth. Degree is ≤K on both sides, so any recall delta is pure
+    * EDGE SELECTION — the measured answer to "does diversification buy
+    * navigability on this corpus", the question RobustPrune exists for.
+    *
+    * MEASURED at sf0.01: pruned 293,333 ppm at 8,511 pairs vs closest-K
+    * 323,333 at 8,507 — on the isotropic corpus diversification LOSES a
+    * step: there are no clusters to escape, so trading near edges for
+    * spread ones only dilutes local recall. And the candidate pool
+    * bounds what pruning can ever buy here: the 2-hop pool of a
+    * within-cluster graph is itself within-cluster, so α-pruning alone
+    * cannot manufacture the long-range edges full Vamana gets from
+    * medoid-seeded search-path candidates — ScaleSpec therefore pins
+    * the properties the operator OWNS (α-dominance invariant, degree
+    * cap, measurably more spread neighborhoods than closest-K) rather
+    * than a recall bet the pool provenance decides.
+    */
+  private val q382 = GraftQuery(
+    "q382_pruned_serving_audit", {
+      def modeRow(mode: String, cand: String): String =
+        s"""SELECT '$mode' AS mode,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_candidates,
+           |  nt.n AS n_truth,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth t
+           |    WHERE EXISTS (SELECT 1 FROM $cand c
+           |      WHERE c.vec_id = t.vec_id
+           |        AND c.neighbor_id = t.neighbor_id)) AS n_hits,
+           |  CAST(((SELECT count(*) FROM truth t
+           |    WHERE EXISTS (SELECT 1 FROM $cand c
+           |      WHERE c.vec_id = t.vec_id
+           |        AND c.neighbor_id = t.neighbor_id)) * 1000000) // nt.n
+           |    AS BIGINT) AS recall_ppm
+           |FROM nt""".stripMargin
+      val pRounds = (1 to GbsHops).map { h =>
+        s"""${gbsOracleExpand(s"pb${h - 1}", s"px$h", "pgsy")},
+           |${gbsOracleRound(s"px$h", s"pb$h", GbsBeam)}""".stripMargin
+      }.mkString(",\n")
+      val pWork = (1 to GbsHops).map(h => s"SELECT qid, v FROM px$h")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $nndOracleChain,
+         |$gbsOracleChain,
+         |$pruneOracleSteps,
+         |${symCte(s"pk$PrunePool", "pgsy")},
+         |${gbsOracleRound("gent", "pb0", GbsBeam)},
+         |$pRounds,
+         |pgall AS (SELECT DISTINCT qid, v FROM (
+         |  SELECT qid, v FROM gent
+         |  UNION ALL $pWork) u),
+         |$truthOracle,
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+         |ugc AS MATERIALIZED (
+         |  SELECT qid AS vec_id, v AS neighbor_id FROM gall),
+         |pgc AS MATERIALIZED (
+         |  SELECT qid AS vec_id, v AS neighbor_id FROM pgall)
+         |${modeRow("alpha_pruned", "pgc")}
+         |UNION ALL ${modeRow("closest_k", "ugc")}
+         |ORDER BY mode""".stripMargin
+    }) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val batch = e.where(col("vec_id") < QueryBatch)
+    val truth = bruteForceTruth(e).localCheckpoint()
+    val nt = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    val (_, flatVisited) = graphBeamSearch(s, d)
+    val (_, prunedVisited) = beamSearchOn(s, s"pruned_beam:$d",
+      alphaPrunedGraph(s, d), e, batch, e.count())
+    def modeRow(mode: String, cand: DataFrame): DataFrame = {
+      val c = cand.localCheckpoint()
+      val nc = c.agg(count(lit(1)).as("n_candidates"))
+      val nh = truth.join(c, Seq("vec_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nc.crossJoin(nt).crossJoin(nh)
+        .select(lit(mode).as("mode"), col("n_candidates"), col("n_truth"),
+          col("n_hits"),
+          expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
+    }
+    modeRow("alpha_pruned", prunedVisited
+        .select(col("qid").as("vec_id"), col("v").as("neighbor_id")))
+      .unionByName(modeRow("closest_k", flatVisited
+        .select(col("qid").as("vec_id"), col("v").as("neighbor_id"))))
+      .orderBy("mode")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -9087,5 +9319,5 @@ object Similarity {
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
       q361, q362, q364, q365, q366, q367, q368, q369, q370, q372, q373,
-      q375, q376, q377, q378, q379, q380)
+      q375, q376, q377, q378, q379, q380, q381, q382)
 }

@@ -662,6 +662,51 @@ class ScaleSpec extends SparkSuite {
       s"descent entries must win on clustered data: $byMode")
   }
 
+  test("alpha-pruned graph: dominance invariant, degree cap, spread") {
+    // the three properties RobustPrune owns regardless of corpus
+    // regime (q382's scaladoc: recall is decided by pool provenance,
+    // so the spec pins the rule, not a recall bet):
+    //  1. degree cap: every vertex keeps at most PruneR = 5 edges;
+    //  2. alpha-dominance: no kept edge is dominated by an
+    //     earlier-kept one — 1.2*(1-cos(k,c)) > (1-cos(v,c)) for every
+    //     kept pair with rank_k < rank_c (the rule, re-verified on the
+    //     artifact with independently recomputed pairwise cosines);
+    //  3. diversification: kept neighborhoods are measurably more
+    //     SPREAD than the closest-K graph's — mean max pairwise cosine
+    //     inside a neighborhood strictly drops.
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val pruned = Similarity.alphaPrunedGraph(spark, dir).localCheckpoint()
+    val deg = pruned.groupBy("src")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+    assert(deg.where(col("d") > 5).count() === 0, "degree cap violated")
+    def pairCos(g: org.apache.spark.sql.DataFrame) = g
+      .select(col("src"), col("dst").as("a"), col("cos").as("cos_va"),
+        col("rank").as("ra"))
+      .join(g.select(col("src"), col("dst").as("b"), col("cos").as("cos_vb"),
+        col("rank").as("rb")), "src")
+      .where(col("a") =!= col("b"))
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos_ab",
+        graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")))
+    val violations = pairCos(pruned)
+      .where(col("ra") < col("rb"))
+      .where(lit(1.2) * (lit(1.0) - col("cos_ab"))
+        <= (lit(1.0) - col("cos_vb")))
+      .count()
+    assert(violations === 0, s"$violations kept pairs violate the alpha rule")
+    val closestK = Similarity.nnDescentGraphs(spark, dir).last
+    def meanMaxPair(g: org.apache.spark.sql.DataFrame): Double = pairCos(g)
+      .groupBy("src")
+      .agg(org.apache.spark.sql.functions.max(col("cos_ab")).as("mx"))
+      .agg(org.apache.spark.sql.functions.avg("mx")).head.getDouble(0)
+    val (sp, scl) = (meanMaxPair(pruned), meanMaxPair(closestK))
+    info(s"mean max within-neighborhood cosine: pruned $sp, closest-K $scl")
+    assert(sp < scl, s"pruned neighborhoods must spread: $sp >= $scl")
+  }
+
   test("TwoNN reads intrinsic dimension, not ambient dimension") {
     // q372's estimator, pinned on fixtures whose true intrinsic
     // dimension is KNOWN: 400 points on a smooth 1-d curve embedded in
