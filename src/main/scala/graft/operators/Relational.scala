@@ -1575,7 +1575,7 @@ object Relational {
         sum(length(col(c))).as("plain_bytes"))
       val dict = o.select(col(c).as("v")).distinct()
         .agg(sum(length(col("v"))).as("dict_bytes"))
-      base.crossJoin(broadcast(dict)).select(lit(c).as("col"),
+      base.crossJoin(broadcast(dict)).select(lit(c).as("col_name"),
         col("n"), col("ndv"), col("plain_bytes"), col("dict_bytes"))
     }
     audit("o_orderpriority").unionByName(audit("o_orderstatus"))
@@ -2712,10 +2712,127 @@ object Relational {
       .orderBy("rels")
   }
 
+  // ---- PII shape profiling + pseudonymization (q385/q386) ----
+
+  /** The PII shape patterns, shared VERBATIM by Spark's `rlike` (Java
+    * regex) and the oracle's `regexp_matches` (RE2) — the character
+    * classes used are in both dialects' common subset (no backrefs, no
+    * lookaround, no shorthand escapes).
+    */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    ("id_tag", "#[0-9]{9}"),
+    ("digit_run", "[0-9]{6,}"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"))
+
+  /** The string columns a release-review would profile, as
+    * (table, column) — every human-name-bearing or free-text column of
+    * the relational tables.
+    */
+  private val PiiColumns: Seq[(String, String)] = Seq(
+    ("customer", "c_name"), ("customer", "c_mktsegment"),
+    ("supplier", "s_name"), ("part", "p_name"), ("part", "p_brand"),
+    ("orders", "o_orderpriority"), ("events", "event_type"))
+
+  /** q385: PII SHAPE PROFILER — the schema-agnostic detection pass a
+    * privacy review runs BEFORE any table leaves the boundary: for
+    * every string column, the fraction of values matching each
+    * identifier shape (serial-tagged names `#ddddddddd`, long digit
+    * runs, emails). Columns whose match rate is ~10⁶ ppm are DIRECT
+    * identifiers (here: c_name and s_name, both fully serial-tagged —
+    * the columns q386's pseudonymization rewrites); the all-zero email
+    * row is the negative control that proves the profiler reads the
+    * data, not the schema. Suppression for quasi-identifiers is
+    * q211/q227/q265's territory; this query finds the columns those
+    * audits should be pointed at.
+    *
+    * Scale shape: one narrow aggregate per column (conditional sums of
+    * codegen'd RLIKE — no regex extraction, no row explosion), unioned
+    * at report grain. At 100 TB each column profile is a single
+    * map-side-combined pass over that column alone (column pruning
+    * keeps the scan narrow).
+    */
+  private val q385 = GraftQuery(
+    "q385_pii_shape_profile", {
+      val rows = for ((t, c) <- PiiColumns; (pn, pat) <- PiiPatterns) yield
+        s"""SELECT '$t' AS tbl, '$c' AS col_name, '$pn' AS pattern,
+           |  CAST(count(*) AS BIGINT) AS n_values,
+           |  CAST(sum(CASE WHEN regexp_matches($c, '$pat')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           |  CAST(sum(CASE WHEN regexp_matches($c, '$pat')
+           |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           |    AS match_ppm
+           |FROM $t""".stripMargin
+      rows.mkString("\nUNION ALL ") + "\nORDER BY tbl, col_name, pattern"
+    }) { (s, d) =>
+    PiiColumns.map { case (t, c) =>
+      Tables.table(s, d, t).agg(count(lit(1)).as("n_values"),
+          PiiPatterns.map { case (pn, pat) =>
+            sum(when(col(c).rlike(pat), 1L).otherwise(0L)).as(s"m_$pn")
+          }: _*)
+        .select(Seq(lit(t).as("tbl"), lit(c).as("col_name"), col("n_values")) ++
+          PiiPatterns.map { case (pn, _) => col(s"m_$pn") }: _*)
+        .select(col("tbl"), col("col_name"),
+          explode(array(PiiPatterns.map { case (pn, _) =>
+            struct(lit(pn).as("pattern"), col(s"m_$pn").as("n_matches"))
+          }: _*)).as("p"), col("n_values"))
+        .select(col("tbl"), col("col_name"), col("p.pattern").as("pattern"),
+          col("n_values"), col("p.n_matches").as("n_matches"),
+          expr("(p.n_matches * 1000000) div n_values").as("match_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("tbl", "col_name", "pattern")
+  }
+
+  /** q386: JOIN-PRESERVING PSEUDONYMIZATION — the rewrite q385's direct
+    * identifiers get before release: each c_name is replaced by a
+    * deterministic surrogate token 'C' + lpad(poly_hash(name)) (the
+    * shared [[graft.functions.PolyHash]] codegen kernel — same input,
+    * same token, so every downstream join and dedup keyed on the name
+    * still works, which is what separates pseudonymization from
+    * suppression). Output is the bounded released sample plus the
+    * corpus-grain collision audit as constant columns: n_names vs
+    * n_surrogates — a collision would MERGE two identities, the one
+    * failure mode this rewrite must prove absent before release
+    * (GDPR art. 4(5) pseudonymization, with the linkability caveat the
+    * k-anonymity family audits separately).
+    *
+    * Scale shape: one codegen'd hash per row (no shuffle for the
+    * rewrite itself); the collision audit is two countDistincts on one
+    * column. The released sample is id-bounded.
+    */
+  private val q386 = GraftQuery(
+    "q386_pseudonymize_release",
+    s"""WITH ps AS (
+       |  SELECT c_custkey,
+       |    'C' || lpad(CAST(${graft.functions.PolyHash.oracleSql("c_name")}
+       |      AS VARCHAR), 10, '0') AS surrogate
+       |  FROM customer),
+       |aud AS (
+       |  SELECT CAST(count(DISTINCT c_name) AS BIGINT) AS n_names,
+       |    CAST(count(DISTINCT 'C' || lpad(CAST(
+       |      ${graft.functions.PolyHash.oracleSql("c_name")}
+       |      AS VARCHAR), 10, '0')) AS BIGINT) AS n_surrogates
+       |  FROM customer)
+       |SELECT p.c_custkey, p.surrogate, a.n_names, a.n_surrogates
+       |FROM ps p CROSS JOIN aud a
+       |WHERE p.c_custkey < 100
+       |ORDER BY p.c_custkey""".stripMargin) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    val cust = Tables.customer(s, d)
+    val surr = concat(lit("C"),
+      lpad(graft.functions.PolyHash.hash(col("c_name")).cast("string"),
+        10, "0"))
+    val aud = broadcast(cust.agg(
+      countDistinct(col("c_name")).as("n_names"),
+      countDistinct(surr).as("n_surrogates")))
+    cust.select(col("c_custkey"), surr.as("surrogate"))
+      .where(col("c_custkey") < 100)
+      .crossJoin(aud)
+      .orderBy("c_custkey")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
       q15, q42, q46, q54, q61, q62, q63, q123, q130, q131, q132, q151, q152,
       q153, q156, q157, q158, q168, q178, q179, q182, q183, q184, q185, q186,
       q198, q201, q210, q211, q218, q219, q227, q228, q230, q233, q236, q240,
-      q265, q304, q305, q308, q326, q331, q342)
+      q265, q304, q305, q308, q326, q331, q342, q385, q386)
 }
