@@ -1143,7 +1143,79 @@ object TextAnalysis {
     out
   }
 
+  /** Curriculum epochs (temperature exponents 0..3). */
+  private val CurrEpochs = 4
+
+  /** q387: CURRICULUM ANNEAL SCHEDULE — the data-ORDERING operator a
+    * pretraining run plans with (the "anneal on high-quality data late"
+    * recipe of the public LLM training literature, made a query): per
+    * epoch e ∈ 0..${CurrEpochs − 1}, each document's sampling weight is
+    * n_tokens · q^e where q is the shared quality score ([[qualityMicroCol]],
+    * q27's kernel) in MILLI-units — e = 0 is plain token share (broad
+    * early coverage), rising e concentrates the token budget on
+    * high-quality sources. Output is the (epoch, source) schedule:
+    * docs, integer weight mass, and token-share ppm — the table the
+    * sampler of each epoch is configured from.
+    *
+    * Determinism: weights are INTEGER products (n_tokens · q_milli^e,
+    * built by repeated BIGINT multiplication — no pow(), no libm), so
+    * per-group sums are exact in any order; shares divide those exact
+    * integers as doubles (same ints → same IEEE quotient in both
+    * engines) and floor to ppm.
+    *
+    * Scale shape: one quality pass (q27's), one (epoch × source)-grain
+    * aggregate behind a 4-row epoch explode — map-side combinable,
+    * never a per-doc shuffle wider than the epoch fan; the schedule
+    * table is dims-sized.
+    */
+  private val q387 = GraftQuery(
+    "q387_curriculum_schedule",
+    s"""WITH $qualityOracleCte,
+       |qw AS (
+       |  SELECT t.epoch, d.source,
+       |    q.n_tokens * (CASE t.epoch
+       |      WHEN 0 THEN 1
+       |      WHEN 1 THEN (q.quality_micro // 1000)
+       |      WHEN 2 THEN (q.quality_micro // 1000) * (q.quality_micro // 1000)
+       |      ELSE (q.quality_micro // 1000) * (q.quality_micro // 1000)
+       |        * (q.quality_micro // 1000) END) AS w
+       |  FROM qual q JOIN documents d ON d.doc_id = q.doc_id
+       |  CROSS JOIN range(0, $CurrEpochs) t(epoch)),
+       |gs AS (
+       |  SELECT CAST(epoch AS BIGINT) AS epoch, source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(w) AS BIGINT) AS w_mass
+       |  FROM qw GROUP BY 1, 2),
+       |tot AS (SELECT epoch, CAST(sum(w_mass) AS BIGINT) AS w_tot
+       |  FROM gs GROUP BY 1)
+       |SELECT g.epoch, g.source, g.n_docs, g.w_mass,
+       |  CAST(floor(CAST(g.w_mass AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
+       |    * 1000000.0) AS BIGINT) AS share_ppm
+       |FROM gs g JOIN tot t ON t.epoch = g.epoch
+       |ORDER BY g.epoch, g.source""".stripMargin) { (s, d) =>
+    val qual = qualityBase(s, d)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        qualityMicroCol.as("quality_micro"))
+      .withColumn("qm", expr("quality_micro div 1000"))
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+    val weighted = qual
+      .withColumn("epoch", explode(typedLit((0 until CurrEpochs).toArray.map(_.toLong))))
+      .withColumn("w", col("n_tokens") * (
+        when(col("epoch") === 0, lit(1L))
+          .when(col("epoch") === 1, col("qm"))
+          .when(col("epoch") === 2, col("qm") * col("qm"))
+          .otherwise(col("qm") * col("qm") * col("qm"))))
+    val gs = weighted.groupBy("epoch", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_mass"))
+    val tot = gs.groupBy("epoch").agg(sum(col("w_mass")).as("w_tot"))
+    gs.join(broadcast(tot), "epoch")
+      .select(col("epoch"), col("source"), col("n_docs"), col("w_mass"),
+        floor(col("w_mass").cast("double") / col("w_tot").cast("double")
+          * lit(1000000.0)).cast("long").as("share_ppm"))
+      .orderBy("epoch", "source")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q26, q27, q28, q29, q69, q70, q100, q133, q134, q160, q174, q175,
-      q252, q297, q312, q328, q337)
+      q252, q297, q312, q328, q337, q387)
 }
