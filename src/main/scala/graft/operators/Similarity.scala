@@ -8411,6 +8411,70 @@ object Similarity {
         col("cos").as("cos")))), 1, NndK).as("top"))
   }
 
+  /** The q388 oracle: delete-masked one-hop graph serving — live batch
+    * queries, hashed entries plus their FULL-graph ring, tombstoned
+    * vertices (q110's LCG-bucket-9 fixture) excluded from both sides,
+    * scored once, top-3 (the one-hop shape a single stateful streaming
+    * aggregation can hold — q371's discipline with q377's mask).
+    */
+  private[graft] def graphMaskedServeOracle: String =
+    s"""WITH $nndOracleChain,
+       |${gbsOraclePrefix(
+          s"SELECT * FROM embeddings WHERE vec_id < $QueryBatch" +
+            s" AND NOT (${tombstoneSql("vec_id")})", "embeddings")},
+       |${gbsOracleExpand("gent", "xm")},
+       |xml AS (SELECT qid, v FROM xm
+       |  WHERE NOT (${tombstoneSql("v")})),
+       |${gbsOracleRound("xml", "bm", 3)}
+       |SELECT qid AS vec_id, rn AS rank, v AS neighbor_id,
+       |  round(cos, 6) AS cos_sim FROM (
+       |  SELECT qid, v, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, v) AS rn FROM bm) t
+       |WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  /** Streaming-safe delete-masked graph serving (q388's plan): arriving
+    * query vectors hash to entries (stateless), pull the FULL frozen
+    * graph's one-hop ring via stream-static equi-joins, and the
+    * deletion-request list is applied as stream-static ANTI-joins on
+    * BOTH sides before the ONE stateful top-3 aggregation — q377's
+    * "neither asks nor answers nor holds a rank slot" rule at ingest
+    * rate, with the mask an id TABLE (an external request log at
+    * production), never a recomputable predicate.
+    */
+  private[graft] def graphMaskedServePlan(s: SparkSession, d: String,
+      qs: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val n = e.count()
+    val sym = graft.Artifacts.checkpointedDf(s, s"nnd_full_sym:$d") {
+      val g = nnDescentGraphs(s, d).last.select("src", "dst")
+      g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
+    val tomb = e.select("vec_id").where(tombstoned(col("vec_id")))
+    val q = qs.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .join(tomb.toDF("qid"), Seq("qid"), "left_anti")
+    val entries = q
+      .withColumn("i", explode(typedLit((1 to GbsEntries).toArray)))
+      .select(col("qid"), col("qemb"),
+        ((col("qid") * NndMulA + col("i") * NndMulB) % n).as("v"))
+      .where(col("v") =!= col("qid"))
+      .join(e.select(col("vec_id").as("v")), Seq("v"), "left_semi")
+    val ring = entries
+      .join(sym.toDF("v", "w"), "v")
+      .where(col("w") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("w").as("v"))
+    entries.select("qid", "qemb", "v").unionByName(ring)
+      .join(tomb.toDF("v"), Seq("v"), "left_anti")
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("vemb")), "v")
+      .select(col("qid"), col("v"),
+        VectorFunctions.cosineSim(col("qemb"), col("vemb")).as("cos"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_set(struct(
+        (col("cos") * lit(-1)).as("ord"), col("v").as("neighbor_id"),
+        col("cos").as("cos")))), 1, 3).as("top"))
+  }
+
   /** Whole-vector exact-L2² SQL fragment (both sides float embeddings,
     * per-element double cast, left-to-right fold — the
     * [[graft.functions.VectorFunctions.l2DistSq]] twin, q102's l2truth

@@ -571,6 +571,34 @@ object StreamingQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** q388: STREAMING DELETE-MASKED GRAPH SERVE — q377's tombstone rule
+    * at ingest rate: the query stream is served from the frozen
+    * full-corpus kNN graph (hashed entries + one-hop ring via
+    * stream-static equi-joins,
+    * [[graft.operators.Similarity.graphMaskedServePlan]]) with the
+    * deletion-request list applied as stream-static ANTI-joins on both
+    * sides BEFORE the one stateful top-3 aggregation — a deletion
+    * takes effect on the very next micro-batch, no index rewrite, no
+    * state for the mask (it rides the static side). Gated on an
+    * independent DuckDB recompute of masked one-hop serving.
+    */
+  private val q388 = GraftQuery(
+    "q388_stream_graph_masked_serve",
+    graft.operators.Similarity.graphMaskedServeOracle) { (s, d) =>
+    val qs = EventStreams.readEmbeddings(s, d)
+      .where(col("vec_id") < graft.operators.Similarity.QueryBatch)
+      .select(col("vec_id"), col("embedding"))
+    val sunk = EventStreams.runToMemory(s,
+      graft.operators.Similarity.graphMaskedServePlan(s, d, qs),
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    sunk.select(col("qid").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** q111: ONLINE ANN serving — the query stream answered against the
     * static quantized index artifact
     * ([[graft.operators.Similarity.streamServePlan]]): arriving query
@@ -1441,5 +1469,5 @@ object StreamingQueries {
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347, q349, q350, q363, q371)
+      q336, q344, q347, q349, q350, q363, q371, q388)
 }
