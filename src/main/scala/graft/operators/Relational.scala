@@ -1575,7 +1575,7 @@ object Relational {
         sum(length(col(c))).as("plain_bytes"))
       val dict = o.select(col(c).as("v")).distinct()
         .agg(sum(length(col("v"))).as("dict_bytes"))
-      base.crossJoin(broadcast(dict)).select(lit(c).as("col_name"),
+      base.crossJoin(broadcast(dict)).select(lit(c).as("col"),
         col("n"), col("ndv"), col("plain_bytes"), col("dict_bytes"))
     }
     audit("o_orderpriority").unionByName(audit("o_orderstatus"))

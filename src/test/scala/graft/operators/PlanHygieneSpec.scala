@@ -228,11 +228,24 @@ class PlanHygieneSpec extends SparkSuite {
                            // 1-row CC summary (q218's audited shape);
                            // the dedup work itself is a filter on the
                            // graph artifact + the shared CC
-    "q376_graph_dedup_recall") // bounded batch×corpus τ-pair truth
+    "q376_graph_dedup_recall", // bounded batch×corpus τ-pair truth
                                // (q352's audited shape) + 1-row
                                // pair-count frames crossed per rule;
                                // both candidate rules ride vertex-id
                                // equi-joins on the graph artifact
+    "q380_hier_entry_audit", // q369's audited shape exactly: bounded
+                             // batch×corpus brute truth + 1-row count
+                             // frames crossed per entry-strategy mode
+    "q382_pruned_serving_audit", // q369's audited shape: brute truth +
+                                 // 1-row count frames per graph mode;
+                                 // prune unroll rides vertex-id
+                                 // equi-joins in the artifact build
+    "q384_graph_repair_roi", // bounded new-shard batch×corpus truth
+                             // (q44's shape) + 1-row hit/count frames
+                             // crossed per lifecycle arm
+    "q386_pseudonymize_release") // 1-row collision-audit frame
+                                 // (n_names, n_surrogates) broadcast-
+                                 // crossed onto the id-bounded sample
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
