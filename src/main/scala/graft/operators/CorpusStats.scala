@@ -2905,9 +2905,113 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** q389 shard fan (stand-in executors) and local top-m width. */
+  private val MtkShards = 4
+  private val MtkLocalM = 20
+
+  /** q389: MERGEABLE TOP-K WITH ERROR BOUNDS — what every distributed
+    * top-k actually computes at 100 TB: each shard (here the
+    * deterministic LCG doc buckets standing in for executors) ships only
+    * its LOCAL top-[[MtkLocalM]] term counts plus its m-th count (the
+    * ceiling any term it DIDN'T ship could have had there); the merge
+    * sums shipped counts into an underestimate `est` and adds the
+    * absent shards' ceilings into an upper bound `ub`, so every merged
+    * term carries est ≤ exact ≤ ub BY CONSTRUCTION — the classic
+    * local-top-m bound (the TPUT/three-phase family), which is what
+    * lets a coordinator PROVE the global top-k without a second
+    * corpus pass when bounds separate. The audit joins the exact global
+    * counts back on the merged top-10 and pins both inequalities as a
+    * `bound_ok` column, with the ub−exact slack in ppm — the number
+    * that says how much m must grow before bounds certify the ranking.
+    *
+    * Scale shape: per shard one (term count + rank) aggregation shipping
+    * O(m) rows; the merge is dims-sized (candidate union ≤ shards·m);
+    * only the AUDIT's exact-count join touches the corpus again, and
+    * only for 10 terms via a semi-join push.
+    */
+  private val q389 = GraftQuery(
+    "q389_mergeable_topk",
+    s"""WITH toks AS (
+       |  SELECT (${Pipeline.lcgSql("doc_id", Pipeline.SplitA,
+            Pipeline.SplitC)}) % $MtkShards AS shard,
+       |    unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |  FROM documents),
+       |sc AS (
+       |  SELECT shard, term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT shard, term, cnt, row_number() OVER (PARTITION BY shard
+       |    ORDER BY cnt DESC, term) AS r
+       |  FROM sc),
+       |loc AS (SELECT shard, term, cnt FROM rk WHERE r <= $MtkLocalM),
+       |ceilings AS (
+       |  SELECT shard, CAST(coalesce(max(CASE WHEN r = $MtkLocalM
+       |    THEN cnt END), 0) AS BIGINT) AS ceil_cnt
+       |  FROM rk GROUP BY 1),
+       |cand AS (SELECT DISTINCT term FROM loc),
+       |est AS (
+       |  SELECT c.term,
+       |    CAST(sum(coalesce(l.cnt, 0)) AS BIGINT) AS est,
+       |    CAST(sum(CASE WHEN l.cnt IS NULL THEN g.ceil_cnt ELSE 0 END)
+       |      AS BIGINT) AS slack
+       |  FROM cand c
+       |  CROSS JOIN ceilings g
+       |  LEFT JOIN loc l ON l.term = c.term AND l.shard = g.shard
+       |  GROUP BY 1),
+       |top AS (
+       |  SELECT term, est, est + slack AS ub,
+       |    row_number() OVER (ORDER BY est DESC, term) AS rnk
+       |  FROM est),
+       |exact AS (
+       |  SELECT t.term, CAST(count(*) AS BIGINT) AS exact
+       |  FROM toks t JOIN top ON top.term = t.term AND top.rnk <= 10
+       |  GROUP BY 1)
+       |SELECT t.rnk AS rank, t.term, t.est, e.exact, t.ub,
+       |  (t.est <= e.exact AND e.exact <= t.ub) AS bound_ok,
+       |  CAST((t.ub - e.exact) * 1000000 // e.exact AS BIGINT)
+       |    AS slack_ppm
+       |FROM top t JOIN exact e ON e.term = t.term
+       |WHERE t.rnk <= 10 ORDER BY t.rnk""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select((Pipeline.lcg(col("doc_id"), Pipeline.SplitA, Pipeline.SplitC)
+          % MtkShards).as("shard"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+    val sc = toks.groupBy("shard", "term").agg(count(lit(1)).as("cnt"))
+    val wS = Window.partitionBy("shard").orderBy(col("cnt").desc, col("term"))
+    val rk = sc.withColumn("r", row_number().over(wS))
+    val loc = rk.where(col("r") <= MtkLocalM).select("shard", "term", "cnt")
+      .localCheckpoint()
+    val ceilings = broadcast(rk.groupBy("shard")
+      .agg(coalesce(max(when(col("r") === MtkLocalM, col("cnt"))), lit(0L))
+        .as("ceil_cnt")))
+    val est = loc.select("term").distinct()
+      .crossJoin(ceilings)
+      .join(loc.withColumnRenamed("cnt", "lcnt"), Seq("term", "shard"), "left")
+      .groupBy("term")
+      .agg(sum(coalesce(col("lcnt"), lit(0L))).as("est"),
+        sum(when(col("lcnt").isNull, col("ceil_cnt")).otherwise(0L))
+          .as("slack"))
+    val top = est
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("est").desc, col("term"))))
+      .where(col("rnk") <= 10)
+      .select(col("rnk").as("rank"), col("term"), col("est"),
+        (col("est") + col("slack")).as("ub"))
+      .localCheckpoint()
+    val exact = toks.join(broadcast(top.select("term")), Seq("term"),
+        "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("exact"))
+    top.join(exact, "term")
+      .select(col("rank"), col("term"), col("est"), col("exact"), col("ub"),
+        (col("est") <= col("exact") && col("exact") <= col("ub"))
+          .as("bound_ok"),
+        expr("((ub - exact) * 1000000) div exact").as("slack_ppm"))
+      .orderBy("rank")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
       q225, q246, q247, q259, q260, q282, q286, q289, q292, q295, q311,
-      q313, q314, q329, q346)
+      q313, q314, q329, q346, q389)
 }
