@@ -243,9 +243,12 @@ class PlanHygieneSpec extends SparkSuite {
     "q384_graph_repair_roi", // bounded new-shard batch×corpus truth
                              // (q44's shape) + 1-row hit/count frames
                              // crossed per lifecycle arm
-    "q386_pseudonymize_release") // 1-row collision-audit frame
+    "q386_pseudonymize_release", // 1-row collision-audit frame
                                  // (n_names, n_surrogates) broadcast-
                                  // crossed onto the id-bounded sample
+    "q390_blockmax_skipping") // 1-row perfect-threshold frame crossed
+                              // onto the block-grain table per swept
+                              // width (q285's audited shape)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
