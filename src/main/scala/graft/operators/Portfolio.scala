@@ -4,6 +4,7 @@ import java.time.LocalDate
 import java.time.temporal.ChronoUnit
 
 import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -126,5 +127,113 @@ object Portfolio {
       .orderBy("o_custkey")
   }
 
-  val queries: Seq[GraftQuery] = Seq(q36, q320)
+  /** q391's target-allocation model portfolio: (asset class → weight in
+    * ppm), summing to exactly 1,000,000 — the strategy table of the
+    * reference's ecosystem (openalloc's SwiftRebalance family consumes
+    * FINporter imports precisely to compute this delta). Classes are the
+    * order-priority vocabulary standing in for asset classes.
+    */
+  private val TargetPpm: Seq[(String, Long)] = Seq(
+    ("1-URGENT", 400000L), ("2-HIGH", 250000L), ("3-MEDIUM", 150000L),
+    ("4-NOT SPECIFIED", 120000L), ("5-LOW", 80000L))
+
+  /** q391: TARGET-ALLOCATION REBALANCE — the downstream op the
+    * reference's import surface exists to feed: per account (customer),
+    * current holdings value by asset class vs a model-portfolio weight
+    * table, with target values apportioned by Hamilton's
+    * largest-remainder method PER ACCOUNT so every account's targets
+    * sum to EXACTLY its current total (floats would drift; the floor +
+    * remainder-rank construction is pure integer arithmetic — q223's
+    * discipline at account grain, the remainder window partitioned by
+    * account so no single-task sort). Classes the account doesn't hold
+    * ride the account × class grid with value 0 — a rebalance BUYS into
+    * missing classes, which an inner join would silently skip. Output
+    * is the trade list: current, target, delta cents and the BUY/SELL/
+    * HOLD side per (account, class).
+    *
+    * Scale shape: one hash aggregate to (account, class) cents, a
+    * 5-row-per-account grid explode, per-account windows — everything
+    * partitioned by account, embarrassingly parallel at any account
+    * count. Cents are per-row-rounded BIGINTs (q320's idiom), so sums
+    * are exact in any order.
+    */
+  private val q391 = GraftQuery(
+    "q391_target_rebalance", {
+      val wCase = TargetPpm.map { case (c, w) =>
+        s"WHEN '$c' THEN $w" }.mkString(" ")
+      val classRows = TargetPpm.map { case (c, _) => s"('$c')" }.mkString(", ")
+      s"""WITH cur AS (
+         |  SELECT o_custkey, o_orderpriority AS asset_class,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS cur_cents
+         |  FROM orders WHERE o_custkey < 100 GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT a.o_custkey, c.asset_class,
+         |    CAST(CASE c.asset_class $wCase END AS BIGINT) AS w_ppm
+         |  FROM (SELECT DISTINCT o_custkey FROM cur) a
+         |  CROSS JOIN (VALUES $classRows) c(asset_class)),
+         |held AS (
+         |  SELECT g.o_custkey, g.asset_class, g.w_ppm,
+         |    coalesce(u.cur_cents, 0) AS cur_cents
+         |  FROM grid g LEFT JOIN cur u
+         |    ON u.o_custkey = g.o_custkey AND u.asset_class = g.asset_class),
+         |tot AS (
+         |  SELECT o_custkey, CAST(sum(cur_cents) AS BIGINT) AS total_cents
+         |  FROM held GROUP BY 1),
+         |ham AS (
+         |  SELECT h.o_custkey, h.asset_class, h.cur_cents, t.total_cents,
+         |    (t.total_cents * h.w_ppm) // 1000000 AS fl,
+         |    (t.total_cents * h.w_ppm) % 1000000 AS fr
+         |  FROM held h JOIN tot t ON t.o_custkey = h.o_custkey),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY fr DESC, asset_class) AS r,
+         |    total_cents - sum(fl) OVER (PARTITION BY o_custkey) AS rem
+         |  FROM ham)
+         |SELECT o_custkey, asset_class, cur_cents,
+         |  CAST(fl + CASE WHEN r <= rem THEN 1 ELSE 0 END AS BIGINT)
+         |    AS target_cents,
+         |  CAST(fl + CASE WHEN r <= rem THEN 1 ELSE 0 END - cur_cents
+         |    AS BIGINT) AS delta_cents,
+         |  CASE WHEN fl + CASE WHEN r <= rem THEN 1 ELSE 0 END > cur_cents
+         |    THEN 'BUY'
+         |    WHEN fl + CASE WHEN r <= rem THEN 1 ELSE 0 END < cur_cents
+         |    THEN 'SELL' ELSE 'HOLD' END AS side
+         |FROM rk ORDER BY o_custkey, asset_class""".stripMargin
+    }) { (s, d) =>
+    val cur = Tables.orders(s, d)
+      .where(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"), col("o_orderpriority").as("asset_class"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cur_cents"))
+    val classes = TargetPpm.map { case (c, w) =>
+      struct(lit(c).as("asset_class"), lit(w).as("w_ppm")) }
+    val grid = cur.select("o_custkey").distinct()
+      .withColumn("cls", explode(array(classes: _*)))
+      .select(col("o_custkey"), col("cls.asset_class").as("asset_class"),
+        col("cls.w_ppm").as("w_ppm"))
+    val held = grid.join(cur, Seq("o_custkey", "asset_class"), "left")
+      .withColumn("cur_cents", coalesce(col("cur_cents"), lit(0L)))
+    val wA = Window.partitionBy("o_custkey")
+    val ham = held
+      .withColumn("total_cents", sum(col("cur_cents")).over(wA))
+      .withColumn("fl", expr("(total_cents * w_ppm) div 1000000"))
+      .withColumn("fr", expr("(total_cents * w_ppm) % 1000000"))
+      .withColumn("r", row_number().over(
+        wA.orderBy(col("fr").desc, col("asset_class"))))
+      .withColumn("rem", col("total_cents") - sum(col("fl")).over(wA))
+    ham
+      .withColumn("target_cents",
+        (col("fl") + when(col("r") <= col("rem"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("o_custkey"), col("asset_class"), col("cur_cents"),
+        col("target_cents"),
+        (col("target_cents") - col("cur_cents")).as("delta_cents"),
+        when(col("target_cents") > col("cur_cents"), "BUY")
+          .when(col("target_cents") < col("cur_cents"), "SELL")
+          .otherwise("HOLD").as("side"))
+      .orderBy("o_custkey", "asset_class")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(q36, q320, q391)
 }
