@@ -3791,10 +3791,155 @@ object Temporal {
       .orderBy("w_days", "step")
   }
 
+  /** q392 wash-sale replacement window, days each side of the sale. */
+  private val WashDays = 30
+
+  /** q392: WASH-SALE DETECTION — the tax-lot rule layered on q262's
+    * set-at-a-time FIFO kernel, on the richer (qty, price, date) ledger
+    * lineitem carries: per (customer, part), accepted lines (flag A/N)
+    * are BUY lots and returned lines (flag R) are SALES, FIFO-ordered by
+    * (ship date, orderkey, linenumber); each sale consumes the buy lots
+    * whose cumulative-quantity intervals overlap its own (the q262
+    * interval trick — no queue materializes). A matched parcel realizes
+    * a LOSS when the sale's unit price is below the lot's — tested as
+    * the integer cross-product sp·bq < bp·sq, so no float division
+    * decides money — and a loss sale is WASHED when a replacement buy
+    * of the same (customer, part) lands within ±[[WashDays]] days of
+    * the sale, where "replacement" excludes the very shares being sold
+    * (buys whose interval overlaps this sale's demand interval don't
+    * count). Output per bounded account: sales, loss sales, washed
+    * sales, and unit totals — the disallowed-loss report a cost-basis
+    * engine files from.
+    *
+    * Scale shape: everything rides (custkey, partkey) equi-joins after
+    * one lineitem⋈orders join; per-key cumulative windows; the pair and
+    * replacement joins are interval-residuals on FIFO-interleaved
+    * endpoints (≈ linear per key, q262's argument). All money/qty
+    * arithmetic is per-row-rounded BIGINTs.
+    */
+  private val q392 = GraftQuery(
+    "q392_wash_sale",
+    s"""WITH led AS (
+       |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+       |    l.l_orderkey AS ok, l.l_linenumber AS ln, l.l_returnflag AS fl,
+       |    CAST(round(l.l_quantity) AS BIGINT) AS qty,
+       |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+       |    CAST(l.l_shipdate AS DATE) AS d
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE o.o_custkey < 100),
+       |buys AS (
+       |  SELECT cust, part, ok, ln, qty, cents, d,
+       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
+       |      ORDER BY d, ok, ln
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+       |  FROM led WHERE fl IN ('A', 'N')),
+       |sells AS (
+       |  SELECT cust, part, ok, ln, qty, cents, d,
+       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
+       |      ORDER BY d, ok, ln
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ds
+       |  FROM led WHERE fl = 'R'),
+       |pairs AS (
+       |  SELECT s.cust, s.part, s.ok, s.ln, s.d,
+       |    least(b.cs + b.qty, s.ds + s.qty) - greatest(b.cs, s.ds) AS ov,
+       |    (s.cents * b.qty < b.cents * s.qty) AS is_loss
+       |  FROM sells s JOIN buys b ON b.cust = s.cust AND b.part = s.part
+       |    AND s.ds < b.cs + b.qty AND b.cs < s.ds + s.qty),
+       |sale_sum AS (
+       |  SELECT cust, part, ok, ln, d,
+       |    CAST(sum(ov) AS BIGINT) AS matched_units,
+       |    CAST(sum(CASE WHEN is_loss THEN ov ELSE 0 END) AS BIGINT)
+       |      AS loss_units
+       |  FROM pairs GROUP BY 1, 2, 3, 4, 5),
+       |washed AS (
+       |  SELECT ss.*, EXISTS (
+       |    SELECT 1 FROM buys b JOIN sells s2
+       |      ON s2.cust = b.cust AND s2.part = b.part
+       |        AND s2.ok = ss.ok AND s2.ln = ss.ln
+       |    WHERE b.cust = ss.cust AND b.part = ss.part
+       |      AND abs(date_diff('day', ss.d, b.d)) <= $WashDays
+       |      AND NOT (s2.ds < b.cs + b.qty AND b.cs < s2.ds + s2.qty))
+       |    AS is_washed
+       |  FROM sale_sum ss)
+       |SELECT cust AS o_custkey,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sells s
+       |     WHERE s.cust = w.cust) AS n_sales,
+       |  CAST(count(*) AS BIGINT) AS n_matched_sales,
+       |  CAST(sum(CASE WHEN loss_units > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_loss_sales,
+       |  CAST(sum(CASE WHEN loss_units > 0 AND is_washed THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_washed_sales,
+       |  CAST(sum(matched_units) AS BIGINT) AS matched_units,
+       |  CAST(sum(loss_units) AS BIGINT) AS loss_units,
+       |  CAST(sum(CASE WHEN is_washed THEN loss_units ELSE 0 END) AS BIGINT)
+       |    AS washed_loss_units
+       |FROM washed w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val led = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).where(col("o_custkey") < 100)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "l_orderkey")
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_returnflag").as("fl"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_shipdate").cast("date").as("d"))
+    val wC = Window.partitionBy("cust", "part")
+      .orderBy(col("d"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buys = led.where(col("fl").isin("A", "N"))
+      .withColumn("cs", coalesce(sum(col("qty")).over(wC), lit(0L)))
+      .localCheckpoint()
+    val sells = led.where(col("fl") === "R")
+      .withColumn("ds", coalesce(sum(col("qty")).over(wC), lit(0L)))
+      .localCheckpoint()
+    val b = buys.select(col("cust"), col("part"), col("qty").as("bq"),
+      col("cents").as("bc"), col("d").as("bd"), col("cs"))
+    val pairs = sells
+      .join(b, Seq("cust", "part"))
+      .where(col("ds") < col("cs") + col("bq")
+        && col("cs") < col("ds") + col("qty"))
+      .select(col("cust"), col("part"), col("ok"), col("ln"), col("d"),
+        col("ds"), col("qty"),
+        (least(col("cs") + col("bq"), col("ds") + col("qty"))
+          - greatest(col("cs"), col("ds"))).as("ov"),
+        (col("cents") * col("bq") < col("bc") * col("qty")).as("is_loss"))
+    val saleSum = pairs.groupBy("cust", "part", "ok", "ln", "d", "ds", "qty")
+      .agg(sum(col("ov")).as("matched_units"),
+        sum(when(col("is_loss"), col("ov")).otherwise(0L)).as("loss_units"))
+    val repl = saleSum
+      .join(b.select(col("cust"), col("part"), col("bq"), col("bd"),
+        col("cs")), Seq("cust", "part"))
+      .where(abs(datediff(col("bd"), col("d"))) <= WashDays
+        && !(col("ds") < col("cs") + col("bq")
+          && col("cs") < col("ds") + col("qty")))
+      .select("cust", "part", "ok", "ln").distinct()
+      .withColumn("is_washed", lit(true))
+    val washed = saleSum
+      .join(repl, Seq("cust", "part", "ok", "ln"), "left")
+      .withColumn("is_washed", coalesce(col("is_washed"), lit(false)))
+    val nSales = sells.groupBy("cust").agg(count(lit(1)).as("n_sales"))
+    washed.groupBy("cust")
+      .agg(count(lit(1)).as("n_matched_sales"),
+        sum(when(col("loss_units") > 0, 1L).otherwise(0L))
+          .as("n_loss_sales"),
+        sum(when(col("loss_units") > 0 && col("is_washed"), 1L)
+          .otherwise(0L)).as("n_washed_sales"),
+        sum(col("matched_units")).as("matched_units"),
+        sum(col("loss_units")).as("loss_units"),
+        sum(when(col("is_washed"), col("loss_units")).otherwise(0L))
+          .as("washed_loss_units"))
+      .join(nSales, "cust")
+      .select(col("cust").as("o_custkey"), col("n_sales"),
+        col("n_matched_sales"), col("n_loss_sales"), col("n_washed_sales"),
+        col("matched_units"), col("loss_units"), col("washed_loss_units"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
       q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
-      q319, q322, q323, q327, q332, q333, q334, q335, q338, q340)
+      q319, q322, q323, q327, q332, q333, q334, q335, q338, q340, q392)
 }
