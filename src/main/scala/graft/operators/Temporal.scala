@@ -3936,10 +3936,206 @@ object Temporal {
       .orderBy("o_custkey")
   }
 
+  /** q393: FIFO COST-BASIS P&L — realized and mark-to-market unrealized
+    * gains from the same interval-FIFO lot kernel as q392, completing
+    * the cost-basis report the reference's ecosystem computes from
+    * imported ledgers: per (customer, part), matched parcels realize
+    * ov·(sell_price − lot_price); buy quantity beyond total sales is
+    * the OPEN LONG position, marked against the part's latest observed
+    * ledger price; sale quantity beyond total buys is the OPEN SHORT
+    * (the interval kernel's "backorder" arm read as what it is —
+    * sell-first positions marked the other way). Unit prices are
+    * integer 10⁻⁴-cent quanta ((cents·10000) div qty — the per-lot
+    * price grain, so every product and sum below is exact BIGINT
+    * arithmetic and the mark-to-market identity
+    *   total = proceeds − cost + mark·(open_long − open_short)
+    * holds EXACTLY per account (WashSaleSpec pins it on live data) —
+    * floats could not promise that.
+    *
+    * Scale shape: q392's — (cust, part) equi-joins, per-key cumulative
+    * windows, near-linear interval residual; the mark table is one
+    * per-part latest-row window over the full ledger.
+    */
+  private val q393 = GraftQuery(
+    "q393_fifo_cost_basis",
+    s"""WITH led AS (
+       |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+       |    l.l_orderkey AS ok, l.l_linenumber AS ln, l.l_returnflag AS fl,
+       |    CAST(round(l.l_quantity) AS BIGINT) AS qty,
+       |    (CAST(round(l.l_extendedprice * 100) AS BIGINT) * 10000)
+       |      // CAST(round(l.l_quantity) AS BIGINT) AS up,
+       |    CAST(l.l_shipdate AS DATE) AS d
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE o.o_custkey < 100),
+       |mark AS (
+       |  SELECT part, up AS mark_up FROM (
+       |    SELECT l_partkey AS part,
+       |      (CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
+       |        // CAST(round(l_quantity) AS BIGINT) AS up,
+       |      row_number() OVER (PARTITION BY l_partkey
+       |        ORDER BY l_shipdate DESC, l_orderkey DESC,
+       |          l_linenumber DESC) AS r
+       |    FROM lineitem) t WHERE r = 1),
+       |buys AS (
+       |  SELECT cust, part, qty, up, d,
+       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
+       |      ORDER BY d, ok, ln
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+       |  FROM led WHERE fl IN ('A', 'N')),
+       |sells AS (
+       |  SELECT cust, part, qty, up, d,
+       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
+       |      ORDER BY d, ok, ln
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ds
+       |  FROM led WHERE fl = 'R'),
+       |tots AS (
+       |  SELECT cust, part,
+       |    CAST(coalesce(sum(CASE WHEN fl IN ('A','N') THEN qty END), 0)
+       |      AS BIGINT) AS s_total,
+       |    CAST(coalesce(sum(CASE WHEN fl = 'R' THEN qty END), 0)
+       |      AS BIGINT) AS d_total,
+       |    CAST(coalesce(sum(CASE WHEN fl IN ('A','N') THEN qty * up END),
+       |      0) AS BIGINT) AS cost,
+       |    CAST(coalesce(sum(CASE WHEN fl = 'R' THEN qty * up END), 0)
+       |      AS BIGINT) AS proceeds
+       |  FROM led GROUP BY 1, 2),
+       |realized AS (
+       |  SELECT s.cust, s.part,
+       |    CAST(sum((least(b.cs + b.qty, s.ds + s.qty)
+       |        - greatest(b.cs, s.ds)) * (s.up - b.up)) AS BIGINT) AS rz
+       |  FROM sells s JOIN buys b ON b.cust = s.cust AND b.part = s.part
+       |    AND s.ds < b.cs + b.qty AND b.cs < s.ds + s.qty
+       |  GROUP BY 1, 2),
+       |longs AS (
+       |  SELECT b.cust, b.part,
+       |    CAST(sum(b.cs + b.qty - greatest(b.cs, t.d_total)) AS BIGINT)
+       |      AS l_units,
+       |    CAST(sum((b.cs + b.qty - greatest(b.cs, t.d_total))
+       |        * (m.mark_up - b.up)) AS BIGINT) AS ul
+       |  FROM buys b JOIN tots t ON t.cust = b.cust AND t.part = b.part
+       |  JOIN mark m ON m.part = b.part
+       |  WHERE b.cs + b.qty > t.d_total GROUP BY 1, 2),
+       |shorts AS (
+       |  SELECT s.cust, s.part,
+       |    CAST(sum(s.ds + s.qty - greatest(s.ds, t.s_total)) AS BIGINT)
+       |      AS h_units,
+       |    CAST(sum((s.ds + s.qty - greatest(s.ds, t.s_total))
+       |        * (s.up - m.mark_up)) AS BIGINT) AS us
+       |  FROM sells s JOIN tots t ON t.cust = s.cust AND t.part = s.part
+       |  JOIN mark m ON m.part = s.part
+       |  WHERE s.ds + s.qty > t.s_total GROUP BY 1, 2)
+       |SELECT t.cust AS o_custkey,
+       |  CAST(sum(t.proceeds) AS BIGINT) AS proceeds_e4,
+       |  CAST(sum(t.cost) AS BIGINT) AS cost_e4,
+       |  CAST(sum(coalesce(r.rz, 0)) AS BIGINT) AS realized_e4,
+       |  CAST(sum(coalesce(lg.l_units, 0)) AS BIGINT) AS open_long_units,
+       |  CAST(sum(coalesce(lg.ul, 0)) AS BIGINT) AS unreal_long_e4,
+       |  CAST(sum(coalesce(sh.h_units, 0)) AS BIGINT) AS open_short_units,
+       |  CAST(sum(coalesce(sh.us, 0)) AS BIGINT) AS unreal_short_e4,
+       |  CAST(sum(coalesce(r.rz, 0) + coalesce(lg.ul, 0)
+       |    + coalesce(sh.us, 0)) AS BIGINT) AS total_pnl_e4,
+       |  CAST(sum(coalesce(lg.l_units, 0)
+       |    * (SELECT mark_up FROM mark m2 WHERE m2.part = t.part)
+       |    - coalesce(sh.h_units, 0)
+       |    * (SELECT mark_up FROM mark m2 WHERE m2.part = t.part))
+       |    AS BIGINT) AS net_mark_e4
+       |FROM tots t
+       |LEFT JOIN realized r ON r.cust = t.cust AND r.part = t.part
+       |LEFT JOIN longs lg ON lg.cust = t.cust AND lg.part = t.part
+       |LEFT JOIN shorts sh ON sh.cust = t.cust AND sh.part = t.part
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val qtyL = round(col("l_quantity")).cast("long")
+    val upE4 = expr(
+      "(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)" +
+        " div CAST(round(l_quantity) AS BIGINT)")
+    val led = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).where(col("o_custkey") < 100)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "l_orderkey")
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_returnflag").as("fl"), qtyL.as("qty"), upE4.as("up"),
+        col("l_shipdate").cast("date").as("d"))
+      .localCheckpoint()
+    val wM = Window.partitionBy("l_partkey").orderBy(col("l_shipdate").desc,
+      col("l_orderkey").desc, col("l_linenumber").desc)
+    val mark = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("part"), upE4.as("mark_up"),
+        row_number().over(wM).as("r"))
+      .where(col("r") === 1).select("part", "mark_up")
+    val wC = Window.partitionBy("cust", "part")
+      .orderBy(col("d"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buys = led.where(col("fl").isin("A", "N"))
+      .withColumn("cs", coalesce(sum(col("qty")).over(wC), lit(0L)))
+    val sells = led.where(col("fl") === "R")
+      .withColumn("ds", coalesce(sum(col("qty")).over(wC), lit(0L)))
+    val tots = led.groupBy("cust", "part")
+      .agg(coalesce(sum(when(col("fl").isin("A", "N"), col("qty"))), lit(0L))
+          .as("s_total"),
+        coalesce(sum(when(col("fl") === "R", col("qty"))), lit(0L))
+          .as("d_total"),
+        coalesce(sum(when(col("fl").isin("A", "N"),
+          col("qty") * col("up"))), lit(0L)).as("cost"),
+        coalesce(sum(when(col("fl") === "R", col("qty") * col("up"))),
+          lit(0L)).as("proceeds"))
+    val b = buys.select(col("cust"), col("part"), col("qty").as("bq"),
+      col("up").as("bup"), col("cs"))
+    val realized = sells.join(b, Seq("cust", "part"))
+      .where(col("ds") < col("cs") + col("bq")
+        && col("cs") < col("ds") + col("qty"))
+      .groupBy("cust", "part")
+      .agg(sum((least(col("cs") + col("bq"), col("ds") + col("qty"))
+        - greatest(col("cs"), col("ds")))
+        * (col("up") - col("bup"))).as("rz"))
+    val longs = buys.join(tots.select("cust", "part", "d_total"),
+        Seq("cust", "part"))
+      .where(col("cs") + col("qty") > col("d_total"))
+      .join(mark, "part")
+      .groupBy("cust", "part")
+      .agg(sum(col("cs") + col("qty") - greatest(col("cs"), col("d_total")))
+          .as("l_units"),
+        sum((col("cs") + col("qty") - greatest(col("cs"), col("d_total")))
+          * (col("mark_up") - col("up"))).as("ul"))
+    val shorts = sells.join(tots.select("cust", "part", "s_total"),
+        Seq("cust", "part"))
+      .where(col("ds") + col("qty") > col("s_total"))
+      .join(mark, "part")
+      .groupBy("cust", "part")
+      .agg(sum(col("ds") + col("qty") - greatest(col("ds"), col("s_total")))
+          .as("h_units"),
+        sum((col("ds") + col("qty") - greatest(col("ds"), col("s_total")))
+          * (col("up") - col("mark_up"))).as("us"))
+    tots
+      .join(realized, Seq("cust", "part"), "left")
+      .join(longs, Seq("cust", "part"), "left")
+      .join(shorts, Seq("cust", "part"), "left")
+      .join(mark, "part")
+      .groupBy("cust")
+      .agg(sum(col("proceeds")).as("proceeds_e4"),
+        sum(col("cost")).as("cost_e4"),
+        sum(coalesce(col("rz"), lit(0L))).as("realized_e4"),
+        sum(coalesce(col("l_units"), lit(0L))).as("open_long_units"),
+        sum(coalesce(col("ul"), lit(0L))).as("unreal_long_e4"),
+        sum(coalesce(col("h_units"), lit(0L))).as("open_short_units"),
+        sum(coalesce(col("us"), lit(0L))).as("unreal_short_e4"),
+        sum(coalesce(col("rz"), lit(0L)) + coalesce(col("ul"), lit(0L))
+          + coalesce(col("us"), lit(0L))).as("total_pnl_e4"),
+        sum(coalesce(col("l_units"), lit(0L)) * col("mark_up")
+          - coalesce(col("h_units"), lit(0L)) * col("mark_up"))
+          .as("net_mark_e4"))
+      .select(col("cust").as("o_custkey"), col("proceeds_e4"),
+        col("cost_e4"), col("realized_e4"), col("open_long_units"),
+        col("unreal_long_e4"), col("open_short_units"),
+        col("unreal_short_e4"), col("total_pnl_e4"), col("net_mark_e4"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q16, q17, q18, q19, q20, q21, q126, q127, q137, q166, q167, q170,
       q172, q180, q181, q188, q191, q192, q193, q194, q197, q199, q203, q204,
       q208, q209, q212, q213, q220, q226, q229, q232, q237, q238, q239, q241,
       q262, q264, q266, q269, q270, q279, q280, q299, q306, q310, q316,
-      q319, q322, q323, q327, q332, q333, q334, q335, q338, q340, q392)
+      q319, q322, q323, q327, q332, q333, q334, q335, q338, q340, q392,
+      q393)
 }

@@ -69,4 +69,22 @@ class WashSaleSpec extends SparkSuite {
     assert(g("loss_units") === 30)
     assert(g("washed_loss_units") === 10)
   }
+
+  test("cost-basis mark-to-market identity holds exactly on live data") {
+    // q393's integer-arithmetic promise: per account,
+    //   total_pnl == proceeds - cost + mark * (open_long - open_short)
+    // EXACTLY (the e4 price quanta make every term a BIGINT — a float
+    // pipeline could only assert this within a tolerance). Run on the
+    // real sf0.001 ledger, all accounts.
+    val rows = graft.SparkEntry.queries("q393_fifo_cost_basis")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val byName = r.schema.fieldNames.zipWithIndex.toMap
+      def g(n: String): Long = r.getLong(byName(n))
+      assert(g("total_pnl_e4") ===
+        g("proceeds_e4") - g("cost_e4") + g("net_mark_e4"),
+        s"identity violated for account ${g("o_custkey")}")
+    }
+  }
 }
