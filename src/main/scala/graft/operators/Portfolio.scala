@@ -133,7 +133,7 @@ object Portfolio {
     * FINporter imports precisely to compute this delta). Classes are the
     * order-priority vocabulary standing in for asset classes.
     */
-  private val TargetPpm: Seq[(String, Long)] = Seq(
+  private[graft] val TargetPpm: Seq[(String, Long)] = Seq(
     ("1-URGENT", 400000L), ("2-HIGH", 250000L), ("3-MEDIUM", 150000L),
     ("4-NOT SPECIFIED", 120000L), ("5-LOW", 80000L))
 
@@ -157,8 +157,10 @@ object Portfolio {
     * count. Cents are per-row-rounded BIGINTs (q320's idiom), so sums
     * are exact in any order.
     */
-  private val q391 = GraftQuery(
-    "q391_target_rebalance", {
+  /** q391's oracle text, shared verbatim by the streaming twin q394
+    * (stream == batch == DuckDB on the same trade list).
+    */
+  private[graft] val rebalanceOracle: String = {
       val wCase = TargetPpm.map { case (c, w) =>
         s"WHEN '$c' THEN $w" }.mkString(" ")
       val classRows = TargetPpm.map { case (c, _) => s"('$c')" }.mkString(", ")
@@ -200,7 +202,10 @@ object Portfolio {
          |    WHEN fl + CASE WHEN r <= rem THEN 1 ELSE 0 END < cur_cents
          |    THEN 'SELL' ELSE 'HOLD' END AS side
          |FROM rk ORDER BY o_custkey, asset_class""".stripMargin
-    }) { (s, d) =>
+  }
+
+  private val q391 = GraftQuery(
+    "q391_target_rebalance", rebalanceOracle) { (s, d) =>
     val cur = Tables.orders(s, d)
       .where(col("o_custkey") < 100)
       .groupBy(col("o_custkey"), col("o_orderpriority").as("asset_class"))

@@ -92,6 +92,18 @@ object EventStreams {
     spark.readStream.schema(schema).parquet(streamPath)
   }
 
+  /** Streaming read of the orders table — the trade-LEDGER stream
+    * (arriving order files), [[readDocuments]]' finance-side twin: no
+    * timestamps beyond the order date, no watermark; consumers are
+    * per-account complete-mode aggregations (q394).
+    */
+  def readOrders(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    val streamPath = stageAsDir(src, "graft_orders")
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    spark.readStream.schema(schema).parquet(streamPath)
+  }
+
   /** Streaming read of the embeddings table — the index-MAINTENANCE
     * stream (newly embedded shards arriving as files); consumers are the
     * stateless frozen-codebook assign+encode (q109), [[readDocuments]]'

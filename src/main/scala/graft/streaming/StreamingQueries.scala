@@ -599,6 +599,70 @@ object StreamingQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** q394: STREAMING TARGET REBALANCE — q391's trade list recomputed as
+    * orders ARRIVE: the one stateful operator is the per-account pivot
+    * (5 conditional cents sums, complete mode — an account's holdings
+    * are exactly its running totals), and the Hamilton apportionment
+    * runs ROW-LOCALLY over the fixed 5-class vector in the read-back
+    * (floors, remainders, a 5×5 comparison rank, remainder
+    * distribution — no window, no second shuffle, which is what makes
+    * the rebalance STREAMABLE: the per-account state is 5 BIGINTs no
+    * matter how many orders arrive). Gated on q391's oracle verbatim —
+    * stream == batch == DuckDB on the same ledger.
+    */
+  private val q394 = GraftQuery(
+    "q394_stream_rebalance",
+    graft.operators.Portfolio.rebalanceOracle) { (s, d) =>
+    val classes = graft.operators.Portfolio.TargetPpm
+    val orders = EventStreams.readOrders(s, d)
+      .where(col("o_custkey") < 100)
+    val pivotAggs = classes.zipWithIndex.map { case ((c, _), i) =>
+      sum(when(col("o_orderpriority") === c,
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")).otherwise(0L))
+        .as(s"c$i")
+    }
+    val sunk = EventStreams.runToMemory(s,
+      orders.groupBy("o_custkey").agg(pivotAggs.head, pivotAggs.tail: _*),
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    val n = classes.size
+    val withTot = sunk.withColumn("t",
+      (0 until n).map(i => col(s"c$i")).reduce(_ + _))
+    val withHam = classes.zipWithIndex.foldLeft(withTot) {
+      case (acc, ((_, w), i)) => acc
+        .withColumn(s"fl$i", expr(s"(t * ${w}L) div 1000000"))
+        .withColumn(s"fr$i", expr(s"(t * ${w}L) % 1000000"))
+    }
+    val withRem = withHam.withColumn("rem",
+      col("t") - (0 until n).map(i => col(s"fl$i")).reduce(_ + _))
+    // rank of class i among the 5 fractional remainders, ties broken by
+    // ascending class name — TargetPpm is listed in ascending-name
+    // order, so index order IS the tie-break
+    val ranked = classes.indices.foldLeft(withRem) { case (acc, i) =>
+      acc.withColumn(s"rk$i", lit(1L) + classes.indices.filter(_ != i)
+        .map { j =>
+          val beats =
+            if (j < i) col(s"fr$j") >= col(s"fr$i")
+            else col(s"fr$j") > col(s"fr$i")
+          when(beats, 1L).otherwise(0L)
+        }.reduce(_ + _))
+    }
+    val rows = ranked.select(col("o_custkey"),
+      posexplode(array(classes.zipWithIndex.map { case ((c, _), i) =>
+        struct(lit(c).as("asset_class"), col(s"c$i").as("cur_cents"),
+          (col(s"fl$i") + when(col(s"rk$i") <= col("rem"), 1L)
+            .otherwise(0L)).as("target_cents"))
+      }: _*)))
+    rows.select(col("o_custkey"), col("col.asset_class").as("asset_class"),
+        col("col.cur_cents").as("cur_cents"),
+        col("col.target_cents").as("target_cents"))
+      .withColumn("delta_cents", col("target_cents") - col("cur_cents"))
+      .withColumn("side",
+        when(col("delta_cents") > 0, "BUY")
+          .when(col("delta_cents") < 0, "SELL").otherwise("HOLD"))
+      .orderBy("o_custkey", "asset_class")
+  }
+
   /** q111: ONLINE ANN serving — the query stream answered against the
     * static quantized index artifact
     * ([[graft.operators.Similarity.streamServePlan]]): arriving query
@@ -1469,5 +1533,5 @@ object StreamingQueries {
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347, q349, q350, q363, q371, q388)
+      q336, q344, q347, q349, q350, q363, q371, q388, q394)
 }
