@@ -3315,9 +3315,81 @@ object Pipeline {
       .orderBy("chunk_tokens")
   }
 
+  /** q395: PACKED-SEQUENCE ATTENTION-WASTE AUDIT — the number that
+    * decides whether a training run needs document-boundary attention
+    * masks: q268's concat-and-chunk packing puts fragments of unrelated
+    * documents into the same [[ChunkTokens]]-token sequence, and a
+    * plain causal mask lets every token attend across those boundaries
+    * — cross-document pairs are compute SPENT on attention that is
+    * contamination, not context. Per packed sequence, fragment lengths
+    * fall out of the SAME cumulative-interval overlap q268 reads
+    * (doc interval [cum−tok, cum) × sequence interval [k·C, (k+1)·C)),
+    * intra-document pairs are Σ frag·(frag+1)/2, the causal total is
+    * T·(T+1)/2, and the difference is the wasted/contaminating pair
+    * count — reported per shard with its ppm share. All integer
+    * arithmetic on the one per-shard token cumulative.
+    *
+    * MEASURED at sf0.01: cross_ppm ≈ 870,000 on every shard — these
+    * short documents (~65 tokens) pack ~8 to a sequence, so SEVEN
+    * EIGHTHS of the causal-mask attention budget lands across document
+    * boundaries; the audit is the case for block-diagonal masks (or
+    * best-fit packing) stated as one number a training owner reads.
+    *
+    * Scale shape: q268's — per-shard windows at dataloader-shard
+    * parallelism, a ≤2-row sequence explode per document (docs are
+    * shorter than [[ChunkTokens]] here; generally ceil(tok/C)+1), and
+    * shard-grain rollups.
+    */
+  private val q395 = GraftQuery(
+    "q395_pack_attention_audit",
+    s"""WITH $packedCumCtes,
+       |fu AS (
+       |  SELECT shard, doc_id, cum, tok,
+       |    unnest(range(CAST((cum - tok) // $ChunkTokens AS BIGINT),
+       |      CAST(((cum - 1) // $ChunkTokens) + 1 AS BIGINT))) AS k
+       |  FROM c),
+       |f AS (
+       |  SELECT shard, doc_id, k AS seq,
+       |    least(cum, (k + 1) * $ChunkTokens)
+       |      - greatest(cum - tok, k * $ChunkTokens) AS frag
+       |  FROM fu),
+       |sq AS (
+       |  SELECT shard, seq, CAST(sum(frag) AS BIGINT) AS t,
+       |    CAST(sum(frag * (frag + 1) // 2) AS BIGINT) AS intra
+       |  FROM f GROUP BY 1, 2)
+       |SELECT CAST(shard AS INTEGER) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(t * (t + 1) // 2) AS BIGINT) AS total_pairs,
+       |  CAST(sum(intra) AS BIGINT) AS intra_pairs,
+       |  CAST(sum(t * (t + 1) // 2 - intra) AS BIGINT) AS cross_pairs,
+       |  CAST(sum(t * (t + 1) // 2 - intra) * 1000000
+       |    // sum(t * (t + 1) // 2) AS BIGINT) AS cross_ppm
+       |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val frags = packedCum(s, d)
+      .withColumn("k", explode(sequence(
+        expr(s"(cum - tok) div $ChunkTokens"),
+        expr(s"(cum - 1) div $ChunkTokens"))))
+      .select(col("shard"), col("k").as("seq"),
+        (least(col("cum"), (col("k") + 1) * ChunkTokens)
+          - greatest(col("cum") - col("tok"), col("k") * ChunkTokens))
+          .as("frag"))
+    val sq = frags.groupBy("shard", "seq")
+      .agg(sum(col("frag")).as("t"),
+        sum(expr("(frag * (frag + 1)) div 2")).as("intra"))
+    sq.groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(expr("(t * (t + 1)) div 2")).as("total_pairs"),
+        sum(col("intra")).as("intra_pairs"),
+        sum(expr("(t * (t + 1)) div 2 - intra")).as("cross_pairs"))
+      .select(col("shard").cast("int").as("shard"), col("n_seqs"),
+        col("total_pairs"), col("intra_pairs"), col("cross_pairs"),
+        expr("(cross_pairs * 1000000) div total_pairs").as("cross_ppm"))
+      .orderBy("shard")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
       q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
-      q303, q307, q315, q318, q324, q345, q374)
+      q303, q307, q315, q318, q324, q345, q374, q395)
 }
