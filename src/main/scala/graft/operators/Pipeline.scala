@@ -3387,9 +3387,116 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** q396's localized-erasure fixture: the q150 deletion bucket (LCG
+    * bucket 9 of the doc-id space), restricted to ONE dataloader shard —
+    * the "one delivery received erasures" scenario whose change a
+    * Merkle manifest must localize.
+    */
+  private val MerkleErasedShard = 5
+
+  /** q396: MERKLE SHARD MANIFEST — the corpus-versioning layer above
+    * q248's flat digests: per dataloader shard a commutative content
+    * digest (the shared row-hash summed mod 2⁶¹−1, layout/order/engine
+    * independent), then a binary hash tree over the shard axis (parent
+    * = PolyHash of its children's digest texts). Two versions are
+    * manifested side by side — the full corpus and a LIVE version with
+    * one shard's deletion-bucket docs erased — and the changed flag per
+    * node shows the property the tree exists for: the erasure perturbs
+    * EXACTLY the ⌈log₂ shards⌉+1 nodes on one root path (4 of 15 here),
+    * so two 100 TB replicas locate their divergence in O(log shards)
+    * digest comparisons instead of a shard-by-shard scan — the
+    * anti-entropy walk every replicated data lake runs.
+    *
+    * Scale shape: one map-side hash per row, partial-aggregated to
+    * shard grain; the tree is shards-sized metadata (log-depth chained
+    * joins on node ids).
+    */
+  private val q396 = GraftQuery(
+    "q396_merkle_manifest", {
+      val rowH = PolyHash.oracleSql(
+        "(CAST(doc_id AS VARCHAR)||'|'||lang||'|'||" +
+          "CAST(n_chars AS VARCHAR)||'|'||text)")
+      val parentH = PolyHash.oracleSql(
+        "(CAST(a.dig AS VARCHAR)||':'||CAST(b.dig AS VARCHAR))")
+      def chain(sfx: String, where: String): String = {
+        val levels = (0 until 3).map { i =>
+          s"""lv${i + 1}$sfx AS (
+             |  SELECT a.node // 2 AS node, $parentH AS dig
+             |  FROM lv$i$sfx a JOIN lv$i$sfx b ON b.node = a.node + 1
+             |  WHERE a.node % 2 = 0)""".stripMargin
+        }.mkString(",\n")
+        s"""r$sfx AS (
+           |  SELECT ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards
+           |      AS node,
+           |    $rowH AS h
+           |  FROM documents$where),
+           |lv0$sfx AS (
+           |  SELECT s.node, coalesce(g.dig, 0) AS dig
+           |  FROM range(0, $ShufShards) s(node)
+           |  LEFT JOIN (
+           |    SELECT node, CAST(sum(CAST(h AS HUGEINT))
+           |      % 2305843009213693951 AS BIGINT) AS dig
+           |    FROM r$sfx GROUP BY 1) g ON g.node = s.node),
+           |$levels""".stripMargin
+      }
+      val erased = s"(${lcgSql("doc_id", SplitA, SplitC)}) % 10 >= 9" +
+        s" AND ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards" +
+        s" = $MerkleErasedShard"
+      val allLv = (0 to 3).map { i =>
+        s"""SELECT CAST($i AS INTEGER) AS level,
+           |  CAST(b.node AS BIGINT) AS node,
+           |  b.dig AS digest_base, l.dig AS digest_live,
+           |  b.dig <> l.dig AS changed
+           |FROM lv${i}b b JOIN lv${i}l l ON l.node = b.node""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${chain("b", "")},
+         |${chain("l", s"\n  WHERE NOT ($erased)")}
+         |$allLv
+         |ORDER BY level, node""".stripMargin
+    }) { (s, d) =>
+    PolyHash.register(s)
+    val docs = Tables.documents(s, d)
+    val shard = (lcg(col("doc_id"), SampleA, SampleC) % ShufShards)
+      .cast("long")
+    val erased = (lcg(col("doc_id"), SplitA, SplitC) % 10 >= 9) &&
+      shard === MerkleErasedShard
+    val rowH = PolyHash.hash(concat(col("doc_id").cast("string"), lit("|"),
+      col("lang"), lit("|"), col("n_chars").cast("string"), lit("|"),
+      col("text")))
+    def tree(ds: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.DataFrame] = {
+      val leaf = s.range(ShufShards).toDF("node")
+        .join(ds.select(shard.as("node"), rowH.as("h"))
+          .groupBy("node")
+          .agg(expr("CAST(sum(CAST(h AS DECIMAL(38,0)))" +
+            " % 2305843009213693951 AS BIGINT)").as("dig")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("dig"), lit(0L)).as("dig"))
+      (0 until 3).scanLeft(leaf) { case (lv, _) =>
+        lv.where(col("node") % 2 === 0)
+          .select((col("node") / 2).cast("long").as("node"),
+            col("dig").as("da"))
+          .join(lv.where(col("node") % 2 === 1)
+            .select(((col("node") - 1) / 2).cast("long").as("node"),
+              col("dig").as("db")), "node")
+          .select(col("node"), PolyHash.hash(concat(
+            col("da").cast("string"), lit(":"), col("db").cast("string")))
+            .as("dig"))
+      }
+    }
+    val base = tree(docs)
+    val live = tree(docs.where(!erased))
+    base.zip(live).zipWithIndex.map { case ((b, l), i) =>
+      b.select(col("node"), col("dig").as("digest_base"))
+        .join(l.select(col("node"), col("dig").as("digest_live")), "node")
+        .select(lit(i).cast("int").as("level"), col("node"),
+          col("digest_base"), col("digest_live"),
+          (col("digest_base") =!= col("digest_live")).as("changed"))
+    }.reduce(_.unionByName(_)).orderBy("level", "node")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q57, q58, q59, q64, q81, q96, q97, q99, q117, q125, q128, q129, q135,
       q138, q142, q161, q165, q177, q202, q223, q234, q235, q242, q243,
       q248, q253, q261, q268, q273, q281, q283, q285, q288, q293, q301,
-      q303, q307, q315, q318, q324, q345, q374, q395)
+      q303, q307, q315, q318, q324, q345, q374, q395, q396)
 }
