@@ -577,13 +577,20 @@ object CorpusStats {
       .select("doc_id", "term", "sc")
   }
 
-  private def bm25ScoreFrames(postings: DataFrame, dl: DataFrame,
-      stats: DataFrame): DataFrame =
-    bm25TermScores(postings, dl, stats)
+  /** Per-doc BM25 total from a precomputed term-scores frame — the
+    * order-pinned fold alone, so callers holding a checkpointed
+    * [[bm25TermScores]] (q390) don't rebuild the scoring subtree.
+    */
+  private def bm25FoldScores(termScores: DataFrame): DataFrame =
+    termScores
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("scs"))
       .select(col("doc_id"),
         expr("aggregate(scs, 0D, (acc, s) -> acc + s.sc)").as("score"))
+
+  private def bm25ScoreFrames(postings: DataFrame, dl: DataFrame,
+      stats: DataFrame): DataFrame =
+    bm25FoldScores(bm25TermScores(postings, dl, stats))
 
   /** q90's oracle text, shared verbatim by its cold-start twin q122
     * (files == artifact == DuckDB).
@@ -3089,7 +3096,7 @@ object CorpusStats {
     val (postings, dl, stats) = bm25Index(s, d)
     val ts = bm25TermScores(postings, dl, stats).localCheckpoint()
     val tf = postings.where(col("term").isin(Bm25Terms: _*))
-    val scores = bm25ScoreFrames(postings, dl, stats)
+    val scores = bm25FoldScores(ts)
     val th = broadcast(scores
       .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
       .agg(min(col("score")).as("kth"), count(lit(1)).as("kc"))

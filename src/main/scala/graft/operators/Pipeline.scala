@@ -3394,6 +3394,18 @@ object Pipeline {
     */
   private val MerkleErasedShard = 5
 
+  /** Tree depth derived from the SHARED shard knob, with the
+    * power-of-two requirement the even/odd pair join relies on — a
+    * non-power [[ShufShards]] would silently drop the unpaired node at
+    * each level in BOTH engines (no gate catches same-wrong-both-sides),
+    * so it must fail at class-init instead.
+    */
+  private val MerkleLevels: Int = {
+    require(ShufShards > 0 && (ShufShards & (ShufShards - 1)) == 0,
+      s"q396's Merkle pair join needs power-of-two shards, got $ShufShards")
+    java.lang.Integer.numberOfTrailingZeros(ShufShards)
+  }
+
   /** q396: MERKLE SHARD MANIFEST — the corpus-versioning layer above
     * q248's flat digests: per dataloader shard a commutative content
     * digest (the shared row-hash summed mod 2⁶¹−1, layout/order/engine
@@ -3419,7 +3431,7 @@ object Pipeline {
       val parentH = PolyHash.oracleSql(
         "(CAST(a.dig AS VARCHAR)||':'||CAST(b.dig AS VARCHAR))")
       def chain(sfx: String, where: String): String = {
-        val levels = (0 until 3).map { i =>
+        val levels = (0 until MerkleLevels).map { i =>
           s"""lv${i + 1}$sfx AS (
              |  SELECT a.node // 2 AS node, $parentH AS dig
              |  FROM lv$i$sfx a JOIN lv$i$sfx b ON b.node = a.node + 1
@@ -3442,7 +3454,7 @@ object Pipeline {
       val erased = s"(${lcgSql("doc_id", SplitA, SplitC)}) % 10 >= 9" +
         s" AND ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards" +
         s" = $MerkleErasedShard"
-      val allLv = (0 to 3).map { i =>
+      val allLv = (0 to MerkleLevels).map { i =>
         s"""SELECT CAST($i AS INTEGER) AS level,
            |  CAST(b.node AS BIGINT) AS node,
            |  b.dig AS digest_base, l.dig AS digest_live,
@@ -3471,7 +3483,7 @@ object Pipeline {
             " % 2305843009213693951 AS BIGINT)").as("dig")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("dig"), lit(0L)).as("dig"))
-      (0 until 3).scanLeft(leaf) { case (lv, _) =>
+      (0 until MerkleLevels).scanLeft(leaf) { case (lv, _) =>
         lv.where(col("node") % 2 === 0)
           .select((col("node") / 2).cast("long").as("node"),
             col("dig").as("da"))

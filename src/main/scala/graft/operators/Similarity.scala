@@ -7231,22 +7231,44 @@ object Similarity {
     * against the stored assignment/code tables; counts are one
     * aggregate per mode over batch-bounded rows.
     */
+  /** ONE definition of the recall-audit row shared by every serving/
+    * entry/prune audit (q359/q369/q380/q382): candidate-pool size,
+    * truth hits against the shared `truth` CTE/frame, recall ppm. The
+    * SQL form assumes CTEs `truth` and `nt(n)` are in scope.
+    */
+  private def recallModeRowSql(mode: String, cand: String): String =
+    s"""SELECT '$mode' AS mode,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_candidates,
+       |  nt.n AS n_truth,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM truth t
+       |    WHERE EXISTS (SELECT 1 FROM $cand c
+       |      WHERE c.vec_id = t.vec_id
+       |        AND c.neighbor_id = t.neighbor_id)) AS n_hits,
+       |  CAST(((SELECT count(*) FROM truth t
+       |    WHERE EXISTS (SELECT 1 FROM $cand c
+       |      WHERE c.vec_id = t.vec_id
+       |        AND c.neighbor_id = t.neighbor_id)) * 1000000) // nt.n
+       |    AS BIGINT) AS recall_ppm
+       |FROM nt""".stripMargin
+
+  /** Spark twin of [[recallModeRowSql]] over (vec_id, neighbor_id)
+    * candidate frames; `truth` and `nt` are the shared brute-truth
+    * leaf and its broadcast 1-row count.
+    */
+  private def recallModeRow(mode: String, cand: DataFrame,
+      truth: DataFrame, nt: DataFrame): DataFrame = {
+    val c = cand.localCheckpoint()
+    val nc = c.agg(count(lit(1)).as("n_candidates"))
+    val nh = truth.join(c, Seq("vec_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nc.crossJoin(nt).crossJoin(nh)
+      .select(lit(mode).as("mode"), col("n_candidates"), col("n_truth"),
+        col("n_hits"),
+        expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
+  }
+
   private val q359 = GraftQuery(
     "q359_imi_serving_recall", {
-      def modeRow(mode: String, cand: String): String =
-        s"""SELECT '$mode' AS mode,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_candidates,
-           |  nt.n AS n_truth,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM truth t
-           |    WHERE EXISTS (SELECT 1 FROM $cand c
-           |      WHERE c.vec_id = t.vec_id
-           |        AND c.neighbor_id = t.neighbor_id)) AS n_hits,
-           |  CAST(((SELECT count(*) FROM truth t
-           |    WHERE EXISTS (SELECT 1 FROM $cand c
-           |      WHERE c.vec_id = t.vec_id
-           |        AND c.neighbor_id = t.neighbor_id)) * 1000000) // nt.n
-           |    AS BIGINT) AS recall_ppm
-           |FROM nt""".stripMargin
       s"""WITH $kmOracleTrain,
          |${pqOracleTrainFrom("embeddings", 0, "imi", 2, KImiSql)},
          |${pqOracleTrainFrom("embeddings", 1, "imi", 2, KImiSql)},
@@ -7281,9 +7303,9 @@ object Similarity {
          |  SELECT j.vec_id, i.vec_id AS neighbor_id
          |  FROM msc j JOIN idx i ON i.ca = j.ca AND i.cb = j.cb
          |    AND i.vec_id <> j.vec_id)
-         |${modeRow("flat", "cf")}
-         |UNION ALL ${modeRow("imi_multiseq", "cm")}
-         |UNION ALL ${modeRow("imi_square", "cs")}
+         |${recallModeRowSql("flat", "cf")}
+         |UNION ALL ${recallModeRowSql("imi_multiseq", "cm")}
+         |UNION ALL ${recallModeRowSql("imi_square", "cs")}
          |ORDER BY mode""".stripMargin
     }) { (s, d) =>
     VectorFunctions.register(s)
@@ -7320,18 +7342,9 @@ object Similarity {
       .join(idx, col("pa") === col("ca") && col("pb") === col("cb")
         && col("vec_id") =!= col("neighbor_id"))
       .select("vec_id", "neighbor_id")
-    def modeRow(mode: String, cand: DataFrame): DataFrame = {
-      val c = cand.localCheckpoint()
-      val nc = c.agg(count(lit(1)).as("n_candidates"))
-      val nh = truth.join(c, Seq("vec_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      nc.crossJoin(nt).crossJoin(nh)
-        .select(lit(mode).as("mode"), col("n_candidates"), col("n_truth"),
-          col("n_hits"),
-          expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
-    }
-    Seq(modeRow("flat", candFlat), modeRow("imi_multiseq", candMulti),
-        modeRow("imi_square", candSquare))
+    Seq(recallModeRow("flat", candFlat, truth, nt),
+        recallModeRow("imi_multiseq", candMulti, truth, nt),
+        recallModeRow("imi_square", candSquare, truth, nt))
       .reduce(_.unionByName(_)).orderBy("mode")
   }
 
@@ -8167,14 +8180,7 @@ object Similarity {
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM g$NndIters
        |    UNION ALL SELECT dst, src FROM g$NndIters)),
-       |gent AS MATERIALIZED (
-       |  SELECT DISTINCT qid, v FROM (
-       |    SELECT q.vec_id AS qid,
-       |      (q.vec_id * $NndMulA + t.i * $NndMulB) % x.n AS v
-       |    FROM ($qexpr) q
-       |    CROSS JOIN nndn x
-       |    CROSS JOIN range(1, ${GbsEntries + 1}) t(i)) s
-       |  WHERE v <> qid AND v IN (SELECT vec_id FROM $vsrc))""".stripMargin
+       |${hashedEntriesCte(qexpr, vsrc, "nndn", "gent")}""".stripMargin
 
   private def gbsOracleChainOn(qexpr: String, vsrc: String): String = {
     val rounds = (1 to GbsHops).map { h =>
@@ -8237,20 +8243,6 @@ object Similarity {
     */
   private val q369 = GraftQuery(
     "q369_graph_ann_recall", {
-      def modeRow(mode: String, cand: String): String =
-        s"""SELECT '$mode' AS mode,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_candidates,
-           |  nt.n AS n_truth,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM truth t
-           |    WHERE EXISTS (SELECT 1 FROM $cand c
-           |      WHERE c.vec_id = t.vec_id
-           |        AND c.neighbor_id = t.neighbor_id)) AS n_hits,
-           |  CAST(((SELECT count(*) FROM truth t
-           |    WHERE EXISTS (SELECT 1 FROM $cand c
-           |      WHERE c.vec_id = t.vec_id
-           |        AND c.neighbor_id = t.neighbor_id)) * 1000000) // nt.n
-           |    AS BIGINT) AS recall_ppm
-           |FROM nt""".stripMargin
       s"""WITH $kmOracleTrain,
          |$nndOracleChain,
          |$gbsOracleChain,
@@ -8268,8 +8260,8 @@ object Similarity {
          |ivc AS MATERIALIZED (
          |  SELECT p.vec_id, b.vec_id AS neighbor_id
          |  FROM fpr p JOIN a2 b ON b.cell = p.cell AND b.vec_id <> p.vec_id)
-         |${modeRow("flat_ivf_p2", "ivc")}
-         |UNION ALL ${modeRow("graph_beam", "gbc")}
+         |${recallModeRowSql("flat_ivf_p2", "ivc")}
+         |UNION ALL ${recallModeRowSql("graph_beam", "gbc")}
          |ORDER BY mode""".stripMargin
     }) { (s, d) =>
     VectorFunctions.register(s)
@@ -8286,18 +8278,8 @@ object Similarity {
     val (_, scoredAll) = graphBeamSearch(s, d)
     val candBeam = scoredAll
       .select(col("qid").as("vec_id"), col("v").as("neighbor_id"))
-    def modeRow(mode: String, cand: DataFrame): DataFrame = {
-      val c = cand.localCheckpoint()
-      val nc = c.agg(count(lit(1)).as("n_candidates"))
-      val nh = truth.join(c, Seq("vec_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      nc.crossJoin(nt).crossJoin(nh)
-        .select(lit(mode).as("mode"), col("n_candidates"), col("n_truth"),
-          col("n_hits"),
-          expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
-    }
-    modeRow("flat_ivf_p2", candFlat)
-      .unionByName(modeRow("graph_beam", candBeam))
+    recallModeRow("flat_ivf_p2", candFlat, truth, nt)
+      .unionByName(recallModeRow("graph_beam", candBeam, truth, nt))
       .orderBy("mode")
   }
 
@@ -9092,20 +9074,6 @@ object Similarity {
     */
   private val q380 = GraftQuery(
     "q380_hier_entry_audit", {
-      def modeRow(mode: String, cand: String): String =
-        s"""SELECT '$mode' AS mode,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_candidates,
-           |  nt.n AS n_truth,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM truth t
-           |    WHERE EXISTS (SELECT 1 FROM $cand c
-           |      WHERE c.vec_id = t.vec_id
-           |        AND c.neighbor_id = t.neighbor_id)) AS n_hits,
-           |  CAST(((SELECT count(*) FROM truth t
-           |    WHERE EXISTS (SELECT 1 FROM $cand c
-           |      WHERE c.vec_id = t.vec_id
-           |        AND c.neighbor_id = t.neighbor_id)) * 1000000) // nt.n
-           |    AS BIGINT) AS recall_ppm
-           |FROM nt""".stripMargin
       s"""WITH $nndOracleChain,
          |$gbsOracleChain,
          |$hierOracleCtes,
@@ -9116,8 +9084,8 @@ object Similarity {
          |hgc AS MATERIALIZED (
          |  SELECT DISTINCT qid AS vec_id, v AS neighbor_id FROM (
          |    SELECT qid, v FROM hgall UNION ALL SELECT qid, v FROM zgall) u)
-         |${modeRow("hashed_entry", "fgc")}
-         |UNION ALL ${modeRow("hier_entry", "hgc")}
+         |${recallModeRowSql("hashed_entry", "fgc")}
+         |UNION ALL ${recallModeRowSql("hier_entry", "hgc")}
          |ORDER BY mode""".stripMargin
     }) { (s, d) =>
     VectorFunctions.register(s)
@@ -9126,21 +9094,12 @@ object Similarity {
     val nt = broadcast(truth.agg(count(lit(1)).as("n_truth")))
     val (_, flatVisited) = graphBeamSearch(s, d)
     val (_, l0Visited, l1Visited) = hierSearch(s, d)
-    def modeRow(mode: String, cand: DataFrame): DataFrame = {
-      val c = cand.localCheckpoint()
-      val nc = c.agg(count(lit(1)).as("n_candidates"))
-      val nh = truth.join(c, Seq("vec_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      nc.crossJoin(nt).crossJoin(nh)
-        .select(lit(mode).as("mode"), col("n_candidates"), col("n_truth"),
-          col("n_hits"),
-          expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
-    }
     val hierCand = l0Visited.unionByName(l1Visited).distinct()
       .select(col("qid").as("vec_id"), col("v").as("neighbor_id"))
-    modeRow("hashed_entry", flatVisited
-        .select(col("qid").as("vec_id"), col("v").as("neighbor_id")))
-      .unionByName(modeRow("hier_entry", hierCand))
+    recallModeRow("hashed_entry", flatVisited
+        .select(col("qid").as("vec_id"), col("v").as("neighbor_id")),
+        truth, nt)
+      .unionByName(recallModeRow("hier_entry", hierCand, truth, nt))
       .orderBy("mode")
   }
 
@@ -9310,20 +9269,6 @@ object Similarity {
     */
   private val q382 = GraftQuery(
     "q382_pruned_serving_audit", {
-      def modeRow(mode: String, cand: String): String =
-        s"""SELECT '$mode' AS mode,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS n_candidates,
-           |  nt.n AS n_truth,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM truth t
-           |    WHERE EXISTS (SELECT 1 FROM $cand c
-           |      WHERE c.vec_id = t.vec_id
-           |        AND c.neighbor_id = t.neighbor_id)) AS n_hits,
-           |  CAST(((SELECT count(*) FROM truth t
-           |    WHERE EXISTS (SELECT 1 FROM $cand c
-           |      WHERE c.vec_id = t.vec_id
-           |        AND c.neighbor_id = t.neighbor_id)) * 1000000) // nt.n
-           |    AS BIGINT) AS recall_ppm
-           |FROM nt""".stripMargin
       val pRounds = (1 to GbsHops).map { h =>
         s"""${gbsOracleExpand(s"pb${h - 1}", s"px$h", "pgsy")},
            |${gbsOracleRound(s"px$h", s"pb$h", GbsBeam)}""".stripMargin
@@ -9345,8 +9290,8 @@ object Similarity {
          |  SELECT qid AS vec_id, v AS neighbor_id FROM gall),
          |pgc AS MATERIALIZED (
          |  SELECT qid AS vec_id, v AS neighbor_id FROM pgall)
-         |${modeRow("alpha_pruned", "pgc")}
-         |UNION ALL ${modeRow("closest_k", "ugc")}
+         |${recallModeRowSql("alpha_pruned", "pgc")}
+         |UNION ALL ${recallModeRowSql("closest_k", "ugc")}
          |ORDER BY mode""".stripMargin
     }) { (s, d) =>
     VectorFunctions.register(s)
@@ -9357,20 +9302,12 @@ object Similarity {
     val (_, flatVisited) = graphBeamSearch(s, d)
     val (_, prunedVisited) = beamSearchOn(s, s"pruned_beam:$d",
       alphaPrunedGraph(s, d), e, batch, e.count())
-    def modeRow(mode: String, cand: DataFrame): DataFrame = {
-      val c = cand.localCheckpoint()
-      val nc = c.agg(count(lit(1)).as("n_candidates"))
-      val nh = truth.join(c, Seq("vec_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      nc.crossJoin(nt).crossJoin(nh)
-        .select(lit(mode).as("mode"), col("n_candidates"), col("n_truth"),
-          col("n_hits"),
-          expr("(n_hits * 1000000) div n_truth").as("recall_ppm"))
-    }
-    modeRow("alpha_pruned", prunedVisited
-        .select(col("qid").as("vec_id"), col("v").as("neighbor_id")))
-      .unionByName(modeRow("closest_k", flatVisited
-        .select(col("qid").as("vec_id"), col("v").as("neighbor_id"))))
+    recallModeRow("alpha_pruned", prunedVisited
+        .select(col("qid").as("vec_id"), col("v").as("neighbor_id")),
+        truth, nt)
+      .unionByName(recallModeRow("closest_k", flatVisited
+        .select(col("qid").as("vec_id"), col("v").as("neighbor_id")),
+        truth, nt))
       .orderBy("mode")
   }
 

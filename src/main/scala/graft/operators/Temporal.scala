@@ -3791,6 +3791,67 @@ object Temporal {
       .orderBy("w_days", "step")
   }
 
+  /** Shared trade-ledger CTE chain for the lot-accounting family
+    * (q392/q393): lineitem⋈orders bounded to the audited accounts,
+    * quantity/money as per-row-rounded BIGINTs (cents, plus the
+    * 10⁻⁴-cent unit price), and the FIFO cumulative-quantity intervals
+    * per (customer, part) — ONE definition of the lot kernel both
+    * oracles build on.
+    */
+  private val lotLedgerCte: String =
+    s"""led AS (
+       |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
+       |    l.l_orderkey AS ok, l.l_linenumber AS ln, l.l_returnflag AS fl,
+       |    CAST(round(l.l_quantity) AS BIGINT) AS qty,
+       |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+       |    (CAST(round(l.l_extendedprice * 100) AS BIGINT) * 10000)
+       |      // CAST(round(l.l_quantity) AS BIGINT) AS up,
+       |    CAST(l.l_shipdate AS DATE) AS d
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE o.o_custkey < 100),
+       |buys AS (
+       |  SELECT cust, part, ok, ln, qty, cents, up, d,
+       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
+       |      ORDER BY d, ok, ln
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+       |  FROM led WHERE fl IN ('A', 'N')),
+       |sells AS (
+       |  SELECT cust, part, ok, ln, qty, cents, up, d,
+       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
+       |      ORDER BY d, ok, ln
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ds
+       |  FROM led WHERE fl = 'R')""".stripMargin
+
+  /** Spark twin of [[lotLedgerCte]]'s `led`: the checkpointed bounded
+    * trade ledger; [[lotBuys]]/[[lotSells]] add the FIFO cumulative.
+    */
+  private def lotLedger(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).where(col("o_custkey") < 100)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "l_orderkey")
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_returnflag").as("fl"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)" +
+          " div CAST(round(l_quantity) AS BIGINT)").as("up"),
+        col("l_shipdate").cast("date").as("d"))
+      .localCheckpoint()
+
+  private val lotCumWindow = Window.partitionBy("cust", "part")
+    .orderBy(col("d"), col("ok"), col("ln"))
+    .rowsBetween(Window.unboundedPreceding, -1)
+
+  private def lotBuys(led: DataFrame): DataFrame =
+    led.where(col("fl").isin("A", "N"))
+      .withColumn("cs", coalesce(sum(col("qty")).over(lotCumWindow), lit(0L)))
+
+  private def lotSells(led: DataFrame): DataFrame =
+    led.where(col("fl") === "R")
+      .withColumn("ds", coalesce(sum(col("qty")).over(lotCumWindow), lit(0L)))
+
   /** q392 wash-sale replacement window, days each side of the sale. */
   private val WashDays = 30
 
@@ -3819,26 +3880,7 @@ object Temporal {
     */
   private val q392 = GraftQuery(
     "q392_wash_sale",
-    s"""WITH led AS (
-       |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
-       |    l.l_orderkey AS ok, l.l_linenumber AS ln, l.l_returnflag AS fl,
-       |    CAST(round(l.l_quantity) AS BIGINT) AS qty,
-       |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
-       |    CAST(l.l_shipdate AS DATE) AS d
-       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-       |  WHERE o.o_custkey < 100),
-       |buys AS (
-       |  SELECT cust, part, ok, ln, qty, cents, d,
-       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
-       |      ORDER BY d, ok, ln
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
-       |  FROM led WHERE fl IN ('A', 'N')),
-       |sells AS (
-       |  SELECT cust, part, ok, ln, qty, cents, d,
-       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
-       |      ORDER BY d, ok, ln
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ds
-       |  FROM led WHERE fl = 'R'),
+    s"""WITH $lotLedgerCte,
        |pairs AS (
        |  SELECT s.cust, s.part, s.ok, s.ln, s.d,
        |    least(b.cs + b.qty, s.ds + s.qty) - greatest(b.cs, s.ds) AS ov,
@@ -3874,25 +3916,9 @@ object Temporal {
        |  CAST(sum(CASE WHEN is_washed THEN loss_units ELSE 0 END) AS BIGINT)
        |    AS washed_loss_units
        |FROM washed w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val led = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).where(col("o_custkey") < 100)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
-        "l_orderkey")
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
-        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        col("l_returnflag").as("fl"),
-        round(col("l_quantity")).cast("long").as("qty"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents"),
-        col("l_shipdate").cast("date").as("d"))
-    val wC = Window.partitionBy("cust", "part")
-      .orderBy(col("d"), col("ok"), col("ln"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val buys = led.where(col("fl").isin("A", "N"))
-      .withColumn("cs", coalesce(sum(col("qty")).over(wC), lit(0L)))
-      .localCheckpoint()
-    val sells = led.where(col("fl") === "R")
-      .withColumn("ds", coalesce(sum(col("qty")).over(wC), lit(0L)))
-      .localCheckpoint()
+    val led = lotLedger(s, d)
+    val buys = lotBuys(led).localCheckpoint()
+    val sells = lotSells(led).localCheckpoint()
     val b = buys.select(col("cust"), col("part"), col("qty").as("bq"),
       col("cents").as("bc"), col("d").as("bd"), col("cs"))
     val pairs = sells
@@ -3958,15 +3984,7 @@ object Temporal {
     */
   private val q393 = GraftQuery(
     "q393_fifo_cost_basis",
-    s"""WITH led AS (
-       |  SELECT o.o_custkey AS cust, l.l_partkey AS part,
-       |    l.l_orderkey AS ok, l.l_linenumber AS ln, l.l_returnflag AS fl,
-       |    CAST(round(l.l_quantity) AS BIGINT) AS qty,
-       |    (CAST(round(l.l_extendedprice * 100) AS BIGINT) * 10000)
-       |      // CAST(round(l.l_quantity) AS BIGINT) AS up,
-       |    CAST(l.l_shipdate AS DATE) AS d
-       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-       |  WHERE o.o_custkey < 100),
+    s"""WITH $lotLedgerCte,
        |mark AS (
        |  SELECT part, up AS mark_up FROM (
        |    SELECT l_partkey AS part,
@@ -3976,18 +3994,6 @@ object Temporal {
        |        ORDER BY l_shipdate DESC, l_orderkey DESC,
        |          l_linenumber DESC) AS r
        |    FROM lineitem) t WHERE r = 1),
-       |buys AS (
-       |  SELECT cust, part, qty, up, d,
-       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
-       |      ORDER BY d, ok, ln
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
-       |  FROM led WHERE fl IN ('A', 'N')),
-       |sells AS (
-       |  SELECT cust, part, qty, up, d,
-       |    coalesce(sum(qty) OVER (PARTITION BY cust, part
-       |      ORDER BY d, ok, ln
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ds
-       |  FROM led WHERE fl = 'R'),
        |tots AS (
        |  SELECT cust, part,
        |    CAST(coalesce(sum(CASE WHEN fl IN ('A','N') THEN qty END), 0)
@@ -4044,32 +4050,18 @@ object Temporal {
        |LEFT JOIN longs lg ON lg.cust = t.cust AND lg.part = t.part
        |LEFT JOIN shorts sh ON sh.cust = t.cust AND sh.part = t.part
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val qtyL = round(col("l_quantity")).cast("long")
     val upE4 = expr(
       "(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)" +
         " div CAST(round(l_quantity) AS BIGINT)")
-    val led = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).where(col("o_custkey") < 100)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
-        "l_orderkey")
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
-        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        col("l_returnflag").as("fl"), qtyL.as("qty"), upE4.as("up"),
-        col("l_shipdate").cast("date").as("d"))
-      .localCheckpoint()
+    val led = lotLedger(s, d)
     val wM = Window.partitionBy("l_partkey").orderBy(col("l_shipdate").desc,
       col("l_orderkey").desc, col("l_linenumber").desc)
     val mark = Tables.lineitem(s, d)
       .select(col("l_partkey").as("part"), upE4.as("mark_up"),
         row_number().over(wM).as("r"))
       .where(col("r") === 1).select("part", "mark_up")
-    val wC = Window.partitionBy("cust", "part")
-      .orderBy(col("d"), col("ok"), col("ln"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val buys = led.where(col("fl").isin("A", "N"))
-      .withColumn("cs", coalesce(sum(col("qty")).over(wC), lit(0L)))
-    val sells = led.where(col("fl") === "R")
-      .withColumn("ds", coalesce(sum(col("qty")).over(wC), lit(0L)))
+    val buys = lotBuys(led)
+    val sells = lotSells(led)
     val tots = led.groupBy("cust", "part")
       .agg(coalesce(sum(when(col("fl").isin("A", "N"), col("qty"))), lit(0L))
           .as("s_total"),
