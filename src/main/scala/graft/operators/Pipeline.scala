@@ -3423,34 +3423,122 @@ object Pipeline {
     * shard grain; the tree is shards-sized metadata (log-depth chained
     * joins on node ids).
     */
+  /** Shared Merkle generators (q396 batch manifest, q397 streaming
+    * leaf maintenance): row/parent hash texts, the per-version oracle
+    * CTE chain, and the Spark leaf/level builders.
+    */
+  private val merkleRowHSql: String = PolyHash.oracleSql(
+    "(CAST(doc_id AS VARCHAR)||'|'||lang||'|'||" +
+      "CAST(n_chars AS VARCHAR)||'|'||text)")
+
+  private val merkleParentHSql: String = PolyHash.oracleSql(
+    "(CAST(a.dig AS VARCHAR)||':'||CAST(b.dig AS VARCHAR))")
+
+  /** Oracle CTE chain for one corpus version: leaves lv0`sfx` through
+    * root lv[[MerkleLevels]]`sfx` over `documents` filtered by `where`.
+    */
+  private def merkleChainSql(sfx: String, where: String): String = {
+    val levels = (0 until MerkleLevels).map { i =>
+      s"""lv${i + 1}$sfx AS (
+         |  SELECT a.node // 2 AS node, $merkleParentHSql AS dig
+         |  FROM lv$i$sfx a JOIN lv$i$sfx b ON b.node = a.node + 1
+         |  WHERE a.node % 2 = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""r$sfx AS (
+       |  SELECT ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards
+       |      AS node,
+       |    $merkleRowHSql AS h
+       |  FROM documents$where),
+       |lv0$sfx AS (
+       |  SELECT s.node, coalesce(g.dig, 0) AS dig
+       |  FROM range(0, $ShufShards) s(node)
+       |  LEFT JOIN (
+       |    SELECT node, CAST(sum(CAST(h AS HUGEINT))
+       |      % 2305843009213693951 AS BIGINT) AS dig
+       |    FROM r$sfx GROUP BY 1) g ON g.node = s.node),
+       |$levels""".stripMargin
+  }
+
+  private def merkleShardCol = (lcg(col("doc_id"), SampleA, SampleC)
+    % ShufShards).cast("long")
+
+  private def merkleRowHCol = PolyHash.hash(concat(
+    col("doc_id").cast("string"), lit("|"), col("lang"), lit("|"),
+    col("n_chars").cast("string"), lit("|"), col("text")))
+
+  /** Dense 8-leaf frame (node, dig) from a documents frame. */
+  private def merkleLeafOf(s: SparkSession,
+      ds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    s.range(ShufShards).toDF("node")
+      .join(ds.select(merkleShardCol.as("node"), merkleRowHCol.as("h"))
+        .groupBy("node")
+        .agg(expr("CAST(sum(CAST(h AS DECIMAL(38,0)))" +
+          " % 2305843009213693951 AS BIGINT)").as("dig")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("dig"), lit(0L)).as("dig"))
+
+  /** All tree levels bottom-up from a dense (node, dig) leaf frame. */
+  private def merkleLevelsOf(
+      leaf: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.DataFrame] =
+    (0 until MerkleLevels).scanLeft(leaf) { case (lv, _) =>
+      lv.where(col("node") % 2 === 0)
+        .select((col("node") / 2).cast("long").as("node"),
+          col("dig").as("da"))
+        .join(lv.where(col("node") % 2 === 1)
+          .select(((col("node") - 1) / 2).cast("long").as("node"),
+            col("dig").as("db")), "node")
+        .select(col("node"), PolyHash.hash(concat(
+          col("da").cast("string"), lit(":"), col("db").cast("string")))
+          .as("dig"))
+    }
+
+
+  /** Streaming-safe Merkle leaf maintenance (q397's plan): arriving
+    * document files feed the ONE stateful operator — the per-shard
+    * digest sum in complete mode (commutative, so state is one DECIMAL
+    * per shard at any arrival rate/order); the Mersenne reduction and
+    * the hash tree are the dims-sized read-back epilogue.
+    */
+  private[graft] def merkleStreamPlan(
+      docsStream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docsStream.select(merkleShardCol.as("node"), merkleRowHCol.as("h"))
+      .groupBy("node")
+      .agg(expr("sum(CAST(h AS DECIMAL(38,0)))").as("sdig"))
+
+  /** Read-back for [[merkleStreamPlan]]'s sink: dense leaves → tree →
+    * (level, node, digest) rows.
+    */
+  private[graft] def merkleStreamReadback(s: SparkSession,
+      sunk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val leaf = s.range(ShufShards).toDF("node")
+      .join(sunk.select(col("node"),
+        expr("CAST(sdig % 2305843009213693951 AS BIGINT)").as("dig")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("dig"), lit(0L)).as("dig"))
+    merkleLevelsOf(leaf).zipWithIndex.map { case (lv, i) =>
+      lv.select(lit(i).cast("int").as("level"), col("node"),
+        col("dig").as("digest"))
+    }.reduce(_.unionByName(_)).orderBy("level", "node")
+  }
+
+  /** q397's oracle: the full-corpus Merkle tree recomputed from scratch
+    * ([[merkleChainSql]]'s base chain) at (level, node, digest) grain.
+    */
+  private[graft] val merkleStreamOracle: String = {
+    val allLv = (0 to MerkleLevels).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS level,
+         |  CAST(node AS BIGINT) AS node, dig AS digest FROM lv${i}b"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${merkleChainSql("b", "")}
+       |$allLv
+       |ORDER BY level, node""".stripMargin
+  }
+
   private val q396 = GraftQuery(
     "q396_merkle_manifest", {
-      val rowH = PolyHash.oracleSql(
-        "(CAST(doc_id AS VARCHAR)||'|'||lang||'|'||" +
-          "CAST(n_chars AS VARCHAR)||'|'||text)")
-      val parentH = PolyHash.oracleSql(
-        "(CAST(a.dig AS VARCHAR)||':'||CAST(b.dig AS VARCHAR))")
-      def chain(sfx: String, where: String): String = {
-        val levels = (0 until MerkleLevels).map { i =>
-          s"""lv${i + 1}$sfx AS (
-             |  SELECT a.node // 2 AS node, $parentH AS dig
-             |  FROM lv$i$sfx a JOIN lv$i$sfx b ON b.node = a.node + 1
-             |  WHERE a.node % 2 = 0)""".stripMargin
-        }.mkString(",\n")
-        s"""r$sfx AS (
-           |  SELECT ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards
-           |      AS node,
-           |    $rowH AS h
-           |  FROM documents$where),
-           |lv0$sfx AS (
-           |  SELECT s.node, coalesce(g.dig, 0) AS dig
-           |  FROM range(0, $ShufShards) s(node)
-           |  LEFT JOIN (
-           |    SELECT node, CAST(sum(CAST(h AS HUGEINT))
-           |      % 2305843009213693951 AS BIGINT) AS dig
-           |    FROM r$sfx GROUP BY 1) g ON g.node = s.node),
-           |$levels""".stripMargin
-      }
+      def chain(sfx: String, where: String): String =
+        merkleChainSql(sfx, where)
       val erased = s"(${lcgSql("doc_id", SplitA, SplitC)}) % 10 >= 9" +
         s" AND ${lcgSql("doc_id", SampleA, SampleC)} % $ShufShards" +
         s" = $MerkleErasedShard"
@@ -3468,33 +3556,10 @@ object Pipeline {
     }) { (s, d) =>
     PolyHash.register(s)
     val docs = Tables.documents(s, d)
-    val shard = (lcg(col("doc_id"), SampleA, SampleC) % ShufShards)
-      .cast("long")
     val erased = (lcg(col("doc_id"), SplitA, SplitC) % 10 >= 9) &&
-      shard === MerkleErasedShard
-    val rowH = PolyHash.hash(concat(col("doc_id").cast("string"), lit("|"),
-      col("lang"), lit("|"), col("n_chars").cast("string"), lit("|"),
-      col("text")))
-    def tree(ds: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.DataFrame] = {
-      val leaf = s.range(ShufShards).toDF("node")
-        .join(ds.select(shard.as("node"), rowH.as("h"))
-          .groupBy("node")
-          .agg(expr("CAST(sum(CAST(h AS DECIMAL(38,0)))" +
-            " % 2305843009213693951 AS BIGINT)").as("dig")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("dig"), lit(0L)).as("dig"))
-      (0 until MerkleLevels).scanLeft(leaf) { case (lv, _) =>
-        lv.where(col("node") % 2 === 0)
-          .select((col("node") / 2).cast("long").as("node"),
-            col("dig").as("da"))
-          .join(lv.where(col("node") % 2 === 1)
-            .select(((col("node") - 1) / 2).cast("long").as("node"),
-              col("dig").as("db")), "node")
-          .select(col("node"), PolyHash.hash(concat(
-            col("da").cast("string"), lit(":"), col("db").cast("string")))
-            .as("dig"))
-      }
-    }
+      merkleShardCol === MerkleErasedShard
+    def tree(ds: org.apache.spark.sql.DataFrame) =
+      merkleLevelsOf(merkleLeafOf(s, ds))
     val base = tree(docs)
     val live = tree(docs.where(!erased))
     base.zip(live).zipWithIndex.map { case ((b, l), i) =>

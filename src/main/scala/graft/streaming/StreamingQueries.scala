@@ -663,6 +663,29 @@ object StreamingQueries {
       .orderBy("o_custkey", "asset_class")
   }
 
+  /** q397: STREAMING MERKLE LEAVES — q396's anti-entropy manifest
+    * maintained at ingest rate: arriving document files update the
+    * per-shard commutative digest sums
+    * ([[graft.operators.Pipeline.merkleStreamPlan]], complete mode —
+    * ONE DECIMAL of state per shard no matter the arrival order, which
+    * is exactly why the digest algebra was chosen), and the read-back
+    * reduces mod 2⁶¹−1 and folds the hash tree. Gated on a DuckDB
+    * from-scratch recompute of the full tree — the stream's
+    * incrementally-held manifest can never drift from what a cold
+    * rebuild would publish.
+    */
+  private val q397 = GraftQuery(
+    "q397_stream_merkle",
+    graft.operators.Pipeline.merkleStreamOracle) { (s, d) =>
+    graft.functions.PolyHash.register(s)
+    val docs = EventStreams.readDocuments(s, d)
+    val sunk = EventStreams.runToMemory(s,
+      graft.operators.Pipeline.merkleStreamPlan(docs),
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "complete")
+    graft.operators.Pipeline.merkleStreamReadback(s, sunk)
+  }
+
   /** q111: ONLINE ANN serving — the query stream answered against the
     * static quantized index artifact
     * ([[graft.operators.Similarity.streamServePlan]]): arriving query
@@ -1533,5 +1556,5 @@ object StreamingQueries {
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347, q349, q350, q363, q371, q388, q394)
+      q336, q344, q347, q349, q350, q363, q371, q388, q394, q397)
 }
