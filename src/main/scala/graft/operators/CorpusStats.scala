@@ -3128,9 +3128,126 @@ object CorpusStats {
     }.reduce(_.unionByName(_)).orderBy("block_docs")
   }
 
+  /** q398 shard fan and per-shard summary width. */
+  private val MqShards = 8
+  private val MqK = 32
+
+  /** q398 quantile targets, integer percents. */
+  private val MqTargets = Seq(25, 50, 75, 90, 99)
+
+  /** q398: MERGEABLE QUANTILE SUMMARY — the quantile member of the
+    * mergeable-sketch family (CM q139, HLL q141, KMV q346, top-k q389):
+    * each shard ships only its [[MqK]] equi-spaced order statistics
+    * (the j·n/k-th values, each carrying weight n_s — the uniform
+    * per-shard summary every distributed percentile endpoint actually
+    * ships), and the merge sorts the ≤ shards·k weighted points and
+    * reads quantiles off the cumulative weight, never touching row
+    * grain again. The guarantee is RANK error ≤ N/k + one rank per
+    * shard's ceil — audited IN THE OUTPUT: each target's estimate is
+    * re-ranked exactly against the corpus and the |true − target| rank
+    * gap is emitted beside its bound with a bound_ok flag (ScaleSpec
+    * asserts the flag on live data; the gate only proves both engines
+    * agree). All integer arithmetic: values are per-row cents, weights
+    * and thresholds exact counts, the merge order (value, shard, j) a
+    * total order.
+    *
+    * Scale shape: one per-shard rank window (shard-partitioned), a
+    * k-row selection join per shard, then everything is (shards·k)-row
+    * metadata except the audit's one exact recount — which production
+    * omits; it exists here to measure the bound, not to serve.
+    */
+  private val q398 = GraftQuery(
+    "q398_mergeable_quantiles", {
+      val targetRows = MqTargets.map { q =>
+        s"""SELECT CAST($q AS BIGINT) AS pct,
+           |  (SELECT min(v) FROM mcum
+           |   WHERE cum >= ($q * (SELECT w FROM mtot) + 99) // 100)
+           |    AS est_cents
+           |FROM (VALUES (1)) one""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH vals AS (
+         |  SELECT (${Pipeline.lcgSql("l_orderkey", Pipeline.SplitA,
+              Pipeline.SplitC)}) % $MqShards AS shard,
+         |    l_orderkey AS ok, l_linenumber AS ln,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |rk AS (
+         |  SELECT shard, v, row_number() OVER (PARTITION BY shard
+         |    ORDER BY v, ok, ln) AS rn FROM vals),
+         |ns AS (SELECT shard, CAST(count(*) AS BIGINT) AS n
+         |  FROM vals GROUP BY 1),
+         |pts AS (
+         |  SELECT r.shard, t.j, r.v, s.n AS w
+         |  FROM ns s
+         |  CROSS JOIN range(1, ${MqK + 1}) t(j)
+         |  JOIN rk r ON r.shard = s.shard
+         |    AND r.rn = (t.j * s.n + $MqK - 1) // $MqK),
+         |mcum AS (
+         |  SELECT v, sum(w) OVER (ORDER BY v, shard, j
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pts),
+         |mtot AS (SELECT CAST($MqK AS BIGINT)
+         |  * (SELECT CAST(count(*) AS BIGINT) FROM vals) AS w),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+         |ests AS ($targetRows)
+         |SELECT e.pct, e.est_cents,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vals
+         |   WHERE v <= e.est_cents) AS true_rank,
+         |  (e.pct * nn.n + 99) // 100 AS target_rank,
+         |  abs((SELECT count(*) FROM vals WHERE v <= e.est_cents)
+         |    - ((e.pct * nn.n + 99) // 100)) AS rank_err,
+         |  nn.n // $MqK + $MqShards + 1 AS rank_bound,
+         |  abs((SELECT count(*) FROM vals WHERE v <= e.est_cents)
+         |    - ((e.pct * nn.n + 99) // 100))
+         |    <= nn.n // $MqK + $MqShards + 1 AS bound_ok
+         |FROM ests e CROSS JOIN nn
+         |ORDER BY e.pct""".stripMargin
+    }) { (s, d) =>
+    val vals = Tables.lineitem(s, d)
+      .select((Pipeline.lcg(col("l_orderkey"), Pipeline.SplitA,
+          Pipeline.SplitC) % MqShards).as("shard"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .localCheckpoint()
+    val wS = Window.partitionBy("shard")
+      .orderBy(col("v"), col("ok"), col("ln"))
+    val rk = vals.withColumn("rn", row_number().over(wS))
+      .select("shard", "v", "rn")
+    val ns = vals.groupBy("shard").agg(count(lit(1)).as("n"))
+    val pts = broadcast(ns)
+      .withColumn("j", explode(sequence(lit(1), lit(MqK))))
+      .withColumn("rn", expr(s"(j * n + ${MqK - 1}) div $MqK"))
+      .join(rk, Seq("shard", "rn"))
+      .select(col("shard"), col("j").cast("long").as("j"), col("v"),
+        col("n").as("w"))
+      .localCheckpoint()
+    val wCum = Window.orderBy(col("v"), col("shard"), col("j"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val mcum = pts.withColumn("cum", sum(col("w")).over(wCum))
+      .select("v", "cum").localCheckpoint()
+    val nTot = vals.count()
+    val wTot = MqK.toLong * nTot
+    val ests = MqTargets.map { q =>
+      val thr = (q.toLong * wTot + 99L) / 100L
+      mcum.where(col("cum") >= thr).agg(min(col("v")).as("est_cents"))
+        .select(lit(q.toLong).as("pct"), col("est_cents"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val ranked = ests.join(vals.select("v"),
+        col("v") <= col("est_cents"), "left")
+      .groupBy("pct", "est_cents")
+      .agg(count(col("v")).as("true_rank"))
+    ranked
+      .withColumn("target_rank", expr(s"(pct * ${nTot}L + 99) div 100"))
+      .withColumn("rank_err",
+        abs(col("true_rank") - col("target_rank")))
+      .withColumn("rank_bound", lit(nTot / MqK + MqShards + 1))
+      .withColumn("bound_ok", col("rank_err") <= col("rank_bound"))
+      .orderBy("pct")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q65, q66, q67, q68, q77, q89, q90, q95, q112, q113, q122,
       q139, q140, q141, q143, q144, q150, q162, q169, q171, q214, q216,
       q225, q246, q247, q259, q260, q282, q286, q289, q292, q295, q311,
-      q313, q314, q329, q346, q389, q390)
+      q313, q314, q329, q346, q389, q390, q398)
 }

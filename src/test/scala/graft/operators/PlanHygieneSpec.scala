@@ -246,9 +246,13 @@ class PlanHygieneSpec extends SparkSuite {
     "q386_pseudonymize_release", // 1-row collision-audit frame
                                  // (n_names, n_surrogates) broadcast-
                                  // crossed onto the id-bounded sample
-    "q390_blockmax_skipping") // 1-row perfect-threshold frame crossed
+    "q390_blockmax_skipping", // 1-row perfect-threshold frame crossed
                               // onto the block-grain table per swept
                               // width (q285's audited shape)
+    "q398_mergeable_quantiles") // 5-row estimate frame non-equi joined
+                                // for the exact rank recount (the
+                                // audit's one corpus pass; production
+                                // serves from the merged points alone)
 
   test("no registered batch query plans a cartesian; BNLJ census is pinned") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]

@@ -707,6 +707,23 @@ class ScaleSpec extends SparkSuite {
     assert(sp < scl, s"pruned neighborhoods must spread: $sp >= $scl")
   }
 
+  test("mergeable-quantile rank bound holds on live data") {
+    // q398's gated output carries bound_ok, but the gate only proves
+    // both engines AGREE — this pins that the N/k + shards + 1 rank
+    // bound actually holds (the merge's correctness claim) on the real
+    // ledger at every target.
+    val rows = graft.SparkEntry.queries("q398_mergeable_quantiles")(
+      spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val byName = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getBoolean(byName("bound_ok")),
+        s"rank bound violated at pct ${r.getLong(byName("pct"))}: " +
+          s"err ${r.getLong(byName("rank_err"))} > " +
+          s"bound ${r.getLong(byName("rank_bound"))}")
+    }
+  }
+
   test("TwoNN reads intrinsic dimension, not ambient dimension") {
     // q372's estimator, pinned on fixtures whose true intrinsic
     // dimension is KNOWN: 400 points on a smooth 1-d curve embedded in
