@@ -95,6 +95,28 @@ object BenchEmit {
     val total = results.map(_._2).filter(_ >= 0).sum
     render(results, retried, sfLabel, total, 3, 0, 0)
   }
+
+  /** [[fullJson]] plus the crowding sidecar (VERDICT r16 item 7): a
+    * separate top-level `"sidecar"` object maps each query to the JVM
+    * GC time it paid (`gc_ms`, delta across the query's run) and the
+    * executor storage memory held when it FINISHED (`storage_bytes` —
+    * cached/checkpointed blocks + broadcasts still alive). Read:
+    * a query whose suite time ≫ fresh-JVM time with large `gc_ms`
+    * and/or rising `storage_bytes` was crowded by suite-level JVM
+    * state, not slow by plan — the divergence is measured in the
+    * record instead of re-litigated each round. Kept OUT of the
+    * `"queries"` map so every existing consumer (bench_local.py, the
+    * driver's parse) reads the file unchanged.
+    */
+  def fullJsonWithSidecar(results: Seq[(String, Double)],
+      sidecar: Seq[(String, (Long, Long))], retried: Seq[String],
+      sfLabel: String): String = {
+    val base = fullJson(results, retried, sfLabel)
+    val side = sidecar.map { case (k, (gcMs, bytes)) =>
+      "\"" + k + "\":{\"gc_ms\":" + gcMs + ",\"storage_bytes\":" + bytes + "}"
+    }.mkString("{", ",", "}")
+    base.patch(base.lastIndexOf('}'), s""","sidecar":$side}""", 1)
+  }
 }
 
 /** Benchmark main (driver contract): runs every registered query against
@@ -165,6 +187,21 @@ object Bench {
     // downstream comparisons can discount it rather than read it as a
     // first-attempt number
     val retried = scala.collection.mutable.ArrayBuffer[String]()
+    // crowding sidecar (VERDICT r16 item 7): GC-time delta across each
+    // query + executor storage bytes at its end, into the full-record
+    // file only (a separate "sidecar" object; the stdout line and the
+    // "queries" map are unchanged for existing consumers)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    def storageBytes(): Long =
+      try spark.sparkContext.statusTracker.getExecutorInfos
+        .map(e => e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory())
+        .sum
+      catch { case _: Throwable => -1L }
+    val sidecar = scala.collection.mutable.ArrayBuffer[(String, (Long, Long))]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // one retry: a crowded-host transient (broadcast timeout, executor
       // hiccup) must not poison the round's record with a -1
@@ -175,13 +212,16 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None }
       }
-      name -> attempt().orElse {
+      val gc0 = gcMillis()
+      val sec = attempt().orElse {
         retried += name
         // drop session artifacts the failed attempt may have built, so
         // the retry pays the same artifact costs a clean attempt would
         try Artifacts.release(spark) catch { case _: Throwable => () }
         attempt()
       }.getOrElse(-1.0)
+      sidecar += name -> (gcMillis() - gc0, storageBytes())
+      name -> sec
     }
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // Full-precision record to a sidecar file (survives any stdout
@@ -189,7 +229,8 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-        (BenchEmit.fullJson(results, retried.toSeq, sfLabel) + "\n")
+        (BenchEmit.fullJsonWithSidecar(results, sidecar.toSeq, retried.toSeq,
+          sfLabel) + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")

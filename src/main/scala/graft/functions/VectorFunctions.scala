@@ -552,6 +552,103 @@ case class UnpackCodes(child: Expression)
     copy(child = newChild)
 }
 
+/** Kernel for [[PrefixCosines]] — ALL nested-prefix cosines of a vector
+  * pair in ONE left-to-right traversal. The matryoshka (MRL) audit needs
+  * cos(a[1..m], b[1..m]) at several nested cut points m₁ < m₂ < … ≤ dim;
+  * because the prefixes are nested, the running (dot, ‖a‖², ‖b‖²)
+  * accumulators at cut mᵢ are exactly the first-mᵢ partial sums of the
+  * full-dimension fold — so one pass emits every tier, replacing (per
+  * pair) |cuts| interpreted `aggregate(sequence(1,m), …)` higher-order
+  * folds × 3 accumulators with a single codegen loop, and letting the
+  * caller keep ONE pair table instead of cuts.length copies.
+  *
+  * Accumulation is per-term `dot += x·y` in dimension order and the
+  * emitted value is `dot / (sqrt(na) · sqrt(nb))` — the identical IEEE
+  * operation sequence as the HOF form it replaces and as the oracle's
+  * `list_reduce` folds, so results are bit-stable across the rewrite
+  * (q294's hash is pinned on this). Null policy: dimension mismatch or
+  * any null element within the largest in-range cut → null result (the
+  * [[CosineSimilarity]] policy); a cut beyond the vector's dimension →
+  * null at that SLOT (the HOF form's element_at-overflow behavior). A
+  * zero-norm prefix divides through like the HOF form did (NaN/Inf, not
+  * null) — fidelity over prettiness.
+  */
+object PrefixCosinesKernel {
+  def eval(a: ArrayData, b: ArrayData, cuts: Array[Int]): ArrayData = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    val out = new Array[Any](cuts.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0; var c = 0
+    while (c < cuts.length) {
+      val cut = cuts(c)
+      if (cut > n) out(c) = null
+      else {
+        while (i < cut) {
+          if (a.isNullAt(i) || b.isNullAt(i)) return null
+          val x = a.getFloat(i).toDouble
+          val y = b.getFloat(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        out(c) = java.lang.Double.valueOf(
+          dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `prefix_cosines(a, b, m₁, m₂, …)` → array<double> — cosine of the
+  * nested prefixes a[1..mᵢ], b[1..mᵢ] in one codegen pass (see
+  * [[PrefixCosinesKernel]]). Cut points are literal ints, strictly
+  * ascending and positive (enforced at registration), carried on the
+  * expression rather than as children so codegen embeds them as one
+  * reference `int[]`.
+  */
+case class PrefixCosines(left: Expression, right: Expression, cuts: Seq[Int])
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (!(ok(left.dataType) && ok(right.dataType)))
+      TypeCheckResult.TypeCheckFailure(
+        s"prefix_cosines requires array<float> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    else if (cuts.isEmpty || cuts.head <= 0 ||
+        cuts.sliding(2).exists(w => w.length == 2 && w(0) >= w(1)))
+      TypeCheckResult.TypeCheckFailure(
+        s"prefix_cosines cut points must be positive and strictly " +
+          s"ascending, got ${cuts.mkString(",")}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val cutsArr: Array[Int] = cuts.toArray
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    PrefixCosinesKernel.eval(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], cutsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cutsRef = ctx.addReferenceObj("cuts", cutsArr, "int[]")
+      s"""
+         |${ev.value} = graft.functions.PrefixCosinesKernel.eval($a, $b, $cutsRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Register `cosine_sim(a, b)` for SQL/expr use on a session. Idempotent;
     * queries that need the expression call this first, then refer to it via
@@ -598,6 +695,22 @@ object VectorFunctions {
       require(exprs.length == 1, "unpack_codes(b) takes exactly 1 argument")
       UnpackCodes(exprs.head)
     }
+  private[graft] val prefixCosinesBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length >= 3,
+        "prefix_cosines(a, b, m1, ...) takes 2 arrays + >=1 cut literal")
+      val cuts = exprs.drop(2).map { e =>
+        require(e.foldable,
+          "prefix_cosines cut points must be literal integers")
+        e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case o => throw new IllegalArgumentException(
+            s"prefix_cosines cut point must be an integer literal, got $o")
+        }
+      }
+      PrefixCosines(exprs(0), exprs(1), cuts)
+    }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -616,6 +729,8 @@ object VectorFunctions {
       "pack_codes", packCodesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unpack_codes", unpackCodesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "prefix_cosines", prefixCosinesBuilder, "built-in")
   }
 
   /** Column-API form, valid on any session where [[register]] has run. */
@@ -664,5 +779,11 @@ object VectorFunctions {
   def unpackCodes(b: Column): Column = {
     import org.apache.spark.sql.functions.{call_function}
     call_function("unpack_codes", b)
+  }
+
+  /** All nested-prefix cosines in one codegen pass, post-[[register]]. */
+  def prefixCosines(a: Column, b: Column, cuts: Seq[Int]): Column = {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    call_function("prefix_cosines", (Seq(a, b) ++ cuts.map(lit(_))): _*)
   }
 }

@@ -5372,11 +5372,17 @@ object Similarity {
     * 1), while these synthetic isotropic vectors measure recall ≈ m/64
     * — the honest "do not ship prefix serving on this model" answer.
     *
-    * One pass: pairs × the 4-row prefix broadcast, cosine over
-    * `sequence(1, m)` (prefix cosine — slice norms, not full-vector
-    * norms), one rank per (m, query); the truth tier is the m=64 slice
-    * of the SAME frame, so truth and tiers can never diverge in
-    * arithmetic.
+    * ONE pair pass (r16 VERDICT item 1): because the prefixes are
+    * NESTED (8 ⊂ 16 ⊂ 32 ⊂ 64), the codegen [[PrefixCosinesKernel]]
+    * emits all 4 tiers' cosines from a single traversal's running
+    * dot/norm² accumulators — the pair table is materialized ONCE and
+    * `posexplode` fans the tiers out, replacing the former 4× pair
+    * duplication × 3 interpreted `aggregate(sequence(1,m))` folds per
+    * copy (~12 interpreted array walks per pair) with one loop.
+    * Accumulation order and the final division are bit-identical to the
+    * HOF form and the oracle's `list_reduce`, so the hash is unchanged.
+    * One rank per (m, query); the truth tier is the m=64 slice of the
+    * SAME frame, so truth and tiers can never diverge in arithmetic.
     */
   private val q294 = GraftQuery(
     "q294_matryoshka_recall",
@@ -5405,28 +5411,26 @@ object Similarity {
        |SELECT CAST(h.m AS BIGINT) AS m, nq.nq AS n_queries, h.hits,
        |  CAST(h.hits * 1000000 // (nq.nq * 10) AS BIGINT) AS recall_ppm
        |FROM hits h CROSS JOIN nq ORDER BY m""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
     val qv = broadcast(e.where(col("vec_id") < QueryBatch)
       .select(col("vec_id"), col("embedding").as("emb_q")))
-    val ms = broadcast(s.createDataFrame(MrlPrefixes.map(Tuple1(_)))
-      .toDF("m"))
-    val prefCos = expr(
-      """aggregate(sequence(1, m), 0D, (acc, i) ->
-        |  acc + CAST(element_at(emb_q, i) AS DOUBLE)
-        |      * CAST(element_at(emb_c, i) AS DOUBLE))
-        |/ (sqrt(aggregate(sequence(1, m), 0D, (acc, i) ->
-        |    acc + CAST(element_at(emb_q, i) AS DOUBLE)
-        |        * CAST(element_at(emb_q, i) AS DOUBLE)))
-        | * sqrt(aggregate(sequence(1, m), 0D, (acc, i) ->
-        |    acc + CAST(element_at(emb_c, i) AS DOUBLE)
-        |        * CAST(element_at(emb_c, i) AS DOUBLE))))""".stripMargin)
     val w = Window.partitionBy("m", "vec_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // ONE batch×corpus pair pass: the nested prefixes share their partial
+    // sums, so prefix_cosines emits all |MrlPrefixes| tiers from a single
+    // codegen traversal (bit-identical to the per-tier HOF folds it
+    // replaced — same accumulation order, same final division), and
+    // posexplode fans the 4 tiers out WITHOUT duplicating the pair table.
     val top = qv
       .join(e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("emb_c")), col("vec_id") =!= col("neighbor_id"))
-      .crossJoin(ms)
-      .withColumn("cos", prefCos)
+      .select(col("vec_id"), col("neighbor_id"),
+        posexplode(VectorFunctions.prefixCosines(
+          col("emb_q"), col("emb_c"), MrlPrefixes)))
+      .select(col("vec_id"), col("neighbor_id"),
+        element_at(typedLit(MrlPrefixes.toArray), col("pos") + 1).as("m"),
+        col("col").as("cos"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 10)
       .select(col("m"), col("vec_id"), col("neighbor_id"))
@@ -6926,16 +6930,22 @@ object Similarity {
   /** The router DISPATCH for the SemDeDup tier: flat assignments + flat
     * probe rings below the crossover (every graded scale — q353's plan is
     * byte-identical to its pre-router form there), IMI product cells +
-    * product probe rings past it. q357 exercises the IMI arm
-    * unconditionally so the arm the fixtures can't reach by size is
-    * still oracle-gated at every sf.
+    * MULTI-SEQUENCE product probe rings past it. The at-scale arm ships
+    * [[imiMultiSeqProbes]] — the joint-distance frontier q365 measured
+    * strictly better than the p-per-half square at the identical p²
+    * budget (missed 106,194 vs 115,044 ppm against the same τ-pair
+    * truth) — so production routes on the rule the repo's own audit
+    * prefers. q364 exercises this exact (assigns, multiseq-probes)
+    * pairing unconditionally so the arm the fixtures can't reach by
+    * size stays oracle-gated at every sf; q357 keeps the square rings
+    * gated as the audited alternative.
     */
   private def routedSemDedupInputs(s: SparkSession,
       d: String): (DataFrame, DataFrame) =
     if (!routerIsImi(embCount(s, d)))
       (kmTrained(s, d)._2,
         corpusProbes(s, d).select(col("vec_id"), col("probe_cell")))
-    else (imiAssigns(s, d), imiProbes(s, d))
+    else (imiAssigns(s, d), imiMultiSeqProbes(s, d))
 
   /** The router dispatch for ASSIGNMENT-ONLY consumers (the kNN label
     * audit q339 needs cells but no probe rings): the flat trained
@@ -6968,9 +6978,12 @@ object Similarity {
     * cells stay k'² ~ √n forever (k' ~ n^(1/4) per half, ceiling 1024²
     * ≈ 10⁶ product cells), so within-cell pair work keeps the O(n^1.5)
     * contract at corpus sizes where [[kmKOf]]'s clamp would have made it
-    * quadratic. Runs the IMI arm UNCONDITIONALLY (the dispatch in
-    * [[routedSemDedupInputs]] picks flat below the crossover), so the
-    * at-scale arm is oracle-gated at every graded sf. Output cell ids
+    * quadratic. Runs the square-ring IMI arm UNCONDITIONALLY — since
+    * round 17 this is the AUDITED ALTERNATIVE, not the dispatched
+    * default: [[routedSemDedupInputs]] ships [[imiMultiSeqProbes]]
+    * (q364's frontier rings, measured strictly better by q365) past
+    * the crossover and flat below it; this query keeps the square rule
+    * oracle-gated at every graded sf. Output cell ids
     * are product cells (`cell_a·1024 + cell_b`). MEASURED at sf0.01
     * vs q353's flat routing: 60 within + 356 cross-cell verified
     * edges, 94 docs dropped (flat: 64 + 168, 71 dropped) — product
@@ -9472,6 +9485,78 @@ object Similarity {
       .orderBy("mode")
   }
 
+  /** The PRODUCTION graph-serving dispatch (r16 VERDICT item 6, the
+    * [[routedSemDedupInputs]] discipline applied to the serving tier):
+    * descent entries BY CONSTRUCTION — the query first beam-walks the
+    * layer-1 graph and its winners seed the layer-0 walk ([[hierSearch]])
+    * — because q380 measured descent entries never losing: equal recall
+    * at ~5% extra scored pairs on the isotropic corpus, and 996,666 vs
+    * 0 ppm on the clustered ScaleSpec fixture where blind hashed entries
+    * strand the walk in the wrong cluster. Hashed entries
+    * ([[graphBeamSearch]], q368/q369) stay registered as the audited
+    * alternative, exactly as the IMI square rings did. Returns (final
+    * layer-0 beam, full visited set INCLUDING the layer-1 descent's —
+    * those members are scored candidates too, and a serving rerank that
+    * ignored them would discard similarity work already paid for).
+    */
+  private def servedGraphSearch(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val (beam, l0Visited, l1Visited) = hierSearch(s, d)
+    (beam, l0Visited.unionByName(l1Visited).distinct())
+  }
+
+  /** q399: ROUTED GRAPH SERVE — the production serving path end-to-end:
+    * [[servedGraphSearch]]'s descent-entry walk (the dispatch default)
+    * composed with q377's delete discipline — the tombstone mask applied
+    * as a broadcast anti-join on BOTH sides of the visited-set rerank (a
+    * deleted vector neither asks nor answers, and never occupies a rank
+    * slot), emission q368's top-3 by exact cosine. This is the query a
+    * library user's serving call compiles to: data-adaptive entries,
+    * graph navigation unchanged by deletes, mask at rerank — each piece
+    * oracle-gated alone (q379, q377), here gated COMPOSED.
+    *
+    * Scale shape: q379's walk costs (layer-1 O(m·K²) build amortized
+    * across queries; per-query hop-bounded work independent of n) plus a
+    * deletion-log-sized broadcast; nothing new materializes beyond the
+    * visited set the walk already scored.
+    */
+  private val q399 = GraftQuery(
+    "q399_routed_graph_serve",
+    s"""WITH $nndOracleChain,
+       |$hierOracleCtes
+       |SELECT qid AS vec_id, rn AS rank, v AS neighbor_id,
+       |  round(cos, 6) AS cos_sim FROM (
+       |  SELECT qid, v, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, v) AS rn FROM (
+       |    SELECT g.qid, g.v, ${cosSql("a", "b")} AS cos
+       |    FROM (SELECT DISTINCT qid, v FROM (
+       |      SELECT qid, v FROM hgall
+       |      UNION ALL SELECT qid, v FROM zgall) u) g
+       |    JOIN embeddings a ON a.vec_id = g.qid
+       |    JOIN embeddings b ON b.vec_id = g.v
+       |    WHERE NOT (${tombstoneSql("g.qid")})
+       |      AND NOT (${tombstoneSql("g.v")})) s) t
+       |WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val tomb = e.select("vec_id").where(tombstoned(col("vec_id")))
+    val (_, visited) = servedGraphSearch(s, d)
+    val live = visited
+      .join(broadcast(tomb.toDF("qid")), Seq("qid"), "left_anti")
+      .join(broadcast(tomb.toDF("v")), Seq("v"), "left_anti")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("v").asc)
+    live
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+        "qid")
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("vemb")), "v")
+      .select(col("qid"), col("v"),
+        VectorFunctions.cosineSim(col("qemb"), col("vemb")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("v").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(q30, q31, q39, q40, q41, q43, q44, q45, q52, q56, q71, q72, q76, q78, q79,
       q82, q83, q84, q85, q87, q88, q91, q92, q93, q94, q101, q102, q103, q104,
@@ -9481,5 +9566,5 @@ object Similarity {
       q277, q278, q291, q294, q296, q298, q302, q317, q321, q325, q339,
       q341, q348, q351, q352, q353, q354, q355, q356, q357, q358, q359, q360,
       q361, q362, q364, q365, q366, q367, q368, q369, q370, q372, q373,
-      q375, q376, q377, q378, q379, q380, q381, q382, q383, q384)
+      q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q399)
 }

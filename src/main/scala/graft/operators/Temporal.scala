@@ -3982,8 +3982,11 @@ object Temporal {
     * windows, near-linear interval residual; the mark table is one
     * per-part latest-row window over the full ledger.
     */
-  private val q393 = GraftQuery(
-    "q393_fifo_cost_basis",
+  /** q393's oracle text, shared verbatim by the streaming twin (q400 —
+    * the [[graft.streaming.StreamingQueries]] gate): stream == batch ==
+    * DuckDB on the same ledger, the q394-on-q391 discipline.
+    */
+  private[graft] val fifoCostBasisOracle: String =
     s"""WITH $lotLedgerCte,
        |mark AS (
        |  SELECT part, up AS mark_up FROM (
@@ -4049,17 +4052,29 @@ object Temporal {
        |LEFT JOIN realized r ON r.cust = t.cust AND r.part = t.part
        |LEFT JOIN longs lg ON lg.cust = t.cust AND lg.part = t.part
        |LEFT JOIN shorts sh ON sh.cust = t.cust AND sh.part = t.part
-       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The per-part mark price table (latest observed ledger unit price,
+    * 10⁻⁴-cent grain) — q393's mark side, shared with the streaming
+    * twin's read-back so both arms mark open positions off the one
+    * definition.
+    */
+  private[graft] def lotMark(s: SparkSession, d: String): DataFrame = {
     val upE4 = expr(
       "(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)" +
         " div CAST(round(l_quantity) AS BIGINT)")
-    val led = lotLedger(s, d)
     val wM = Window.partitionBy("l_partkey").orderBy(col("l_shipdate").desc,
       col("l_orderkey").desc, col("l_linenumber").desc)
-    val mark = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .select(col("l_partkey").as("part"), upE4.as("mark_up"),
         row_number().over(wM).as("r"))
       .where(col("r") === 1).select("part", "mark_up")
+  }
+
+  private val q393 = GraftQuery(
+    "q393_fifo_cost_basis", fifoCostBasisOracle) { (s, d) =>
+    val led = lotLedger(s, d)
+    val mark = lotMark(s, d)
     val buys = lotBuys(led)
     val sells = lotSells(led)
     val tots = led.groupBy("cust", "part")

@@ -104,6 +104,21 @@ object EventStreams {
     spark.readStream.schema(schema).parquet(streamPath)
   }
 
+  /** Streaming read of the lineitem table — the trade-line LEDGER stream
+    * ([[readOrders]]' line-grain sibling): arriving fill/return lines for
+    * the lot-accounting family (q400); no timestamps beyond the ship
+    * date, no watermark — ledger feeds are SEQUENCED at the source (an
+    * exchange/custodian feed delivers per-account trades in ledger
+    * order), which is the in-order ingest contract [[ledgerPnlRows]]
+    * states.
+    */
+  def readLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val streamPath = stageAsDir(src, "graft_lineitem")
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    spark.readStream.schema(schema).parquet(streamPath)
+  }
+
   /** Streaming read of the embeddings table — the index-MAINTENANCE
     * stream (newly embedded shards arriving as files); consumers are the
     * stateless frozen-codebook assign+encode (q109), [[readDocuments]]'
@@ -1093,6 +1108,108 @@ object EventStreams {
       }
     }
     (supQ, demQ, Seq(nRows, supTot, demTot, matched, age))
+  }
+
+  /** q393's FIFO cost-basis P&L maintained ONLINE — the lot-accounting
+    * stream that completes the reference-ecosystem arc (detect → decode
+    * → ledger analytics at ingest rate). Input is the joined trade-line
+    * stream (cust, part, dDays, ok, ln, side buy=1/sell=0, qty, up);
+    * per (cust, part) the state is
+    *
+    *   (open buy lots (qty, up), open sell lots (qty, up),
+    *    totals [nTrades, proceeds, cost, realized])
+    *
+    * and the fold is [[fifoFold]]'s positional matcher carrying PRICES:
+    * an arriving line matches the opposite book head-first, each matched
+    * parcel realizing ov·(sell_up − buy_up) in exact 10⁻⁴-cent integer
+    * arithmetic (q393's parcel rule — positional matching is exactly the
+    * batch kernel's cumulative-interval overlap). Because matching
+    * always drains one side, AT MOST ONE book is non-empty per key, and
+    * a fully consumed lot leaves state immediately — so retained state
+    * is the account's OPEN POSITION (the interval kernel's residual: the
+    * unmatched cumulative-quantity tail), never its trade history; the
+    * four totals are 4 BIGINTs. Open-lot detail must stay in state
+    * because a future match realizes against the LOT's price — the
+    * cumulative quantities alone say which units match but not at what
+    * basis.
+    *
+    * Ordering contract: rows are folded in (shipdate, orderkey,
+    * linenumber) order WITHIN each micro-batch; across batches the feed
+    * must be per-key FIFO-sequenced (the custodian-feed contract — the
+    * ledger stream carries no event time to watermark on). Emits one
+    * per-key snapshot per batch (Update mode): running totals plus the
+    * open books' (units, Σ units·up) summaries — everything the
+    * read-back needs to mark open positions without re-reading history.
+    * nTrades is monotone, so "row with max nTrades per key" is the
+    * current snapshot under any sink that retains superseded updates.
+    */
+  def ledgerPnlRows(
+      trades: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Seq[(Long, Long)], Seq[Long]),
+          (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long),
+         rows: Iterator[(Long, Long, Long, Long, Long, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long)], Seq[(Long, Long)], Seq[Long])]) =>
+          val (buyQ0, sellQ0, tot0) = state.getOption.getOrElse(
+            (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
+              Seq(0L, 0L, 0L, 0L)))
+          // in-order fold within the batch; cross-batch order is the
+          // feed's sequencing contract (scaladoc)
+          val rs = rows.toSeq.sortBy(r => (r._3, r._4, r._5))
+          val (buyQ, sellQ, tot) = ledgerFold(rs, buyQ0, sellQ0, tot0)
+          state.update((buyQ, sellQ, tot))
+          Iterator((key._1, key._2, tot(0), tot(1), tot(2), tot(3),
+            buyQ.iterator.map(_._1).sum,
+            buyQ.iterator.map(l => l._1 * l._2).sum,
+            sellQ.iterator.map(_._1).sum,
+            sellQ.iterator.map(l => l._1 * l._2).sum))
+      }
+  }
+
+  /** Fold FIFO-ordered trade lines into the open books + running totals
+    * — [[fifoFold]] with prices ((qty, up) lots, realized P&L). Totals
+    * layout: [nTrades, proceeds, cost, realized]; every quantity is an
+    * exact BIGINT in the ledger's 10⁻⁴-cent price grain.
+    */
+  private[streaming] def ledgerFold(
+      rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)],
+      buyQ0: Seq[(Long, Long)], sellQ0: Seq[(Long, Long)], tot0: Seq[Long])
+      : (Seq[(Long, Long)], Seq[(Long, Long)], Seq[Long]) = {
+    var buyQ = scala.collection.immutable.Queue(buyQ0: _*)
+    var sellQ = scala.collection.immutable.Queue(sellQ0: _*)
+    var nTrades = tot0(0); var proceeds = tot0(1)
+    var cost = tot0(2); var realized = tot0(3)
+    rows.foreach { case (_, _, _, _, _, side, qty, up) =>
+      nTrades += 1L
+      var u = qty
+      if (side == 1L) {
+        cost += qty * up
+        while (u > 0L && sellQ.nonEmpty) {
+          val ((su, sup), rest) = sellQ.dequeue
+          val m = math.min(u, su)
+          realized += m * (sup - up); u -= m
+          sellQ = if (su - m > 0L) (su - m, sup) +: rest else rest
+        }
+        if (u > 0L) buyQ = buyQ.enqueue((u, up))
+      } else {
+        proceeds += qty * up
+        while (u > 0L && buyQ.nonEmpty) {
+          val ((bu, bup), rest) = buyQ.dequeue
+          val m = math.min(u, bu)
+          realized += m * (up - bup); u -= m
+          buyQ = if (bu - m > 0L) (bu - m, bup) +: rest else rest
+        }
+        if (u > 0L) sellQ = sellQ.enqueue((u, up))
+      }
+    }
+    (buyQ, sellQ, Seq(nTrades, proceeds, cost, realized))
   }
 
   /** q269's position-based attribution maintained ONLINE — the real-time

@@ -663,6 +663,73 @@ object StreamingQueries {
       .orderBy("o_custkey", "asset_class")
   }
 
+  /** q400: STREAMING FIFO COST-BASIS P&L — q393's lot accounting at
+    * ingest rate, the capstone of the reference-ecosystem arc (the
+    * reference EXISTS to ingest transaction ledgers; this is the ledger
+    * analytics those imports feed, computed as the fills arrive). The
+    * arriving lineitem stream joins the static bounded account roster
+    * (stream-static equi-join — no state), and the ONE stateful operator
+    * is [[graft.streaming.EventStreams.ledgerPnlRows]]: per (cust, part)
+    * the open-lot books + 4 BIGINT totals in `flatMapGroupsWithState`,
+    * state bounded by the OPEN POSITION, never the trade history (the
+    * interval kernel's residual — see the kernel scaladoc for the
+    * matching-equivalence and ordering-contract arguments). The
+    * read-back takes each key's latest snapshot (max monotone nTrades),
+    * marks the open books against the shared static mark table
+    * ([[graft.operators.Temporal.lotMark]] — ul = olu·mark − Σqty·up,
+    * us = Σqty·up − osu·mark, per-lot detail already folded into the
+    * two sums), and aggregates per account. Gated on q393's oracle
+    * VERBATIM — stream == batch == DuckDB on the same ledger, q394's
+    * discipline on q391.
+    */
+  private val q400 = GraftQuery(
+    "q400_stream_fifo_pnl",
+    graft.operators.Temporal.fifoCostBasisOracle) { (s, d) =>
+    import s.implicits._
+    val roster = graft.Tables.orders(s, d).where(col("o_custkey") < 100)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val trades = EventStreams.readLineitem(s, d)
+      .join(roster, "l_orderkey")
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_partkey").cast("long").as("part"),
+        expr("unix_date(CAST(l_shipdate AS DATE))").cast("long").as("dd"),
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_linenumber").cast("long").as("ln"),
+        when(col("l_returnflag").isin("A", "N"), 1L).otherwise(0L)
+          .as("side"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)" +
+          " div CAST(round(l_quantity) AS BIGINT)").as("up"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    val sunk = EventStreams.runToMemory(s,
+      EventStreams.ledgerPnlRows(trades).toDF("cust", "part", "n_trades",
+        "proceeds", "cost", "realized", "olu", "olc", "osu", "osp"),
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "update")
+    val wSnap = org.apache.spark.sql.expressions.Window
+      .partitionBy("cust", "part").orderBy(col("n_trades").desc)
+    val latest = sunk.withColumn("r", row_number().over(wSnap))
+      .where(col("r") === 1)
+    latest
+      .join(graft.operators.Temporal.lotMark(s, d), "part")
+      .groupBy("cust")
+      .agg(sum(col("proceeds")).as("proceeds_e4"),
+        sum(col("cost")).as("cost_e4"),
+        sum(col("realized")).as("realized_e4"),
+        sum(col("olu")).as("open_long_units"),
+        sum(col("olu") * col("mark_up") - col("olc")).as("unreal_long_e4"),
+        sum(col("osu")).as("open_short_units"),
+        sum(col("osp") - col("osu") * col("mark_up")).as("unreal_short_e4"),
+        sum(col("realized") + (col("olu") * col("mark_up") - col("olc"))
+          + (col("osp") - col("osu") * col("mark_up"))).as("total_pnl_e4"),
+        sum((col("olu") - col("osu")) * col("mark_up")).as("net_mark_e4"))
+      .select(col("cust").as("o_custkey"), col("proceeds_e4"),
+        col("cost_e4"), col("realized_e4"), col("open_long_units"),
+        col("unreal_long_e4"), col("open_short_units"),
+        col("unreal_short_e4"), col("total_pnl_e4"), col("net_mark_e4"))
+      .orderBy("o_custkey")
+  }
+
   /** q397: STREAMING MERKLE LEAVES — q396's anti-entropy manifest
     * maintained at ingest rate: arriving document files update the
     * per-shard commutative digest sums
@@ -1556,5 +1623,5 @@ object StreamingQueries {
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347, q349, q350, q363, q371, q388, q394, q397)
+      q336, q344, q347, q349, q350, q363, q371, q388, q394, q397, q400)
 }

@@ -77,6 +77,20 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(extract(full, "value").isDefined)
   }
 
+  test("sidecar JSON is valid, keyed by full name, and leaves queries unchanged") {
+    val results = mkResults(3)
+    val sidecar = results.map { case (k, _) => k -> (7L, 123456L) }
+    val full = BenchEmit.fullJsonWithSidecar(results, sidecar, Nil, "sf0.1")
+    // the existing consumers' fields are byte-identical to fullJson's
+    val base = BenchEmit.fullJson(results, Nil, "sf0.1")
+    assert(full.startsWith(base.dropRight(1)))
+    assert(full.contains(
+      "\"q01_some_query_name_1\":{\"gc_ms\":7,\"storage_bytes\":123456}"))
+    // still one line of balanced JSON (paranoid brace count — no parser here)
+    assert(!full.contains("\n"))
+    assert(full.count(_ == '{') == full.count(_ == '}'))
+  }
+
   test("fmt is locale-pinned and strips trailing zeros") {
     val dflt = java.util.Locale.getDefault
     try {

@@ -108,6 +108,41 @@ class FunctionsSpec extends SparkSuite {
     assert(cosOf(Seq(f(0), f(0)), Seq(f(1), f(2))) == null)
   }
 
+  private def prefCosOf(a: Seq[java.lang.Float], b: Seq[java.lang.Float],
+      cuts: Seq[Int]): Any = {
+    VectorFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row(a, b)), schema)
+    df.select(VectorFunctions.prefixCosines(col("a"), col("b"), cuts).as("c"))
+      .collect().head.get(0)
+  }
+
+  test("prefix_cosines: each cut matches cosine_sim of the sliced prefix") {
+    val a = Seq(f(0.3), f(-1.2), f(2.5), f(0.7), f(-0.4), f(1.9), f(0.1), f(-2.2))
+    val b = Seq(f(1.1), f(0.6), f(-0.8), f(2.3), f(0.9), f(-1.5), f(0.4), f(0.2))
+    val cuts = Seq(2, 4, 8)
+    val got = prefCosOf(a, b, cuts).asInstanceOf[scala.collection.Seq[Double]]
+    cuts.zipWithIndex.foreach { case (m, i) =>
+      val exp = cosOf(a.take(m), b.take(m)).asInstanceOf[Double]
+      // same accumulation order and final division -> bit-identical,
+      // not merely close (the q294 hash pin rests on this)
+      assert(got(i) == exp, s"cut $m: ${got(i)} != $exp")
+    }
+  }
+
+  test("prefix_cosines: cut beyond dimension yields null at that slot only") {
+    val got = prefCosOf(Seq(f(1), f(2)), Seq(f(2), f(1)), Seq(2, 4))
+      .asInstanceOf[scala.collection.Seq[Any]]
+    assert(got(0) != null && got(1) == null)
+  }
+
+  test("prefix_cosines: dimension mismatch and null element yield null") {
+    assert(prefCosOf(Seq(f(1), f(2)), Seq(f(1)), Seq(1)) == null)
+    assert(prefCosOf(Seq(f(1), null), Seq(f(1), f(2)), Seq(2)) == null)
+  }
+
   test("double_plain renders reference goldens and extremes") {
     DoublePlainString.register(spark)
     import spark.implicits._

@@ -289,4 +289,45 @@ class EventStreamsSpec extends SparkSuite {
     // empty fold is a no-op
     assert(EventStreams.compactionFold(Nil, allO, 100L) == (Nil, allO))
   }
+
+  test("streaming FIFO P&L EQUALS batch q393 on the same ledger") {
+    val streamed = graft.SparkEntry.queries("q400_stream_fifo_pnl")(spark, dir)
+    val batch = graft.SparkEntry.queries("q393_fifo_cost_basis")(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 10).map(r.getLong).toVector).toSet
+    val s = rows(streamed)
+    val b = rows(batch)
+    assert(s.nonEmpty)
+    assert(s == b, s"stream/batch diverge: only-stream=${s -- b}, only-batch=${b -- s}")
+  }
+
+  test("ledgerFold: positional matching, books drain one side, split-invariance") {
+    val zero = Seq(0L, 0L, 0L, 0L)
+    def t(dd: Long, ok: Long, ln: Long, side: Long, qty: Long, up: Long) =
+      (1L, 1L, dd, ok, ln, side, qty, up)
+    // buy 5@10, sell 3@14 -> realized 3*(14-10)=12, open long 2@10
+    val (b1, s1, t1) = EventStreams.ledgerFold(
+      Seq(t(1, 1, 1, 1, 5, 10), t(2, 2, 1, 0, 3, 14)), Nil, Nil, zero)
+    assert(b1 == Seq((2L, 10L)) && s1.isEmpty
+      && t1 == Seq(2L, 42L, 50L, 12L), s"$b1 $s1 $t1")
+    // short first: sell 4@20, buy 6@15 -> realized 4*(20-15)=20, open long 2@15
+    val (b2, s2, t2) = EventStreams.ledgerFold(
+      Seq(t(1, 1, 1, 0, 4, 20), t(2, 2, 1, 1, 6, 15)), Nil, Nil, zero)
+    assert(b2 == Seq((2L, 15L)) && s2.isEmpty
+      && t2 == Seq(2L, 80L, 90L, 20L), s"$b2 $s2 $t2")
+    // a sell spanning two buy lots realizes against EACH lot's basis
+    val trades = Seq(t(1, 1, 1, 1, 2, 10), t(1, 1, 2, 1, 3, 20),
+      t(2, 2, 1, 0, 4, 25), t(3, 3, 1, 0, 2, 5))
+    val (b3, s3, t3) = EventStreams.ledgerFold(trades, Nil, Nil, zero)
+    // matched: 2@(25-10) + 2@(25-20) + 1@(5-20) = 30+10-15 = 25; open short 1@5
+    assert(b3.isEmpty && s3 == Seq((1L, 5L))
+      && t3 == Seq(4L, 110L, 80L, 25L), s"$b3 $s3 $t3")
+    // folding in two calls at any split matches the one-shot fold
+    for (k <- 0 to trades.length) {
+      val (a, b) = trades.splitAt(k)
+      val (ba, sa, ta) = EventStreams.ledgerFold(a, Nil, Nil, zero)
+      val (bb, sb, tb) = EventStreams.ledgerFold(b, ba, sa, ta)
+      assert((bb, sb, tb) == ((b3, s3, t3)), s"split at $k diverged")
+    }
+  }
 }
