@@ -599,6 +599,76 @@ object PrefixCosinesKernel {
   }
 }
 
+/** Kernel for [[CosineSimilarityD]] — cosine over two `array<double>`
+  * columns, accumulated left-to-right in dimension order with the final
+  * `dot / (sqrt(na) · sqrt(nb))` division: the identical IEEE operation
+  * sequence as the three interpreted `aggregate(sequence(...))` HOF
+  * folds it replaces (Spark HOFs are CodegenFallback), so swapping it
+  * into a hash-pinned query is bit-neutral. Divide-through semantics on
+  * a zero-norm input (NaN/Inf, not null) — the HOF form's behavior,
+  * fidelity over prettiness; null only on dimension mismatch or a null
+  * element ([[CosineSimilarity]]'s explicit policy). The double-input
+  * sibling of [[CosineSimilarity]] for derived vectors (whitened,
+  * projected) that are already `array<double>`.
+  */
+object CosineSimDKernel {
+  final val NullSentinel: Double = Double.MaxValue
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    if (a.numElements() != b.numElements()) return NullSentinel
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return NullSentinel
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `cosine_sim_d(a, b)` — cosine over `array<double>` inputs (see
+  * [[CosineSimDKernel]]). Double.MaxValue is the kernel's null sentinel
+  * (unreachable as a real cosine, |cos| ≤ 1 and divide-through NaN/Inf
+  * compare unequal to it), keeping codegen box-free.
+  */
+case class CosineSimilarityD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim_d requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = CosineSimDKernel.cosine(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (v == CosineSimDKernel.NullSentinel) null else java.lang.Double.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.CosineSimDKernel.cosine($a, $b);
+         |if (${ev.value} == java.lang.Double.MAX_VALUE) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `prefix_cosines(a, b, m₁, m₂, …)` → array<double> — cosine of the
   * nested prefixes a[1..mᵢ], b[1..mᵢ] in one codegen pass (see
   * [[PrefixCosinesKernel]]). Cut points are literal ints, strictly
@@ -695,6 +765,11 @@ object VectorFunctions {
       require(exprs.length == 1, "unpack_codes(b) takes exactly 1 argument")
       UnpackCodes(exprs.head)
     }
+  private[graft] val cosineDBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2, "cosine_sim_d(a, b) takes exactly 2 arguments")
+      CosineSimilarityD(exprs(0), exprs(1))
+    }
   private[graft] val prefixCosinesBuilder: Seq[Expression] => Expression =
     exprs => {
       require(exprs.length >= 3,
@@ -731,6 +806,8 @@ object VectorFunctions {
       "unpack_codes", unpackCodesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "prefix_cosines", prefixCosinesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim_d", cosineDBuilder, "built-in")
   }
 
   /** Column-API form, valid on any session where [[register]] has run. */
@@ -779,6 +856,12 @@ object VectorFunctions {
   def unpackCodes(b: Column): Column = {
     import org.apache.spark.sql.functions.{call_function}
     call_function("unpack_codes", b)
+  }
+
+  /** Cosine over array<double> inputs, post-[[register]]. */
+  def cosineSimD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function}
+    call_function("cosine_sim_d", a, b)
   }
 
   /** All nested-prefix cosines in one codegen pass, post-[[register]]. */

@@ -5792,13 +5792,12 @@ object Similarity {
             |  (round(CAST(element_at(embedding, i) AS DOUBLE) * 1048576)
             |    - element_at(mu, i)) / element_at(sd, i))""".stripMargin)
             .as("w"))
-      val wCos = expr(
-        """aggregate(sequence(1, 64), 0D, (acc, i) ->
-          |  acc + element_at(wa, i) * element_at(wb, i))
-          |/ (sqrt(aggregate(sequence(1, 64), 0D, (acc, i) ->
-          |    acc + element_at(wa, i) * element_at(wa, i)))
-          | * sqrt(aggregate(sequence(1, 64), 0D, (acc, i) ->
-          |    acc + element_at(wb, i) * element_at(wb, i))))""".stripMargin)
+      // codegen double-cosine kernel, not the interpreted 3-fold HOF
+      // form: identical accumulation order and final division (the
+      // CosineSimDKernel contract), so the pinned hash is unchanged
+      // while the batch×corpus pair pass stays inside codegen — the
+      // q294 fusion lesson applied to this query's hot path
+      val wCos = VectorFunctions.cosineSimD(col("wa"), col("wb"))
       val wr = Window.partitionBy("vec_id").orderBy(col("cos").desc,
         col("neighbor_id"))
       val qRaw = broadcast(e.where(col("vec_id") < QueryBatch)

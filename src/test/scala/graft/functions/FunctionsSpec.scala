@@ -143,6 +143,37 @@ class FunctionsSpec extends SparkSuite {
     assert(prefCosOf(Seq(f(1), null), Seq(f(1), f(2)), Seq(2)) == null)
   }
 
+  test("cosine_sim_d is bit-identical to the interpreted HOF fold it replaces") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(0.37, -1.25, 2.5003, 0.071), Seq(1.1, 0.63, -0.807, 2.31)),
+      (Seq(1e-9, 2e9, -3.5, 0.0), Seq(-1e9, 2e-9, 7.25, 1.0)))
+      .toDF("wa", "wb")
+      .select(VectorFunctions.cosineSimD(col("wa"), col("wb")).as("kernel"),
+        expr("""aggregate(sequence(1, 4), 0D, (acc, i) ->
+          |  acc + element_at(wa, i) * element_at(wb, i))
+          |/ (sqrt(aggregate(sequence(1, 4), 0D, (acc, i) ->
+          |    acc + element_at(wa, i) * element_at(wa, i)))
+          | * sqrt(aggregate(sequence(1, 4), 0D, (acc, i) ->
+          |    acc + element_at(wb, i) * element_at(wb, i))))""".stripMargin)
+          .as("hof"))
+      .collect()
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0))
+        == java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString))
+    // dimension mismatch / null element -> null
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    def oneOf(a: Seq[java.lang.Double], b: Seq[java.lang.Double]): Any =
+      spark.createDataFrame(java.util.Arrays.asList(Row(a, b)), schema)
+        .select(VectorFunctions.cosineSimD(col("a"), col("b")).as("c"))
+        .collect().head.get(0)
+    assert(oneOf(Seq(1.0, 2.0), Seq(1.0)) == null)
+    assert(oneOf(Seq(1.0, null), Seq(1.0, 2.0)) == null)
+  }
+
   test("double_plain renders reference goldens and extremes") {
     DoublePlainString.register(spark)
     import spark.implicits._
