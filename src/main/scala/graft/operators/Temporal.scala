@@ -3852,8 +3852,10 @@ object Temporal {
     led.where(col("fl") === "R")
       .withColumn("ds", coalesce(sum(col("qty")).over(lotCumWindow), lit(0L)))
 
-  /** q392 wash-sale replacement window, days each side of the sale. */
-  private val WashDays = 30
+  /** q392 wash-sale replacement window, days each side of the sale
+    * (shared with the streaming fold, [[graft.streaming.EventStreams]]).
+    */
+  private[graft] val WashDays = 30
 
   /** q392: WASH-SALE DETECTION — the tax-lot rule layered on q262's
     * set-at-a-time FIFO kernel, on the richer (qty, price, date) ledger
@@ -3878,8 +3880,10 @@ object Temporal {
     * endpoints (≈ linear per key, q262's argument). All money/qty
     * arithmetic is per-row-rounded BIGINTs.
     */
-  private val q392 = GraftQuery(
-    "q392_wash_sale",
+  /** q392's oracle text, shared verbatim by the streaming twin (q401) —
+    * the [[fifoCostBasisOracle]] discipline.
+    */
+  private[graft] val washSaleOracle: String =
     s"""WITH $lotLedgerCte,
        |pairs AS (
        |  SELECT s.cust, s.part, s.ok, s.ln, s.d,
@@ -3915,7 +3919,10 @@ object Temporal {
        |  CAST(sum(loss_units) AS BIGINT) AS loss_units,
        |  CAST(sum(CASE WHEN is_washed THEN loss_units ELSE 0 END) AS BIGINT)
        |    AS washed_loss_units
-       |FROM washed w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+       |FROM washed w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q392 = GraftQuery(
+    "q392_wash_sale", washSaleOracle) { (s, d) =>
     val led = lotLedger(s, d)
     val buys = lotBuys(led).localCheckpoint()
     val sells = lotSells(led).localCheckpoint()

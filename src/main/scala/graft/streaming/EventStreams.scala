@@ -1212,6 +1212,148 @@ object EventStreams {
     (buyQ, sellQ, Seq(nTrades, proceeds, cost, realized))
   }
 
+  /** q392's wash-sale detection maintained ONLINE — [[ledgerPnlRows]]'
+    * sibling carrying the tax rule's TIME WINDOW, which is what decides
+    * the state shape: per (cust, part) the fold retains
+    *
+    *   (open buy lots (resid, cents, qty_orig)   — the FIFO book,
+    *    recent buys (d, cs, qty) within the ±[[graft.operators.Temporal.WashDays]]-day
+    *      window                                 — wash candidates for FUTURE sales,
+    *    undischarged sales (ok, ln, d, ds, qty, cents, resid,
+    *      matched, loss, washed)                 — a sale stays until (a) its
+    *      demand interval is fully covered (a later buy may still match it —
+    *      the open-short arm) AND (b) the feed has passed d + WashDays, after
+    *      which no arriving in-order buy can wash it; then its per-sale counters
+    *      fold into the finalized scalars and the row EVICTS,
+    *    11 BIGINT scalars)
+    *
+    * so state is the open position PLUS one wash-window of trades — the
+    * rule's inherent lookback, not history (q269's positionCreditRows
+    * made the same argument for its 24 h window). Matching is the
+    * positional head-first rule ([[ledgerFold]]'s equivalence argument);
+    * each parcel's LOSS test is the integer cross-product
+    * s.cents·b.qty < b.cents·s.qty on the ORIGINAL line quantities
+    * (q392's no-float-decides-money rule), and a sale is WASHED when any
+    * buy within ±WashDays has a cumulative-quantity interval NOT
+    * overlapping the sale's own (the "very shares sold" exclusion,
+    * verbatim). Ordering contract: [[ledgerPnlRows]]'.
+    * Emits one per-key snapshot per batch (Update mode): finalized
+    * scalars + the retained sales' live counters, so the snapshot always
+    * equals what a batch recompute over the rows-so-far would report.
+    */
+  def washSaleRows(
+      trades: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Seq[Seq[Long]], Seq[Seq[Long]], Seq[Seq[Long]], Seq[Long]),
+          (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long),
+         rows: Iterator[(Long, Long, Long, Long, Long, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[Seq[Long]], Seq[Seq[Long]], Seq[Seq[Long]], Seq[Long])]) =>
+          val st0 = state.getOption.getOrElse(
+            (Seq.empty[Seq[Long]], Seq.empty[Seq[Long]], Seq.empty[Seq[Long]],
+              Seq.fill(11)(0L)))
+          val rs = rows.toSeq.sortBy(r => (r._3, r._4, r._5))
+          val st = washSaleFold(rs, st0)
+          state.update(st)
+          val sc = st._4
+          val sales = st._3
+          Iterator((key._1, key._2, sc(3), sc(4),
+            sc(5) + sales.count(_(7) > 0L),
+            sc(6) + sales.count(_(8) > 0L),
+            sc(7) + sales.count(s => s(8) > 0L && s(9) == 1L),
+            sc(8) + sales.iterator.map(_(7)).sum,
+            sc(9) + sales.iterator.map(_(8)).sum,
+            sc(10) + sales.iterator.filter(_(9) == 1L).map(_(8)).sum))
+      }
+  }
+
+  /** Fold FIFO-ordered trade lines into the wash-sale state (see
+    * [[washSaleRows]] for the layout). Scalars:
+    * [cumBuyUnits, cumSellUnits, maxD, nTrades, nSales,
+    *  finMatchedSales, finLossSales, finWashedSales,
+    *  finMatchedUnits, finLossUnits, finWashedLossUnits].
+    */
+  private[streaming] def washSaleFold(
+      rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)],
+      st: (Seq[Seq[Long]], Seq[Seq[Long]], Seq[Seq[Long]], Seq[Long]))
+      : (Seq[Seq[Long]], Seq[Seq[Long]], Seq[Seq[Long]], Seq[Long]) = {
+    import scala.collection.mutable.ArrayBuffer
+    val wash = graft.operators.Temporal.WashDays.toLong
+    val openBuys = ArrayBuffer(st._1.map(_.toArray): _*)
+    val recentBuys = ArrayBuffer(st._2.map(_.toArray): _*)
+    val sales = ArrayBuffer(st._3.map(_.toArray): _*)
+    val sc = st._4.toArray
+    def overlap(ds: Long, sq: Long, cs: Long, bq: Long): Boolean =
+      ds < cs + bq && cs < ds + sq
+    rows.foreach { case (_, _, d, ok, ln, side, qty, cents) =>
+      sc(3) += 1L
+      if (d > sc(2)) sc(2) = d
+      if (side == 1L) {
+        val cs = sc(0); sc(0) += qty
+        // wash check: this buy vs every retained sale in-window whose
+        // interval it does NOT overlap (q392's exclusion, verbatim)
+        sales.foreach { s =>
+          if (math.abs(d - s(2)) <= wash && !overlap(s(3), s(4), cs, qty))
+            s(9) = 1L
+        }
+        // positional matching: cover retained sales' open demand in ds
+        // order (the open-short arm — a sale may precede its lot)
+        var u = qty
+        var i = 0
+        while (u > 0L && i < sales.length) {
+          val s = sales(i)
+          if (s(6) > 0L) {
+            val ov = math.min(u, s(6))
+            s(6) -= ov; s(7) += ov
+            if (s(5) * qty < cents * s(4)) s(8) += ov
+            u -= ov
+          }
+          i += 1
+        }
+        if (u > 0L) openBuys += Array(u, cents, qty)
+        recentBuys += Array(d, cs, qty)
+      } else {
+        val ds = sc(1); sc(1) += qty
+        sc(4) += 1L
+        var washed = 0L
+        recentBuys.foreach { b =>
+          if (math.abs(d - b(0)) <= wash && !overlap(ds, qty, b(1), b(2)))
+            washed = 1L
+        }
+        var u = qty; var matched = 0L; var loss = 0L
+        while (u > 0L && openBuys.nonEmpty) {
+          val b = openBuys.head
+          val ov = math.min(u, b(0))
+          b(0) -= ov; matched += ov
+          if (cents * b(2) < b(1) * qty) loss += ov
+          u -= ov
+          if (b(0) == 0L) openBuys.remove(0)
+        }
+        sales += Array(ok, ln, d, ds, qty, cents, u, matched, loss, washed)
+      }
+    }
+    // evictions: a buy older than one window back can wash no in-order
+    // future sale; a fully covered sale past its window is FINAL
+    val maxD = sc(2)
+    val keptBuys = recentBuys.filter(_(0) >= maxD - wash)
+    val (done, kept) = sales.partition(s => s(6) == 0L && s(2) + wash < maxD)
+    done.foreach { s =>
+      if (s(7) > 0L) sc(5) += 1L
+      if (s(8) > 0L) sc(6) += 1L
+      if (s(8) > 0L && s(9) == 1L) sc(7) += 1L
+      sc(8) += s(7); sc(9) += s(8)
+      if (s(9) == 1L) sc(10) += s(8)
+    }
+    (openBuys.map(_.toSeq).toSeq, keptBuys.map(_.toSeq).toSeq,
+      kept.map(_.toSeq).toSeq, sc.toSeq)
+  }
+
   /** q269's position-based attribution maintained ONLINE — the real-time
     * multi-touch credit stream. Per user the state buffers (t_µs,
     * event_id, event_type) rows; a purchase is PROVABLY attributable

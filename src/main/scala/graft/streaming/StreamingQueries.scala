@@ -730,6 +730,63 @@ object StreamingQueries {
       .orderBy("o_custkey")
   }
 
+  /** q401: STREAMING WASH-SALE DETECTION — q392's tax rule at ingest
+    * rate, closing the lot-accounting family's streaming side beside
+    * q400 (B9 complete: every ledger-analytics query now has a twin).
+    * Same stream shape as q400 — lineitem stream ⋈ static roster, one
+    * stateful operator — but the state carries the rule's ±30-day
+    * REPLACEMENT WINDOW: [[graft.streaming.EventStreams.washSaleRows]]
+    * retains the open books plus exactly one wash-window of buys and
+    * the not-yet-final sales (a sale finalizes once its demand interval
+    * is covered AND the feed passes d + 30 — the window, not history,
+    * bounds state; see the kernel scaladoc). The read-back takes each
+    * key's latest snapshot, aggregates per account, and keeps q392's
+    * output contract: accounts with at least one matched sale, n_sales
+    * counting ALL their sells. Gated on q392's oracle VERBATIM.
+    */
+  private val q401 = GraftQuery(
+    "q401_stream_wash_sale",
+    graft.operators.Temporal.washSaleOracle) { (s, d) =>
+    import s.implicits._
+    val roster = graft.Tables.orders(s, d).where(col("o_custkey") < 100)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val trades = EventStreams.readLineitem(s, d)
+      .join(roster, "l_orderkey")
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_partkey").cast("long").as("part"),
+        expr("unix_date(CAST(l_shipdate AS DATE))").cast("long").as("dd"),
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_linenumber").cast("long").as("ln"),
+        when(col("l_returnflag").isin("A", "N"), 1L).otherwise(0L)
+          .as("side"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    val sunk = EventStreams.runToMemory(s,
+      EventStreams.washSaleRows(trades).toDF("cust", "part", "n_trades",
+        "n_sales", "n_matched", "n_loss", "n_washed", "matched", "loss",
+        "washed_loss"),
+      s"stream_gate_${memorySinkId.incrementAndGet()}",
+      outputMode = "update")
+    val wSnap = org.apache.spark.sql.expressions.Window
+      .partitionBy("cust", "part").orderBy(col("n_trades").desc)
+    val latest = sunk.withColumn("r", row_number().over(wSnap))
+      .where(col("r") === 1)
+    latest.groupBy("cust")
+      .agg(sum(col("n_sales")).as("n_sales"),
+        sum(col("n_matched")).as("n_matched_sales"),
+        sum(col("n_loss")).as("n_loss_sales"),
+        sum(col("n_washed")).as("n_washed_sales"),
+        sum(col("matched")).as("matched_units"),
+        sum(col("loss")).as("loss_units"),
+        sum(col("washed_loss")).as("washed_loss_units"))
+      .where(col("n_matched_sales") > 0)
+      .select(col("cust").as("o_custkey"), col("n_sales"),
+        col("n_matched_sales"), col("n_loss_sales"), col("n_washed_sales"),
+        col("matched_units"), col("loss_units"), col("washed_loss_units"))
+      .orderBy("o_custkey")
+  }
+
   /** q397: STREAMING MERKLE LEAVES — q396's anti-entropy manifest
     * maintained at ingest rate: arriving document files update the
     * per-shard commutative digest sums
@@ -1623,5 +1680,6 @@ object StreamingQueries {
     Seq(q47, q48, q49, q55, q60, q73, q74, q75, q80, q98, q109, q111, q121,
       q148, q149, q163, q173, q189, q205, q217, q221, q244, q250, q251,
       q254, q256, q258, q263, q267, q271, q284, q290, q300, q309, q330,
-      q336, q344, q347, q349, q350, q363, q371, q388, q394, q397, q400)
+      q336, q344, q347, q349, q350, q363, q371, q388, q394, q397, q400,
+      q401)
 }

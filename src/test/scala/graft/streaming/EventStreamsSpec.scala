@@ -301,6 +301,72 @@ class EventStreamsSpec extends SparkSuite {
     assert(s == b, s"stream/batch diverge: only-stream=${s -- b}, only-batch=${b -- s}")
   }
 
+  test("streaming wash-sale EQUALS batch q392 on the same ledger") {
+    val streamed = graft.SparkEntry.queries("q401_stream_wash_sale")(spark, dir)
+    val batch = graft.SparkEntry.queries("q392_wash_sale")(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 8).map(r.getLong).toVector).toSet
+    val s = rows(streamed)
+    val b = rows(batch)
+    assert(s.nonEmpty)
+    assert(s == b, s"stream/batch diverge: only-stream=${s -- b}, only-batch=${b -- s}")
+  }
+
+  test("washSaleFold: WashSaleSpec's four arms + eviction + split-invariance") {
+    val zero = (Seq.empty[Seq[Long]], Seq.empty[Seq[Long]],
+      Seq.empty[Seq[Long]], Seq.fill(11)(0L))
+    def t(d: Long, ok: Long, side: Long, qty: Long, cents: Long) =
+      (7L, 1L, d, ok, 1L, side, qty, cents)
+    // totals as the snapshot assembles them: finalized + retained
+    def totals(st: (Seq[Seq[Long]], Seq[Seq[Long]], Seq[Seq[Long]], Seq[Long]))
+        : (Long, Long, Long, Long, Long, Long) = {
+      val sc = st._4; val sales = st._3
+      (sc(4), sc(5) + sales.count(_(7) > 0L), sc(6) + sales.count(_(8) > 0L),
+        sc(7) + sales.count(x => x(8) > 0L && x(9) == 1L),
+        sc(9) + sales.iterator.map(_(8)).sum,
+        sc(10) + sales.iterator.filter(_(9) == 1L).map(_(8)).sum)
+    }
+    // WashSaleSpec part 1: buy 10@$100, sell 10@$80 (+20d), rebuy 10@$90
+    // (+10d) -> loss washed (rebuy interval [10,20) misses sale's [0,10))
+    val p1 = Seq(t(0, 1, 1, 10, 10000), t(20, 2, 0, 10, 8000),
+      t(30, 3, 1, 10, 9000))
+    assert(totals(EventStreams.washSaleFold(p1, zero))
+      == ((1L, 1L, 1L, 1L, 10L, 10L)))
+    // part 2: replacement 150 days later -> loss NOT washed
+    val p2 = Seq(t(0, 1, 1, 10, 10000), t(20, 2, 0, 10, 8000),
+      t(170, 3, 1, 10, 9000))
+    assert(totals(EventStreams.washSaleFold(p2, zero))
+      == ((1L, 1L, 1L, 0L, 10L, 0L)))
+    // part 3: gain with in-window buy -> matched, no loss, no wash count
+    val p3 = Seq(t(0, 1, 1, 10, 10000), t(20, 2, 0, 10, 12000),
+      t(24, 3, 1, 10, 9000))
+    assert(totals(EventStreams.washSaleFold(p3, zero))
+      == ((1L, 1L, 0L, 0L, 0L, 0L)))
+    // part 4: only the matched lot itself is in-window -> excluded
+    val p4 = Seq(t(15, 1, 1, 10, 10000), t(20, 2, 0, 10, 8000))
+    assert(totals(EventStreams.washSaleFold(p4, zero))
+      == ((1L, 1L, 1L, 0L, 10L, 0L)))
+    // OPEN-SHORT arm: sell first, cover later at a higher basis -> the
+    // covering buy both matches the open demand AND (non-overlap fails)
+    // cannot wash it; a second buy beyond the demand interval washes
+    val p5 = Seq(t(0, 1, 0, 10, 8000), t(5, 2, 1, 10, 10000),
+      t(9, 3, 1, 4, 9000))
+    val st5 = EventStreams.washSaleFold(p5, zero)
+    assert(totals(st5) == ((1L, 1L, 1L, 1L, 10L, 10L)), totals(st5).toString)
+    // eviction: once the feed passes d+30 with demand covered, the sale
+    // folds into the finalized scalars and leaves state
+    val p1done = p1 :+ t(60, 4, 1, 1, 1000)
+    val st1 = EventStreams.washSaleFold(p1done, zero)
+    assert(st1._3.isEmpty, "sale should have evicted")
+    assert(totals(st1) == ((1L, 1L, 1L, 1L, 10L, 10L)))
+    // split-invariance: folding in two calls at any cut matches one-shot
+    for (k <- 0 to p1done.length) {
+      val (a, b) = p1done.splitAt(k)
+      val stb = EventStreams.washSaleFold(b, EventStreams.washSaleFold(a, zero))
+      assert(totals(stb) == totals(st1), s"split at $k diverged")
+    }
+  }
+
   test("ledgerFold: positional matching, books drain one side, split-invariance") {
     val zero = Seq(0L, 0L, 0L, 0L)
     def t(dd: Long, ok: Long, ln: Long, side: Long, qty: Long, up: Long) =
