@@ -205,23 +205,28 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // one retry: a crowded-host transient (broadcast timeout, executor
       // hiccup) must not poison the round's record with a -1
-      def attempt(): Option[Double] = {
+      // gc delta is sampled INSIDE the attempt so a retried query's
+      // sidecar covers only the attempt its seconds cover (a failed
+      // first attempt's GC would otherwise be billed to the 2 s retry
+      // and read as a false crowding signal)
+      def attempt(): Option[(Double, Long)] = {
         val t0 = System.nanoTime()
-        try { evaluate(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        val gc0 = gcMillis()
+        try { evaluate(fn(spark, sfDir));
+          Some(((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None }
       }
-      val gc0 = gcMillis()
-      val sec = attempt().orElse {
+      val res = attempt().orElse {
         retried += name
         // drop session artifacts the failed attempt may have built, so
         // the retry pays the same artifact costs a clean attempt would
         try Artifacts.release(spark) catch { case _: Throwable => () }
         attempt()
-      }.getOrElse(-1.0)
-      sidecar += name -> (gcMillis() - gc0, storageBytes())
-      name -> sec
+      }
+      sidecar += name -> (res.map(_._2).getOrElse(-1L), storageBytes())
+      name -> res.map(_._1).getOrElse(-1.0)
     }
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // Full-precision record to a sidecar file (survives any stdout

@@ -566,32 +566,36 @@ case class UnpackCodes(child: Expression)
   * emitted value is `dot / (sqrt(na) · sqrt(nb))` — the identical IEEE
   * operation sequence as the HOF form it replaces and as the oracle's
   * `list_reduce` folds, so results are bit-stable across the rewrite
-  * (q294's hash is pinned on this). Null policy: dimension mismatch or
-  * any null element within the largest in-range cut → null result (the
-  * [[CosineSimilarity]] policy); a cut beyond the vector's dimension →
-  * null at that SLOT (the HOF form's element_at-overflow behavior). A
-  * zero-norm prefix divides through like the HOF form did (NaN/Inf, not
-  * null) — fidelity over prettiness.
+  * (q294's hash is pinned on this). Null policy is PER SLOT, exactly the
+  * per-tier HOF semantics (review r17 finding 1): a tier's fold touches
+  * only indices 1..m, so a null element or an out-of-range index at
+  * position i nulls ONLY the cuts whose prefix includes i (the HOF's
+  * `element_at` returns null there and the fold absorbs it) — tiers
+  * that complete before the first null/short index stay valid, never
+  * dropped wholesale. A zero-norm prefix divides through like the HOF
+  * form did (NaN/Inf, not null) — fidelity over prettiness.
   */
 object PrefixCosinesKernel {
   def eval(a: ArrayData, b: ArrayData, cuts: Array[Int]): ArrayData = {
-    if (a.numElements() != b.numElements()) return null
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     val out = new Array[Any](cuts.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0; var c = 0
+    var dead = false // first null/short index reached: later cuts are null
     while (c < cuts.length) {
       val cut = cuts(c)
-      if (cut > n) out(c) = null
-      else {
-        while (i < cut) {
-          if (a.isNullAt(i) || b.isNullAt(i)) return null
-          val x = a.getFloat(i).toDouble
-          val y = b.getFloat(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
+      if (!dead && cut <= n) {
+        while (i < cut && !dead) {
+          if (a.isNullAt(i) || b.isNullAt(i)) dead = true
+          else {
+            val x = a.getFloat(i).toDouble
+            val y = b.getFloat(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
         }
-        out(c) = java.lang.Double.valueOf(
-          dot / (math.sqrt(na) * math.sqrt(nb)))
+        if (!dead)
+          out(c) = java.lang.Double.valueOf(
+            dot / (math.sqrt(na) * math.sqrt(nb)))
       }
       c += 1
     }
@@ -671,10 +675,11 @@ case class CosineSimilarityD(left: Expression, right: Expression)
 
 /** `prefix_cosines(a, b, m₁, m₂, …)` → array<double> — cosine of the
   * nested prefixes a[1..mᵢ], b[1..mᵢ] in one codegen pass (see
-  * [[PrefixCosinesKernel]]). Cut points are literal ints, strictly
-  * ascending and positive (enforced at registration), carried on the
-  * expression rather than as children so codegen embeds them as one
-  * reference `int[]`.
+  * [[PrefixCosinesKernel]]; per-slot null semantics — the whole array
+  * is null only when an INPUT is null, the BinaryExpression default).
+  * Cut points are literal ints, strictly ascending and positive
+  * (enforced at registration), carried on the expression rather than as
+  * children so codegen embeds them as one reference `int[]`.
   */
 case class PrefixCosines(left: Expression, right: Expression, cuts: Seq[Int])
     extends BinaryExpression {
@@ -779,7 +784,10 @@ object VectorFunctions {
           "prefix_cosines cut points must be literal integers")
         e.eval() match {
           case i: Int => i
-          case l: Long => l.toInt
+          case l: Long =>
+            require(l == l.toInt.toLong,
+              s"prefix_cosines cut point out of int range: $l")
+            l.toInt
           case o => throw new IllegalArgumentException(
             s"prefix_cosines cut point must be an integer literal, got $o")
         }

@@ -9105,8 +9105,11 @@ object Similarity {
     val truth = bruteForceTruth(e).localCheckpoint()
     val nt = broadcast(truth.agg(count(lit(1)).as("n_truth")))
     val (_, flatVisited) = graphBeamSearch(s, d)
-    val (_, l0Visited, l1Visited) = hierSearch(s, d)
-    val hierCand = l0Visited.unionByName(l1Visited).distinct()
+    // the hier arm's honest-work set IS the serving dispatch's visited
+    // set — one definition ([[servedGraphSearch]]), so the audit and the
+    // production path can never diverge on what counts as scored work
+    val (_, hierVisited) = servedGraphSearch(s, d)
+    val hierCand = hierVisited
       .select(col("qid").as("vec_id"), col("v").as("neighbor_id"))
     recallModeRow("hashed_entry", flatVisited
         .select(col("qid").as("vec_id"), col("v").as("neighbor_id")),

@@ -682,13 +682,23 @@ object StreamingQueries {
     * VERBATIM — stream == batch == DuckDB on the same ledger, q394's
     * discipline on q391.
     */
-  private val q400 = GraftQuery(
-    "q400_stream_fifo_pnl",
-    graft.operators.Temporal.fifoCostBasisOracle) { (s, d) =>
+  /** The streamed trade ledger both lot-accounting twins fold: arriving
+    * lineitem lines ⋈ the static bounded account roster (stream-static
+    * equi-join, no state), projected to the (cust, part, dd, ok, ln,
+    * side, qty, <price>) row — ONE definition of the stream-side ledger
+    * mirroring `Temporal.lotLedger`'s bounds and grains, so the roster
+    * cut, side mapping, and FIFO key can never desynchronize between
+    * the twins (review r17 finding 4). `priceCol` is the one column the
+    * twins disagree on: q400 folds the 10⁻⁴-cent unit price, q401 the
+    * line cents (its loss rule cross-multiplies originals).
+    */
+  private def ledgerTradeStream(s: SparkSession, d: String,
+      priceCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long, Long)] = {
     import s.implicits._
     val roster = graft.Tables.orders(s, d).where(col("o_custkey") < 100)
       .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
-    val trades = EventStreams.readLineitem(s, d)
+    EventStreams.readLineitem(s, d)
       .join(roster, "l_orderkey")
       .select(col("o_custkey").cast("long").as("cust"),
         col("l_partkey").cast("long").as("part"),
@@ -698,9 +708,16 @@ object StreamingQueries {
         when(col("l_returnflag").isin("A", "N"), 1L).otherwise(0L)
           .as("side"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
-        expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)" +
-          " div CAST(round(l_quantity) AS BIGINT)").as("up"))
+        priceCol.cast("long").as("price"))
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+  }
+
+  private val q400 = GraftQuery(
+    "q400_stream_fifo_pnl",
+    graft.operators.Temporal.fifoCostBasisOracle) { (s, d) =>
+    val trades = ledgerTradeStream(s, d,
+      expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)" +
+        " div CAST(round(l_quantity) AS BIGINT)"))
     val sunk = EventStreams.runToMemory(s,
       EventStreams.ledgerPnlRows(trades).toDF("cust", "part", "n_trades",
         "proceeds", "cost", "realized", "olu", "olc", "osu", "osp"),
@@ -747,21 +764,8 @@ object StreamingQueries {
   private val q401 = GraftQuery(
     "q401_stream_wash_sale",
     graft.operators.Temporal.washSaleOracle) { (s, d) =>
-    import s.implicits._
-    val roster = graft.Tables.orders(s, d).where(col("o_custkey") < 100)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
-    val trades = EventStreams.readLineitem(s, d)
-      .join(roster, "l_orderkey")
-      .select(col("o_custkey").cast("long").as("cust"),
-        col("l_partkey").cast("long").as("part"),
-        expr("unix_date(CAST(l_shipdate AS DATE))").cast("long").as("dd"),
-        col("l_orderkey").cast("long").as("ok"),
-        col("l_linenumber").cast("long").as("ln"),
-        when(col("l_returnflag").isin("A", "N"), 1L).otherwise(0L)
-          .as("side"),
-        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    val trades = ledgerTradeStream(s, d,
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
     val sunk = EventStreams.runToMemory(s,
       EventStreams.washSaleRows(trades).toDF("cust", "part", "n_trades",
         "n_sales", "n_matched", "n_loss", "n_washed", "matched", "loss",

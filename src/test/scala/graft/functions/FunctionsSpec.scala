@@ -138,9 +138,18 @@ class FunctionsSpec extends SparkSuite {
     assert(got(0) != null && got(1) == null)
   }
 
-  test("prefix_cosines: dimension mismatch and null element yield null") {
-    assert(prefCosOf(Seq(f(1), f(2)), Seq(f(1)), Seq(1)) == null)
-    assert(prefCosOf(Seq(f(1), null), Seq(f(1), f(2)), Seq(2)) == null)
+  test("prefix_cosines: per-slot nulls — early tiers survive a late null/short index") {
+    // the per-tier HOF semantics (review r17 finding 1): a null at index
+    // 2 nulls only the cuts whose prefix includes it; cut 2 stays valid
+    val got = prefCosOf(Seq(f(1), f(2), null, f(4)), Seq(f(1), f(2), f(3), f(4)),
+      Seq(2, 4)).asInstanceOf[scala.collection.Seq[Any]]
+    assert(got(0) != null && got(1) == null, got.toString)
+    // dimension mismatch: tiers within BOTH lengths compute (the HOF's
+    // element_at overflow nulls only the overflowing tiers)
+    val mm = prefCosOf(Seq(f(1), f(2)), Seq(f(1)), Seq(1, 2))
+      .asInstanceOf[scala.collection.Seq[Any]]
+    assert(mm(0) != null && mm(1) == null, mm.toString)
+    assert(math.abs(mm(0).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
   test("cosine_sim_d is bit-identical to the interpreted HOF fold it replaces") {
