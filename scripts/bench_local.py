@@ -56,7 +56,11 @@ def main():
     group_size = opt("--group-size", 8)
 
     suite = json.load(open(suite_path))
-    sf_dir = f"/root/testdata/{suite['sf']}"
+    # the sf label may be a testdata subdir name, the sf1 replica's dir
+    # name ("graft_sf1" -> /tmp/graft_sf1), or an absolute path
+    sf = suite["sf"]
+    sf_dir = sf if sf.startswith("/") else (
+        "/tmp/graft_sf1" if sf == "graft_sf1" else f"/root/testdata/{sf}")
     # suite keys may be shortened ("qNN"); recover full names from the
     # registry. Only the quoted name right after `GraftQuery(` counts —
     # a bare repo-wide grep also matches observe() metric names etc.
