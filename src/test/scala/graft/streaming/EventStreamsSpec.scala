@@ -367,6 +367,45 @@ class EventStreamsSpec extends SparkSuite {
     }
   }
 
+  test("ledger folds retain only the open book on the live ledger") {
+    // the scaladoc state-size claims, MEASURED: fold every (cust, part)
+    // history at sf0.001 — ledgerFold must end with at most ONE
+    // non-empty book per key (matching always drains a side), and
+    // washSaleFold's retained sales must each still be needed (open
+    // demand, or wash window not yet closed at the feed's max date)
+    val led = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_custkey") < 100)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "l_orderkey")
+      .select(col("o_custkey").cast("long"), col("l_partkey").cast("long"),
+        expr("unix_date(CAST(l_shipdate AS DATE))").cast("long"),
+        col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        when(col("l_returnflag").isin("A", "N"), 1L).otherwise(0L),
+        expr("CAST(round(l_quantity) AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .groupBy(r => (r._1, r._2))
+    assert(led.nonEmpty)
+    val zeroW = (Seq.empty[Seq[Long]], Seq.empty[Seq[Long]],
+      Seq.empty[Seq[Long]], Seq.fill(11)(0L))
+    led.foreach { case (key, rows) =>
+      val sorted = rows.toSeq.sortBy(r => (r._3, r._4, r._5))
+      val (buyQ, sellQ, _) = EventStreams.ledgerFold(sorted, Nil, Nil,
+        Seq(0L, 0L, 0L, 0L))
+      assert(buyQ.isEmpty || sellQ.isEmpty,
+        s"$key: both books non-empty after the fold")
+      val stW = EventStreams.washSaleFold(sorted, zeroW)
+      val maxD = stW._4(2)
+      stW._3.foreach { s =>
+        assert(s(6) > 0L || s(2) + graft.operators.Temporal.WashDays >= maxD,
+          s"$key: retained sale neither open nor in-window")
+      }
+    }
+  }
+
   test("ledgerFold: positional matching, books drain one side, split-invariance") {
     val zero = Seq(0L, 0L, 0L, 0L)
     def t(dd: Long, ok: Long, ln: Long, side: Long, qty: Long, up: Long) =
